@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults chosen for correctness parity with the reference AND for behavior
+that survives a 1000-executor / 100 TB deployment:
+
+- ``spark.sql.session.timeZone=UTC``: the reference's ``DATE('now')``
+  (utils.py:328) is UTC in SQLite; pin the session zone so
+  ``current_date()`` agrees.
+- ``spark.sql.adaptive.enabled`` (+ coalescePartitions + skewJoin): runtime
+  re-planning — the knob that makes one static shuffle-partition setting
+  usable from sf0.001 tests to a real cluster.
+- ``spark.sql.mapKeyDedupPolicy=LAST_WIN``: the SDF tag parser builds maps
+  from (tag, value) entry arrays; we reverse the array first so LAST_WIN
+  implements the reference's first-occurrence-wins semantics
+  (utils.py:102-112).
+- Arrow enabled: every Python-side operator in this package uses
+  Arrow-batched pandas UDFs, never row-at-a-time Python UDFs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "local_pubchem_db_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Return (or create) a SparkSession with engine defaults applied."""
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    builder = builder.master(master)
+
+    conf = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+        ),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "spark.ui.enabled": "false",
+        "spark.sql.warehouse.dir": os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/spark-warehouse"
+        ),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,19 @@
+from local_pubchem_db_spark.sources.sdf import (
+    parse_sdf_records,
+    read_sdf,
+    read_sdf_records,
+)
+from local_pubchem_db_spark.sources.manifest import (
+    MANIFEST_SCHEMA,
+    read_manifest,
+    pending_files,
+)
+
+__all__ = [
+    "MANIFEST_SCHEMA",
+    "parse_sdf_records",
+    "pending_files",
+    "read_manifest",
+    "read_sdf",
+    "read_sdf_records",
+]
