@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the noop sink (full pipeline runs on executors,
+nothing collected to the driver) so the timing measures the distributed
+plan, not driver-side materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from local_pubchem_db_spark.queries import QUERIES
+from local_pubchem_db_spark.session import get_spark
+
+# Representative slice of the corpus: scans, star joins, windows,
+# sessionization, dedup (exact + MinHash-LSH), similarity search, text.
+HEADLINE = [
+    "pricing_summary",
+    "top_unshipped_orders",
+    "revenue_by_nation",
+    "brand_volume",
+    "top_orders_per_customer",
+    "running_event_count",
+    "sessionize",
+    "events_hourly",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_cosine",
+    "token_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/session so q1 doesn't pay one-time start-up costs.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

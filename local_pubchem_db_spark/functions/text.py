@@ -1,0 +1,131 @@
+"""Text-analysis column functions for the documents pipeline.
+
+All pure JVM-side expressions (whole-stage codegen) — no Python UDFs in any
+hot path. These generalize the reference's string surface (regex extract /
+split / replace, utils.py:264-265 and CREATE_LIKE split transforms) to the
+operators a large-scale training-data pipeline needs: token statistics,
+quality scoring, language ID, fingerprinting, shingling.
+
+Every function is deterministic and has an exact ANSI-SQL equivalent
+(documented inline) so results hash-match a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small and frozen: the heuristic must be exactly
+# reproducible in plain SQL for the correctness oracle.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "dans"],
+    "es": ["el", "la", "los", "y", "es", "una", "que", "en"],
+}
+
+_PUNCT_CLASS = r"[.,!?;:]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization. SQL: string_split_regex(trim(text), '\\s+')."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (bigint)."""
+    return F.size(tokens(text)).cast("long")
+
+
+def punct_count(text: Column) -> Column:
+    """Count of [.,!?;:] characters — explicit class so Spark and ANSI SQL
+    regex dialects agree (POSIX classes differ between engines)."""
+    return (
+        F.length(text) - F.length(F.regexp_replace(text, _PUNCT_CLASS, ""))
+    ).cast("long")
+
+
+def stopword_count(text: Column, lang: str = "en") -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(tokens(text)), sw)).cast("long")
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0, 1]: mean-token-length band,
+    punctuation ratio, and stopword presence. Single-division arithmetic on
+    exact integer counts → bit-deterministic across engines."""
+    n_tok = token_count(text)
+    n_char = F.length(text).cast("long")
+    mean_tok_len = n_char.cast("double") / n_tok.cast("double")
+    punct_ratio = punct_count(text).cast("double") / n_char.cast("double")
+    has_stop = (stopword_count(text) > 0).cast("double")
+    score = (
+        F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 10.0), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+        + has_stop * F.lit(0.3)
+    )
+    return F.when(n_tok > 0, score).otherwise(F.lit(0.0))
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-vote language ID over STOPWORDS; ties and zero votes →
+    'und' (undetermined). Exactly expressible as CASE + array ops in SQL."""
+    toks = F.array_distinct(tokens(text))
+    votes = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]]))
+        )
+        for lang in STOPWORDS
+    }
+    best = F.greatest(*votes.values())
+    langs = sorted(STOPWORDS)  # deterministic tie-break: first alphabetically
+    expr = F.lit("und")
+    for lang in reversed(langs):
+        expr = F.when((best > 0) & (votes[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip [.,!?;:],
+    collapse whitespace, trim."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, _PUNCT_CLASS, "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint: md5 hex of the normalized text.
+    SQL: md5(<same normalization>)."""
+    return F.md5(normalize_text(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>).
+
+    SQL equivalent (DuckDB): list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+    for i in range(1, len(w)-n+2)]).
+    """
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of the normalized text (array<string>)."""
+    t = normalize_text(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - n + 1, F.lit(0)))
+    return F.when(
+        F.length(t) >= n,
+        F.array_distinct(F.transform(idx, lambda i: F.substring(t, i.cast("int"), n))),
+    ).otherwise(F.array().cast("array<string>"))

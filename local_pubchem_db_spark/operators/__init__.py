@@ -1,0 +1,25 @@
+from local_pubchem_db_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_by_content,
+    minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+)
+from local_pubchem_db_spark.operators.similarity import (
+    brute_force_knn,
+    ivf_within_partition_pairs,
+)
+from local_pubchem_db_spark.operators.joins import range_join
+from local_pubchem_db_spark.operators.topk import top_k_per_group
+
+__all__ = [
+    "brute_force_knn",
+    "exact_dedup",
+    "exact_dedup_by_content",
+    "ivf_within_partition_pairs",
+    "minhash_lsh_dedup_pairs",
+    "ngram_jaccard_pairs",
+    "range_join",
+    "simhash_dedup_pairs",
+    "top_k_per_group",
+]

@@ -1,0 +1,223 @@
+"""Deduplication operators over a document table.
+
+Generalizes the reference's PK-uniqueness / InChIKey_1-prefix-blocking
+model (reference utils.py:192-197, default_db_layout.json:20-26) to the
+dedup family a training-data pipeline needs:
+
+- exact (hash groupBy)
+- near-dup: shingle-blocked exact Jaccard, MinHash+LSH, SimHash
+
+Scale notes:
+- Exact dedup shuffles once on the content hash (map-side partial
+  aggregation applies).
+- ``ngram_jaccard_pairs`` blocks on shared shingles — exact results, but
+  the block join grows with shingle document frequency; cap skew with
+  ``max_shingle_df`` (drops shingles appearing in more than N docs — an
+  ubiquitous shingle carries no discriminating signal; at 100 TB this is
+  the difference between a bounded join and a cross product).
+- ``minhash_lsh_dedup_pairs`` is the scale path: candidate generation is
+  linear in documents × bands, then candidates are verified with exact
+  Jaccard so the output equals the brute-force result w.h.p. (128 perms /
+  32 bands: a pair at the 0.8 threshold is missed with p ≈ 5e-8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+from local_pubchem_db_spark.functions.hashing import (
+    band_bucket_structs,
+    base_hashes,
+    hamming64,
+    minhash_agg_columns,
+    simhash_from_hashes,
+)
+from local_pubchem_db_spark.functions.text import tokens, word_shingles
+
+
+def exact_dedup(df: DataFrame, subset: list[str]) -> DataFrame:
+    """Keep one arbitrary row per key — Spark's dropDuplicates."""
+    return df.dropDuplicates(subset)
+
+
+def exact_dedup_by_content(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Canonical exact dedup: group by md5(text), keep the smallest id.
+
+    Deterministic (unlike dropDuplicates) and oracle-expressible:
+    SELECT md5(text) AS content_hash, min(id), count(*) GROUP BY md5(text).
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def _with_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+
+def _verify_jaccard(cand: DataFrame, shingled: DataFrame, threshold: float) -> DataFrame:
+    """Join candidate (id1, id2) pairs back to shingle sets and keep pairs
+    with exact Jaccard >= threshold. Jaccard = |I| / |U| is a ratio of
+    small exact integers — bit-deterministic across engines."""
+    a = shingled.select(F.col("id").alias("id1"), F.col("shingles").alias("s1"))
+    b = shingled.select(F.col("id").alias("id2"), F.col("shingles").alias("s2"))
+    inter = F.size(F.array_intersect("s1", "s2"))
+    union = F.size("s1") + F.size("s2") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(a, "id1")
+        .join(b, "id2")
+        .select("id1", "id2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_len: int = 3,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact near-dup pairs (id1 < id2, jaccard) via shared-shingle blocking.
+
+    Two documents with Jaccard >= t > 0 share at least one shingle, so
+    blocking on shingles loses nothing (when max_shingle_df doesn't bite;
+    with the default cap a missed pair would need ALL its shared shingles
+    to occur in >1000 docs — such pairs are boilerplate, not content).
+    """
+    shingled = _with_shingles(df, id_col, text_col, shingle_len)
+    exploded = shingled.select("id", F.explode("shingles").alias("shingle"))
+    if max_shingle_df is not None:
+        rare = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(rare, "shingle")
+    cand = (
+        exploded.alias("x")
+        .join(exploded.alias("y"), "shingle")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, shingled, threshold)
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_len: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs, exact-Jaccard-verified.
+
+    Candidate pairs collide in >=1 of ``bands`` bands over a
+    ``num_perm``-slot signature; every candidate is then verified against
+    the exact Jaccard threshold, so false positives are eliminated and the
+    output matches the brute-force oracle up to the (negligible) LSH miss
+    probability. Cost is linear in corpus size — this is the 100 TB path.
+    """
+    rows = num_perm // bands
+    shingled = _with_shingles(df, id_col, text_col, shingle_len)
+    # Distributed signature: explode shingles, hash each once, then one
+    # groupBy(id) with num_perm min-aggregates (map-side partial mins, one
+    # shuffle). Affine permutations over the two base hashes stay in
+    # whole-stage codegen.
+    h1, h2 = base_hashes(F.col("shingle"))
+    sig = (
+        shingled.select("id", F.explode("shingles").alias("shingle"))
+        .select("id", h1.alias("h1"), h2.alias("h2"))
+        .groupBy("id")
+        .agg(*minhash_agg_columns(F.col("h1"), F.col("h2"), num_perm))
+    )
+    buckets = sig.select(
+        "id",
+        F.explode(
+            band_bucket_structs(
+                [F.col(f"mh{i}") for i in range(num_perm)], bands, rows
+            )
+        ).alias("bb"),
+    ).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, shingled, threshold)
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup candidates: pairs with Hamming distance <=
+    ``max_hamming`` between 64-bit SimHashes.
+
+    Blocked on 16-bit SimHash quarters (pigeonhole: distance <= 3 over 4
+    blocks guarantees >=1 identical block), so no cross join. Output is the
+    SimHash criterion itself (no SQL oracle — the xxhash64-based fingerprint
+    is not expressible in ANSI SQL; the driver records a rows-only check).
+    """
+    # Two-phase projection: hash tokens once, then fold bits — keeps the
+    # 64 per-bit aggregates referencing one materialized array column
+    # instead of 64 inlined copies of the token-hash expression.
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(F.col(text_col)), lambda s: F.xxhash64(s)).alias("th"),
+    )
+    base = hashed.select("id", simhash_from_hashes(F.col("th")).alias("sh"))
+    blocks = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright(F.col("sh"), q * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("blk"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "sh", F.col("b.q").alias("q"), F.col("b.blk").alias("blk"))
+    pairs = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), ["q", "blk"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id1"),
+            F.col("y.id").alias("id2"),
+            hamming64(F.col("x.sh"), F.col("y.sh")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

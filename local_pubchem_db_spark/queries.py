@@ -1,0 +1,881 @@
+"""Declared-query corpus: every operator from SURVEY.md §2 as a
+(spark_query, oracle_sql) pair over the driver's testdata tables.
+
+Contract (driver): each entry in QUERIES is a callable
+``(spark, sf_dir) -> DataFrame``; ORACLES maps the same key to an ANSI-SQL
+string DuckDB runs on identical parquet views. The driver hash-compares
+values order-insensitively, so every computed column is aliased identically
+on both sides.
+
+Cross-engine determinism rules used throughout (the reason this corpus
+hash-matches at all):
+- Sums/avgs over parquet doubles are computed on exact DECIMAL casts and
+  cast to double at the end — float summation order differs between
+  engines, decimal arithmetic doesn't.
+- Ratio metrics (Jaccard, rates) are single IEEE divisions of exact
+  integers — bit-deterministic.
+- Raw column passthrough is always safe; raw float *expressions* (e.g.
+  cosine scores) are never output — only the id sets / ranks they induce.
+- Timestamps stay in UTC (session tz pinned) and bucket on epoch-aligned
+  boundaries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from local_pubchem_db_spark.functions.text import (
+    STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    normalize_text,
+    punct_count,
+    token_count,
+    tokens,
+)
+from local_pubchem_db_spark.operators.dedup import (
+    exact_dedup_by_content,
+    minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+)
+from local_pubchem_db_spark.operators.joins import range_join
+from local_pubchem_db_spark.operators.similarity import (
+    brute_force_knn,
+    ivf_within_partition_pairs,
+)
+from local_pubchem_db_spark.operators.topk import top_k_per_group
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects by default. Read nanos as long (session conf) and
+    rebuild a microsecond timestamp with integer DIV — epoch nanos
+    (~1.7e18) exceed double's 2^53 exact-integer range, so float division
+    here would silently corrupt timestamps."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = t(spark, sf_dir, "events")
+    return ev.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def _dec(col: str, prec: int = 18, scale: int = 4):
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Tier B — the reference's SQL surface (SURVEY.md §2 B5-B10)
+# ---------------------------------------------------------------------------
+
+def q_count_star(spark, sf_dir):
+    """B6: COUNT(*) (unittests_utils.py:254)."""
+    return t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_point_lookup(spark, sf_dir):
+    """B7: equality filter + projection (unittests_utils.py:256-260)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 42)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+def q_projection_scan(spark, sf_dir):
+    """B8: projection scan — columnar pruning (unittests_utils.py:274)."""
+    return t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+
+
+def q_range_filter(spark, sf_dir):
+    """B10: range constraint on an 'indexed' numeric column — the
+    exact_mass mass-window workload shape (README.md:76)."""
+    return (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_retailprice").between(1200.0, 1400.0))
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+def q_prefix_filter(spark, sf_dir):
+    """B10: prefix lookup — the InChIKey_1 blocking-key workload shape."""
+    return (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_name").startswith("Customer#00000001"))
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_manifest_stats(spark, sf_dir):
+    """A13/B5: per-source ingest stats — the sdf_file manifest analog
+    (count + id bounds per source, utils.py:327-332)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("lowest_id"),
+            F.max("doc_id").alias("highest_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier C — analytics surface (SURVEY.md §2 C4-C10)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """C5 flagship: TPC-H Q1 pricing summary. Decimal-exact aggregation."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty = _dec("l_quantity", 12, 2)
+    price = _dec("l_extendedprice", 12, 2)
+    disc = _dec("l_discount", 6, 4)
+    tax = _dec("l_tax", 6, 4)
+    one = F.lit(1).cast("decimal(5,4)")
+    disc_price = price * (one - disc)
+    charge = disc_price * (one + tax)
+    cnt = F.count(F.lit(1))
+    # Scale-10 decimal sums are re-scaled to 6 decimals BEFORE the double
+    # cast: at scale 10 the unscaled long exceeds 2^53, and engines differ
+    # by 1 ulp in that conversion; at scale 6 (sum*10^6 < 2^53) the
+    # decimal→double conversion is exact-integer division — deterministic.
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(27,6)").cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(27,6)").cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / cnt.cast("double")).alias("avg_qty"),
+            (F.sum(price).cast("double") / cnt.cast("double")).alias("avg_price"),
+            (F.sum(disc).cast("double") / cnt.cast("double")).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+def q_top_unshipped_orders(spark, sf_dir):
+    """C4+C7: TPC-H Q3 shape — 3-way join, grouped revenue, top 10."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(5,4)")
+    revenue = _dec("l_extendedprice", 12, 2) * (one - _dec("l_discount", 6, 4))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """C4: star join across 5 tables (lineitem⋈supplier⋈nation⋈region),
+    broadcast dimensions, grouped revenue."""
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    one = F.lit(1).cast("decimal(5,4)")
+    revenue = _dec("l_extendedprice", 12, 2) * (one - _dec("l_discount", 6, 4))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_rollup_returns(spark, sf_dir):
+    """C5: ROLLUP grouping sets."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_quantity", 12, 2)).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    """C6: ranked window — top 3 orders by totalprice per customer."""
+    return top_k_per_group(
+        t(spark, sf_dir, "orders"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+
+
+def q_event_value_delta(spark, sf_dir):
+    """C6: lag window over event time per user."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ev = events_table(spark, sf_dir)
+    return ev.select(
+        "user_id",
+        "event_id",
+        (_dec("value", 12, 4) - F.lag(_dec("value", 12, 4)).over(w))
+        .cast("double")
+        .alias("value_delta"),
+    )
+
+
+def q_running_event_count(spark, sf_dir):
+    """C6: running frame — cumulative events per user over time."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events_table(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("running_events"),
+            F.sum(_dec("value", 12, 4)).over(w).cast("double").alias("running_value"),
+        )
+    )
+
+
+def q_customers_with_urgent_orders(spark, sf_dir):
+    """C4: left semi join (EXISTS)."""
+    cust = t(spark, sf_dir, "customer")
+    urgent = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """C4/A14: left anti join (NOT EXISTS) — the manifest-pruning shape
+    (utils.py:272-282)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_brand_volume(spark, sf_dir):
+    """C4: fact ⋈ two broadcast dims, grouped."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(
+            F.sum(_dec("l_quantity", 12, 2)).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_price_band_pairs(spark, sf_dir):
+    """C3: range join — parts within ±2.0 retail price of 20 probe parts
+    (the exact_mass mass-window join, README.md:76). Probe side broadcast."""
+    parts = t(spark, sf_dir, "part")
+    probes = (
+        parts.filter(F.col("p_partkey") <= 20)
+        .select(
+            F.col("p_partkey").alias("probe_id"),
+            F.col("p_retailprice").alias("probe_price"),
+        )
+    )
+    return range_join(parts, probes, "p_retailprice", "probe_price", 2.0).select(
+        "probe_id", "probe_price", "p_partkey", "p_retailprice"
+    )
+
+
+def q_active_rich_customers(spark, sf_dir):
+    """C8: INTERSECT — high-balance customers who have orders."""
+    rich = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000.0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    active = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return rich.intersect(active)
+
+
+def q_parts_never_ordered(spark, sf_dir):
+    """C8: EXCEPT — parts absent from lineitem."""
+    all_parts = t(spark, sf_dir, "part").select(F.col("p_partkey").alias("partkey"))
+    ordered = t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("partkey"))
+    return all_parts.exceptAll(ordered).distinct()
+
+
+def q_distinct_counts(spark, sf_dir):
+    """C10 (exact twin): COUNT(DISTINCT ...)."""
+    return t(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("d_part"),
+        F.countDistinct("l_suppkey").alias("d_supp"),
+        F.countDistinct("l_orderkey").alias("d_order"),
+    )
+
+
+def q_approx_distinct(spark, sf_dir):
+    """C10: approx_count_distinct (HLL) — engine-specific sketch, no
+    cross-engine oracle; driver records rows-only."""
+    return t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_d_part")
+    )
+
+
+def q_monthly_order_stats(spark, sf_dir):
+    """C9 date functions: month bucketing + decimal-exact totals."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice", 14, 2)).cast("double").alias("total_price"),
+        )
+    )
+
+
+def q_json_props(spark, sf_dir):
+    """C9: JSON extraction from the events.props string column."""
+    ev = events_table(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_string_surface(spark, sf_dir):
+    """C9: the reference's string-function surface (regex extract, split,
+    replace, substring, length, case) over documents."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_live"),
+        F.substring("text", 1, 12).alias("prefix12"),
+        F.upper("source").alias("source_uc"),
+        F.element_at(tokens(F.col("text")), 1).alias("first_token"),
+        F.regexp_replace(F.col("text"), "data", "DATA").substr(1, 20).alias("replaced20"),
+        F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("long").alias("source_num"),
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """C11 (batch twin): epoch-aligned tumbling 1h window aggregation."""
+    ev = events_table(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value", 12, 4)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """C11: sessionization with a 30-minute inactivity gap — lag + running
+    sum of new-session flags; all-integer outputs."""
+    ev = events_table(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_millis(F.col("ts")).alias("ts_ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gap = F.col("ts_ms") - F.lag("ts_ms").over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extension operators — training-data pipeline (dedup / similarity / text)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (C1)."""
+    return exact_dedup_by_content(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs at tau=0.8 (C2), via
+    shared-shingle blocking."""
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        threshold=0.8, shingle_len=3, max_shingle_df=None,
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, exact-verified at tau=0.8 (C2). Oracle =
+    brute-force exact Jaccard: LSH recall at tau=0.8 with 128 perms / 32
+    bands makes a missed pair ~5e-8 improbable."""
+    return minhash_lsh_dedup_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup candidates (hamming <= 3 of 64). xxhash64-based —
+    not ANSI-SQL-expressible; driver records rows-only."""
+    return simhash_dedup_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    ).select("id1", "id2", "hamming")
+
+
+def q_knn_cosine(spark, sf_dir):
+    """Brute-force cosine top-5 for 30 query vectors (ANN baseline)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 30)
+    return brute_force_knn(emb, queries, "vec_id", "embedding", k=5)
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-bucketed near-neighbor pairs (cosine >= 0.4 within the coarse
+    partition given by ``label``) — the scale path for similarity search."""
+    return ivf_within_partition_pairs(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", 0.4
+    ).select("id1", "id2", F.col("part").alias("label"))
+
+
+def q_text_quality(spark, sf_dir):
+    """Text quality metrics: token/punct counts + mean token length."""
+    d = t(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        punct_count(F.col("text")).alias("n_punct"),
+        (F.length("text").cast("double") / n_tok.cast("double")).alias("mean_tok_len"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-vote language ID distribution vs the labeled lang column."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    """Normalized-content fingerprints (md5 of canonical text)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+        F.length(normalize_text(F.col("text"))).alias("norm_len"),
+    )
+
+
+def q_token_topk(spark, sf_dir):
+    """Corpus token histogram: top 20 tokens."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload + typed metadata via an
+    Arrow-batched mapInPandas (the decode-UDF shape for image/audio
+    columns; here payload = utf-8 bytes so the oracle can verify size and
+    digest exactly)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def extract_meta(batches):
+        import hashlib
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "digest": pdf["payload"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return d.mapInPandas(extract_meta, "doc_id long, n_bytes long, digest string")
+
+
+# ---------------------------------------------------------------------------
+# Registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "count_star": q_count_star,
+    "point_lookup": q_point_lookup,
+    "projection_scan": q_projection_scan,
+    "range_filter": q_range_filter,
+    "prefix_filter": q_prefix_filter,
+    "manifest_stats": q_manifest_stats,
+    "pricing_summary": q_pricing_summary,
+    "top_unshipped_orders": q_top_unshipped_orders,
+    "revenue_by_nation": q_revenue_by_nation,
+    "rollup_returns": q_rollup_returns,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "event_value_delta": q_event_value_delta,
+    "running_event_count": q_running_event_count,
+    "customers_with_urgent_orders": q_customers_with_urgent_orders,
+    "customers_without_orders": q_customers_without_orders,
+    "brand_volume": q_brand_volume,
+    "price_band_pairs": q_price_band_pairs,
+    "active_rich_customers": q_active_rich_customers,
+    "parts_never_ordered": q_parts_never_ordered,
+    "distinct_counts": q_distinct_counts,
+    "approx_distinct": q_approx_distinct,
+    "monthly_order_stats": q_monthly_order_stats,
+    "json_props": q_json_props,
+    "string_surface": q_string_surface,
+    "events_hourly": q_events_hourly,
+    "sessionize": q_sessionize,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "knn_cosine": q_knn_cosine,
+    "ann_ivf": q_ann_ivf,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "token_topk": q_token_topk,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+# Shared SQL fragments for the oracles ------------------------------------
+
+_SHINGLES_CTE = """
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, len(w) - 1)]) AS shingles
+  FROM toks WHERE len(w) >= 3
+),
+jac_pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         (len(a.shingles) + len(b.shingles)
+          - len(list_intersect(a.shingles, b.shingles)))::DOUBLE AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+"""
+
+_STOPWORD_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]" for lang, ws in STOPWORDS.items()
+}
+
+_LANG_VOTES = ", ".join(
+    f"len(list_intersect(toks, {_STOPWORD_SQL[lang]})) AS v_{lang}"
+    for lang in sorted(STOPWORDS)
+)
+_LANG_BEST = "greatest(" + ", ".join(f"v_{lang}" for lang in sorted(STOPWORDS)) + ")"
+_LANG_CASE = (
+    "CASE WHEN " + _LANG_BEST + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN v_{lang} = {_LANG_BEST} THEN '{lang}'" for lang in sorted(STOPWORDS)
+    )
+    + " ELSE 'und' END"
+)
+
+_NORM_TEXT = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+ORACLES: dict[str, str] = {
+    "count_star": "SELECT count(*) AS cnt FROM lineitem",
+    "point_lookup": (
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+        "FROM orders WHERE o_orderkey = 42"
+    ),
+    "projection_scan": "SELECT o_orderkey, o_custkey FROM orders",
+    "range_filter": (
+        "SELECT p_partkey, p_name, p_retailprice FROM part "
+        "WHERE p_retailprice BETWEEN 1200.0 AND 1400.0"
+    ),
+    "prefix_filter": (
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE c_name LIKE 'Customer#00000001%'"
+    ),
+    "manifest_stats": (
+        "SELECT source, count(*) AS n_docs, min(doc_id) AS lowest_id, "
+        "max(doc_id) AS highest_id FROM documents GROUP BY source"
+    ),
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(27,6)) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))
+                        * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(27,6)) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_unshipped_orders": """
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "revenue_by_nation": """
+        SELECT r_name, n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "rollup_returns": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "top_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+          FROM orders) WHERE rank <= 3
+    """,
+    "event_value_delta": """
+        SELECT user_id, event_id,
+               CAST(CAST(value AS DECIMAL(12,4))
+                    - lag(CAST(value AS DECIMAL(12,4)))
+                      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                    AS DOUBLE) AS value_delta
+        FROM events
+    """,
+    "running_event_count": """
+        SELECT user_id, event_id,
+               count(*) OVER w AS running_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,4))) OVER w AS DOUBLE) AS running_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "customers_with_urgent_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "brand_volume": """
+        SELECT p_brand, s_name,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY p_brand, s_name
+    """,
+    "price_band_pairs": """
+        SELECT p.probe_id, p.probe_price, r.p_partkey, r.p_retailprice
+        FROM part r
+        JOIN (SELECT p_partkey AS probe_id, p_retailprice AS probe_price
+              FROM part WHERE p_partkey <= 20) p
+          ON r.p_retailprice BETWEEN p.probe_price - 2.0 AND p.probe_price + 2.0
+    """,
+    "active_rich_customers": """
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000.0
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders
+    """,
+    "parts_never_ordered": """
+        SELECT p_partkey AS partkey FROM part
+        EXCEPT
+        SELECT l_partkey AS partkey FROM lineitem
+    """,
+    "distinct_counts": """
+        SELECT count(DISTINCT l_partkey) AS d_part,
+               count(DISTINCT l_suppkey) AS d_supp,
+               count(DISTINCT l_orderkey) AS d_order
+        FROM lineitem
+    """,
+    "monthly_order_stats": """
+        SELECT date_trunc('month', o_orderdate) AS month,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+        FROM orders GROUP BY date_trunc('month', o_orderdate)
+    """,
+    "json_props": """
+        SELECT event_type, count(*) AS n,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type
+    """,
+    "string_surface": """
+        SELECT doc_id,
+               length(text) AS n_chars_live,
+               substr(text, 1, 12) AS prefix12,
+               upper(source) AS source_uc,
+               string_split_regex(trim(text), '\\s+')[1] AS first_token,
+               substr(regexp_replace(text, 'data', 'DATA', 'g'), 1, 20) AS replaced20,
+               CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) AS source_num
+        FROM documents
+    """,
+    "events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour_start, event_type,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+    "sessionize": """
+        WITH flagged AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+                 CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                        OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+                      IS NULL THEN 1
+                      WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                        OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+                        > 1800000 THEN 1 ELSE 0 END AS new_session
+          FROM events),
+        sess AS (
+          SELECT user_id, event_id, ts_ms,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM flagged)
+        SELECT user_id, session_id, count(*) AS n_events,
+               max(ts_ms) - min(ts_ms) AS duration_ms
+        FROM sess GROUP BY user_id, session_id
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+               count(*) AS dup_count
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_jaccard": "WITH " + _SHINGLES_CTE + """
+        SELECT id1, id2, jaccard FROM jac_pairs WHERE jaccard >= 0.8
+    """,
+    "dedup_minhash_lsh": "WITH " + _SHINGLES_CTE + """
+        SELECT id1, id2, jaccard FROM jac_pairs WHERE jaccard >= 0.8
+    """,
+    "knn_cosine": """
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(c.embedding AS DOUBLE[])) DESC,
+                            c.vec_id ASC) AS rank
+          FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+          WHERE q.vec_id < 30)
+        WHERE rank <= 5
+    """,
+    "ann_ivf": """
+        SELECT a.vec_id AS id1, b.vec_id AS id2, a.label AS label
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+    "text_quality": """
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+               CAST(length(text) AS DOUBLE)
+                 / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS mean_tok_len
+        FROM documents
+    """,
+    "lang_id": f"""
+        WITH votes AS (
+          SELECT lang,
+                 list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+          FROM documents),
+        scored AS (SELECT lang, {_LANG_VOTES} FROM votes)
+        SELECT lang, {_LANG_CASE} AS pred_lang, count(*) AS n
+        FROM scored GROUP BY lang, pred_lang
+    """,
+    "fingerprint": f"""
+        SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint,
+               length({_NORM_TEXT}) AS norm_len
+        FROM documents
+    """,
+    "token_topk": """
+        SELECT token, count(*) AS n FROM (
+          SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+          FROM documents)
+        WHERE token != ''
+        GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+    """,
+    "multimodal_meta": """
+        SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS digest
+        FROM documents
+    """,
+}

@@ -1,0 +1,119 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every QUERIES entry on Spark and its ORACLES twin on DuckDB over the
+same parquet tables, then compares row count, column names, and
+order-insensitive canonicalized values (strictest: exact equality,
+including doubles).
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            s = pd.to_datetime(s).dt.tz_localize(None).astype("datetime64[us]")
+            s = s.astype(str)
+        elif pd.api.types.is_float_dtype(s):
+            s = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            s = s.astype("Int64")
+        out[c] = s
+    res = pd.DataFrame(out)
+    res = res.sort_values(by=list(res.columns), ignore_index=True)
+    return res
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        problems.append(
+            f"columns differ: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"
+        )
+        return problems
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    a, b = canon(spark_pdf), canon(oracle_pdf)
+    if len(a) == len(b):
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            if pd.api.types.is_float_dtype(av):
+                eq = (av.values == bv.values) | (np.isnan(av.values) & np.isnan(bv.values))
+            else:
+                eq = (av.values == bv.values) | (av.isna().values & bv.isna().values)
+            n_bad = int((~eq).sum())
+            if n_bad:
+                i = int(np.argmax(~eq))
+                problems.append(
+                    f"col {c}: {n_bad} mismatched values, first at row {i}: "
+                    f"spark={av.iloc[i]!r} oracle={bv.iloc[i]!r}"
+                )
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from local_pubchem_db_spark.queries import ORACLES, QUERIES, TABLES
+    from local_pubchem_db_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-check")
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'"
+        )
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_pdf = sdf.toPandas()
+        except Exception as err:  # noqa: BLE001
+            print(f"FAIL {name}: spark error {err}")
+            n_fail += 1
+            continue
+        if name not in ORACLES:
+            print(f"rows-only {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            oracle_pdf = con.execute(ORACLES[name]).df()
+        except Exception as err:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error {err}")
+            n_fail += 1
+            continue
+        problems = compare(name, spark_pdf, oracle_pdf)
+        if problems:
+            print(f"FAIL {name} ({time.time()-t0:.1f}s)")
+            for p in problems:
+                print(f"   - {p}")
+            n_fail += 1
+        else:
+            print(f"ok   {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAIL")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
