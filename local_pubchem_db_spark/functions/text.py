@@ -12,6 +12,7 @@ Every function is deterministic and has an exact ANSI-SQL equivalent
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -102,13 +103,18 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (array<string>).
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED token-array column.
+
+    ``toks`` must be a bound column (produced by a previous projection),
+    not an inline ``split(...)`` expression: higher-order functions are
+    interpreted (no codegen), so an inline split would re-run the regex for
+    every ``element_at`` of every gram — ~6 regex splits per shingle, which
+    turns a milliseconds scan into seconds per 1k documents.
 
     SQL equivalent (DuckDB): list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
     for i in range(1, len(w)-n+2)]).
     """
-    toks = tokens(text)
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
         idx,
@@ -119,6 +125,50 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>) straight from text.
+
+    Convenience form for small inputs/tests. Hot paths should project
+    :func:`tokens` into a column first and call
+    :func:`shingles_from_tokens` on it (see that docstring for why).
+    """
+    return shingles_from_tokens(tokens(text), n)
+
+
+def shingle_array_udf(n: int = 3):
+    """Arrow-batched pandas UDF producing distinct word n-gram shingles.
+
+    Semantically identical to :func:`word_shingles` (tokens = '\\s+' split
+    of trimmed text; distinct keeps first occurrence) but ~100x faster:
+    Spark's higher-order array expressions run interpreted (CodegenFallback),
+    costing tens of ms per document, while this is plain Python string ops
+    over Arrow batches. Used by the dedup hot paths; the Column version
+    remains the semantic spec and the test/oracle reference.
+    """
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    # re.ASCII: Java/RE2 '\s' is ASCII-only; Python's default is Unicode.
+    ws = re.compile(r"\s+", re.ASCII)
+
+    @pandas_udf("array<string>")
+    def _shingles(text: pd.Series) -> pd.Series:
+        def grams(t):
+            if t is None:
+                return []
+            w = [tok for tok in ws.split(t.strip()) if tok]
+            if len(w) < n:
+                return []
+            return list(dict.fromkeys(
+                " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
+            ))
+
+        return text.map(grams)
+
+    return _shingles
 
 
 def char_ngrams(text: Column, n: int = 5) -> Column:

@@ -27,13 +27,12 @@ from pyspark.sql import DataFrame, Column
 from pyspark.sql import functions as F
 
 from local_pubchem_db_spark.functions.hashing import (
-    band_bucket_structs,
-    base_hashes,
     hamming64,
-    minhash_agg_columns,
+    minhash_band_udf,
     simhash_from_hashes,
 )
-from local_pubchem_db_spark.functions.text import tokens, word_shingles
+from local_pubchem_db_spark.functions.text import shingle_array_udf, tokens
+from local_pubchem_db_spark.operators.util import fan_out, shared
 
 
 def exact_dedup(df: DataFrame, subset: list[str]) -> DataFrame:
@@ -61,10 +60,17 @@ def exact_dedup_by_content(
 def _with_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    # Shingling runs as an Arrow-batched pandas UDF: Spark's higher-order
+    # array functions are interpreted (no codegen), ~100x slower per row
+    # than the vectorized Python path for gram construction. fan_out
+    # first: shingling is CPU-bound and must not be serialized by a
+    # low-split scan. shared() last: every caller references the shingle
+    # relation from 2-4 plan subtrees (bucketing + verification sides).
+    return shared(
+        fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")))
+        .select("id", shingle_array_udf(n)(F.col("text")).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
 
 
 def _verify_jaccard(cand: DataFrame, shingled: DataFrame, threshold: float) -> DataFrame:
@@ -136,28 +142,15 @@ def minhash_lsh_dedup_pairs(
     output matches the brute-force oracle up to the (negligible) LSH miss
     probability. Cost is linear in corpus size — this is the 100 TB path.
     """
-    rows = num_perm // bands
     shingled = _with_shingles(df, id_col, text_col, shingle_len)
-    # Distributed signature: explode shingles, hash each once, then one
-    # groupBy(id) with num_perm min-aggregates (map-side partial mins, one
-    # shuffle). Affine permutations over the two base hashes stay in
-    # whole-stage codegen.
-    h1, h2 = base_hashes(F.col("shingle"))
-    sig = (
-        shingled.select("id", F.explode("shingles").alias("shingle"))
-        .select("id", h1.alias("h1"), h2.alias("h2"))
-        .groupBy("id")
-        .agg(*minhash_agg_columns(F.col("h1"), F.col("h2"), num_perm))
-    )
-    buckets = sig.select(
+    # Signature + banding in one map-side vectorized UDF (no shuffle, no
+    # codegen compile); posexplode yields (id, band, bucket). Candidate
+    # generation is the only shuffle: an equi-join on (band, bucket).
+    buckets = shingled.select(
         "id",
-        F.explode(
-            band_bucket_structs(
-                [F.col(f"mh{i}") for i in range(num_perm)], bands, rows
-            )
-        ).alias("bb"),
-    ).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        F.posexplode(
+            minhash_band_udf(num_perm, bands)(F.col("shingles"))
+        ).alias("band", "bucket"),
     )
     cand = (
         buckets.alias("x")
@@ -186,11 +179,13 @@ def simhash_dedup_pairs(
     # Two-phase projection: hash tokens once, then fold bits — keeps the
     # 64 per-bit aggregates referencing one materialized array column
     # instead of 64 inlined copies of the token-hash expression.
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(tokens(F.col(text_col)), lambda s: F.xxhash64(s)).alias("th"),
+    hashed = (
+        fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")))
+        .select("id", tokens(F.col("text")).alias("toks"))
+        .select("id", F.transform(F.col("toks"), lambda s: F.xxhash64(s)).alias("th"))
     )
-    base = hashed.select("id", simhash_from_hashes(F.col("th")).alias("sh"))
+    # shared(): the blocked self-join references the SimHash relation twice.
+    base = shared(hashed.select("id", simhash_from_hashes(F.col("th")).alias("sh")))
     blocks = base.select(
         "id",
         "sh",

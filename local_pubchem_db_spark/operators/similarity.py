@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from local_pubchem_db_spark.functions.vectors import cosine_similarity
+from local_pubchem_db_spark.operators.util import fan_out, shared
 
 
 def brute_force_knn(
@@ -37,8 +38,10 @@ def brute_force_knn(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    # fan_out: the dot-product scan is CPU-bound; a single-file corpus
+    # would otherwise score on one core.
+    c = fan_out(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
@@ -72,16 +75,17 @@ def ivf_within_partition_pairs(
     co-locates each bucket on one executor — per-bucket work is quadratic
     only in bucket size.
     """
-    a = df.select(
-        F.col(partition_col).alias("part"),
-        F.col(id_col).alias("id1"),
-        F.col(vec_col).alias("v1"),
+    base = shared(
+        fan_out(
+            df.select(
+                F.col(partition_col).alias("part"),
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+            )
+        )
     )
-    b = df.select(
-        F.col(partition_col).alias("part"),
-        F.col(id_col).alias("id2"),
-        F.col(vec_col).alias("v2"),
-    )
+    a = base.select("part", F.col("id").alias("id1"), F.col("v").alias("v1"))
+    b = base.select("part", F.col("id").alias("id2"), F.col("v").alias("v2"))
     return (
         a.join(b, "part")
         .filter(F.col("id1") < F.col("id2"))
