@@ -432,6 +432,15 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_session_window(spark, sf_dir):
+    """C11: gap-based sessionization with the BUILT-IN session_window
+    operator (same 30-min gap as q_sessionize; this one also runs
+    unchanged on a stream — see streaming.events.session_windows)."""
+    from local_pubchem_db_spark.streaming.events import session_windows
+
+    return session_windows(events_table(spark, sf_dir), gap="30 minutes")
+
+
 # ---------------------------------------------------------------------------
 # Extension operators — training-data pipeline (dedup / similarity / text)
 # ---------------------------------------------------------------------------
@@ -584,6 +593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_surface": q_string_surface,
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
+    "session_window": q_session_window,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -814,6 +824,24 @@ ORACLES: dict[str, str] = {
         SELECT user_id, session_id, count(*) AS n_events,
                max(ts_ms) - min(ts_ms) AS duration_ms
         FROM sess GROUP BY user_id, session_id
+    """,
+    "session_window": """
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        IS NULL THEN 1
+                      WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+          FROM events),
+        sess AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged)
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sid
     """,
     "dedup_exact": """
         SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

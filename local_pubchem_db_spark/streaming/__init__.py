@@ -1,0 +1,15 @@
+from local_pubchem_db_spark.streaming.ingest import stream_build_db
+from local_pubchem_db_spark.streaming.events import (
+    hourly_event_counts,
+    read_event_stream,
+    session_windows,
+    stateful_user_counts,
+)
+
+__all__ = [
+    "hourly_event_counts",
+    "read_event_stream",
+    "session_windows",
+    "stateful_user_counts",
+    "stream_build_db",
+]

@@ -1,0 +1,179 @@
+"""Streaming surface tests: checkpointed ingest exactly-once, stream/batch
+equivalence for event-time operators, custom stateful operator."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_pubchem_db_spark.pipeline import PubChemDB
+from local_pubchem_db_spark.streaming import (
+    hourly_event_counts,
+    read_event_stream,
+    session_windows,
+    stateful_user_counts,
+    stream_build_db,
+)
+from local_pubchem_db_spark.streaming.events import EVENT_SCHEMA
+
+SPECS = {
+    "columns": {
+        "cid": {
+            "SD_TAG": ["PUBCHEM_COMPOUND_CID"],
+            "DTYPE": "integer",
+            "PRIMARY_KEY": True,
+        },
+        "InChIKey": {
+            "SD_TAG": ["PUBCHEM_IUPAC_INCHIKEY"],
+            "DTYPE": "varchar",
+            "NOT_NULL": True,
+        },
+    }
+}
+
+
+@pytest.fixture()
+def stream_base(tmp_path, sdf_dir):
+    base = tmp_path / "base"
+    (base / "sdf").mkdir(parents=True)
+    for fn in os.listdir(sdf_dir):
+        if fn.endswith(".gz"):
+            shutil.copy(os.path.join(sdf_dir, fn), base / "sdf" / fn)
+    return str(base)
+
+
+def test_stream_build_exactly_once(spark, stream_base):
+    q = stream_build_db(stream_base, use_gzip=True, db_specs=SPECS, spark=spark)
+    q.awaitTermination()
+    db = PubChemDB(spark, stream_base)
+    assert db.compounds().count() == 8
+    cids = sorted(r["cid"] for r in db.compounds().select("cid").collect())
+    assert cids == [31038, 31039, 31040, 34516, 34517, 34518, 46773, 46774]
+    manifest = {r["filename"]: r["n_compounds"] for r in db.sdf_file().collect()}
+    assert len(manifest) == 3 and sum(manifest.values()) == 8
+
+    # Restart with no new files: the checkpoint must prevent re-ingestion.
+    q2 = stream_build_db(stream_base, use_gzip=True, db_specs=SPECS, spark=spark)
+    q2.awaitTermination()
+    assert db.compounds().count() == 8
+    assert db.sdf_file().count() == 3
+
+
+def test_stream_build_incremental_new_file(spark, stream_base, sdf_dir):
+    q = stream_build_db(stream_base, use_gzip=True, db_specs=SPECS, spark=spark)
+    q.awaitTermination()
+    db = PubChemDB(spark, stream_base)
+    assert db.compounds().count() == 8
+
+    # A new shard arrives (same bytes, new name -> new file to the source).
+    src = os.path.join(sdf_dir, "cmps_06_07.sdf.gz")
+    shutil.copy(src, os.path.join(stream_base, "sdf", "cmps_08_09.sdf.gz"))
+    q2 = stream_build_db(stream_base, use_gzip=True, db_specs=SPECS, spark=spark)
+    q2.awaitTermination()
+    assert db.compounds().count() == 10  # only the new file's 2 records
+    assert db.sdf_file().count() == 4
+
+
+@pytest.fixture(scope="module")
+def event_batches(spark, sf_dir, tmp_path_factory):
+    """Events as micro-timestamped parquet shards in a stream directory."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select([f.name for f in EVENT_SCHEMA.fields])
+    )
+    d = tmp_path_factory.mktemp("event_stream")
+    # Two shards so AvailableNow exercises multi-file listing.
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(d / "a"))
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(d / "b"))
+    stream_dir = tmp_path_factory.mktemp("event_stream_flat")
+    i = 0
+    for sub in ("a", "b"):
+        for fn in os.listdir(d / sub):
+            if fn.endswith(".parquet"):
+                shutil.copy(d / sub / fn, stream_dir / f"part-{i}.parquet")
+                i += 1
+    return ev, str(stream_dir)
+
+
+def _run_stream(df, tmpdir, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName("sink_tbl")
+        .outputMode(mode)
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table("sink_tbl")
+
+
+def test_hourly_counts_stream_equals_batch(spark, event_batches, tmp_path):
+    ev, stream_dir = event_batches
+    stream = read_event_stream(spark, stream_dir)
+    # complete mode: in append mode windows newer than the final watermark
+    # are (correctly) withheld at end-of-stream, so stream-vs-batch
+    # equality must be asserted on the complete result.
+    got = _run_stream(
+        hourly_event_counts(stream), str(tmp_path), mode="complete"
+    ).collect()
+    want = hourly_event_counts(ev).collect()
+    key = lambda r: (r["hour_start"], r["event_type"])  # noqa: E731
+    assert sorted(((key(r), r["n"], r["sum_value"]) for r in got)) == sorted(
+        ((key(r), r["n"], r["sum_value"]) for r in want)
+    )
+
+
+def test_session_windows_stream_equals_batch(spark, event_batches, tmp_path):
+    ev, stream_dir = event_batches
+    stream = read_event_stream(spark, stream_dir)
+    got = _run_stream(session_windows(stream), str(tmp_path)).collect()
+    want = session_windows(ev).collect()
+    key = lambda r: (r["user_id"], r["session_start"])  # noqa: E731
+    got_set = {(key(r), r["session_end"], r["n_events"]) for r in got}
+    want_set = {(key(r), r["session_end"], r["n_events"]) for r in want}
+    # Append mode withholds sessions still open w.r.t. the final watermark,
+    # so the stream result is a subset; every emitted session must be exact,
+    # and every session closed before the final watermark must be emitted.
+    assert got_set <= want_set
+    final_wm = max(r["session_end"] for r in want) - __import__(
+        "datetime"
+    ).timedelta(hours=2)
+    closed = {s for s in want_set if s[1] <= final_wm}
+    assert closed <= got_set
+    assert len(got_set) > 0
+
+
+def test_stateful_user_counts(spark, event_batches, tmp_path):
+    ev, stream_dir = event_batches
+    # One file per trigger -> at least two micro-batches, so totals must
+    # accumulate across batches through the state store.
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    out = _run_stream(stateful_user_counts(stream), str(tmp_path), mode="update")
+    # Sum of per-batch increments == total events per user.
+    got = (
+        out.groupBy("user_id").agg(F.sum("batch_events").alias("n")).collect()
+    )
+    want = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert sorted((r["user_id"], r["n"]) for r in got) == sorted(
+        (r["user_id"], r["n"]) for r in want
+    )
+    # Final running total per user must equal the true count as well.
+    finals = {
+        r["user_id"]: r["events_total"]
+        for r in out.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id")
+                .orderBy(F.col("events_total").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    for r in want:
+        assert finals[r["user_id"]] == r["n"]
