@@ -1,0 +1,91 @@
+"""Multimodal plumbing tests: binary payload columns through mapInPandas
+with real schemas/batching and injected fake codecs."""
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_pubchem_db_spark.operators.multimodal import (
+    FAKE_MAGIC,
+    decode_image_meta,
+    extract_audio_features,
+    make_fake_image,
+    resize_images,
+    sample_video_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    rows = [
+        (1, make_fake_image(64, 48, 3, fill=7)),
+        (2, make_fake_image(128, 128, 1, fill=9)),
+        (3, b"not an image"),
+        (4, None),
+    ]
+    return spark.createDataFrame(rows, "id long, payload binary")
+
+
+def test_decode_image_meta(spark, images):
+    out = {r["id"]: r for r in decode_image_meta(images).collect()}
+    assert out[1]["width"] == 64 and out[1]["height"] == 48 and out[1]["channels"] == 3
+    assert out[1]["valid"] and out[2]["valid"]
+    assert out[2]["n_bytes"] == len(make_fake_image(128, 128, 1, fill=9))
+    assert not out[3]["valid"] and out[3]["width"] is None
+    assert not out[4]["valid"] and out[4]["n_bytes"] == 0 and out[4]["digest"] is None
+
+
+def test_resize_with_fake_codec(spark, images):
+    def fake_codec(payload, w, h):
+        # parse header, emit a new fake image at the target size
+        c = payload[8] if payload[:4] == FAKE_MAGIC else 3
+        return make_fake_image(w, h, c)
+
+    out = resize_images(images.filter(F.col("id") <= 2), 32, 32, codec=fake_codec)
+    rows = {r["id"]: r for r in out.collect()}
+    assert all(r["width"] == 32 and r["height"] == 32 for r in rows.values())
+    w, h, c = struct.unpack("<HHB", bytes(rows[2]["payload"])[4:9])
+    assert (w, h, c) == (32, 32, 1)
+
+
+def test_resize_without_codec_raises(spark, images):
+    with pytest.raises(Exception, match="NotImplementedError|codec not available"):
+        resize_images(images, 32, 32).collect()
+
+
+def test_frame_sampling_row_expansion(spark):
+    videos = spark.createDataFrame(
+        [(1, b"v1-10frames"), (2, b"v2-4frames")], "id long, payload binary"
+    )
+
+    def fake_demuxer(payload):
+        n = int(payload.split(b"-")[1].replace(b"frames", b""))
+        return [payload + b":%d" % i for i in range(n)]
+
+    out = sample_video_frames(videos, every_nth=3, demuxer=fake_demuxer).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r["frame_idx"])
+    assert sorted(by_id[1]) == [0, 3, 6, 9]
+    assert sorted(by_id[2]) == [0, 3]
+    frame = next(bytes(r["frame"]) for r in out if r["id"] == 2 and r["frame_idx"] == 3)
+    assert frame == b"v2-4frames:3"
+
+
+def test_audio_features(spark):
+    import numpy as np
+
+    audio = spark.createDataFrame(
+        [(1, struct.pack("<4h", 0, 100, -100, 200)), (2, b"")],
+        "id long, payload binary",
+    )
+
+    def fake_decoder(payload):
+        return np.frombuffer(payload, dtype="<i2").astype("float64")
+
+    rows = {r["id"]: r for r in extract_audio_features(audio, decoder=fake_decoder).collect()}
+    assert rows[1]["n_samples"] == 4
+    assert rows[1]["mean_amp"] == pytest.approx(100.0)
+    assert rows[1]["rms"] == pytest.approx((0 + 100**2 + 100**2 + 200**2) ** 0.5 / 2)
+    assert rows[2]["n_samples"] == 0 and rows[2]["rms"] == 0.0
