@@ -1,26 +1,43 @@
 """Similarity search over an embedding column (array<float>).
 
-Two tiers, per the scale plan:
+Three tiers, per the scale plan:
 
-- ``brute_force_knn``: exact top-k for a (small) query set — the query
-  side is broadcast, the corpus is scanned once, scoring is a JVM
-  higher-order-function dot product, and per-query top-k is a window
-  ranked by (score desc, id asc). Linear in corpus size; the correctness
-  baseline.
+- ``brute_force_knn``: exact top-k for a (small) query set. The query
+  vectors are collected and broadcast as one numpy matrix; each corpus
+  partition computes a batch×query matmul and keeps only its LOCAL top-k
+  per query, so the final shuffle ranks ``partitions × k`` candidate rows
+  per query instead of the full corpus — the classic two-phase top-k.
+  Linear in corpus size, constant driver memory; the correctness baseline.
 - ``ivf_within_partition_pairs``: IVF-style search — vectors carry a
-  coarse partition id (cluster/label); candidate generation only compares
-  vectors within the same partition, turning the O(n^2) all-pairs problem
-  into sum of per-partition squares. With balanced partitions this is the
-  100 TB shape: the self-join shuffles on the partition key once.
+  coarse partition id (cluster/label); candidates only form within a
+  partition, turning all-pairs into a sum of per-bucket squares. Each
+  bucket is scored as one numpy gram matrix via applyInPandas.
+- ``cosine_all_pairs``: exact global near-dup pairs above a threshold via
+  block-pair decomposition: vectors replicate into B block-pairs, every
+  pair of blocks is scored as one gram matrix — the bounded-memory shape
+  for exact all-pairs at scale (choose B so a block pair fits an
+  executor).
+
+Scores are computed in float64 numpy; only ids/ranks are emitted (raw
+float scores never enter the correctness gate).
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from local_pubchem_db_spark.functions.vectors import cosine_similarity
-from local_pubchem_db_spark.operators.util import fan_out, shared
+from local_pubchem_db_spark.operators.util import fan_out
+
+
+def _norm_rows(M: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0  # all-zero vectors score 0 against everything
+    return M / n
 
 
 def brute_force_knn(
@@ -34,22 +51,46 @@ def brute_force_knn(
 
     Returns (query_id, neighbor_id, rank). Self-matches are excluded; ties
     break on neighbor id ascending, so results are fully deterministic.
+
+    ``queries`` must be small (it is collected and broadcast — the ANN
+    contract: few probes against a huge corpus).
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    # fan_out: the dot-product scan is CPU-bound; a single-file corpus
-    # would otherwise score on one core.
-    c = fan_out(
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Qn = _norm_rows(np.array([list(r[1]) for r in q_rows], dtype=np.float64))
+    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, Qn))
+
+    cols = fan_out(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity(F.col("qv"), F.col("cv")).alias("score"),
-        )
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, Qn = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            Cn = _norm_rows(np.array(pdf["cv"].tolist(), dtype=np.float64))
+            S = Cn @ Qn.T  # (batch, n_queries)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                mask = nid != q_ids[qi]
+                idx = np.nonzero(mask)[0]
+                if not idx.size:
+                    continue
+                s = S[idx, qi]
+                # sort by (-score, neighbor_id): lexsort keys last-first
+                order = np.lexsort((nid[idx], -s))[:k]
+                take = idx[order]
+                out_q.extend([q_ids[qi]] * len(take))
+                out_n.extend(nid[take].tolist())
+                out_s.extend(S[take, qi].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+            )
+
+    scored = cols.mapInPandas(
+        local_topk, "query_id long, neighbor_id long, score double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -59,6 +100,34 @@ def brute_force_knn(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def _pairs_from_gram(
+    ids_a: np.ndarray,
+    A: np.ndarray,
+    ids_b: np.ndarray | None,
+    B: np.ndarray | None,
+    threshold: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Thresholded (id1 < id2) pairs from one gram matrix. ``B=None``
+    means a self-block (upper triangle only)."""
+    if B is None:
+        S = A @ A.T
+        iu, ju = np.triu_indices(len(ids_a), k=1)
+        keep = S[iu, ju] >= threshold
+        id1, id2 = ids_a[iu[keep]], ids_a[ju[keep]]
+        # triu orders by row position, not id value — normalize to id1 < id2
+        swap = id1 > id2
+        id1[swap], id2[swap] = id2[swap], id1[swap]
+    else:
+        S = A @ B.T
+        ii, jj = np.nonzero(S >= threshold)
+        id1, id2 = ids_a[ii], ids_b[jj]
+        swap = id1 > id2
+        id1[swap], id2[swap] = id2[swap], id1[swap]
+        keep_order = id1 < id2  # drop self-pairs if ids overlap
+        id1, id2 = id1[keep_order], id2[keep_order]
+    return id1, id2
 
 
 def ivf_within_partition_pairs(
@@ -71,24 +140,83 @@ def ivf_within_partition_pairs(
     """IVF-bucketed near-neighbor pairs: (id1 < id2) within the same coarse
     partition with cosine >= threshold.
 
-    Returns (id1, id2, partition). The equi-join on the partition key
-    co-locates each bucket on one executor — per-bucket work is quadratic
-    only in bucket size.
+    Returns (id1, id2, part). One shuffle on the partition key co-locates
+    each bucket; the bucket is then scored as a single numpy gram matrix
+    (per-bucket work quadratic only in bucket size).
     """
-    base = shared(
-        fan_out(
-            df.select(
-                F.col(partition_col).alias("part"),
-                F.col(id_col).alias("id"),
-                F.col(vec_col).alias("v"),
-            )
+    base = fan_out(
+        df.select(
+            F.col(partition_col).alias("part"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
         )
     )
-    a = base.select("part", F.col("id").alias("id1"), F.col("v").alias("v1"))
-    b = base.select("part", F.col("id").alias("id2"), F.col("v").alias("v2"))
-    return (
-        a.join(b, "part")
-        .filter(F.col("id1") < F.col("id2"))
-        .filter(cosine_similarity(F.col("v1"), F.col("v2")) >= threshold)
-        .select("id1", "id2", F.col("part"))
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        Vn = _norm_rows(np.array(pdf["v"].tolist(), dtype=np.float64))
+        id1, id2 = _pairs_from_gram(ids, Vn, None, None, threshold)
+        return pd.DataFrame(
+            {"id1": id1, "id2": id2, "part": pdf["part"].iloc[0]}
+        )
+
+    return base.groupBy("part").applyInPandas(
+        bucket_pairs, "id1 long, id2 long, part int"
+    )
+
+
+def cosine_all_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    blocks: int = 8,
+) -> DataFrame:
+    """Exact global cosine near-dup pairs (id1 < id2, cosine >= threshold).
+
+    Block-pair decomposition: vector with block b = id mod B is shipped to
+    every block-pair (min(b,j), max(b,j)) — B copies per vector — and each
+    of the B(B+1)/2 groups scores one gram matrix. Replication costs B×
+    the input in shuffle volume but bounds per-task memory to two blocks;
+    at scale pick B ≈ corpus_bytes / executor_budget.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.col(id_col), F.lit(blocks)).cast("int").alias("b"),
+    )
+    peers = F.array(*[F.lit(j) for j in range(blocks)])
+    membership = fan_out(
+        base.select(
+            "id",
+            "v",
+            "b",
+            F.explode(peers).alias("j"),
+        ).select(
+            "id",
+            "v",
+            "b",
+            F.least("b", "j").alias("g1"),
+            F.greatest("b", "j").alias("g2"),
+        )
+        # each j in 0..B-1 yields a distinct unordered block-pair for this
+        # vector, so membership is already duplicate-free — no dedup shuffle
+    )
+
+    def block_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        g1, g2 = key
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        Vn = _norm_rows(np.array(pdf["v"].tolist(), dtype=np.float64))
+        side = pdf["b"].to_numpy()
+        if g1 == g2:
+            id1, id2 = _pairs_from_gram(ids, Vn, None, None, threshold)
+        else:
+            ma, mb = side == g1, side == g2
+            id1, id2 = _pairs_from_gram(
+                ids[ma], Vn[ma], ids[mb], Vn[mb], threshold
+            )
+        return pd.DataFrame({"id1": id1, "id2": id2})
+
+    return membership.groupBy("g1", "g2").applyInPandas(
+        block_pairs, "id1 long, id2 long"
     )

@@ -46,6 +46,7 @@ from local_pubchem_db_spark.operators.dedup import (
 from local_pubchem_db_spark.operators.joins import range_join
 from local_pubchem_db_spark.operators.similarity import (
     brute_force_knn,
+    cosine_all_pairs,
     ivf_within_partition_pairs,
 )
 from local_pubchem_db_spark.operators.topk import top_k_per_group
@@ -445,6 +446,69 @@ def q_session_window(spark, sf_dir):
 # Extension operators — training-data pipeline (dedup / similarity / text)
 # ---------------------------------------------------------------------------
 
+def q_cube_volume(spark, sf_dir):
+    """C5: CUBE grouping sets (rollup's sibling; all 4 grouping combos)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_quantity", 12, 2)).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def q_conditional_agg(spark, sf_dir):
+    """C5: filtered/conditional aggregation (CASE-WHEN sums, count_if)."""
+    o = t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(urgent).alias("n_urgent"),
+        F.sum(F.when(urgent, _dec("o_totalprice", 14, 2)).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("urgent_total"),
+        F.max(F.when(urgent, F.col("o_orderkey"))).alias("max_urgent_key"),
+    )
+
+
+def q_order_date_parts(spark, sf_dir):
+    """C9: date-part extraction (year/quarter/dow) + aggregation."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.dayofweek("o_orderdate").alias("dow"),
+        )
+        .groupBy("yr", "qtr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("dow").alias("d_dow"),
+        )
+    )
+
+
+def q_name_distance(spark, sf_dir):
+    """C9: levenshtein edit distance (string-similarity surface)."""
+    n = t(spark, sf_dir, "nation")
+    return n.select(
+        "n_name",
+        F.levenshtein(F.col("n_name"), F.lit("UNITED STATES")).alias("dist_us"),
+        F.levenshtein(F.lower("n_name"), F.reverse(F.lower("n_name"))).alias(
+            "dist_palindrome"
+        ),
+    )
+
+
+def q_percentile_qty(spark, sf_dir):
+    """C10: approximate percentiles (t-digest / GK sketch) — engine-specific
+    sketch, no cross-engine oracle; driver records rows-only."""
+    return t(spark, sf_dir, "lineitem").agg(
+        F.percentile_approx("l_quantity", [0.5, 0.9, 0.99]).alias("qty_pcts")
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup by content hash (C1)."""
     return exact_dedup_by_content(t(spark, sf_dir, "documents"), "doc_id", "text")
@@ -489,6 +553,22 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_within_partition_pairs(
         t(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", 0.4
     ).select("id1", "id2", F.col("part").alias("label"))
+
+
+def q_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: exact global all-pairs at
+    cosine >= 0.5 via block-pair decomposition (bounded per-task memory)."""
+    return cosine_all_pairs(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.5
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    """Text quality scoring: length/punct/stopword heuristic in [0,1]."""
+    from local_pubchem_db_spark.functions.text import quality_score
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("score"))
 
 
 def q_text_quality(spark, sf_dir):
@@ -588,6 +668,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parts_never_ordered": q_parts_never_ordered,
     "distinct_counts": q_distinct_counts,
     "approx_distinct": q_approx_distinct,
+    "cube_volume": q_cube_volume,
+    "conditional_agg": q_conditional_agg,
+    "order_date_parts": q_order_date_parts,
+    "name_distance": q_name_distance,
+    "percentile_qty": q_percentile_qty,
     "monthly_order_stats": q_monthly_order_stats,
     "json_props": q_json_props,
     "string_surface": q_string_surface,
@@ -600,6 +685,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "knn_cosine": q_knn_cosine,
     "ann_ivf": q_ann_ivf,
+    "cosine_neardup": q_cosine_neardup,
+    "quality_score": q_quality_score,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -824,6 +911,57 @@ ORACLES: dict[str, str] = {
         SELECT user_id, session_id, count(*) AS n_events,
                max(ts_ms) - min(ts_ms) AS duration_ms
         FROM sess GROUP BY user_id, session_id
+    """,
+    "cube_volume": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "conditional_agg": """
+        SELECT o_orderstatus, count(*) AS n,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN CAST(o_totalprice AS DECIMAL(14,2))
+                             ELSE 0 END) AS DOUBLE) AS urgent_total,
+               MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderkey END) AS max_urgent_key
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "order_date_parts": """
+        SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+               count(*) AS n, count(DISTINCT dayofweek(o_orderdate)) AS d_dow
+        FROM orders GROUP BY year(o_orderdate), quarter(o_orderdate)
+    """,
+    "name_distance": """
+        SELECT n_name,
+               levenshtein(n_name, 'UNITED STATES') AS dist_us,
+               levenshtein(lower(n_name), reverse(lower(n_name))) AS dist_palindrome
+        FROM nation
+    """,
+    "cosine_neardup": """
+        SELECT a.vec_id AS id1, b.vec_id AS id2
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.5
+    """,
+    "quality_score": f"""
+        WITH base AS (
+          SELECT doc_id,
+                 length(text) AS n_char,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+                 length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+                 len(list_intersect(list_distinct(string_split_regex(trim(text), '\\s+')),
+                                    {_STOPWORD_SQL["en"]})) AS n_stop
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN n_tok > 0 THEN
+                 (CASE WHEN CAST(n_char AS DOUBLE) / CAST(n_tok AS DOUBLE) >= 3.0
+                        AND CAST(n_char AS DOUBLE) / CAST(n_tok AS DOUBLE) <= 10.0
+                       THEN 0.4 ELSE 0.0 END
+                  + CASE WHEN CAST(n_punct AS DOUBLE) / CAST(n_char AS DOUBLE) <= 0.1
+                         THEN 0.3 ELSE 0.0 END
+                  + CAST(n_stop > 0 AS DOUBLE) * 0.3)
+               ELSE 0.0 END AS score
+        FROM base
     """,
     "session_window": """
         WITH flagged AS (
