@@ -509,6 +509,61 @@ def q_percentile_qty(spark, sf_dir):
     )
 
 
+def q_pivot_status(spark, sf_dir):
+    """C5: pivot — order counts per priority, one column per status."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+def q_median_qty(spark, sf_dir):
+    """C10 exact quantiles: median per return flag (avg-of-middles on
+    integral doubles — exact in both engines)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.median("l_quantity").alias("med_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+    )
+
+
+def q_array_surface(spark, sf_dir):
+    """C9: array-function surface over tokenized documents (size, sort,
+    contains, slice, distinct)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    return toks.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+        F.element_at(F.array_sort("toks"), 1).alias("first_sorted"),
+        F.array_contains("toks", "data").alias("has_data"),
+        F.concat_ws("|", F.slice("toks", 1, 3)).alias("head3"),
+    )
+
+
+def q_correlated_count(spark, sf_dir):
+    """B/C SQL passthrough: correlated scalar subquery through spark.sql
+    (the engine.sql() surface; Catalyst decorrelates to an outer join)."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT count(*) FROM orders_v o WHERE o.o_custkey = c.c_custkey)
+                 AS n_orders
+        FROM customer_v c
+        """
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup by content hash (C1)."""
     return exact_dedup_by_content(t(spark, sf_dir, "documents"), "doc_id", "text")
@@ -673,6 +728,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_date_parts": q_order_date_parts,
     "name_distance": q_name_distance,
     "percentile_qty": q_percentile_qty,
+    "pivot_status": q_pivot_status,
+    "median_qty": q_median_qty,
+    "array_surface": q_array_surface,
+    "correlated_count": q_correlated_count,
     "monthly_order_stats": q_monthly_order_stats,
     "json_props": q_json_props,
     "string_surface": q_string_surface,
@@ -936,6 +995,35 @@ ORACLES: dict[str, str] = {
                levenshtein(n_name, 'UNITED STATES') AS dist_us,
                levenshtein(lower(n_name), reverse(lower(n_name))) AS dist_palindrome
         FROM nation
+    """,
+    "pivot_status": """
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "median_qty": """
+        SELECT l_returnflag, median(l_quantity) AS med_qty,
+               min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "array_surface": """
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+        SELECT doc_id,
+               len(t) AS n_toks,
+               len(list_distinct(t)) AS n_uniq,
+               list_sort(t)[1] AS first_sorted,
+               list_contains(t, 'data') AS has_data,
+               array_to_string(t[1:3], '|') AS head3
+        FROM toks
+    """,
+    "correlated_count": """
+        SELECT c_custkey,
+               (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+                 AS n_orders
+        FROM customer c
     """,
     "cosine_neardup": """
         SELECT a.vec_id AS id1, b.vec_id AS id2
