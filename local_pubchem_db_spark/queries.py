@@ -43,7 +43,7 @@ from local_pubchem_db_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_dedup_pairs,
 )
-from local_pubchem_db_spark.operators.joins import range_join
+from local_pubchem_db_spark.operators.joins import as_of_join, range_join
 from local_pubchem_db_spark.operators.similarity import (
     brute_force_knn,
     cosine_all_pairs,
@@ -509,6 +509,39 @@ def q_percentile_qty(spark, sf_dir):
     )
 
 
+def q_asof_last_click(spark, sf_dir):
+    """C3/C11: as-of join — for each purchase, the latest prior click of
+    the same user (merge-sweep formulation: one shuffle on the key)."""
+    ev = events_table(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return as_of_join(
+        purchases, clicks, ["user_id"], "ts", "click_ts", ["click_id", "click_ts"]
+    ).select("event_id", "user_id", "click_id", "click_ts")
+
+
+def q_udaf_sumsq(spark, sf_dir):
+    """C12: user-defined aggregate via a grouped-agg pandas UDF — sum of
+    squared quantities per return flag (exact int64 arithmetic, so the
+    Python aggregate hash-matches the SQL oracle)."""
+    @F.pandas_udf("long")
+    def sumsq(v: pd.Series) -> int:
+        x = v.astype("int64")
+        return int((x * x).sum())
+
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sumsq(F.col("l_quantity")).alias("sum_qty_sq"))
+    )
+
+
 def q_pivot_status(spark, sf_dir):
     """C5: pivot — order counts per priority, one column per status."""
     return (
@@ -728,6 +761,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_date_parts": q_order_date_parts,
     "name_distance": q_name_distance,
     "percentile_qty": q_percentile_qty,
+    "asof_last_click": q_asof_last_click,
+    "udaf_sumsq": q_udaf_sumsq,
     "pivot_status": q_pivot_status,
     "median_qty": q_median_qty,
     "array_surface": q_array_surface,
@@ -995,6 +1030,18 @@ ORACLES: dict[str, str] = {
                levenshtein(n_name, 'UNITED STATES') AS dist_us,
                levenshtein(lower(n_name), reverse(lower(n_name))) AS dist_palindrome
         FROM nation
+    """,
+    "asof_last_click": """
+        SELECT l.event_id, l.user_id, r.event_id AS click_id, r.ts AS click_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "udaf_sumsq": """
+        SELECT l_returnflag,
+               SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                 AS sum_qty_sq
+        FROM lineitem GROUP BY l_returnflag
     """,
     "pivot_status": """
         SELECT o_orderpriority,
