@@ -5,6 +5,8 @@ from local_pubchem_db_spark.functions.text import (
     normalize_text,
     punct_count,
     quality_score,
+    shingle_array_udf,
+    shingles_from_tokens,
     stopword_count,
     token_count,
     tokens,
@@ -17,17 +19,12 @@ from local_pubchem_db_spark.functions.vectors import (
     normalize,
 )
 from local_pubchem_db_spark.functions.hashing import (
-    band_bucket_structs,
-    base_hashes,
     hamming64,
-    minhash_agg_columns,
-    simhash64,
-    simhash_from_hashes,
+    minhash_band_udf,
+    simhash_udf,
 )
 
 __all__ = [
-    "band_bucket_structs",
-    "base_hashes",
     "char_ngrams",
     "cosine_similarity",
     "doc_fingerprint",
@@ -35,13 +32,14 @@ __all__ = [
     "hamming64",
     "l2_norm",
     "lang_id",
-    "minhash_agg_columns",
+    "minhash_band_udf",
     "normalize",
     "normalize_text",
     "punct_count",
     "quality_score",
-    "simhash64",
-    "simhash_from_hashes",
+    "shingle_array_udf",
+    "shingles_from_tokens",
+    "simhash_udf",
     "stopword_count",
     "token_count",
     "tokens",

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from local_pubchem_db_spark.functions.hashing import (
     hamming64,
     minhash_band_udf,
-    simhash_from_hashes,
+    simhash_udf,
 )
 from local_pubchem_db_spark.functions.text import shingle_array_udf, tokens
 from local_pubchem_db_spark.operators.util import fan_out, shared
@@ -176,16 +176,14 @@ def simhash_dedup_pairs(
     SimHash criterion itself (no SQL oracle — the xxhash64-based fingerprint
     is not expressible in ANSI SQL; the driver records a rows-only check).
     """
-    # Two-phase projection: hash tokens once, then fold bits — keeps the
-    # 64 per-bit aggregates referencing one materialized array column
-    # instead of 64 inlined copies of the token-hash expression.
-    hashed = (
+    # SimHash as one vectorized map (see hashing.simhash_udf); shared():
+    # the blocked self-join references the SimHash relation twice.
+    base = shared(
         fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")))
         .select("id", tokens(F.col("text")).alias("toks"))
-        .select("id", F.transform(F.col("toks"), lambda s: F.xxhash64(s)).alias("th"))
+        .select("id", simhash_udf()(F.col("toks")).alias("sh"))
+        .filter(F.col("sh").isNotNull())
     )
-    # shared(): the blocked self-join references the SimHash relation twice.
-    base = shared(hashed.select("id", simhash_from_hashes(F.col("th")).alias("sh")))
     blocks = base.select(
         "id",
         "sh",

@@ -68,3 +68,23 @@ def test_rejects_non_whitelisted():
     ):
         with pytest.raises(TransformTranslationError):
             translate_create_like(bad)
+
+
+def test_shingle_udf_matches_column_spec(spark, sf_dir):
+    """shingle_array_udf (hot path) must produce exactly what the Column
+    expression word_shingles (the semantic spec / oracle reference) does."""
+    from pyspark.sql import functions as F
+
+    from local_pubchem_db_spark.functions.text import (
+        shingle_array_udf,
+        word_shingles,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    both = d.select(
+        "doc_id",
+        word_shingles(F.col("text"), 3).alias("spec"),
+        shingle_array_udf(3)(F.col("text")).alias("fast"),
+    )
+    bad = both.filter(F.col("spec") != F.col("fast")).count()
+    assert bad == 0
