@@ -1,0 +1,66 @@
+"""Physical-design operators: bucketing and skew salting.
+
+The reference's CREATE INDEX (utils.py:334-341) has no Spark equivalent;
+the columnar analogs are (a) sorted parquet + min/max stats (see
+pipeline.build_indexes), (b) bucketed tables for shuffle-free equi-joins,
+(c) salting for skewed keys. (b) and (c) live here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist as a bucketed (+ sorted) catalog table.
+
+    Two tables bucketed the same way on the join key equi-join WITHOUT a
+    shuffle: each bucket pair is joined locally. This is the Spark analog
+    of co-located storage — the right physical design for a fact table
+    that is repeatedly joined on one key at 100 TB (pay one shuffle at
+    write time, none at query time).
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two identically-bucketed catalog tables on their bucket key.
+    With matching bucket specs Catalyst plans a SortMergeJoin with NO
+    Exchange on either side (asserted in tests/test_physical.py)."""
+    return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+
+
+def salted_group_count(
+    df: DataFrame, key_col: str, salt: int = 16
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys: count per (key, random salt)
+    first (spreads one hot key over ``salt`` reducers), then re-aggregate
+    per key. Same result as a direct groupBy().count(), but the first
+    shuffle's largest partition shrinks by ~``salt``x.
+
+    For algebraic aggregates Spark's map-side partial aggregation already
+    does this when upstream data is spread across tasks; explicit salting
+    is the tool for when the skew arrives ALREADY keyed (e.g. off a join
+    on the hot key) — and the pattern generalizes to any two-phase
+    decomposable aggregate (sum/min/max/count; avg via sum+count).
+    """
+    salted = df.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    partial = salted.groupBy(key_col, "__salt").agg(
+        F.count(F.lit(1)).alias("__partial")
+    )
+    return partial.groupBy(key_col).agg(F.sum("__partial").alias("n"))
