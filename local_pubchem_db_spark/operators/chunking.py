@@ -1,0 +1,65 @@
+"""Document chunking: fixed-size token windows with overlap.
+
+The training-data op that feeds context-window-bounded consumers: split
+each document into chunks of ``chunk_size`` whitespace tokens, starting a
+new chunk every ``stride`` tokens (overlap = chunk_size - stride).
+
+Spark-first shape: tokenize once (JVM split), explode a stride sequence of
+chunk starts, slice the token array per start — all codegen-able built-ins,
+no Python in the row path, and the explode distributes chunks across
+partitions so downstream per-chunk work (embedding, scoring) parallelizes
+beyond the document count. Generalizes the reference's record-splitting
+ingest (utils.py:245-269 splits files into molecule records; this splits
+documents into token windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from local_pubchem_db_spark.functions.text import tokens
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """One output row per (document, chunk window).
+
+    Returns ``id_col, chunk_id, n_tokens, chunk_text``. The final chunk of
+    a document may be shorter than ``chunk_size``; empty documents produce
+    no chunks. Deterministic and exactly SQL-expressible (list slicing +
+    range unnest), so it participates in the DuckDB oracle gate.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    w: Column = tokens(F.col(text_col))
+    # trim-filter first: split("") yields [""], not [] — an all-whitespace
+    # document must produce zero chunks, not one empty chunk.
+    toked = (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), w.alias("__w"))
+    )
+    return (
+        toked.select(
+            id_col,
+            "__w",
+            F.explode(
+                F.sequence(F.lit(0), F.size("__w") - 1, F.lit(stride))
+            ).alias("__s"),
+        )
+        .select(
+            id_col,
+            (F.col("__s") / stride).cast("int").alias("chunk_id"),
+            F.size(F.slice("__w", F.col("__s") + 1, chunk_size))
+            .cast("long")
+            .alias("n_tokens"),
+            F.array_join(F.slice("__w", F.col("__s") + 1, chunk_size), " ").alias(
+                "chunk_text"
+            ),
+        )
+    )

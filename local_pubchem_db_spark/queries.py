@@ -43,7 +43,9 @@ from local_pubchem_db_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_dedup_pairs,
 )
+from local_pubchem_db_spark.operators.chunking import chunk_documents
 from local_pubchem_db_spark.operators.joins import as_of_join, range_join
+from local_pubchem_db_spark.operators.physical import salted_group_count
 from local_pubchem_db_spark.operators.similarity import (
     brute_force_knn,
     cosine_all_pairs,
@@ -730,6 +732,22 @@ def q_multimodal_meta(spark, sf_dir):
     return d.mapInPandas(extract_meta, "doc_id long, n_bytes long, digest string")
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Training-pipeline chunking: 32-token windows, stride 24 (overlap 8),
+    per document (operators/chunking.py)."""
+    return chunk_documents(
+        t(spark, sf_dir, "documents"), chunk_size=32, stride=24
+    )
+
+
+def q_skew_salted_count(spark, sf_dir):
+    """Two-phase salted aggregation for skewed keys (operators/physical.py);
+    result identical to a direct GROUP BY count."""
+    return salted_group_count(
+        t(spark, sf_dir, "lineitem"), "l_returnflag", salt=16
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -786,6 +804,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "token_topk": q_token_topk,
     "multimodal_meta": q_multimodal_meta,
+    "doc_chunks": q_doc_chunks,
+    "skew_salted_count": q_skew_salted_count,
 }
 
 # Shared SQL fragments for the oracles ------------------------------------
@@ -1179,4 +1199,18 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS digest
         FROM documents
     """,
+    "doc_chunks": """
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents WHERE trim(text) != ''
+        )
+        SELECT doc_id,
+               CAST(s // 24 AS INT) AS chunk_id,
+               CAST(least(32, len(w) - s) AS BIGINT) AS n_tokens,
+               array_to_string(w[s + 1 : s + 32], ' ') AS chunk_text
+        FROM toks, unnest(range(0, len(w), 24)) AS t(s)
+    """,
+    "skew_salted_count": (
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag"
+    ),
 }
