@@ -1,0 +1,91 @@
+"""Deterministic dataset splitting and sampling for training pipelines.
+
+`randomSplit` is non-deterministic across runs/cluster layouts; training
+pipelines need splits that are (a) stable under re-execution and data
+re-partitioning, (b) stable as the dataset grows (a document keeps its
+split forever), (c) auditable by an external engine. Hashing the record id
+gives all three: split membership is a pure function of the id.
+
+Implementation note: bucket = first 4 hex chars of md5(seed:id). Lowercase
+fixed-width hex compares lexicographically exactly as it does numerically,
+and md5 is identical across engines, so thresholds are plain string
+comparisons that any ANSI-SQL oracle reproduces bit-for-bit — no
+engine-specific hash (xxhash64, hash()) in the contract. 16 bits = 65536
+buckets → split fractions quantized to ~0.002%.
+
+All JVM-side codegen'd expressions; no shuffle for hash_split (a map-only
+projection — at 100 TB this is a narrow transformation that fuses into the
+scan stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bucket(id_col: Column, seed: str) -> Column:
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), id_col.cast("string"))), 1, 4
+    )
+
+
+def _hex4(frac: float) -> str:
+    return format(min(int(frac * 65536), 65535), "04x")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float] | None = None,
+    seed: str = "0",
+) -> DataFrame:
+    """Assign each row a stable split label from its id hash.
+
+    ``fractions`` maps label -> fraction (must sum to ~1.0); default
+    80/10/10 train/val/test. Adds a ``split`` column. Deterministic across
+    runs, partitionings, and engines.
+    """
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    bucket = _bucket(F.col(id_col), seed)
+    labels = list(fractions)
+    cum = 0.0
+    expr = None
+    for label in labels[:-1]:
+        cum += fractions[label]
+        cond = bucket < F.lit(_hex4(cum))
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    expr = (
+        F.lit(labels[-1]) if expr is None else expr.otherwise(F.lit(labels[-1]))
+    )
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    frac: float,
+    id_col: str,
+    seed: str = "0",
+) -> DataFrame:
+    """Deterministic per-group sample: within each group, rank rows by id
+    hash and keep the first ceil(frac * group_size). Unlike
+    ``df.sampleBy``, the selected set is a pure function of the data, so
+    re-runs and oracles agree exactly. One shuffle on ``group_col`` (the
+    window) — same cost class as the groupBy it usually feeds.
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    w = Window.partitionBy(group_col).orderBy(
+        _bucket(F.col(id_col), seed), F.col(id_col)
+    )
+    wc = Window.partitionBy(group_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * frac))
+        .drop("__rn", "__n")
+    )

@@ -46,6 +46,7 @@ from local_pubchem_db_spark.operators.dedup import (
 from local_pubchem_db_spark.operators.chunking import chunk_documents
 from local_pubchem_db_spark.operators.joins import as_of_join, range_join
 from local_pubchem_db_spark.operators.physical import salted_group_count
+from local_pubchem_db_spark.operators.sampling import hash_split, stratified_sample
 from local_pubchem_db_spark.operators.similarity import (
     brute_force_knn,
     cosine_all_pairs,
@@ -740,6 +741,22 @@ def q_doc_chunks(spark, sf_dir):
     )
 
 
+def q_train_val_split(spark, sf_dir):
+    """Deterministic 80/10/10 split by id hash (operators/sampling.py) —
+    stable across runs, partitionings, and engines."""
+    return hash_split(
+        t(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic 25% per-language sample of documents."""
+    return stratified_sample(
+        t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        "lang", 0.25, "doc_id",
+    )
+
+
 def q_skew_salted_count(spark, sf_dir):
     """Two-phase salted aggregation for skewed keys (operators/physical.py);
     result identical to a direct GROUP BY count."""
@@ -805,6 +822,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_topk": q_token_topk,
     "multimodal_meta": q_multimodal_meta,
     "doc_chunks": q_doc_chunks,
+    "train_val_split": q_train_val_split,
+    "stratified_sample": q_stratified_sample,
     "skew_salted_count": q_skew_salted_count,
 }
 
@@ -1213,4 +1232,27 @@ ORACLES: dict[str, str] = {
     "skew_salted_count": (
         "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag"
     ),
+    # md5 hex is lowercase fixed-width in both engines, so the bucket
+    # thresholds are plain string comparisons: 0.8*65536=0xcccc,
+    # 0.9*65536=0xe666 (matches operators/sampling.py _hex4).
+    "train_val_split": """
+        SELECT doc_id,
+               CASE WHEN b < 'cccc' THEN 'train'
+                    WHEN b < 'e666' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 4) AS b
+              FROM documents)
+    """,
+    "stratified_sample": """
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 4),
+                            doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM documents)
+        WHERE rn <= ceil(n * 0.25)
+    """,
 }

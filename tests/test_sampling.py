@@ -1,0 +1,59 @@
+"""Deterministic split/sample operators: stability, fractions, exactness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_pubchem_db_spark.operators.sampling import hash_split, stratified_sample
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+
+
+def test_hash_split_fractions(spark, ids):
+    counts = {
+        r["split"]: r["n"]
+        for r in hash_split(ids, "doc_id").groupBy("split").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    assert abs(counts["val"] / 2000 - 0.1) < 0.03
+    assert abs(counts["test"] / 2000 - 0.1) < 0.03
+
+
+def test_hash_split_deterministic_and_seeded(spark, ids):
+    a = {r["doc_id"]: r["split"] for r in hash_split(ids, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(ids, "doc_id").collect()}
+    assert a == b
+    c = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(ids, "doc_id", seed="other").collect()
+    }
+    assert a != c  # a different seed reshuffles membership
+
+
+def test_hash_split_bad_fractions(spark, ids):
+    with pytest.raises(ValueError):
+        hash_split(ids, "doc_id", {"train": 0.5, "val": 0.1})
+
+
+def test_stratified_sample_exact_group_sizes(spark, ids):
+    df = ids.withColumn("g", (F.col("doc_id") % 4).cast("string"))
+    got = stratified_sample(df, "g", 0.25, "doc_id")
+    sizes = {
+        r["g"]: r["n"]
+        for r in got.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # each group has 500 rows -> exactly ceil(500 * 0.25) = 125 sampled
+    assert sizes == {"0": 125, "1": 125, "2": 125, "3": 125}
+
+
+def test_stratified_sample_deterministic(spark, ids):
+    df = ids.withColumn("g", (F.col("doc_id") % 4).cast("string"))
+    a = sorted(r["doc_id"] for r in stratified_sample(df, "g", 0.25, "doc_id").collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(df, "g", 0.25, "doc_id").collect())
+    assert a == b
