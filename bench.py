@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from local_pubchem_db_spark.queries import QUERIES
@@ -46,6 +48,19 @@ def main() -> None:
 
     # Warm the JVM/session so q1 doesn't pay one-time start-up costs.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    # Warm the Python UDF workers too: the first pandas UDF otherwise pays
+    # a one-time fork+import on every core (~1s on 32) that long-lived
+    # executors never see again.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(0, 64, 1, 64).select(_warm("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -45,10 +45,16 @@ def minhash_band_udf(num_perm: int = 128, bands: int = 32, seed: int = 42):
     computation per document — no explode, no shuffle, no codegen:
 
     - base hashes: md5(shingle) split into two 31-bit values (md5 is
-      engine- and session-stable, unlike Python's ``hash``),
-    - ``num_perm`` permutations as one numpy broadcast
-      ``(a*h1 + b*h2 + i) mod p`` and a column-min,
-    - per band, bucket id = blake2b-64 of the band's signature slice.
+      engine- and session-stable, unlike Python's ``hash``), memoized per
+      worker — corpus shingles follow a Zipf law, so most md5 calls are
+      cache hits after warm-up,
+    - ``num_perm`` permutations for the WHOLE batch as one numpy broadcast
+      ``(a*h1 + b*h2 + i) mod p`` over the flattened shingle list, then a
+      per-document column-min via ``np.minimum.reduceat`` — no per-doc
+      Python loop,
+    - per band, bucket id = a second mod-p linear mix of the band's
+      signature slice (pure numpy; collisions are harmless because every
+      candidate pair is exact-Jaccard-verified downstream).
 
     Rationale vs the JVM alternative (explode + groupBy with num_perm
     min-aggregates): that plan pays a shuffle plus ~4 s of one-time Janino
@@ -57,8 +63,6 @@ def minhash_band_udf(num_perm: int = 128, bands: int = 32, seed: int = 42):
     numpy ops. At cluster scale the map-only shape also preserves input
     partitioning — candidate generation is the only shuffle left.
     """
-    import hashlib
-
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf
@@ -69,61 +73,123 @@ def minhash_band_udf(num_perm: int = 128, bands: int = 32, seed: int = 42):
     B = np.array([b for _, b in params], dtype=np.uint64)
     IDX = np.arange(num_perm, dtype=np.uint64)
     P = np.uint64(_P)
+    # band-mix coefficients: independent LCG stream, odd, 31-bit
+    C = np.array(
+        [a | 1 for a, _ in _perm_params(rows, seed ^ 0x5BD1E995)],
+        dtype=np.uint64,
+    )
 
     @pandas_udf("array<long>")
     def _buckets(shingles: pd.Series) -> pd.Series:
-        def doc_buckets(arr):
-            if arr is None or len(arr) == 0:
-                return None
-            h = np.empty((len(arr), 2), dtype=np.uint64)
-            for j, s in enumerate(arr):
-                d = hashlib.md5(s.encode("utf-8")).digest()
-                h[j, 0] = int.from_bytes(d[:8], "little") & _MASK31
-                h[j, 1] = int.from_bytes(d[8:16], "little") & _MASK31
-            sig = (h[:, 0:1] * A + h[:, 1:2] * B + IDX) % P
-            sig = sig.min(axis=0)
-            sig_bytes = sig.astype("<u8").tobytes()
-            out = np.empty(bands, dtype=np.int64)
-            for b in range(bands):
-                seg = sig_bytes[b * rows * 8 : (b + 1) * rows * 8]
-                bh = hashlib.blake2b(seg, digest_size=8).digest()
-                out[b] = int.from_bytes(bh, "little", signed=True)
-            return out
-        return shingles.map(doc_buckets)
+        lens = shingles.map(lambda a: 0 if a is None else len(a)).to_numpy()
+        flat: list[str] = []
+        for arr in shingles:
+            if arr is not None and len(arr):
+                flat.extend(arr)
+        if not flat:
+            return pd.Series([None] * len(shingles))
+        h1, h2 = _hash_strings_31(flat)
+        # (total_shingles, num_perm) permutation table for the whole batch;
+        # Arrow batches are ~10k rows, so this stays comfortably in memory.
+        sig_all = (h1[:, None] * A + h2[:, None] * B + IDX) % P
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))[lens > 0]
+        sig = np.minimum.reduceat(sig_all, starts, axis=0)
+        # band mix: (n_docs, bands, rows) · C mod p, cast to signed 64
+        mixed = (
+            (sig.reshape(len(sig), bands, rows) * C).sum(axis=2, dtype=np.uint64)
+            % P
+        ).astype(np.int64)
+        out: list = []
+        j = 0
+        for n in lens:
+            if n == 0:
+                out.append(None)
+            else:
+                out.append(mixed[j])
+                j += 1
+        return pd.Series(out)
 
     return _buckets
+
+
+_MD5_CACHE: dict[str, tuple[int, int]] = {}
+_MD5_CACHE_MAX = 1 << 20  # ~100 MB/worker ceiling; cleared, not LRU'd
+
+
+def _hash_strings_31(flat: list) -> tuple:
+    """md5 each string to two 31-bit ints, memoized per worker process.
+
+    Shingle/token frequency is Zipfian: the distinct:total ratio in a batch
+    is tiny, so memoization turns the md5 loop from O(occurrences) into
+    O(new distinct strings). The cache is cleared (not evicted) past a size
+    ceiling — at 100 TB scale vocabulary is unbounded and an LRU would
+    thrash; periodic reset keeps the hot head resident.
+    """
+    import hashlib
+
+    import numpy as np
+
+    if len(_MD5_CACHE) > _MD5_CACHE_MAX:
+        _MD5_CACHE.clear()
+    h1 = np.empty(len(flat), dtype=np.uint64)
+    h2 = np.empty(len(flat), dtype=np.uint64)
+    for j, s in enumerate(flat):
+        v = _MD5_CACHE.get(s)
+        if v is None:
+            d = hashlib.md5(s.encode("utf-8")).digest()
+            v = (
+                int.from_bytes(d[:8], "little") & _MASK31,
+                int.from_bytes(d[8:16], "little") & _MASK31,
+            )
+            _MD5_CACHE[s] = v
+        h1[j], h2[j] = v
+    return h1, h2
 
 
 def simhash_udf():
     """Arrow-batched pandas UDF: token array → 64-bit SimHash (long).
 
     Bit k of the result is 1 iff more token hashes have bit k set than
-    unset. Vectorized per document: md5 each distinct-with-multiplicity
-    token once, unpack to a (n_tokens, 64) bit matrix, column-sum votes.
-    Null/empty token arrays hash to NULL.
+    unset. Vectorized over the WHOLE Arrow batch: md5 per token memoized
+    per worker (Zipfian reuse), one unpackbits + segmented sum
+    (``np.add.reduceat``) for all documents at once. Null/empty token
+    arrays hash to NULL.
     """
-    import hashlib
-
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
     def _simhash(tokens: pd.Series) -> pd.Series:
-        def doc_hash(arr):
-            if arr is None or len(arr) == 0:
-                return None
-            h = np.empty(len(arr), dtype=np.uint64)
-            for j, s in enumerate(arr):
-                h[j] = int.from_bytes(
-                    hashlib.md5(s.encode("utf-8")).digest()[:8], "little"
-                )
-            bits = np.unpackbits(h.view(np.uint8).reshape(len(arr), 8), axis=1)
-            votes = bits.sum(axis=0) * 2 > len(arr)  # majority per bit
-            word = np.packbits(votes).tobytes()
-            return int.from_bytes(word, "little", signed=True)
-
-        return tokens.map(doc_hash)
+        lens = tokens.map(lambda a: 0 if a is None else len(a)).to_numpy()
+        flat: list[str] = []
+        for arr in tokens:
+            if arr is not None and len(arr):
+                flat.extend(arr)
+        if not flat:
+            return pd.Series([None] * len(tokens))
+        h1, h2 = _hash_strings_31(flat)
+        # rebuild a 62-bit hash from the two 31-bit halves; bit 62/63 are
+        # constant-zero across all tokens so they never flip a majority
+        # vote asymmetrically (every SimHash gets the same two zero bits).
+        h = (h1 << np.uint64(31)) | h2
+        bits = np.unpackbits(
+            h.astype("<u8").view(np.uint8).reshape(len(h), 8), axis=1
+        ).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))[lens > 0]
+        votes = np.add.reduceat(bits, starts, axis=0)
+        nz = lens[lens > 0]
+        maj = (votes * 2 > nz[:, None]).astype(np.uint8)
+        words = np.packbits(maj, axis=1).view("<i8").ravel()
+        out: list = []
+        j = 0
+        for n in lens:
+            if n == 0:
+                out.append(None)
+            else:
+                out.append(int(words[j]))
+                j += 1
+        return pd.Series(out)
 
     return _simhash
 
