@@ -1,0 +1,195 @@
+"""K-means (Lloyd) over an embedding column, and IVF ANN search on top.
+
+The iterative-algorithm template for this engine: per-iteration state (the
+k×dim centroid matrix) is tiny and lives on the driver; the data-parallel
+steps are map-only Arrow-batched passes over the corpus.
+
+Per Lloyd iteration:
+1. broadcast centroids,
+2. one ``mapInPandas`` pass emits per-batch partial sums — (cluster,
+   count, sum-vector) — so the shuffle/collect moves O(partitions × k ×
+   dim) floats, never the corpus (classic map-side combine),
+3. the driver reduces partials (sorted for run-to-run determinism) and
+   recomputes centroids.
+
+At 100 TB this is the same shape MLlib uses: iterations scan the corpus,
+nothing else grows with data size. Init is deterministic (the k
+lowest-id vectors), so runs are reproducible without a seed contract.
+
+IVF search: assign every corpus vector to its nearest centroid once
+(map-only), then answer queries by scoring only the ``nprobe`` nearest
+cells — the inverted-file ANN layout, trading recall for a
+corpus/k·nprobe-fold cut in scored vectors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from local_pubchem_db_spark.operators.similarity import _norm_rows
+from local_pubchem_db_spark.operators.util import fan_out
+
+
+def _partial_sums(centroids: np.ndarray):
+    """mapInPandas fn: per batch, one matmul assignment + per-cluster
+    count/sum partials (k rows out per batch, corpus never shuffled)."""
+    Cn = _norm_rows(centroids)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            assign = (_norm_rows(V) @ Cn.T).argmax(axis=1)
+            out = []
+            for c in np.unique(assign):
+                sel = V[assign == c]
+                out.append(
+                    {
+                        "cluster": int(c),
+                        "n": len(sel),
+                        "vsum": sel.sum(axis=0).tolist(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    max_iter: int = 10,
+) -> np.ndarray:
+    """Lloyd's k-means on cosine similarity; returns the (k, dim) centroid
+    matrix. Deterministic: init = the k lowest-id vectors; partial-sum
+    reduction happens in sorted order on the driver."""
+    base = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    ).persist()
+    init_rows = base.orderBy("id").limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"need >= {k} vectors, got {len(init_rows)}")
+    centroids = np.array([list(r["v"]) for r in init_rows], dtype=np.float64)
+    dim = centroids.shape[1]
+    schema = "cluster int, n long, vsum array<double>"
+    for _ in range(max_iter):
+        partials = base.mapInPandas(_partial_sums(centroids), schema).collect()
+        partials.sort(key=lambda r: (r["cluster"], r["n"]))
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        for r in partials:
+            counts[r["cluster"]] += r["n"]
+            sums[r["cluster"]] += np.asarray(r["vsum"], dtype=np.float64)
+        nonempty = counts > 0
+        new_centroids = centroids.copy()
+        new_centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+        if np.allclose(new_centroids, centroids, atol=1e-12):
+            centroids = new_centroids
+            break
+        centroids = new_centroids
+    base.unpersist()
+    return centroids
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Map-only nearest-centroid assignment: (id, cluster)."""
+    Cn = _norm_rows(np.asarray(centroids, dtype=np.float64))
+    bc = df.sparkSession.sparkContext.broadcast(Cn)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _norm_rows(np.array(pdf["v"].tolist(), dtype=np.float64))
+            yield pd.DataFrame(
+                {"id": pdf["id"], "cluster": (V @ C.T).argmax(axis=1)}
+            )
+
+    return (
+        fan_out(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
+        .mapInPandas(fn, "id long, cluster int")
+    )
+
+
+def ivf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ANN top-k via IVF: score each query only against corpus cells among
+    its ``nprobe`` nearest centroids. Returns (query_id, neighbor_id, rank);
+    ties break on neighbor id. ``queries`` is broadcast (small probe set);
+    the corpus-side work is one assignment pass + a semi-join-shaped filter
+    against the probed cells, so scored vectors shrink ~k/nprobe-fold."""
+    Cn = _norm_rows(np.asarray(centroids, dtype=np.float64))
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Qn = _norm_rows(np.array([list(r[1]) for r in q_rows], dtype=np.float64))
+    # query -> probed cells (driver-side: nprobe × |queries| tiny)
+    probe = np.argsort(-(Qn @ Cn.T), axis=1, kind="stable")[:, :nprobe]
+    cell_to_q: dict[int, list[int]] = {}
+    for qi, cells in enumerate(probe):
+        for c in cells:
+            cell_to_q.setdefault(int(c), []).append(qi)
+    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, Qn, Cn, cell_to_q))
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, Qn, Cn, cell_to_q = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            Vn = _norm_rows(np.array(pdf["v"].tolist(), dtype=np.float64))
+            cells = (Vn @ Cn.T).argmax(axis=1)
+            S = Vn @ Qn.T  # (batch, queries)
+            rows: dict[str, list] = {"query_id": [], "neighbor_id": [], "score": []}
+            for c in np.unique(cells):
+                qs = cell_to_q.get(int(c))
+                if not qs:
+                    continue
+                sel = cells == c
+                for qi in qs:
+                    keep = ids[sel] != q_ids[qi]
+                    rows["query_id"].extend([q_ids[qi]] * int(keep.sum()))
+                    rows["neighbor_id"].extend(ids[sel][keep])
+                    rows["score"].extend(S[sel, qi][keep])
+            pdf_out = pd.DataFrame(rows)
+            if len(pdf_out):
+                # local top-k per query bounds the shuffle to parts×k rows
+                pdf_out = (
+                    pdf_out.sort_values(["query_id", "score", "neighbor_id"],
+                                        ascending=[True, False, True])
+                    .groupby("query_id", sort=False)
+                    .head(k)
+                )
+            yield pdf_out
+
+    cand = fan_out(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    ).mapInPandas(local_topk, "query_id long, neighbor_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

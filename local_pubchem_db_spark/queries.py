@@ -44,6 +44,11 @@ from local_pubchem_db_spark.operators.dedup import (
     simhash_dedup_pairs,
 )
 from local_pubchem_db_spark.operators.chunking import chunk_documents
+from local_pubchem_db_spark.operators.clustering import (
+    assign_clusters,
+    ivf_search,
+    kmeans_fit,
+)
 from local_pubchem_db_spark.operators.joins import as_of_join, range_join
 from local_pubchem_db_spark.operators.physical import salted_group_count
 from local_pubchem_db_spark.operators.sampling import hash_split, stratified_sample
@@ -741,6 +746,27 @@ def q_doc_chunks(spark, sf_dir):
     )
 
 
+def q_kmeans_sizes(spark, sf_dir):
+    """Iterative Lloyd k-means (operators/clustering.py) — cluster sizes.
+    Genuinely non-SQL-expressible (driver records rows-only)."""
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=8, max_iter=10)
+    return (
+        assign_clusters(emb, centroids)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_ann_ivf_probe(spark, sf_dir):
+    """IVF ANN search with a learned coarse quantizer: top-5 neighbors of
+    the 3 lowest-id vectors, probing 3 of 8 cells (rows-only check)."""
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=8, max_iter=10)
+    probes = emb.orderBy("vec_id").limit(3)
+    return ivf_search(emb, probes, centroids, k=5, nprobe=3)
+
+
 def q_train_val_split(spark, sf_dir):
     """Deterministic 80/10/10 split by id hash (operators/sampling.py) —
     stable across runs, partitionings, and engines."""
@@ -822,6 +848,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_topk": q_token_topk,
     "multimodal_meta": q_multimodal_meta,
     "doc_chunks": q_doc_chunks,
+    "kmeans_sizes": q_kmeans_sizes,
+    "ann_ivf_probe": q_ann_ivf_probe,
     "train_val_split": q_train_val_split,
     "stratified_sample": q_stratified_sample,
     "skew_salted_count": q_skew_salted_count,

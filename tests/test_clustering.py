@@ -1,0 +1,78 @@
+"""K-means + IVF search: separation, determinism, and recall vs brute force."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from local_pubchem_db_spark.operators.clustering import (
+    assign_clusters,
+    ivf_search,
+    kmeans_fit,
+)
+from local_pubchem_db_spark.operators.similarity import brute_force_knn
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    # two well-separated directions in R^8, 30 vectors each, ids interleaved
+    rng = np.random.default_rng(7)
+    a = np.tile([10.0, 0, 0, 0, 0, 0, 0, 0], (30, 1)) + rng.normal(0, 0.1, (30, 8))
+    b = np.tile([0, 10.0, 0, 0, 0, 0, 0, 0], (30, 1)) + rng.normal(0, 0.1, (30, 8))
+    rows = []
+    for i in range(30):
+        rows.append((2 * i, [float(x) for x in a[i]]))
+        rows.append((2 * i + 1, [float(x) for x in b[i]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_separates_blobs(spark, blobs):
+    centroids = kmeans_fit(blobs, k=2, max_iter=10)
+    assigned = assign_clusters(blobs, centroids)
+    got = {
+        r["cluster"]: r["n"]
+        for r in assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sorted(got.values()) == [30, 30]
+    # even ids (blob a) all land together
+    clusters = {r["id"]: r["cluster"] for r in assigned.collect()}
+    even = {clusters[i] for i in range(0, 60, 2)}
+    odd = {clusters[i] for i in range(1, 60, 2)}
+    assert len(even) == 1 and len(odd) == 1 and even != odd
+
+
+def test_kmeans_deterministic(spark, blobs):
+    c1 = kmeans_fit(blobs, k=2, max_iter=10)
+    c2 = kmeans_fit(blobs, k=2, max_iter=10)
+    assert np.array_equal(c1, c2)
+
+
+def test_kmeans_too_few_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        kmeans_fit(df, k=2)
+
+
+def test_ivf_matches_brute_force_within_blob(spark, blobs):
+    # nprobe = k(cells): probing every cell makes IVF exact -> must equal
+    # the brute-force baseline ranking
+    centroids = kmeans_fit(blobs, k=2, max_iter=10)
+    probes = blobs.orderBy("vec_id").limit(2)
+    ivf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_search(blobs, probes, centroids, k=5, nprobe=2).collect()
+    }
+    bf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_knn(blobs, probes, k=5).collect()
+    }
+    assert ivf == bf
+
+
+def test_ivf_single_probe_stays_in_cell(spark, blobs):
+    centroids = kmeans_fit(blobs, k=2, max_iter=10)
+    probes = blobs.filter(F.col("vec_id") == 0)  # blob a
+    got = ivf_search(blobs, probes, centroids, k=5, nprobe=1).collect()
+    assert len(got) == 5
+    assert all(r["neighbor_id"] % 2 == 0 for r in got)  # all from blob a
