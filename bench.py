@@ -37,6 +37,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "knn_cosine",
     "token_topk",
+    "doc_chunks",
+    "train_val_split",
+    "stratified_sample",
 ]
 
 
