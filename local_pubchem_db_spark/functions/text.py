@@ -171,6 +171,58 @@ def shingle_array_udf(n: int = 3):
     return _shingles
 
 
+# Patterns chosen to parse identically in Java regex (Spark) and RE2-ish
+# dialects (DuckDB): no lookaround, no POSIX classes.
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_PAT = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Mask emails then phone-shaped numbers — the minimum-viable PII pass
+    of a training-data pipeline. SQL: regexp_replace(regexp_replace(text,
+    email, '<EMAIL>', 'g'), phone, '<PHONE>', 'g')."""
+    t = F.regexp_replace(text, _EMAIL_PAT, "<EMAIL>")
+    return F.regexp_replace(t, _PHONE_PAT, "<PHONE>")
+
+
+def repetition_signals_udf():
+    """Arrow-batched pandas UDF: text → struct of Gopher-style repetition
+    counts (n_tokens, n_3grams, n_dup_3grams, max_tok_count).
+
+    Emits exact integer counts; ratios (duplicate-3gram fraction, top-token
+    fraction) are single IEEE divisions done JVM-side by the caller, so the
+    whole signal is bit-deterministic across engines. Python path for the
+    same reason as shingling: gram construction via JVM higher-order
+    functions is interpreted and ~100x slower.
+    """
+    import re
+    from collections import Counter
+
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    @pandas_udf("n_tokens long, n_3grams long, n_dup_3grams long, max_tok_count long")
+    def _signals(text: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in text:
+            w = [tok for tok in ws.split(t.strip()) if tok] if t else []
+            n = len(w)
+            grams = [" ".join(w[i : i + 3]) for i in range(n - 2)] if n >= 3 else []
+            n3 = len(grams)
+            rows.append(
+                {
+                    "n_tokens": n,
+                    "n_3grams": n3,
+                    "n_dup_3grams": n3 - len(set(grams)),
+                    "max_tok_count": max(Counter(w).values()) if n else 0,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return _signals
+
+
 def char_ngrams(text: Column, n: int = 5) -> Column:
     """Distinct character n-grams of the normalized text (array<string>)."""
     t = normalize_text(text)

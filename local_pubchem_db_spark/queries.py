@@ -34,6 +34,8 @@ from local_pubchem_db_spark.functions.text import (
     lang_id,
     normalize_text,
     punct_count,
+    repetition_signals_udf,
+    scrub_pii,
     token_count,
     tokens,
 )
@@ -746,6 +748,32 @@ def q_doc_chunks(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII masking pass; digest keeps the oracle row narrow."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.md5(scrub_pii(F.col("text"))).alias("clean_digest")
+    )
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals: integer counts + the
+    duplicate-3gram fraction as one IEEE division."""
+    d = t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    sig = d.select("doc_id", repetition_signals_udf()(F.col("text")).alias("s"))
+    n3 = F.col("s.n_3grams")
+    return sig.select(
+        "doc_id",
+        F.col("s.n_tokens").alias("n_tokens"),
+        n3.alias("n_3grams"),
+        F.col("s.n_dup_3grams").alias("n_dup_3grams"),
+        F.col("s.max_tok_count").alias("max_tok_count"),
+        F.when(n3 > 0, F.col("s.n_dup_3grams").cast("double") / n3.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_3gram_frac"),
+    )
+
+
 def q_kmeans_sizes(spark, sf_dir):
     """Iterative Lloyd k-means (operators/clustering.py) — cluster sizes.
     Genuinely non-SQL-expressible (driver records rows-only)."""
@@ -848,6 +876,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_topk": q_token_topk,
     "multimodal_meta": q_multimodal_meta,
     "doc_chunks": q_doc_chunks,
+    "pii_scrub": q_pii_scrub,
+    "repetition_signals": q_repetition_signals,
     "kmeans_sizes": q_kmeans_sizes,
     "ann_ivf_probe": q_ann_ivf_probe,
     "train_val_split": q_train_val_split,
@@ -1260,6 +1290,48 @@ ORACLES: dict[str, str] = {
     "skew_salted_count": (
         "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag"
     ),
+    "pii_scrub": """
+        SELECT doc_id,
+               md5(regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}',
+                     '<PHONE>', 'g')) AS clean_digest
+        FROM documents
+    """,
+    "repetition_signals": """
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents WHERE trim(text) != ''
+        ),
+        grams AS (
+          SELECT doc_id, len(w) AS n_tokens,
+                 CASE WHEN len(w) >= 3
+                      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]
+                      ELSE [] END AS g3,
+                 w
+          FROM toks
+        ),
+        tok_max AS (
+          SELECT doc_id, max(c) AS max_tok_count FROM (
+            SELECT doc_id, count(*) AS c
+            FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+            GROUP BY doc_id, tok)
+          GROUP BY doc_id
+        )
+        SELECT g.doc_id,
+               CAST(g.n_tokens AS BIGINT) AS n_tokens,
+               CAST(len(g.g3) AS BIGINT) AS n_3grams,
+               CAST(len(g.g3) - len(list_distinct(g.g3)) AS BIGINT) AS n_dup_3grams,
+               CAST(m.max_tok_count AS BIGINT) AS max_tok_count,
+               CASE WHEN len(g.g3) > 0
+                    THEN CAST(len(g.g3) - len(list_distinct(g.g3)) AS DOUBLE)
+                         / CAST(len(g.g3) AS DOUBLE)
+                    ELSE 0.0 END AS dup_3gram_frac
+        FROM grams g JOIN tok_max m USING (doc_id)
+    """,
     # md5 hex is lowercase fixed-width in both engines, so the bucket
     # thresholds are plain string comparisons: 0.8*65536=0xcccc,
     # 0.9*65536=0xe666 (matches operators/sampling.py _hex4).

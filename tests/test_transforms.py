@@ -88,3 +88,41 @@ def test_shingle_udf_matches_column_spec(spark, sf_dir):
     )
     bad = both.filter(F.col("spec") != F.col("fast")).count()
     assert bad == 0
+
+
+def test_scrub_pii(spark):
+    from pyspark.sql import functions as F
+
+    from local_pubchem_db_spark.functions.text import scrub_pii
+
+    rows = [
+        (1, "contact alice.smith+x@example.co.uk now"),
+        (2, "call 555-123-4567 or +49 1234 567 ok"),
+        (3, "nothing here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["clean"]
+        for r in df.select("id", scrub_pii(F.col("text")).alias("clean")).collect()
+    }
+    assert got[1] == "contact <EMAIL> now"
+    assert got[2] == "call <PHONE> or +49 1234 567 ok"  # 3-3-4 shape only
+    assert got[3] == "nothing here"
+
+
+def test_repetition_signals(spark):
+    from pyspark.sql import functions as F
+
+    from local_pubchem_db_spark.functions.text import repetition_signals_udf
+
+    rows = [(1, "a b c a b c a b c"), (2, "x y"), (3, "u v w z")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: (r["s"]["n_tokens"], r["s"]["n_3grams"],
+                  r["s"]["n_dup_3grams"], r["s"]["max_tok_count"])
+        for r in df.select("id", repetition_signals_udf()(F.col("text")).alias("s")).collect()
+    }
+    # 9 tokens -> 7 3-grams, 3 distinct ("a b c","b c a","c a b") -> 4 dups
+    assert got[1] == (9, 7, 4, 3)
+    assert got[2] == (2, 0, 0, 1)
+    assert got[3] == (4, 2, 0, 1)
