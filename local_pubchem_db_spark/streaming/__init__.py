@@ -1,5 +1,6 @@
 from local_pubchem_db_spark.streaming.ingest import stream_build_db
 from local_pubchem_db_spark.streaming.events import (
+    dedup_stream,
     hourly_event_counts,
     read_event_stream,
     session_windows,
@@ -7,6 +8,7 @@ from local_pubchem_db_spark.streaming.events import (
 )
 
 __all__ = [
+    "dedup_stream",
     "hourly_event_counts",
     "read_event_stream",
     "session_windows",

@@ -107,6 +107,26 @@ def session_windows(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each key within
+    the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    The streaming face of the batch dedup family (operators/dedup.py):
+    state holds one entry per key only until the watermark passes it, so
+    memory is bounded by key arrival rate × watermark window — the only
+    dedup contract that runs forever on an unbounded stream. On a batch
+    frame it degrades to plain dropDuplicates semantics.
+    """
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 _STATE_SCHEMA = StructType([StructField("n", LongType())])
 _OUT_SCHEMA = StructType(
     [

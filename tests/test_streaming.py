@@ -177,3 +177,21 @@ def test_stateful_user_counts(spark, event_batches, tmp_path):
     }
     for r in want:
         assert finals[r["user_id"]] == r["n"]
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, event_batches, tmp_path):
+    from local_pubchem_db_spark.streaming import dedup_stream
+
+    ev, stream_dir = event_batches
+    # duplicate every shard under a new name: each event now arrives twice
+    dup_dir = tmp_path / "dup_stream"
+    dup_dir.mkdir()
+    for i, fn in enumerate(sorted(os.listdir(stream_dir))):
+        shutil.copy(os.path.join(stream_dir, fn), dup_dir / fn)
+        shutil.copy(os.path.join(stream_dir, fn), dup_dir / f"copy-{i}.parquet")
+    stream = read_event_stream(spark, str(dup_dir))
+    got = _run_stream(dedup_stream(stream), str(tmp_path)).collect()
+    assert len(got) == ev.count()  # every duplicate dropped
+    assert len({r["event_id"] for r in got}) == len(got)
+    # batch frame: same operator degrades to plain dropDuplicates
+    assert dedup_stream(ev.union(ev)).count() == ev.count()
