@@ -468,6 +468,20 @@ def q_cube_volume(spark, sf_dir):
     )
 
 
+def q_grouping_sets(spark, sf_dir):
+    """C5: explicit GROUPING SETS — the general form cube/rollup sugar
+    over; includes grouping_id to disambiguate NULL markers."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """)
+
+
 def q_conditional_agg(spark, sf_dir):
     """C5: filtered/conditional aggregation (CASE-WHEN sums, count_if)."""
     o = t(spark, sf_dir, "orders")
@@ -846,6 +860,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_counts": q_distinct_counts,
     "approx_distinct": q_approx_distinct,
     "cube_volume": q_cube_volume,
+    "grouping_sets": q_grouping_sets,
     "conditional_agg": q_conditional_agg,
     "order_date_parts": q_order_date_parts,
     "name_distance": q_name_distance,
@@ -1107,6 +1122,14 @@ ORACLES: dict[str, str] = {
         SELECT l_returnflag, l_linestatus, count(*) AS n,
                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
     """,
     "conditional_agg": """
         SELECT o_orderstatus, count(*) AS n,
