@@ -386,6 +386,22 @@ def q_json_props(spark, sf_dir):
     )
 
 
+def q_variant_props(spark, sf_dir):
+    """C9/modern: semi-structured props via VariantType (Spark 4's
+    shredded open-schema path — the scale answer for ragged JSON columns:
+    parse once, typed extraction pushes into the scan layer). Oracle: plain
+    JSON extraction, same values."""
+    ev = events_table(spark, sf_dir)
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        ev.select("user_id", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_high"), F.sum("k").alias("sum_k"))
+    )
+
+
 def q_string_surface(spark, sf_dir):
     """C9: the reference's string-function surface (regex extract, split,
     replace, substring, length, case) over documents."""
@@ -873,6 +889,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "correlated_count": q_correlated_count,
     "monthly_order_stats": q_monthly_order_stats,
     "json_props": q_json_props,
+    "variant_props": q_variant_props,
     "string_surface": q_string_surface,
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
@@ -1082,6 +1099,13 @@ ORACLES: dict[str, str] = {
                SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY event_type
+    """,
+    "variant_props": """
+        SELECT user_id, count(*) AS n_high, SUM(k) AS sum_k
+        FROM (SELECT user_id,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events)
+        WHERE k >= 50 GROUP BY user_id
     """,
     "string_surface": """
         SELECT doc_id,
