@@ -386,6 +386,27 @@ def q_json_props(spark, sf_dir):
     )
 
 
+def q_udtf_tokens(spark, sf_dir):
+    """C12/modern: Python UDTF (Arrow-batched) in a LATERAL join — the
+    table-function face of the UDF surface. Emits the first 5 (pos, token)
+    pairs per document."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string", useArrow=True)
+    class TokenizeHead:
+        def eval(self, text: str):
+            if text:
+                for i, tok in enumerate(text.split()[:5]):
+                    yield (i + 1, tok)
+
+    spark.udtf.register("tokenize_head", TokenizeHead)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, s.pos, s.token "
+        "FROM docs_udtf d, LATERAL tokenize_head(d.text) s"
+    )
+
+
 def q_variant_props(spark, sf_dir):
     """C9/modern: semi-structured props via VariantType (Spark 4's
     shredded open-schema path — the scale answer for ragged JSON columns:
@@ -890,6 +911,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "monthly_order_stats": q_monthly_order_stats,
     "json_props": q_json_props,
     "variant_props": q_variant_props,
+    "udtf_tokens": q_udtf_tokens,
     "string_surface": q_string_surface,
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
@@ -1106,6 +1128,14 @@ ORACLES: dict[str, str] = {
                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
               FROM events)
         WHERE k >= 50 GROUP BY user_id
+    """,
+    "udtf_tokens": """
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents WHERE trim(text) != ''
+        )
+        SELECT doc_id, CAST(i AS INT) AS pos, w[i] AS token
+        FROM toks, unnest(range(1, least(len(w), 5) + 1)) AS t(i)
     """,
     "string_surface": """
         SELECT doc_id,
