@@ -271,6 +271,36 @@ def q_running_event_count(spark, sf_dir):
     )
 
 
+def q_ntile_price_deciles(spark, sf_dir):
+    """C6: ntile decile assignment + first/last frame values per decile
+    source row. Deterministic tie-break on the full (price, key) order."""
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+def q_range_frame_value(spark, sf_dir):
+    """C6: RANGE frame — for each event, sum of values of the SAME user
+    within the preceding 3600s (value-based frame, unlike the ROWS frames
+    elsewhere). Decimal-exact sum; epoch seconds keep the range numeric."""
+    ev = events_table(spark, sf_dir).withColumn(
+        "ts_s", F.unix_timestamp("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_s").asc())
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(_dec("value", 12, 4)).over(w).cast("double").alias("hour_value"),
+        F.count(F.lit(1)).over(w).alias("hour_events"),
+    )
+
+
 def q_customers_with_urgent_orders(spark, sf_dir):
     """C4: left semi join (EXISTS)."""
     cust = t(spark, sf_dir, "customer")
@@ -888,6 +918,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_per_customer": q_top_orders_per_customer,
     "event_value_delta": q_event_value_delta,
     "running_event_count": q_running_event_count,
+    "ntile_price_deciles": q_ntile_price_deciles,
+    "range_frame_value": q_range_frame_value,
     "customers_with_urgent_orders": q_customers_with_urgent_orders,
     "customers_without_orders": q_customers_without_orders,
     "brand_volume": q_brand_volume,
@@ -1068,6 +1100,24 @@ ORACLES: dict[str, str] = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "ntile_price_deciles": """
+        SELECT o_orderkey,
+               ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS decile
+        FROM orders
+    """,
+    "range_frame_value": """
+        WITH ev AS (
+          SELECT user_id, event_id, value,
+                 CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s
+          FROM events
+        )
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(value AS DECIMAL(12,4))) OVER w AS DOUBLE) AS hour_value,
+               count(*) OVER w AS hour_events
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_s ASC
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
     "customers_with_urgent_orders": """
         SELECT c_custkey, c_name FROM customer
