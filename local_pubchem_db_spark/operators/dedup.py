@@ -162,6 +162,85 @@ def minhash_lsh_dedup_pairs(
     return _verify_jaccard(cand, shingled, threshold)
 
 
+def lsh_bucket_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_len: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """Materializable LSH index of a corpus: (id, band, bucket) rows.
+
+    Persist this once for the historical corpus; incremental batches then
+    dedup against it WITHOUT rescanning history (see
+    ``incremental_minhash_new_ids``). At 100 TB the index is bands× the
+    corpus row count but tiny per row — and writing it bucketed/partitioned
+    by (band, bucket) makes the incremental join shuffle-free on the
+    history side.
+    """
+    shingled = _with_shingles(df, id_col, text_col, shingle_len)
+    return shingled.select(
+        "id",
+        F.posexplode(
+            minhash_band_udf(num_perm, bands)(F.col("shingles"))
+        ).alias("band", "bucket"),
+    )
+
+
+def incremental_minhash_new_ids(
+    batch: DataFrame,
+    history_index: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_len: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """Ids in ``batch`` that are near-dups of NOTHING in the history index
+    nor of an earlier (lower-id) batch row — the rows safe to append.
+
+    The incremental contract of a training-data pipeline: history is never
+    rescanned (only its (id, band, bucket) index is joined), the batch is
+    LSH-bucketed once, and candidate pairs are verified with exact Jaccard
+    against batch shingles (batch-internal pairs) or accepted on bucket
+    collision (batch-vs-history, since history text is not at hand — the
+    conservative choice: collisions drop the row).
+    """
+    shingled = _with_shingles(batch, id_col, text_col, shingle_len)
+    buckets = shingled.select(
+        "id",
+        F.posexplode(
+            minhash_band_udf(num_perm, bands)(F.col("shingles"))
+        ).alias("band", "bucket"),
+    )
+    # batch rows colliding with ANY history bucket → dropped (left_semi is
+    # the minimal shuffle: no history payload moves, only matching keys)
+    vs_history = (
+        buckets.join(history_index, ["band", "bucket"], "left_semi")
+        .select("id")
+        .distinct()
+    )
+    # batch-internal near-dups: keep the lowest id of each verified pair
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
+        .distinct()
+    )
+    dup_in_batch = (
+        _verify_jaccard(cand, shingled, threshold).select(F.col("id2").alias("id")).distinct()
+    )
+    ids = shingled.select("id")
+    return (
+        ids.join(vs_history, "id", "left_anti")
+        .join(dup_in_batch, "id", "left_anti")
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def simhash_dedup_pairs(
     df: DataFrame,
     id_col: str,

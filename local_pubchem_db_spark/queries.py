@@ -41,6 +41,8 @@ from local_pubchem_db_spark.functions.text import (
 )
 from local_pubchem_db_spark.operators.dedup import (
     exact_dedup_by_content,
+    incremental_minhash_new_ids,
+    lsh_bucket_index,
     minhash_lsh_dedup_pairs,
     ngram_jaccard_pairs,
     simhash_dedup_pairs,
@@ -719,6 +721,17 @@ def q_dedup_simhash(spark, sf_dir):
     ).select("id1", "id2", "hamming")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental dedup: docs with id >= 250 arriving as a batch against
+    an LSH index of docs 0-249; returns the batch ids safe to append
+    (LSH-bucket semantics — rows-only check)."""
+    docs = t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    idx = lsh_bucket_index(history, "doc_id", "text")
+    return incremental_minhash_new_ids(batch, idx, "doc_id", "text")
+
+
 def q_knn_cosine(spark, sf_dir):
     """Brute-force cosine top-5 for 30 query vectors (ANN baseline)."""
     emb = t(spark, sf_dir, "embeddings")
@@ -952,6 +965,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "incremental_dedup": q_incremental_dedup,
     "knn_cosine": q_knn_cosine,
     "ann_ivf": q_ann_ivf,
     "cosine_neardup": q_cosine_neardup,

@@ -1,0 +1,44 @@
+"""Incremental dedup: a batch vs a persisted LSH history index."""
+
+from pyspark.sql import functions as F
+
+from local_pubchem_db_spark.operators.dedup import (
+    incremental_minhash_new_ids,
+    lsh_bucket_index,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+OTHER = "completely different content about spark shuffles and parquet row groups"
+
+
+def test_incremental_dedup(spark, tmp_path):
+    history = spark.createDataFrame(
+        [(1, BASE), (2, OTHER)], "doc_id long, text string"
+    )
+    idx_path = str(tmp_path / "lsh_index")
+    lsh_bucket_index(history, "doc_id", "text").write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    batch = spark.createDataFrame(
+        [
+            (10, BASE),  # exact dup of history -> dropped
+            (11, "fresh unseen sentence with tokens nobody wrote before now ok"),
+            (12, "fresh unseen sentence with tokens nobody wrote before now ok"),
+            # 11/12 duplicate each other -> keep lowest id only
+            (13, "another novel document mentioning broadcast joins and codegen"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in incremental_minhash_new_ids(batch, idx, "doc_id", "text").collect()
+    )
+    assert got == [11, 13]
+
+
+def test_index_shape(spark):
+    history = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    idx = lsh_bucket_index(history, "doc_id", "text", bands=32)
+    rows = idx.collect()
+    assert len(rows) == 32  # one bucket per band per doc
+    assert {r["band"] for r in rows} == set(range(32))
