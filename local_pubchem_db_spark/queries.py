@@ -1182,12 +1182,13 @@ ORACLES: dict[str, str] = {
     """,
     "json_props": """
         SELECT event_type, count(*) AS n,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY event_type
     """,
     "variant_props": """
-        SELECT user_id, count(*) AS n_high, SUM(k) AS sum_k
+        SELECT user_id, count(*) AS n_high, CAST(SUM(k) AS BIGINT) AS sum_k
         FROM (SELECT user_id,
                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
               FROM events)
@@ -1229,8 +1230,9 @@ ORACLES: dict[str, str] = {
           FROM events),
         sess AS (
           SELECT user_id, event_id, ts_ms,
-                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                 CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS session_id
           FROM flagged)
         SELECT user_id, session_id, count(*) AS n_events,
                max(ts_ms) - min(ts_ms) AS duration_ms
@@ -1277,8 +1279,8 @@ ORACLES: dict[str, str] = {
     """,
     "udaf_sumsq": """
         SELECT l_returnflag,
-               SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
-                 AS sum_qty_sq
+               CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                    AS BIGINT) AS sum_qty_sq
         FROM lineitem GROUP BY l_returnflag
     """,
     "pivot_status": """

@@ -48,6 +48,18 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
         return problems
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    # Driver-faithful dtype parity: the driver hashes serialized values, so a
+    # DuckDB HUGEINT/Decimal (object dtype) vs Spark int64 is a hash mismatch
+    # even when every value is numerically equal. Compare raw dtype kinds
+    # BEFORE canon() normalizes them away.
+    for c in sorted(spark_pdf.columns):
+        sk = spark_pdf[c].dtype.kind
+        ok = oracle_pdf[c].dtype.kind
+        if sk != ok:
+            problems.append(
+                f"col {c}: dtype kind mismatch (driver hash risk): "
+                f"spark={spark_pdf[c].dtype} oracle={oracle_pdf[c].dtype}"
+            )
     a, b = canon(spark_pdf), canon(oracle_pdf)
     if len(a) == len(b):
         for c in a.columns:
