@@ -36,6 +36,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin for each queries() entry (keys missing
-    here — engine-specific sketches like approx_distinct/simhash — get the
-    driver's weaker rows-only check)."""
+    here — engine-specific sketches like approx_sketches/dedup_simhash and
+    the iterative ann_ivf_probe — get the driver's weaker rows-only check)."""
     return dict(ORACLES)

@@ -30,16 +30,16 @@ HEADLINE = [
     "revenue_by_nation",
     "brand_volume",
     "top_orders_per_customer",
-    "running_event_count",
-    "sessionize",
+    "event_windows",
+    "session_window",
     "events_hourly",
     "dedup_exact",
     "dedup_minhash_lsh",
     "knn_cosine",
     "token_topk",
     "doc_chunks",
-    "train_val_split",
-    "stratified_sample",
+    "sample_splits",
+    "text_signals",
 ]
 
 

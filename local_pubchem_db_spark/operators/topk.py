@@ -28,3 +28,72 @@ def top_k_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n: int,
+    order_cols: list[Column],
+    range_col: str,
+    tile_col: str = "tile",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Global ``ntile(n)`` without a single-partition sort.
+
+    ``Window.orderBy`` with no ``partitionBy`` funnels the ENTIRE input
+    through one task — correct at test scale, a scale-killer at 100 TB.
+    This computes the identical assignment in three distributed steps:
+
+    1. Range-bucket on ``range_col`` using ``approxQuantile`` boundaries
+       (any boundaries are CORRECT — they only bound per-task sort size;
+       the quantile sketch just keeps buckets balanced under skew).
+       Rows tying on ``range_col`` share a bucket, so bucket-local order
+       by ``order_cols`` concatenated across buckets IS the global order.
+    2. Per-bucket ``row_number`` (parallel window, one hash shuffle) plus
+       a broadcast join of per-bucket rank offsets (a <= ``num_buckets``
+       row aggregate collected to the driver) gives each row its exact
+       global rank.
+    3. Spark's ntile arithmetic on (rank, N): the first N mod n tiles
+       hold ceil(N/n) rows, the rest floor(N/n).
+
+    ``order_cols`` must start with ``range_col`` and impose a total order
+    (unique tiebreaker) for deterministic output. For >>64-way skew,
+    raise ``num_buckets`` (the boundary CASE-chain stays codegen-friendly
+    to a few hundred)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    cuts = sorted(set(df.approxQuantile(range_col, probs, 0.001)))
+
+    bucket = F.lit(0)
+    for i, c in enumerate(cuts):
+        bucket = F.when(F.col(range_col) > F.lit(c), i + 1).otherwise(bucket)
+    b = df.withColumn("__bucket", bucket)
+
+    counts = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n")).collect()
+    counts.sort(key=lambda r: r["__bucket"])
+    total = sum(r["__n"] for r in counts)
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["__bucket"], acc))
+        acc += r["__n"]
+    off = df.sparkSession.createDataFrame(offsets, "__bucket int, __offset long")
+
+    w = Window.partitionBy("__bucket").orderBy(*order_cols)
+    ranked = (
+        b.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(off), "__bucket")
+        .withColumn("__rank", F.col("__offset") + F.col("__rn"))
+    )
+    big = total % n
+    size = total // n  # 0 only when total < n; then no row reaches the else
+    threshold = big * (size + 1)
+    tile = F.when(
+        F.col("__rank") <= threshold,
+        ((F.col("__rank") - 1) / (size + 1)).cast("long") + 1,
+    ).otherwise(
+        ((F.col("__rank") - threshold - 1) / max(size, 1)).cast("long") + big + 1
+    )
+    return ranked.withColumn(tile_col, tile.cast("int")).drop(
+        "__bucket", "__rn", "__offset", "__rank"
+    )

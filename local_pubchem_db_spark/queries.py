@@ -48,11 +48,7 @@ from local_pubchem_db_spark.operators.dedup import (
     simhash_dedup_pairs,
 )
 from local_pubchem_db_spark.operators.chunking import chunk_documents
-from local_pubchem_db_spark.operators.clustering import (
-    assign_clusters,
-    ivf_search,
-    kmeans_fit,
-)
+from local_pubchem_db_spark.operators.clustering import ivf_search, kmeans_fit
 from local_pubchem_db_spark.operators.joins import as_of_join, range_join
 from local_pubchem_db_spark.operators.physical import salted_group_count
 from local_pubchem_db_spark.operators.sampling import hash_split, stratified_sample
@@ -61,7 +57,7 @@ from local_pubchem_db_spark.operators.similarity import (
     cosine_all_pairs,
     ivf_within_partition_pairs,
 )
-from local_pubchem_db_spark.operators.topk import top_k_per_group
+from local_pubchem_db_spark.operators.topk import distributed_ntile, top_k_per_group
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -113,22 +109,24 @@ def q_projection_scan(spark, sf_dir):
     return t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
 
 
-def q_range_filter(spark, sf_dir):
-    """B10: range constraint on an 'indexed' numeric column — the
-    exact_mass mass-window workload shape (README.md:76)."""
-    return (
-        t(spark, sf_dir, "part")
-        .filter(F.col("p_retailprice").between(1200.0, 1400.0))
-        .select("p_partkey", "p_name", "p_retailprice")
-    )
-
-
-def q_prefix_filter(spark, sf_dir):
-    """B10: prefix lookup — the InChIKey_1 blocking-key workload shape."""
-    return (
+def q_indexed_filters(spark, sf_dir):
+    """B10: prefix + range constraints in one plan — the InChIKey_1
+    blocking-key prefix lookup joined to an exact_mass-style numeric band
+    (README.md:76). Both predicates push to their parquet scans; the
+    10-customer prefix side broadcasts."""
+    cust = (
         t(spark, sf_dir, "customer")
         .filter(F.col("c_name").startswith("Customer#00000001"))
         .select("c_custkey", "c_name")
+    )
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").between(50000.0, 200000.0))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
     )
 
 
@@ -242,9 +240,12 @@ def q_top_orders_per_customer(spark, sf_dir):
     ).select("o_custkey", "o_orderkey", "o_totalprice", "rank")
 
 
-def q_event_value_delta(spark, sf_dir):
-    """C6: lag window over event time per user."""
+def q_event_windows(spark, sf_dir):
+    """C6: lag + running ROWS frame over event time per user — both window
+    shapes share one partitioning, so Catalyst plans a single sort+shuffle
+    for the whole query."""
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev = events_table(spark, sf_dir)
     return ev.select(
         "user_id",
@@ -252,35 +253,22 @@ def q_event_value_delta(spark, sf_dir):
         (_dec("value", 12, 4) - F.lag(_dec("value", 12, 4)).over(w))
         .cast("double")
         .alias("value_delta"),
-    )
-
-
-def q_running_event_count(spark, sf_dir):
-    """C6: running frame — cumulative events per user over time."""
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        events_table(spark, sf_dir)
-        .select(
-            "user_id",
-            "event_id",
-            F.count(F.lit(1)).over(w).alias("running_events"),
-            F.sum(_dec("value", 12, 4)).over(w).cast("double").alias("running_value"),
-        )
+        F.count(F.lit(1)).over(wr).alias("running_events"),
+        F.sum(_dec("value", 12, 4)).over(wr).cast("double").alias("running_value"),
     )
 
 
 def q_ntile_price_deciles(spark, sf_dir):
-    """C6: ntile decile assignment + first/last frame values per decile
-    source row. Deterministic tie-break on the full (price, key) order."""
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    return t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.ntile(10).over(w).alias("decile"),
-    )
+    """C6: global ntile decile assignment, deterministic tie-break on the
+    full (price, key) order. Computed with distributed_ntile — range-
+    bucketed two-pass ranking — because a bare ``Window.orderBy`` funnels
+    the whole table through ONE task; the oracle stays plain ntile(10)."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return distributed_ntile(
+        o, 10,
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        range_col="o_totalprice", tile_col="decile",
+    ).select("o_orderkey", "decile")
 
 
 def q_range_frame_value(spark, sf_dir):
@@ -313,13 +301,16 @@ def q_customers_with_urgent_orders(spark, sf_dir):
     )
 
 
-def q_customers_without_orders(spark, sf_dir):
+def q_customers_no_recent_orders(spark, sf_dir):
     """C4/A14: left anti join (NOT EXISTS) — the manifest-pruning shape
-    (utils.py:272-282)."""
+    (utils.py:272-282). Anti against a filtered right side so the result
+    is non-empty at every sf (every synthetic customer has SOME order)."""
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
+    recent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
     )
 
@@ -356,64 +347,69 @@ def q_price_band_pairs(spark, sf_dir):
     )
 
 
-def q_active_rich_customers(spark, sf_dir):
-    """C8: INTERSECT — high-balance customers who have orders."""
+def q_set_ops(spark, sf_dir):
+    """C8: INTERSECT then EXCEPT in one plan — high-balance customers who
+    have orders (INTERSECT) minus those with any urgent order (EXCEPT).
+    Non-empty at every sf, unlike an all-parts EXCEPT ordered-parts shape."""
     rich = (
         t(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > 5000.0)
         .select(F.col("c_custkey").alias("custkey"))
     )
     active = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    return rich.intersect(active)
-
-
-def q_parts_never_ordered(spark, sf_dir):
-    """C8: EXCEPT — parts absent from lineitem."""
-    all_parts = t(spark, sf_dir, "part").select(F.col("p_partkey").alias("partkey"))
-    ordered = t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("partkey"))
-    return all_parts.exceptAll(ordered).distinct()
-
-
-def q_distinct_counts(spark, sf_dir):
-    """C10 (exact twin): COUNT(DISTINCT ...)."""
-    return t(spark, sf_dir, "lineitem").agg(
-        F.countDistinct("l_partkey").alias("d_part"),
-        F.countDistinct("l_suppkey").alias("d_supp"),
-        F.countDistinct("l_orderkey").alias("d_order"),
-    )
-
-
-def q_approx_distinct(spark, sf_dir):
-    """C10: approx_count_distinct (HLL) — engine-specific sketch, no
-    cross-engine oracle; driver records rows-only."""
-    return t(spark, sf_dir, "lineitem").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_d_part")
-    )
-
-
-def q_monthly_order_stats(spark, sf_dir):
-    """C9 date functions: month bucketing + decimal-exact totals."""
-    return (
+    urgent = (
         t(spark, sf_dir, "orders")
-        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return rich.intersect(active).subtract(urgent)
+
+
+def q_exact_stats(spark, sf_dir):
+    """C10 (exact twins): per-group COUNT(DISTINCT ...) + exact median
+    (avg-of-middles on integral doubles — exact in both engines)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_dec("o_totalprice", 14, 2)).cast("double").alias("total_price"),
+            F.countDistinct("l_partkey").alias("d_part"),
+            F.countDistinct("l_suppkey").alias("d_supp"),
+            F.countDistinct("l_orderkey").alias("d_order"),
+            F.median("l_quantity").alias("med_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
         )
     )
 
 
-def q_json_props(spark, sf_dir):
-    """C9: JSON extraction from the events.props string column."""
+def q_approx_sketches(spark, sf_dir):
+    """C10: approx_count_distinct (HLL) + percentile_approx (GK sketch) —
+    engine-specific sketches, no cross-engine oracle; driver records
+    rows-only."""
+    return t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_d_part"),
+        F.percentile_approx("l_quantity", [0.5, 0.9, 0.99]).alias("qty_pcts"),
+    )
+
+
+def q_json_variant_props(spark, sf_dir):
+    """C9/modern: semi-structured props twice over — classic string-path
+    JSON extraction (get_json_object) AND Spark 4's VariantType shredded
+    path (parse_json + variant_get, typed extraction that pushes into the
+    scan layer) — in one aggregation, so the driver verifies both APIs
+    produce identical values. Oracle: plain JSON extraction."""
     ev = events_table(spark, sf_dir)
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    k_json = F.get_json_object(F.col("props"), "$.k").cast("long")
+    k_var = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
     return (
-        ev.select("event_type", k.alias("k"))
+        ev.select("event_type", k_json.alias("kj"), k_var.alias("kv"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("k").alias("sum_k"),
-            F.max("k").alias("max_k"),
+            F.sum("kj").alias("sum_k"),
+            F.max("kj").alias("max_k"),
+            F.count_if(F.col("kv") >= 50).alias("n_high"),
+            F.sum(F.when(F.col("kv") >= 50, F.col("kv"))).alias("sum_k_high"),
         )
     )
 
@@ -439,34 +435,25 @@ def q_udtf_tokens(spark, sf_dir):
     )
 
 
-def q_variant_props(spark, sf_dir):
-    """C9/modern: semi-structured props via VariantType (Spark 4's
-    shredded open-schema path — the scale answer for ragged JSON columns:
-    parse once, typed extraction pushes into the scan layer). Oracle: plain
-    JSON extraction, same values."""
-    ev = events_table(spark, sf_dir)
-    v = F.parse_json(F.col("props"))
-    k = F.variant_get(v, "$.k", "long")
-    return (
-        ev.select("user_id", k.alias("k"))
-        .filter(F.col("k") >= 50)
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_high"), F.sum("k").alias("sum_k"))
-    )
-
-
-def q_string_surface(spark, sf_dir):
-    """C9: the reference's string-function surface (regex extract, split,
-    replace, substring, length, case) over documents."""
+def q_string_array_surface(spark, sf_dir):
+    """C9: the reference's string-function surface (regex extract/replace,
+    split, substring, length, case) PLUS the array-function surface (size,
+    sort, contains, slice, distinct) over one tokenization of documents."""
     d = t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
     return d.select(
         "doc_id",
         F.length("text").alias("n_chars_live"),
         F.substring("text", 1, 12).alias("prefix12"),
         F.upper("source").alias("source_uc"),
-        F.element_at(tokens(F.col("text")), 1).alias("first_token"),
+        F.element_at(toks, 1).alias("first_token"),
         F.regexp_replace(F.col("text"), "data", "DATA").substr(1, 20).alias("replaced20"),
         F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("long").alias("source_num"),
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.element_at(F.array_sort(toks), 1).alias("first_sorted"),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.concat_ws("|", F.slice(toks, 1, 3)).alias("head3"),
     )
 
 
@@ -485,33 +472,6 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
-def q_sessionize(spark, sf_dir):
-    """C11: sessionization with a 30-minute inactivity gap — lag + running
-    sum of new-session flags; all-integer outputs."""
-    ev = events_table(spark, sf_dir).select(
-        "user_id", "event_id", F.unix_millis(F.col("ts")).alias("ts_ms")
-    )
-    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
-    gap = F.col("ts_ms") - F.lag("ts_ms").over(w)
-    flagged = ev.withColumn(
-        "new_session",
-        F.when(gap.isNull() | (gap > 30 * 60 * 1000), F.lit(1)).otherwise(F.lit(0)),
-    )
-    sess = flagged.withColumn(
-        "session_id",
-        F.sum("new_session").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    return (
-        sess.groupBy("user_id", "session_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
-        )
-    )
-
-
 def q_session_window(spark, sf_dir):
     """C11: gap-based sessionization with the BUILT-IN session_window
     operator (same 30-min gap as q_sessionize; this one also runs
@@ -525,21 +485,10 @@ def q_session_window(spark, sf_dir):
 # Extension operators — training-data pipeline (dedup / similarity / text)
 # ---------------------------------------------------------------------------
 
-def q_cube_volume(spark, sf_dir):
-    """C5: CUBE grouping sets (rollup's sibling; all 4 grouping combos)."""
-    return (
-        t(spark, sf_dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(_dec("l_quantity", 12, 2)).cast("double").alias("sum_qty"),
-        )
-    )
-
-
-def q_grouping_sets(spark, sf_dir):
-    """C5: explicit GROUPING SETS — the general form cube/rollup sugar
-    over; includes grouping_id to disambiguate NULL markers."""
+def q_cube_grouping_sets(spark, sf_dir):
+    """C5: explicit GROUPING SETS spanning the full CUBE lattice (all 4
+    combos incl. the grand total) — the general form that cube/rollup are
+    sugar over; grouping_id disambiguates NULL markers."""
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
     return spark.sql("""
         SELECT l_returnflag, l_linestatus,
@@ -547,37 +496,35 @@ def q_grouping_sets(spark, sf_dir):
                count(*) AS n,
                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         FROM li_gs
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
     """)
 
 
-def q_conditional_agg(spark, sf_dir):
-    """C5: filtered/conditional aggregation (CASE-WHEN sums, count_if)."""
+def q_order_date_parts(spark, sf_dir):
+    """C9+C5: date-part extraction (year/quarter/dow) with conditional
+    aggregation (count_if, CASE-WHEN sum) and decimal-exact totals — one
+    scan of orders covers the date-function, filtered-agg, and monthly-
+    rollup surfaces."""
     o = t(spark, sf_dir, "orders")
     urgent = F.col("o_orderpriority") == "1-URGENT"
-    return o.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_if(urgent).alias("n_urgent"),
-        F.sum(F.when(urgent, _dec("o_totalprice", 14, 2)).otherwise(F.lit(0)))
-        .cast("double")
-        .alias("urgent_total"),
-        F.max(F.when(urgent, F.col("o_orderkey"))).alias("max_urgent_key"),
-    )
-
-
-def q_order_date_parts(spark, sf_dir):
-    """C9: date-part extraction (year/quarter/dow) + aggregation."""
-    o = t(spark, sf_dir, "orders")
     return (
         o.select(
             F.year("o_orderdate").alias("yr"),
             F.quarter("o_orderdate").alias("qtr"),
             F.dayofweek("o_orderdate").alias("dow"),
+            urgent.alias("is_urgent"),
+            _dec("o_totalprice", 14, 2).alias("price"),
         )
         .groupBy("yr", "qtr")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("dow").alias("d_dow"),
+            F.count_if(F.col("is_urgent")).alias("n_urgent"),
+            F.sum(F.when(F.col("is_urgent"), F.col("price")).otherwise(F.lit(0)))
+            .cast("double")
+            .alias("urgent_total"),
+            F.sum("price").cast("double").alias("total_price"),
         )
     )
 
@@ -591,14 +538,6 @@ def q_name_distance(spark, sf_dir):
         F.levenshtein(F.lower("n_name"), F.reverse(F.lower("n_name"))).alias(
             "dist_palindrome"
         ),
-    )
-
-
-def q_percentile_qty(spark, sf_dir):
-    """C10: approximate percentiles (t-digest / GK sketch) — engine-specific
-    sketch, no cross-engine oracle; driver records rows-only."""
-    return t(spark, sf_dir, "lineitem").agg(
-        F.percentile_approx("l_quantity", [0.5, 0.9, 0.99]).alias("qty_pcts")
     )
 
 
@@ -643,35 +582,6 @@ def q_pivot_status(spark, sf_dir):
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.count(F.lit(1)))
         .na.fill(0)
-    )
-
-
-def q_median_qty(spark, sf_dir):
-    """C10 exact quantiles: median per return flag (avg-of-middles on
-    integral doubles — exact in both engines)."""
-    return (
-        t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.median("l_quantity").alias("med_qty"),
-            F.min("l_quantity").alias("min_qty"),
-            F.max("l_quantity").alias("max_qty"),
-        )
-    )
-
-
-def q_array_surface(spark, sf_dir):
-    """C9: array-function surface over tokenized documents (size, sort,
-    contains, slice, distinct)."""
-    d = t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", tokens(F.col("text")).alias("toks"))
-    return toks.select(
-        "doc_id",
-        F.size("toks").alias("n_toks"),
-        F.size(F.array_distinct("toks")).alias("n_uniq"),
-        F.element_at(F.array_sort("toks"), 1).alias("first_sorted"),
-        F.array_contains("toks", "data").alias("has_data"),
-        F.concat_ws("|", F.slice("toks", 1, 3)).alias("head3"),
     )
 
 
@@ -755,16 +665,14 @@ def q_cosine_neardup(spark, sf_dir):
     )
 
 
-def q_quality_score(spark, sf_dir):
-    """Text quality scoring: length/punct/stopword heuristic in [0,1]."""
+def q_text_signals(spark, sf_dir):
+    """Text-analysis signals in one scan of documents: token/punct counts,
+    mean token length, the length/punct/stopword quality heuristic in
+    [0,1], and the normalized-content fingerprint (md5 of canonical
+    text) — the per-document column block a curation pipeline projects
+    before filtering."""
     from local_pubchem_db_spark.functions.text import quality_score
 
-    d = t(spark, sf_dir, "documents")
-    return d.select("doc_id", quality_score(F.col("text")).alias("score"))
-
-
-def q_text_quality(spark, sf_dir):
-    """Text quality metrics: token/punct counts + mean token length."""
     d = t(spark, sf_dir, "documents")
     n_tok = token_count(F.col("text"))
     return d.select(
@@ -772,6 +680,9 @@ def q_text_quality(spark, sf_dir):
         n_tok.alias("n_tokens"),
         punct_count(F.col("text")).alias("n_punct"),
         (F.length("text").cast("double") / n_tok.cast("double")).alias("mean_tok_len"),
+        quality_score(F.col("text")).alias("score"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+        F.length(normalize_text(F.col("text"))).alias("norm_len"),
     )
 
 
@@ -782,16 +693,6 @@ def q_lang_id(spark, sf_dir):
         d.select("lang", lang_id(F.col("text")).alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-def q_fingerprint(spark, sf_dir):
-    """Normalized-content fingerprints (md5 of canonical text)."""
-    d = t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        doc_fingerprint(F.col("text")).alias("fingerprint"),
-        F.length(normalize_text(F.col("text"))).alias("norm_len"),
     )
 
 
@@ -868,40 +769,32 @@ def q_repetition_signals(spark, sf_dir):
     )
 
 
-def q_kmeans_sizes(spark, sf_dir):
-    """Iterative Lloyd k-means (operators/clustering.py) — cluster sizes.
-    Genuinely non-SQL-expressible (driver records rows-only)."""
-    emb = t(spark, sf_dir, "embeddings")
-    centroids = kmeans_fit(emb, k=8, max_iter=10)
-    return (
-        assign_clusters(emb, centroids)
-        .groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
 def q_ann_ivf_probe(spark, sf_dir):
-    """IVF ANN search with a learned coarse quantizer: top-5 neighbors of
-    the 3 lowest-id vectors, probing 3 of 8 cells (rows-only check)."""
+    """IVF ANN search with a learned coarse quantizer — an iterative Lloyd
+    k-means fit (operators/clustering.py, map-side partial sums) supplies
+    the 8 centroids, then the probe scores the 3 lowest-id vectors against
+    their 3 nearest cells only. Genuinely non-SQL-expressible (iterative
+    fit); driver records rows-only."""
     emb = t(spark, sf_dir, "embeddings")
     centroids = kmeans_fit(emb, k=8, max_iter=10)
     probes = emb.orderBy("vec_id").limit(3)
     return ivf_search(emb, probes, centroids, k=5, nprobe=3)
 
 
-def q_train_val_split(spark, sf_dir):
-    """Deterministic 80/10/10 split by id hash (operators/sampling.py) —
-    stable across runs, partitionings, and engines."""
-    return hash_split(
-        t(spark, sf_dir, "documents").select("doc_id"), "doc_id"
-    )
-
-
-def q_stratified_sample(spark, sf_dir):
-    """Deterministic 25% per-language sample of documents."""
-    return stratified_sample(
+def q_sample_splits(spark, sf_dir):
+    """Training-data sampling pipeline in one plan: deterministic 25%
+    per-language stratified sample (operators/sampling.py), then the
+    80/10/10 hash split over the sampled rows; output is per (lang, split)
+    counts. Both stages are pure functions of the data (md5 buckets), so
+    the oracle reproduces them exactly."""
+    samp = stratified_sample(
         t(spark, sf_dir, "documents").select("doc_id", "lang"),
         "lang", 0.25, "doc_id",
+    )
+    return (
+        hash_split(samp, "doc_id")
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -917,72 +810,75 @@ def q_skew_salted_count(spark, sf_dir):
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
+# Exactly 50 entries: the driver records correctness rows for the first 50
+# registry entries, so every declared operator is folded into this budget —
+# near-duplicate surfaces share one query (see the r1→r2 merges in each
+# docstring) rather than spilling past the cap unchecked.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # Tier B — reference SQL surface
     "count_star": q_count_star,
     "point_lookup": q_point_lookup,
     "projection_scan": q_projection_scan,
-    "range_filter": q_range_filter,
-    "prefix_filter": q_prefix_filter,
+    "indexed_filters": q_indexed_filters,
     "manifest_stats": q_manifest_stats,
+    "correlated_count": q_correlated_count,
+    # C5 — grouped aggregation / grouping sets / pivot
     "pricing_summary": q_pricing_summary,
+    "rollup_returns": q_rollup_returns,
+    "cube_grouping_sets": q_cube_grouping_sets,
+    "pivot_status": q_pivot_status,
+    "order_date_parts": q_order_date_parts,
+    # C4 — joins
     "top_unshipped_orders": q_top_unshipped_orders,
     "revenue_by_nation": q_revenue_by_nation,
-    "rollup_returns": q_rollup_returns,
+    "brand_volume": q_brand_volume,
+    "customers_with_urgent_orders": q_customers_with_urgent_orders,
+    "customers_no_recent_orders": q_customers_no_recent_orders,
+    # C3 — range / as-of joins
+    "price_band_pairs": q_price_band_pairs,
+    "asof_last_click": q_asof_last_click,
+    # C6 — window functions
     "top_orders_per_customer": q_top_orders_per_customer,
-    "event_value_delta": q_event_value_delta,
-    "running_event_count": q_running_event_count,
+    "event_windows": q_event_windows,
     "ntile_price_deciles": q_ntile_price_deciles,
     "range_frame_value": q_range_frame_value,
-    "customers_with_urgent_orders": q_customers_with_urgent_orders,
-    "customers_without_orders": q_customers_without_orders,
-    "brand_volume": q_brand_volume,
-    "price_band_pairs": q_price_band_pairs,
-    "active_rich_customers": q_active_rich_customers,
-    "parts_never_ordered": q_parts_never_ordered,
-    "distinct_counts": q_distinct_counts,
-    "approx_distinct": q_approx_distinct,
-    "cube_volume": q_cube_volume,
-    "grouping_sets": q_grouping_sets,
-    "conditional_agg": q_conditional_agg,
-    "order_date_parts": q_order_date_parts,
+    # C8 — set ops
+    "set_ops": q_set_ops,
+    # C9 — string / semi-structured functions
+    "string_array_surface": q_string_array_surface,
     "name_distance": q_name_distance,
-    "percentile_qty": q_percentile_qty,
-    "asof_last_click": q_asof_last_click,
-    "udaf_sumsq": q_udaf_sumsq,
-    "pivot_status": q_pivot_status,
-    "median_qty": q_median_qty,
-    "array_surface": q_array_surface,
-    "correlated_count": q_correlated_count,
-    "monthly_order_stats": q_monthly_order_stats,
-    "json_props": q_json_props,
-    "variant_props": q_variant_props,
-    "udtf_tokens": q_udtf_tokens,
-    "string_surface": q_string_surface,
+    "json_variant_props": q_json_variant_props,
+    # C10 — distinct / percentiles
+    "exact_stats": q_exact_stats,
+    "approx_sketches": q_approx_sketches,
+    # C11 — event time
     "events_hourly": q_events_hourly,
-    "sessionize": q_sessionize,
     "session_window": q_session_window,
+    # C12 — UDF surface
+    "udaf_sumsq": q_udaf_sumsq,
+    "udtf_tokens": q_udtf_tokens,
+    # Dedup family
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "incremental_dedup": q_incremental_dedup,
+    # Similarity search
     "knn_cosine": q_knn_cosine,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_probe": q_ann_ivf_probe,
     "cosine_neardup": q_cosine_neardup,
-    "quality_score": q_quality_score,
-    "text_quality": q_text_quality,
+    # Text-analysis pipeline
+    "text_signals": q_text_signals,
     "lang_id": q_lang_id,
-    "fingerprint": q_fingerprint,
     "token_topk": q_token_topk,
-    "multimodal_meta": q_multimodal_meta,
     "doc_chunks": q_doc_chunks,
     "pii_scrub": q_pii_scrub,
     "repetition_signals": q_repetition_signals,
-    "kmeans_sizes": q_kmeans_sizes,
-    "ann_ivf_probe": q_ann_ivf_probe,
-    "train_val_split": q_train_val_split,
-    "stratified_sample": q_stratified_sample,
+    # Sampling / physical / multimodal
+    "sample_splits": q_sample_splits,
     "skew_salted_count": q_skew_salted_count,
+    "multimodal_meta": q_multimodal_meta,
 }
 
 # Shared SQL fragments for the oracles ------------------------------------
@@ -1035,14 +931,12 @@ ORACLES: dict[str, str] = {
         "FROM orders WHERE o_orderkey = 42"
     ),
     "projection_scan": "SELECT o_orderkey, o_custkey FROM orders",
-    "range_filter": (
-        "SELECT p_partkey, p_name, p_retailprice FROM part "
-        "WHERE p_retailprice BETWEEN 1200.0 AND 1400.0"
-    ),
-    "prefix_filter": (
-        "SELECT c_custkey, c_name FROM customer "
-        "WHERE c_name LIKE 'Customer#00000001%'"
-    ),
+    "indexed_filters": """
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_name LIKE 'Customer#00000001%'
+          AND o_totalprice BETWEEN 50000.0 AND 200000.0
+    """,
     "manifest_stats": (
         "SELECT source, count(*) AS n_docs, min(doc_id) AS lowest_id, "
         "max(doc_id) AS highest_id FROM documents GROUP BY source"
@@ -1099,16 +993,12 @@ ORACLES: dict[str, str] = {
                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
           FROM orders) WHERE rank <= 3
     """,
-    "event_value_delta": """
+    "event_windows": """
         SELECT user_id, event_id,
                CAST(CAST(value AS DECIMAL(12,4))
                     - lag(CAST(value AS DECIMAL(12,4)))
                       OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-                    AS DOUBLE) AS value_delta
-        FROM events
-    """,
-    "running_event_count": """
-        SELECT user_id, event_id,
+                    AS DOUBLE) AS value_delta,
                count(*) OVER w AS running_events,
                CAST(SUM(CAST(value AS DECIMAL(12,4))) OVER w AS DOUBLE) AS running_value
         FROM events
@@ -1138,9 +1028,11 @@ ORACLES: dict[str, str] = {
         WHERE EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
     """,
-    "customers_without_orders": """
+    "customers_no_recent_orders": """
         SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1997-01-01')
     """,
     "brand_volume": """
         SELECT p_brand, s_name,
@@ -1158,41 +1050,34 @@ ORACLES: dict[str, str] = {
               FROM part WHERE p_partkey <= 20) p
           ON r.p_retailprice BETWEEN p.probe_price - 2.0 AND p.probe_price + 2.0
     """,
-    "active_rich_customers": """
-        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000.0
-        INTERSECT
-        SELECT o_custkey AS custkey FROM orders
-    """,
-    "parts_never_ordered": """
-        SELECT p_partkey AS partkey FROM part
+    "set_ops": """
+        SELECT custkey FROM (
+          SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000.0
+          INTERSECT
+          SELECT o_custkey AS custkey FROM orders
+        )
         EXCEPT
-        SELECT l_partkey AS partkey FROM lineitem
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     """,
-    "distinct_counts": """
-        SELECT count(DISTINCT l_partkey) AS d_part,
+    "exact_stats": """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS d_part,
                count(DISTINCT l_suppkey) AS d_supp,
-               count(DISTINCT l_orderkey) AS d_order
-        FROM lineitem
+               count(DISTINCT l_orderkey) AS d_order,
+               median(l_quantity) AS med_qty,
+               min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        FROM lineitem GROUP BY l_returnflag
     """,
-    "monthly_order_stats": """
-        SELECT date_trunc('month', o_orderdate) AS month,
-               count(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
-        FROM orders GROUP BY date_trunc('month', o_orderdate)
-    """,
-    "json_props": """
+    "json_variant_props": """
         SELECT event_type, count(*) AS n,
-               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                    AS BIGINT) AS sum_k,
-               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-        FROM events GROUP BY event_type
-    """,
-    "variant_props": """
-        SELECT user_id, count(*) AS n_high, CAST(SUM(k) AS BIGINT) AS sum_k
-        FROM (SELECT user_id,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               MAX(k) AS max_k,
+               count(*) FILTER (WHERE k >= 50) AS n_high,
+               CAST(SUM(k) FILTER (WHERE k >= 50) AS BIGINT) AS sum_k_high
+        FROM (SELECT event_type,
                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
               FROM events)
-        WHERE k >= 50 GROUP BY user_id
+        GROUP BY event_type
     """,
     "udtf_tokens": """
         WITH toks AS (
@@ -1202,15 +1087,22 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, CAST(i AS INT) AS pos, w[i] AS token
         FROM toks, unnest(range(1, least(len(w), 5) + 1)) AS t(i)
     """,
-    "string_surface": """
+    "string_array_surface": """
+        WITH toks AS (
+          SELECT *, string_split_regex(trim(text), '\\s+') AS t FROM documents)
         SELECT doc_id,
                length(text) AS n_chars_live,
                substr(text, 1, 12) AS prefix12,
                upper(source) AS source_uc,
-               string_split_regex(trim(text), '\\s+')[1] AS first_token,
+               t[1] AS first_token,
                substr(regexp_replace(text, 'data', 'DATA', 'g'), 1, 20) AS replaced20,
-               CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) AS source_num
-        FROM documents
+               CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) AS source_num,
+               len(t) AS n_toks,
+               len(list_distinct(t)) AS n_uniq,
+               list_sort(t)[1] AS first_sorted,
+               list_contains(t, 'data') AS has_data,
+               array_to_string(t[1:3], '|') AS head3
+        FROM toks
     """,
     "events_hourly": """
         SELECT date_trunc('hour', ts) AS hour_start, event_type,
@@ -1218,51 +1110,23 @@ ORACLES: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
         FROM events GROUP BY date_trunc('hour', ts), event_type
     """,
-    "sessionize": """
-        WITH flagged AS (
-          SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
-                 CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
-                        OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
-                      IS NULL THEN 1
-                      WHEN epoch_ms(ts) - lag(epoch_ms(ts))
-                        OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
-                        > 1800000 THEN 1 ELSE 0 END AS new_session
-          FROM events),
-        sess AS (
-          SELECT user_id, event_id, ts_ms,
-                 CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-                                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                      AS BIGINT) AS session_id
-          FROM flagged)
-        SELECT user_id, session_id, count(*) AS n_events,
-               max(ts_ms) - min(ts_ms) AS duration_ms
-        FROM sess GROUP BY user_id, session_id
-    """,
-    "cube_volume": """
-        SELECT l_returnflag, l_linestatus, count(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-    "grouping_sets": """
+    "cube_grouping_sets": """
         SELECT l_returnflag, l_linestatus,
                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
                count(*) AS n,
                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
     """,
-    "conditional_agg": """
-        SELECT o_orderstatus, count(*) AS n,
+    "order_date_parts": """
+        SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+               count(*) AS n, count(DISTINCT dayofweek(o_orderdate)) AS d_dow,
                count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
                CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
                              THEN CAST(o_totalprice AS DECIMAL(14,2))
                              ELSE 0 END) AS DOUBLE) AS urgent_total,
-               MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderkey END) AS max_urgent_key
-        FROM orders GROUP BY o_orderstatus
-    """,
-    "order_date_parts": """
-        SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
-               count(*) AS n, count(DISTINCT dayofweek(o_orderdate)) AS d_dow
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
         FROM orders GROUP BY year(o_orderdate), quarter(o_orderdate)
     """,
     "name_distance": """
@@ -1290,22 +1154,6 @@ ORACLES: dict[str, str] = {
                count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
         FROM orders GROUP BY o_orderpriority
     """,
-    "median_qty": """
-        SELECT l_returnflag, median(l_quantity) AS med_qty,
-               min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
-        FROM lineitem GROUP BY l_returnflag
-    """,
-    "array_surface": """
-        WITH toks AS (
-          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
-        SELECT doc_id,
-               len(t) AS n_toks,
-               len(list_distinct(t)) AS n_uniq,
-               list_sort(t)[1] AS first_sorted,
-               list_contains(t, 'data') AS has_data,
-               array_to_string(t[1:3], '|') AS head3
-        FROM toks
-    """,
     "correlated_count": """
         SELECT c_custkey,
                (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -1318,16 +1166,21 @@ ORACLES: dict[str, str] = {
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.5
     """,
-    "quality_score": f"""
+    "text_signals": f"""
         WITH base AS (
           SELECT doc_id,
                  length(text) AS n_char,
                  len(string_split_regex(trim(text), '\\s+')) AS n_tok,
                  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
                  len(list_intersect(list_distinct(string_split_regex(trim(text), '\\s+')),
-                                    {_STOPWORD_SQL["en"]})) AS n_stop
+                                    {_STOPWORD_SQL["en"]})) AS n_stop,
+                 md5({_NORM_TEXT}) AS fingerprint,
+                 length({_NORM_TEXT}) AS norm_len
           FROM documents)
         SELECT doc_id,
+               n_tok AS n_tokens,
+               n_punct,
+               CAST(n_char AS DOUBLE) / CAST(n_tok AS DOUBLE) AS mean_tok_len,
                CASE WHEN n_tok > 0 THEN
                  (CASE WHEN CAST(n_char AS DOUBLE) / CAST(n_tok AS DOUBLE) >= 3.0
                         AND CAST(n_char AS DOUBLE) / CAST(n_tok AS DOUBLE) <= 10.0
@@ -1335,7 +1188,8 @@ ORACLES: dict[str, str] = {
                   + CASE WHEN CAST(n_punct AS DOUBLE) / CAST(n_char AS DOUBLE) <= 0.1
                          THEN 0.3 ELSE 0.0 END
                   + CAST(n_stop > 0 AS DOUBLE) * 0.3)
-               ELSE 0.0 END AS score
+               ELSE 0.0 END AS score,
+               fingerprint, norm_len
         FROM base
     """,
     "session_window": """
@@ -1386,14 +1240,6 @@ ORACLES: dict[str, str] = {
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.4
     """,
-    "text_quality": """
-        SELECT doc_id,
-               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
-               CAST(length(text) AS DOUBLE)
-                 / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS mean_tok_len
-        FROM documents
-    """,
     "lang_id": f"""
         WITH votes AS (
           SELECT lang,
@@ -1402,11 +1248,6 @@ ORACLES: dict[str, str] = {
         scored AS (SELECT lang, {_LANG_VOTES} FROM votes)
         SELECT lang, {_LANG_CASE} AS pred_lang, count(*) AS n
         FROM scored GROUP BY lang, pred_lang
-    """,
-    "fingerprint": f"""
-        SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint,
-               length({_NORM_TEXT}) AS norm_len
-        FROM documents
     """,
     "token_topk": """
         SELECT token, count(*) AS n FROM (
@@ -1478,24 +1319,26 @@ ORACLES: dict[str, str] = {
     # md5 hex is lowercase fixed-width in both engines, so the bucket
     # thresholds are plain string comparisons: 0.8*65536=0xcccc,
     # 0.9*65536=0xe666 (matches operators/sampling.py _hex4).
-    "train_val_split": """
-        SELECT doc_id,
+    "sample_splits": """
+        WITH samp AS (
+          SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 4),
+                              doc_id) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM documents)
+          WHERE rn <= ceil(n * 0.25)
+        )
+        SELECT lang,
                CASE WHEN b < 'cccc' THEN 'train'
                     WHEN b < 'e666' THEN 'val'
-                    ELSE 'test' END AS split
-        FROM (SELECT doc_id,
+                    ELSE 'test' END AS split,
+               count(*) AS n
+        FROM (SELECT lang,
                      substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 4) AS b
-              FROM documents)
-    """,
-    "stratified_sample": """
-        SELECT doc_id, lang FROM (
-          SELECT doc_id, lang,
-                 row_number() OVER (
-                   PARTITION BY lang
-                   ORDER BY substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 4),
-                            doc_id) AS rn,
-                 count(*) OVER (PARTITION BY lang) AS n
-          FROM documents)
-        WHERE rn <= ceil(n * 0.25)
+              FROM samp)
+        GROUP BY 1, 2
     """,
 }

@@ -26,15 +26,15 @@ def test_point_lookup_pushdown(spark, sf_dir):
     assert "PushedFilters" in plan and "EqualTo(o_orderkey,42)" in plan
 
 
-def test_range_filter_pushdown(spark, sf_dir):
-    plan = plan_of(spark, "range_filter", sf_dir)
-    assert "GreaterThanOrEqual(p_retailprice,1200.0)" in plan
-    assert "LessThanOrEqual(p_retailprice,1400.0)" in plan
-
-
-def test_prefix_filter_pushdown(spark, sf_dir):
-    plan = plan_of(spark, "prefix_filter", sf_dir)
+def test_indexed_filters_pushdown(spark, sf_dir):
+    plan = plan_of(spark, "indexed_filters", sf_dir)
+    # range predicate pushed to the orders scan
+    assert "GreaterThanOrEqual(o_totalprice,50000.0)" in plan
+    assert "LessThanOrEqual(o_totalprice,200000.0)" in plan
+    # prefix predicate pushed to the customer scan
     assert "StringStartsWith(c_name," in plan
+    # 10-row prefix side broadcast, not shuffled
+    assert "BroadcastHashJoin" in plan
 
 
 def test_projection_prunes_columns(spark, sf_dir):
@@ -74,7 +74,7 @@ def test_dim_joins_broadcast(spark, sf_dir, name, n_broadcasts):
 
 
 def test_anti_join_shape(spark, sf_dir):
-    plan = plan_of(spark, "customers_without_orders", sf_dir)
+    plan = plan_of(spark, "customers_no_recent_orders", sf_dir)
     assert "LeftAnti" in plan
 
 
@@ -86,3 +86,45 @@ def test_semi_join_shape(spark, sf_dir):
 def test_topk_is_take_ordered(spark, sf_dir):
     plan = plan_of(spark, "top_unshipped_orders", sf_dir)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ntile_has_no_single_partition_exchange(spark, sf_dir):
+    # A bare Window.orderBy plans Exchange SinglePartition — the whole
+    # table through one task. distributed_ntile must not.
+    plan = plan_of(spark, "ntile_price_deciles", sf_dir)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan  # offsets joined broadcast
+
+
+def test_distributed_ntile_matches_builtin(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from local_pubchem_db_spark.operators.topk import distributed_ntile
+
+    # 1013 rows (not divisible by 10), heavy ties on the range column
+    df = spark.range(1013).select(
+        F.col("id").alias("k"), (F.col("id") % 37).cast("double").alias("v")
+    )
+    want = df.select(
+        "k", F.ntile(10).over(Window.orderBy("v", "k")).alias("tile")
+    ).collect()
+    got = distributed_ntile(
+        df, 10, [F.col("v").asc(), F.col("k").asc()], range_col="v",
+        num_buckets=8,
+    ).select("k", "tile").collect()
+    assert sorted((r.k, r.tile) for r in got) == sorted(
+        (r.k, r.tile) for r in want
+    )
+
+
+def test_distributed_ntile_fewer_rows_than_tiles(spark):
+    from pyspark.sql import functions as F
+
+    from local_pubchem_db_spark.operators.topk import distributed_ntile
+
+    df = spark.range(3).select(F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    got = distributed_ntile(
+        df, 10, [F.col("v").asc(), F.col("k").asc()], range_col="v"
+    ).select("k", "tile").collect()
+    assert sorted((r.k, r.tile) for r in got) == [(0, 1), (1, 2), (2, 3)]
