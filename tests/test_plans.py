@@ -118,6 +118,13 @@ def test_distributed_ntile_matches_builtin(spark):
     )
 
 
+def test_incremental_dedup_scans_persisted_index(spark, sf_dir):
+    # The incremental contract: history is joined via its persisted
+    # (band, bucket) index table — never re-shingled inline.
+    plan = plan_of(spark, "incremental_dedup", sf_dir)
+    assert "lsh_hist_idx" in plan, plan
+
+
 def test_distributed_ntile_fewer_rows_than_tiles(spark):
     from pyspark.sql import functions as F
 
