@@ -65,12 +65,17 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    from local_pubchem_db_spark.operators.util import release_shared_caches
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # shared() relations are per-invocation scratch; dropping them
+        # between queries keeps storage memory flat across the run.
+        release_shared_caches(spark)
 
     total = round(sum(timings.values()), 3)
     print(

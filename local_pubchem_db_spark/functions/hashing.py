@@ -52,9 +52,15 @@ def minhash_band_udf(num_perm: int = 128, bands: int = 32, seed: int = 42):
       ``(a*h1 + b*h2 + i) mod p`` over the flattened shingle list, then a
       per-document column-min via ``np.minimum.reduceat`` — no per-doc
       Python loop,
-    - per band, bucket id = a second mod-p linear mix of the band's
-      signature slice (pure numpy; collisions are harmless because every
-      candidate pair is exact-Jaccard-verified downstream).
+    - per band, bucket id = a second linear mix of the band's signature
+      slice: the per-term products (61-bit sig × 31-bit coefficient) wrap
+      mod 2^64 by design before the final mod p — deterministic
+      everywhere numpy uint64 is, and collisions are harmless because
+      every candidate pair is exact-Jaccard-verified downstream.
+
+    ``bands`` must divide ``num_perm`` (the signature reshapes to
+    (docs, bands, num_perm/bands)); violating it raises here, at
+    construction, not as an opaque executor-side reshape error.
 
     Rationale vs the JVM alternative (explode + groupBy with num_perm
     min-aggregates): that plan pays a shuffle plus ~4 s of one-time Janino
@@ -67,6 +73,10 @@ def minhash_band_udf(num_perm: int = 128, bands: int = 32, seed: int = 42):
 
     from pyspark.sql.functions import pandas_udf
 
+    if num_perm <= 0 or bands <= 0 or num_perm % bands:
+        raise ValueError(
+            f"bands must divide num_perm: num_perm={num_perm}, bands={bands}"
+        )
     rows = num_perm // bands
     params = _perm_params(num_perm, seed)
     A = np.array([a for a, _ in params], dtype=np.uint64)

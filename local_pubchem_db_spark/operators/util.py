@@ -32,5 +32,19 @@ def shared(df: DataFrame) -> DataFrame:
     times (e.g. a shingle set used by both LSH bucketing and exact-Jaccard
     verification). Without this, each subtree recomputes the full lineage.
     MEMORY_AND_DISK: spills instead of OOM-ing when the relation is large.
+
+    Lifetime contract: the cache lives until the session ends or the
+    caller releases it. Operators return lazy DataFrames, so they cannot
+    unpersist eagerly themselves (the cache must outlive the caller's
+    action). Long-lived sessions running many dedup/similarity operator
+    invocations should call ``release_shared_caches(spark)`` (or
+    ``spark.catalog.clearCache()``) between invocations — bench.py does.
     """
     return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def release_shared_caches(spark) -> None:
+    """Drop every cached relation in the session — the release half of
+    ``shared()``'s contract for long-lived sessions. Storage-only: does
+    not touch persisted tables or checkpoints."""
+    spark.catalog.clearCache()

@@ -40,6 +40,7 @@ import glob as _glob
 import os
 import shutil
 import traceback
+from timeit import default_timer as _timer
 from typing import Any, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -88,7 +89,10 @@ class PubChemDB:
 
     # -- tables ---------------------------------------------------------
     def compounds(self) -> DataFrame:
-        return self.spark.read.parquet(self.compounds_path)
+        df = self.spark.read.parquet(self.compounds_path)
+        # Streaming builds partition by ingest_batch for idempotent batch
+        # replay (streaming/ingest.py); it is sink bookkeeping, not data.
+        return df.drop("ingest_batch") if "ingest_batch" in df.columns else df
 
     def sdf_file(self) -> DataFrame:
         return read_manifest(self.spark, self.manifest_path)
@@ -131,14 +135,16 @@ def build_db(
     reset: bool,
     db_specs: dict[str, Any],
     spark: Optional[SparkSession] = None,
-    allow_python_transforms: bool = True,
+    allow_python_transforms: bool = False,
 ) -> int:
     """Spark-native ``build_db`` with the reference's signature and return
     code contract (utils.py:292-365): 0 on success, 1 on any failure.
 
-    ``allow_python_transforms`` defaults True for drop-in parity with the
-    reference's unconditional eval of CREATE_LIKE lambdas; library users
-    who do not control their layout files should pass False.
+    ``allow_python_transforms`` defaults False: a layout file is data, not
+    code, and every CREATE_LIKE in the shipped default layout translates
+    to native expressions anyway. The eval-based pandas-UDF fallback is an
+    explicit opt-in (the CLI passes True for drop-in parity with the
+    reference, which evals layout lambdas unconditionally).
     """
     from local_pubchem_db_spark.session import get_spark
 
@@ -162,6 +168,7 @@ def build_db(
         print("Sdf-files to process (after filtering): %d" % len(sdf_files))
 
         if sdf_files:
+            start = _timer()
             parsed = read_sdf(spark, sdf_files)
             rows = compounds_plan(parsed, layout)
             # Cache the batch so compounds write + manifest count share one
@@ -177,6 +184,22 @@ def build_db(
                     rows.select("source_file"), sdf_files
                 )
                 manifest.write.mode("append").parquet(db.manifest_path)
+                # A17 parity (utils.py:319,324,134,162-163): per-file
+                # progress + row counts, then the batch wall time. Files
+                # ingest concurrently in ONE job here (the reference loops
+                # them serially), so the wall time is per batch, not per
+                # file — the per-file rows come from the manifest already
+                # computed for this batch (one row per file, tiny collect).
+                logged = manifest.orderBy("filename").collect()
+                for ii, r in enumerate(logged):
+                    print(
+                        "Processed sdf-file: %s (%d/%d): %d compounds"
+                        % (r["filename"], ii + 1, len(logged), r["n_compounds"])
+                    )
+                print(
+                    "Extraction and insertion of the information took %.3fsec"
+                    % (_timer() - start)
+                )
             finally:
                 rows.unpersist()
 

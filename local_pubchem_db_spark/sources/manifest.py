@@ -40,9 +40,14 @@ MANIFEST_SCHEMA = StructType(
 
 
 def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
-    """Read the manifest table; empty DataFrame when absent."""
+    """Read the manifest table; empty DataFrame when absent. Streaming
+    builds add an ingest_batch partition column (idempotent batch replay,
+    streaming/ingest.py) — sink bookkeeping, dropped here."""
     if _exists(manifest_path):
-        return spark.read.schema(MANIFEST_SCHEMA).parquet(manifest_path)
+        df = spark.read.parquet(manifest_path)
+        if "ingest_batch" in df.columns:
+            df = df.drop("ingest_batch")
+        return df.select(*[f.name for f in MANIFEST_SCHEMA.fields])
     return spark.createDataFrame([], MANIFEST_SCHEMA)
 
 

@@ -66,9 +66,13 @@ def read_sdf_records(spark: SparkSession, path: str | list[str]) -> DataFrame:
 def parse_sdf_records(records: DataFrame, record_col: str = "record") -> DataFrame:
     """Add ``cid`` (long) and ``tags`` (map<string,string>) columns.
 
-    First regex match wins for cid (utils.py:265). For tags, the entry array
-    is reversed before ``map_from_entries`` so that under the session's
-    LAST_WIN dedup policy the FIRST occurrence of a duplicated tag wins.
+    First regex match wins for cid (utils.py:265). For tags, duplicate keys
+    are dropped explicitly (first occurrence wins) BEFORE
+    ``map_from_entries``: callers may pass any SparkSession, and under
+    Spark's default ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` a record with
+    a repeated tag would otherwise fail the whole job at runtime. The
+    O(tags²) dedup scan is bounded by the ~50 tags a PubChem record
+    carries.
     """
     rec = F.col(record_col)
     # regexp_extract_all with a group index extracts one group; we need both
@@ -79,12 +83,19 @@ def parse_sdf_records(records: DataFrame, record_col: str = "record") -> DataFra
     entries = F.transform(
         blocks, lambda b: F.struct(tag_of(b).alias("key"), val_of(b).alias("value"))
     )
+    # keep entry i only if no earlier entry has the same key
+    first_wins = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, 1, i), lambda p: p["key"] == e["key"]
+        ),
+    )
     cid_str = F.regexp_extract(rec, _CID_RE, 1)
     return records.withColumn(
         # nullif: a missing CID extracts as '' which ANSI cast rejects;
         # the documented deviation is cid NULL for CID-less records.
         "cid", F.nullif(cid_str, F.lit("")).cast("long")
-    ).withColumn("tags", F.map_from_entries(F.reverse(entries)))
+    ).withColumn("tags", F.map_from_entries(first_wins))
 
 
 def read_sdf(spark: SparkSession, path: str | list[str]) -> DataFrame:

@@ -4,9 +4,12 @@ build pipeline.
 The reference achieves resumability with a per-file SQLite transaction —
 crash mid-file and the next run redoes that file (reference
 utils.py:302-332). The Spark-native strengthening is the checkpointed file
-source: the stream checkpoint records which input files are committed, so
-a restart never re-reads an ingested file and never loses one —
-file-level exactly-once without a manifest anti-join.
+source PLUS an idempotent sink: the checkpoint alone makes foreachBatch
+at-least-once (a crash after the parquet append but before the checkpoint
+commit replays the batch), so both sinks write their batch into an
+``ingest_batch=<id>`` partition with dynamic partition overwrite — a
+replayed batch rewrites its own partition instead of appending duplicates.
+Checkpointed offsets + idempotent writes = end-to-end exactly-once.
 
 ``Trigger.AvailableNow`` drains everything currently in the directory and
 stops, which makes the streaming build a drop-in replacement for the batch
@@ -52,7 +55,7 @@ def stream_build_db(
     use_gzip: bool,
     db_specs: dict[str, Any],
     spark: Optional[SparkSession] = None,
-    allow_python_transforms: bool = True,
+    allow_python_transforms: bool = False,
     available_now: bool = True,
 ):
     """Checkpointed streaming build. Returns the StreamingQuery; with
@@ -74,19 +77,36 @@ def stream_build_db(
     parsed = read_sdf_stream(spark, os.path.join(base_dir, "sdf"), use_gzip)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotent by construction: each batch owns the partition
+        # ingest_batch=<batch_id>; a checkpoint-replayed batch reprocesses
+        # the SAME source files (offsets are logged before execution) and
+        # dynamic partition overwrite replaces its own partition only —
+        # blind appends here would duplicate rows on replay.
         rows = compounds_plan(batch_df, layout)
         rows.persist()
         try:
-            rows.drop("source_file").write.mode("append").parquet(db.compounds_path)
+            (
+                rows.drop("source_file")
+                .withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(db.compounds_path)
+            )
             # Filenames present in this batch (post-parse, pre-drop) keep
             # the zero-surviving-rows manifest semantics of the reference.
             batch_files = [
                 r["source_file"]
                 for r in batch_df.select("source_file").distinct().collect()
             ]
-            manifest_rows_for(rows.select("source_file"), batch_files).write.mode(
-                "append"
-            ).parquet(db.manifest_path)
+            (
+                manifest_rows_for(rows.select("source_file"), batch_files)
+                .withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(db.manifest_path)
+            )
         finally:
             rows.unpersist()
 

@@ -60,6 +60,29 @@ def test_stream_build_exactly_once(spark, stream_base):
     assert db.sdf_file().count() == 3
 
 
+def test_stream_build_replayed_batch_is_idempotent(spark, stream_base):
+    # foreachBatch is at-least-once: a crash after the sink writes but
+    # before the checkpoint commit replays the batch on restart. Simulate
+    # exactly that by deleting the commit marker — the replayed batch must
+    # overwrite its own ingest_batch partition, not append duplicates.
+    q = stream_build_db(stream_base, use_gzip=True, db_specs=SPECS, spark=spark)
+    q.awaitTermination()
+    db = PubChemDB(spark, stream_base)
+    assert db.compounds().count() == 8
+
+    commits = os.path.join(stream_base, "db", "_checkpoint_sdf_ingest", "commits")
+    os.remove(os.path.join(commits, "0"))
+    crc = os.path.join(commits, ".0.crc")  # ChecksumFs sidecar
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = stream_build_db(stream_base, use_gzip=True, db_specs=SPECS, spark=spark)
+    q2.awaitTermination()
+    assert db.compounds().count() == 8
+    cids = sorted(r["cid"] for r in db.compounds().select("cid").collect())
+    assert cids == [31038, 31039, 31040, 34516, 34517, 34518, 46773, 46774]
+    assert db.sdf_file().count() == 3
+
+
 def test_stream_build_incremental_new_file(spark, stream_base, sdf_dir):
     q = stream_build_db(stream_base, use_gzip=True, db_specs=SPECS, spark=spark)
     q.awaitTermination()
