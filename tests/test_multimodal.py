@@ -49,9 +49,69 @@ def test_resize_with_fake_codec(spark, images):
     assert (w, h, c) == (32, 32, 1)
 
 
-def test_resize_without_codec_raises(spark, images):
-    with pytest.raises(Exception, match="NotImplementedError|codec not available"):
-        resize_images(images, 32, 32).collect()
+def test_resize_real_bmp_default_codec(spark):
+    from local_pubchem_db_spark.operators.multimodal import (
+        _parse_bmp_header,
+        make_bmp,
+    )
+
+    images = spark.createDataFrame(
+        [(1, make_bmp(64, 48, (10, 20, 30))), (2, make_bmp(5, 7, (1, 2, 3)))],
+        "id long, payload binary",
+    )
+    rows = {r["id"]: r for r in resize_images(images, 16, 16).collect()}
+    for r in rows.values():
+        assert (r["width"], r["height"]) == (16, 16)
+        w, h, c = _parse_bmp_header(bytes(r["payload"]))
+        assert (w, h, c) == (16, 16, 3)
+    # nearest-neighbor of a solid-color image stays that color: check one
+    # pixel (BGR at the start of the pixel array)
+    payload = bytes(rows[1]["payload"])
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    assert payload[offset : offset + 3] == bytes((30, 20, 10))
+
+
+def test_resize_default_codec_rejects_non_bmp(spark, images):
+    with pytest.raises(Exception, match="not a 24-bit uncompressed BMP"):
+        resize_images(images.filter(F.col("id") == 3), 32, 32).collect()
+
+
+def test_decode_image_meta_real_bmp(spark):
+    from local_pubchem_db_spark.operators.multimodal import make_bmp
+
+    images = spark.createDataFrame(
+        [(1, make_bmp(31, 17))], "id long, payload binary"
+    )
+    row = decode_image_meta(images).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (31, 17, 3)
+    assert row["valid"]
+
+
+def test_audio_features_real_wav_default_decoder(spark):
+    from local_pubchem_db_spark.operators.multimodal import make_wav
+
+    # constant amplitude 16384 = 0.5 in [-1, 1) → mean_amp = rms = 0.5
+    audio = spark.createDataFrame(
+        [(1, make_wav([16384] * 1000)), (2, make_wav([0] * 10))],
+        "id long, payload binary",
+    )
+    rows = {r["id"]: r for r in extract_audio_features(audio).collect()}
+    assert rows[1]["n_samples"] == 1000
+    assert rows[1]["mean_amp"] == pytest.approx(0.5)
+    assert rows[1]["rms"] == pytest.approx(0.5)
+    assert rows[2]["mean_amp"] == 0.0
+
+
+def test_frame_sampling_real_container_default_demuxer(spark):
+    from local_pubchem_db_spark.operators.multimodal import make_frame_container
+
+    frames = [b"frame-%d" % i for i in range(10)]
+    videos = spark.createDataFrame(
+        [(1, make_frame_container(frames))], "id long, payload binary"
+    )
+    out = sample_video_frames(videos, every_nth=4).collect()
+    assert sorted(r["frame_idx"] for r in out) == [0, 4, 8]
+    assert {bytes(r["frame"]) for r in out} == {b"frame-0", b"frame-4", b"frame-8"}
 
 
 def test_frame_sampling_row_expansion(spark):
