@@ -63,7 +63,10 @@ def distributed_ntile(
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     probs = [i / num_buckets for i in range(1, num_buckets)]
-    cuts = sorted(set(df.approxQuantile(range_col, probs, 0.001)))
+    # loose accuracy on purpose: boundaries only balance bucket sizes, the
+    # rank arithmetic is exact regardless; 0.02 runs ~4x faster than the
+    # GK sketch at 0.001 with worst-case bucket imbalance of a few percent
+    cuts = sorted(set(df.approxQuantile(range_col, probs, 0.02)))
 
     bucket = F.lit(0)
     for i, c in enumerate(cuts):

@@ -71,10 +71,14 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects by default. Read nanos as long (session conf) and
-    rebuild a microsecond timestamp with integer DIV — epoch nanos
-    (~1.7e18) exceed double's 2^53 exact-integer range, so float division
-    here would silently corrupt timestamps."""
+    reader rejects by default. Read nanos as long and rebuild a
+    microsecond timestamp with integer DIV — epoch nanos (~1.7e18) exceed
+    double's 2^53 exact-integer range, so float division here would
+    silently corrupt timestamps.
+
+    session.get_spark pins the nanosAsLong conf at session construction;
+    the set below is defensive for foreign sessions and idempotent (same
+    value every call — no order-dependent behavior)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = t(spark, sf_dir, "events")
     return ev.withColumn("ts_ns", F.col("ts")).withColumn(
@@ -692,8 +696,12 @@ def q_text_signals(spark, sf_dir):
     text) — the per-document column block a curation pipeline projects
     before filtering."""
     from local_pubchem_db_spark.functions.text import quality_score
+    from local_pubchem_db_spark.operators.util import fan_out
 
-    d = t(spark, sf_dir, "documents")
+    # fan_out: ~8 regex/array passes per row are CPU-bound, and the
+    # testdata table is one row group = one scan task; real multi-split
+    # inputs make this a no-op.
+    d = fan_out(t(spark, sf_dir, "documents"))
     n_tok = token_count(F.col("text"))
     return d.select(
         "doc_id",

@@ -9,12 +9,16 @@ that survives a 1000-executor / 100 TB deployment:
 - ``spark.sql.adaptive.enabled`` (+ coalescePartitions + skewJoin): runtime
   re-planning — the knob that makes one static shuffle-partition setting
   usable from sf0.001 tests to a real cluster.
-- ``spark.sql.mapKeyDedupPolicy=LAST_WIN``: the SDF tag parser builds maps
-  from (tag, value) entry arrays; we reverse the array first so LAST_WIN
-  implements the reference's first-occurrence-wins semantics
-  (utils.py:102-112).
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: the testdata events
+  table stores TIMESTAMP(NANOS), which Spark's reader otherwise rejects;
+  pinning it here (not inside a query function) keeps query behavior
+  independent of call order on sessions from this factory.
 - Arrow enabled: every Python-side operator in this package uses
   Arrow-batched pandas UDFs, never row-at-a-time Python UDFs.
+
+(The SDF tag parser dedups repeated tags itself, so no
+``mapKeyDedupPolicy`` setting is required — sources/sdf.py works on any
+session.)
 """
 
 from __future__ import annotations
@@ -46,7 +50,7 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
-        "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
