@@ -88,6 +88,42 @@ def test_topk_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def _op_count(plan, op):
+    # formatted explain lists each operator twice (tree + details); the
+    # detail headers "(<id>) <Op>" appear exactly once per operator
+    return len(re.findall(r"\(\d+\) " + op, plan))
+
+
+def test_event_windows_single_shuffle(spark, sf_dir):
+    # lag + two running frames share one (user_id) sort — merging the two
+    # r1 queries must not have added a second exchange or scan
+    plan = plan_of(spark, "event_windows", sf_dir)
+    assert _op_count(plan, "Exchange") == 1, plan
+    assert _op_count(plan, "Scan parquet") == 1, plan
+
+
+def test_json_variant_props_one_pass(spark, sf_dir):
+    # classic JSON and variant extraction verified against each other in
+    # ONE scan + one partial-agg shuffle, not a self-join
+    plan = plan_of(spark, "json_variant_props", sf_dir)
+    assert _op_count(plan, "Scan parquet") == 1, plan
+    assert _op_count(plan, "Exchange") == 1, plan
+    assert _op_count(plan, "HashAggregate") == 2  # partial + final
+
+
+def test_sample_splits_reuses_window_partitioning(spark, sf_dir):
+    # groupBy(lang, split) is satisfied by the window's hash(lang)
+    # partitioning (grouping keys are a superset), so ONE exchange total
+    plan = plan_of(spark, "sample_splits", sf_dir)
+    assert _op_count(plan, "Exchange") == 1, plan
+
+
+def test_order_date_parts_single_scan(spark, sf_dir):
+    # date parts + conditional aggs + decimal totals in one scan of orders
+    plan = plan_of(spark, "order_date_parts", sf_dir)
+    assert _op_count(plan, "Scan parquet") == 1, plan
+
+
 def test_ntile_has_no_single_partition_exchange(spark, sf_dir):
     # A bare Window.orderBy plans Exchange SinglePartition — the whole
     # table through one task. distributed_ntile must not.
