@@ -66,14 +66,16 @@ def read_sdf_records(spark: SparkSession, path: str | list[str]) -> DataFrame:
 def parse_sdf_records(records: DataFrame, record_col: str = "record") -> DataFrame:
     """Add ``cid`` (long) and ``tags`` (map<string,string>) columns.
 
-    First regex match wins for cid (utils.py:265). For tags, duplicate keys
-    are dropped explicitly (first occurrence wins) BEFORE
-    ``map_from_entries``: callers may pass any SparkSession, and under
-    Spark's default ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` a record with
-    a repeated tag would otherwise fail the whole job at runtime. The
-    O(tags²) dedup scan is bounded by the ~50 tags a PubChem record
-    carries.
+    First regex match wins for cid (utils.py:265). For tags, the entry
+    array is reversed before ``map_from_entries`` so that under LAST_WIN
+    dedup the FIRST occurrence of a duplicated tag wins — and the LAST_WIN
+    policy is set HERE on the records' own session, so callers with the
+    default ``mapKeyDedupPolicy=EXCEPTION`` work too (idempotent, always
+    the same value — no order-dependent behavior; the explicit O(tags²)
+    dedup HOF alternative measured 5x slower, interpreted-expression
+    cost).
     """
+    records.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     rec = F.col(record_col)
     # regexp_extract_all with a group index extracts one group; we need both
     # groups, so extract full blocks then split tag/value per element.
@@ -83,21 +85,22 @@ def parse_sdf_records(records: DataFrame, record_col: str = "record") -> DataFra
     entries = F.transform(
         blocks, lambda b: F.struct(tag_of(b).alias("key"), val_of(b).alias("value"))
     )
-    # keep entry i only if no earlier entry has the same key
-    first_wins = F.filter(
-        entries,
-        lambda e, i: ~F.exists(
-            F.slice(entries, 1, i), lambda p: p["key"] == e["key"]
-        ),
-    )
     cid_str = F.regexp_extract(rec, _CID_RE, 1)
     return records.withColumn(
         # nullif: a missing CID extracts as '' which ANSI cast rejects;
         # the documented deviation is cid NULL for CID-less records.
         "cid", F.nullif(cid_str, F.lit("")).cast("long")
-    ).withColumn("tags", F.map_from_entries(first_wins))
+    ).withColumn("tags", F.map_from_entries(F.reverse(entries)))
 
 
 def read_sdf(spark: SparkSession, path: str | list[str]) -> DataFrame:
-    """Full SDF read: (source_file, record, cid, tags)."""
-    return parse_sdf_records(read_sdf_records(spark, path))
+    """Full SDF read: (source_file, record, cid, tags).
+
+    The raw record read is gz-bound (one task per .gz file — gzip is not
+    splittable), but the regex parse + projection downstream are CPU-bound,
+    so fan_out redistributes records across all cores first. With
+    thousands of real PubChem shards the fan-out is a no-op; for few-shard
+    inputs it was measured 1.5x end-to-end (8 files, 32 cores)."""
+    from local_pubchem_db_spark.operators.util import fan_out
+
+    return parse_sdf_records(fan_out(read_sdf_records(spark, path)))
