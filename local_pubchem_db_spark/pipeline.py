@@ -222,18 +222,24 @@ def build_indexes(spark: SparkSession, db: PubChemDB, layout: CompiledLayout) ->
     """
     if not layout.indexed_cols or not os.path.exists(db.compounds_path):
         return
-    compounds = db.compounds()
     pk = layout.primary_key
-    for colname in layout.indexed_cols:
-        idx_path = os.path.join(db.db_dir, f"idx_{colname}")
-        if os.path.exists(idx_path):
-            shutil.rmtree(idx_path)
-        cols = [colname] if pk in (None, colname) else [colname, pk]
-        (
-            compounds.select(*cols)
-            .repartitionByRange(F.col(colname))
-            .sortWithinPartitions(colname)
-            .write.mode("overwrite")
-            .parquet(idx_path)
-        )
-        print("Create index on '%s'." % colname)
+    # one cached scan feeds every index projection instead of re-reading
+    # the table once per WITH_INDEX column
+    needed = set(layout.indexed_cols) | ({pk} - {None})
+    compounds = db.compounds().select(*sorted(needed)).persist()
+    try:
+        for colname in layout.indexed_cols:
+            idx_path = os.path.join(db.db_dir, f"idx_{colname}")
+            if os.path.exists(idx_path):
+                shutil.rmtree(idx_path)
+            cols = [colname] if pk in (None, colname) else [colname, pk]
+            (
+                compounds.select(*cols)
+                .repartitionByRange(F.col(colname))
+                .sortWithinPartitions(colname)
+                .write.mode("overwrite")
+                .parquet(idx_path)
+            )
+            print("Create index on '%s'." % colname)
+    finally:
+        compounds.unpersist()

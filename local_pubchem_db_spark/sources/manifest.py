@@ -64,6 +64,11 @@ def pending_files(
     """
     if not candidate_files:
         return []
+    if not _exists(manifest_path):
+        # fresh build / post-reset: nothing is ingested yet — skip the
+        # anti-join entirely (the empty-manifest join is semantically a
+        # no-op but costs the session's first-job startup, ~4 s cold)
+        return sorted(candidate_files)
     manifest = read_manifest(spark, manifest_path).select("filename")
     files_df = spark.createDataFrame(
         [(f, os.path.basename(f)) for f in candidate_files], ["path", "filename"]
