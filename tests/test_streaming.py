@@ -134,6 +134,68 @@ def _run_stream(df, tmpdir, mode="append"):
     return df.sparkSession.table("sink_tbl")
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    # Two micro-batches with controlled timestamps pin the watermark
+    # semantics: an event older than (max_ts - watermark) arriving in a
+    # later batch must be DROPPED (its window never appears), while batch
+    # execution of the same frames would count it.
+    from datetime import datetime
+
+    def shard(path, rows, mtime):
+        df = spark.createDataFrame(
+            [(i, ts, 1, "x", 1.0, "{}") for i, ts in rows], EVENT_SCHEMA
+        )
+        df.coalesce(1).write.parquet(str(path))
+        for fn in os.listdir(path):
+            os.utime(os.path.join(path, fn), (mtime, mtime))
+
+    staging = tmp_path / "late_shards"
+    staging.mkdir()
+    shard(staging / "s1", [(1, datetime(2024, 1, 1, 10, 15)),
+                           (2, datetime(2024, 1, 1, 12, 30))], 1_700_000_000)
+    # arrives in run 2: ts 09:15 is behind the persisted 10:30 watermark
+    # -> dropped; 14:45 is fresh
+    shard(staging / "s2", [(3, datetime(2024, 1, 1, 9, 15)),
+                           (4, datetime(2024, 1, 1, 14, 45))], 1_700_000_100)
+
+    flat = tmp_path / "late_flat"
+    flat.mkdir()
+
+    def add(sub, idx):
+        for fn in sorted(os.listdir(staging / sub)):
+            if fn.endswith(".parquet"):
+                shutil.copy(staging / sub / fn, flat / f"part-{idx}.parquet")
+
+    out = tmp_path / "late_out"
+
+    def run():
+        # parquet sink: supports checkpoint recovery (memory sink doesn't)
+        q = (
+            hourly_event_counts(read_event_stream(spark, str(flat)))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: only shard 1 visible -> watermark 10:30 lands in the checkpoint
+    add("s1", 0)
+    run()
+    # run 2: shard 2 appears; same checkpoint resumes the watermark
+    add("s2", 1)
+    run()
+    got = spark.read.parquet(str(out)).collect()
+    rows = sorted((r["hour_start"].hour, r["n"]) for r in got)
+    # Final watermark = 14:45 - 2h = 12:45, so only windows ENDING by
+    # 12:45 emit: exactly 10-11. Had the late 09:15 event been accepted,
+    # its fully-closed 9-10 window would have emitted too — its absence
+    # is the late-drop proof. 12-13 (ends 13:00) and 14-15 are withheld.
+    assert rows == [(10, 1)]
+
+
 def test_hourly_counts_stream_equals_batch(spark, event_batches, tmp_path):
     ev, stream_dir = event_batches
     stream = read_event_stream(spark, stream_dir)
