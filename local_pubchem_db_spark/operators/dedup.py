@@ -241,6 +241,91 @@ def incremental_minhash_new_ids(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-dup pairs into components: (id, rep) with rep = the
+    component's minimum id.
+
+    Pair emission (ngram_jaccard_pairs / minhash_lsh_dedup_pairs /
+    simhash_dedup_pairs) is only half of dedup — keeping one row per
+    GROUP needs the transitive closure. Iterative min-label propagation:
+    every node starts labeled with itself; each round every node takes the
+    minimum label among itself and its neighbors; stop when no label
+    changes. Rounds needed = graph diameter, and near-dup components are
+    dense (the exact-verify step emits most intra-cluster pairs), so 2-3
+    rounds close typical corpora.
+
+    Scale shape: each round is one shuffle (edges ⋈ labels on the
+    neighbor side, then a min groupBy on the node side). Labels are
+    ``localCheckpoint``-ed every round — iterative DataFrame algorithms
+    MUST sever lineage per iteration or logical-plan depth (and Catalyst
+    re-analysis time) grows exponentially with the round count; the
+    checkpoint also gives each round exactly one materialization, no
+    sibling-recompute race. ``max_iter`` bounds adversarial chains (a
+    path graph of diameter > max_iter raises rather than returning
+    silently-wrong components).
+    """
+    edges = shared(
+        pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+        .union(pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
+        .distinct()
+    )
+    try:
+        labels = (
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("rep", F.col("id"))
+            .localCheckpoint()
+        )
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("rep").alias("nmin"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+                .select(
+                    "id",
+                    F.least(F.col("rep"), F.coalesce(F.col("nmin"), F.col("rep"))).alias("rep"),
+                    (F.col("nmin") < F.col("rep")).alias("changed"),
+                )
+                .localCheckpoint()  # eager: severs lineage, one pass
+            )
+            n_changed = new_labels.filter(F.col("changed")).count()
+            labels = new_labels.drop("changed")
+            if n_changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter)"
+        )
+    finally:
+        edges.unpersist()
+
+
+def dedup_keep_ids(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id1: str = "id1",
+    id2: str = "id2",
+) -> DataFrame:
+    """Rows of ``df`` to KEEP after near-dup clustering: for every
+    component of ``pairs`` only the minimum id survives; rows in no pair
+    survive untouched. One anti-join against the (tiny relative to df)
+    non-representative set."""
+    comps = connected_components(pairs, id1, id2)
+    drop = comps.filter(F.col("id") != F.col("rep")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 def simhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
