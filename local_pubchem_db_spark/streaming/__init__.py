@@ -1,4 +1,8 @@
 from local_pubchem_db_spark.streaming.ingest import stream_build_db
+from local_pubchem_db_spark.streaming.dedup_ingest import (
+    read_corpus,
+    stream_dedup_ingest,
+)
 from local_pubchem_db_spark.streaming.events import (
     dedup_stream,
     hourly_event_counts,
@@ -10,8 +14,10 @@ from local_pubchem_db_spark.streaming.events import (
 __all__ = [
     "dedup_stream",
     "hourly_event_counts",
+    "read_corpus",
     "read_event_stream",
     "session_windows",
     "stateful_user_counts",
     "stream_build_db",
+    "stream_dedup_ingest",
 ]

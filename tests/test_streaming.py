@@ -280,3 +280,56 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, event_batches, tmp_pat
     assert len({r["event_id"] for r in got}) == len(got)
     # batch frame: same operator degrades to plain dropDuplicates
     assert dedup_stream(ev.union(ev)).count() == ev.count()
+
+
+def test_stream_dedup_ingest_cross_batch(spark, sf_dir, tmp_path):
+    # Continuous dedup: batch 2 re-sends a batch-1 document (near-dup of
+    # itself) plus a fresh one — the replayed duplicate must be rejected
+    # against the PERSISTED index without re-shingling history.
+    from local_pubchem_db_spark.streaming import read_corpus, stream_dedup_ingest
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 50)
+        .orderBy("doc_id")
+        .limit(40)
+        .collect()
+    )
+    assert len(docs) == 40
+    in_dir = tmp_path / "docs_in"
+    out_dir = tmp_path / "dedup_out"
+    in_dir.mkdir()
+
+    batch1 = [(r["doc_id"], r["text"]) for r in docs[:20]]
+    spark.createDataFrame(batch1, "doc_id long, text string").coalesce(1).write.parquet(
+        str(in_dir / "b1")
+    )
+    for fn in os.listdir(in_dir / "b1"):
+        if fn.endswith(".parquet"):
+            shutil.move(str(in_dir / "b1" / fn), str(in_dir / "shard-0.parquet"))
+    shutil.rmtree(in_dir / "b1")
+    q = stream_dedup_ingest(spark, str(in_dir), str(out_dir))
+    q.awaitTermination()
+    kept1 = {r["doc_id"] for r in read_corpus(spark, str(out_dir)).collect()}
+    assert kept1  # batch-internal near-dups may drop some of the 20
+
+    # batch 2: one exact re-send (new id, same text => near-dup of history)
+    # and one genuinely new document
+    dup_text = docs[0]["text"]
+    fresh = docs[39]
+    batch2 = [(90001, dup_text), (fresh["doc_id"], fresh["text"])]
+    spark.createDataFrame(batch2, "doc_id long, text string").coalesce(1).write.parquet(
+        str(in_dir / "b2")
+    )
+    for fn in os.listdir(in_dir / "b2"):
+        if fn.endswith(".parquet"):
+            shutil.move(str(in_dir / "b2" / fn), str(in_dir / "shard-1.parquet"))
+    shutil.rmtree(in_dir / "b2")
+    q2 = stream_dedup_ingest(spark, str(in_dir), str(out_dir))
+    q2.awaitTermination()
+
+    kept2 = {r["doc_id"] for r in read_corpus(spark, str(out_dir)).collect()}
+    assert 90001 not in kept2, "cross-batch duplicate must be rejected"
+    assert fresh["doc_id"] in kept2 or fresh["doc_id"] in kept1
+    assert kept1 <= kept2  # replay never loses accepted history
