@@ -63,3 +63,68 @@ def chunk_documents(
             ),
         )
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy first-fit sequence packing: assign each document a
+    ``pack_id`` so that every pack's token sum stays <= ``max_tokens`` —
+    the step between chunking and training-batch assembly (padding waste
+    drops from ~50% to a few percent for typical length distributions).
+
+    Greedy packing is inherently sequential, so the distributed contract
+    is PARTITION-LOCAL packing in id order: rows are range-partitioned and
+    sorted by id, each task packs its own run of documents, and pack ids
+    are globally unique as (partition_id << 32 | local_pack). Cross-
+    partition packing could only merge the (at most one) partial tail
+    pack per partition — a bounded, documented waste, the standard
+    trade for linear scan + zero shuffles beyond the range partition.
+
+    Documents longer than ``max_tokens`` get a pack of their own (the
+    caller chunks them first — see chunk_documents).
+
+    Returns ``id_col, n_tokens, pack_id``.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    import pandas as pd  # noqa: F401  (type-hint resolution)
+
+    base = (
+        docs.select(F.col(id_col).alias("id"), F.col(n_tokens_col).alias("n"))
+        .repartitionByRange(F.col("id"))
+        .sortWithinPartitions("id")
+    )
+
+    def pack(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        local_pack = 0
+        acc = 0
+        started = False
+        for pdf in batches:  # greedy state carries across Arrow batches
+            packs = []
+            for n in pdf["n"]:
+                n = int(n)
+                if started and acc + n > max_tokens:
+                    local_pack += 1
+                    acc = 0
+                started = True
+                acc += n
+                packs.append((pid << 32) | local_pack)
+            out = pdf.rename(columns={"id": "id", "n": "n"}).copy()
+            out["pack_id"] = packs
+            yield out
+
+    return (
+        base.mapInPandas(pack, "id long, n long, pack_id long")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n").alias(n_tokens_col),
+            "pack_id",
+        )
+    )
