@@ -64,3 +64,40 @@ def salted_group_count(
         F.count(F.lit(1)).alias("__partial")
     )
     return partial.groupBy(key_col).agg(F.sum("__partial").alias("n"))
+
+
+def profile_table(df, approx_rsd: float = 0.05):
+    """Data-quality profile: one output row per column with row count,
+    null count, approximate distinct count (HLL at ``approx_rsd``), and
+    min/max computed in the column's native ordering, rendered as strings
+    (casting the INPUT would silently turn numeric ranges lexicographic).
+
+    The pre-training sanity gate over a new corpus drop: one aggregation
+    pass regardless of column count (all stats fold into a single
+    map-side-combinable agg — no per-column jobs, no collect of data
+    rows), then a constant-size unpivot of the 1-row result.
+    """
+    from pyspark.sql import functions as F
+
+    cols = df.columns
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"),
+            F.approx_count_distinct(c, approx_rsd).alias(f"__dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__rows").alias("n_rows"),
+            F.col(f"__nulls_{c}").alias("n_nulls"),
+            F.col(f"__dist_{c}").alias("approx_distinct"),
+            F.col(f"__min_{c}").alias("min_str"),
+            F.col(f"__max_{c}").alias("max_str"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")

@@ -77,3 +77,37 @@ def test_salted_group_count_matches_direct(spark, sf_dir):
         for r in li.groupBy("l_returnflag").count().collect()
     }
     assert got == want
+
+
+def test_profile_table_stats(spark, sf_dir):
+    from local_pubchem_db_spark.operators.physical import profile_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prof = {r["column"]: r for r in profile_table(docs).collect()}
+    assert set(prof) == set(docs.columns)
+    n = docs.count()
+    for c, r in prof.items():
+        assert r["n_rows"] == n
+        exact_nulls = docs.filter(F.col(c).isNull()).count()
+        assert r["n_nulls"] == exact_nulls
+        exact_distinct = docs.select(c).distinct().count()
+        # HLL at 5% rsd: allow 3 sigma
+        assert abs(r["approx_distinct"] - exact_distinct) <= max(
+            3, 0.15 * exact_distinct
+        )
+    # min/max round-trip for the numeric id column
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    assert int(prof["doc_id"]["min_str"]) == min(ids)
+    assert int(prof["doc_id"]["max_str"]) == max(ids)
+
+
+def test_profile_table_single_job(spark, sf_dir):
+    from local_pubchem_db_spark.operators.physical import profile_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = profile_table(docs)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re
+    # all stats fold into ONE aggregation over ONE scan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
