@@ -73,8 +73,16 @@ def stream_dedup_ingest(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if os.path.exists(index_path):
-            history_index = spark.read.parquet(index_path).select(
-                "id", "band", "bucket"
+            # Exclude THIS batch's own partition from history: on a
+            # checkpoint replay the crashed attempt's index rows are
+            # already on disk, and reading them back would make every
+            # batch row collide with itself — the replay would then
+            # overwrite the corpus partition with an empty keep-set
+            # (silent data loss) instead of reproducing it.
+            history_index = (
+                spark.read.parquet(index_path)
+                .filter(F.col("ingest_batch") != batch_id)
+                .select("id", "band", "bucket")
             )
         else:
             history_index = spark.createDataFrame([], _INDEX_SCHEMA)

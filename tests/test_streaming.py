@@ -333,3 +333,47 @@ def test_stream_dedup_ingest_cross_batch(spark, sf_dir, tmp_path):
     assert 90001 not in kept2, "cross-batch duplicate must be rejected"
     assert fresh["doc_id"] in kept2 or fresh["doc_id"] in kept1
     assert kept1 <= kept2  # replay never loses accepted history
+
+
+def test_stream_dedup_ingest_replay_is_lossless(spark, sf_dir, tmp_path):
+    # Checkpoint replay of a dedup-ingest batch: the crashed attempt's own
+    # index partition is already on disk, and must NOT make the replayed
+    # batch collide with itself (that would overwrite the corpus partition
+    # with an empty keep-set - silent data loss).
+    from local_pubchem_db_spark.streaming import read_corpus, stream_dedup_ingest
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 50)
+        .orderBy("doc_id")
+        .limit(15)
+        .collect()
+    )
+    in_dir = tmp_path / "docs_in"
+    out_dir = tmp_path / "dedup_out"
+    in_dir.mkdir()
+    spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in docs], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(in_dir / "b"))
+    for fn in os.listdir(in_dir / "b"):
+        if fn.endswith(".parquet"):
+            shutil.move(str(in_dir / "b" / fn), str(in_dir / "shard-0.parquet"))
+    shutil.rmtree(in_dir / "b")
+
+    q = stream_dedup_ingest(spark, str(in_dir), str(out_dir))
+    q.awaitTermination()
+    kept1 = {r["doc_id"] for r in read_corpus(spark, str(out_dir)).collect()}
+    assert kept1
+
+    # crash after the sink writes, before the checkpoint commit
+    commits = os.path.join(str(out_dir), "_checkpoint", "commits")
+    os.remove(os.path.join(commits, "0"))
+    crc = os.path.join(commits, ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = stream_dedup_ingest(spark, str(in_dir), str(out_dir))
+    q2.awaitTermination()
+
+    kept2 = {r["doc_id"] for r in read_corpus(spark, str(out_dir)).collect()}
+    assert kept2 == kept1, "replay must reproduce the keep-set exactly"
