@@ -30,6 +30,55 @@ def top_k_per_group(
     )
 
 
+def distributed_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    range_col: str,
+    rank_col: str = "rank",
+    num_buckets: int = 64,
+) -> tuple[DataFrame, int]:
+    """Exact global 1-based row_number over ``order_cols`` WITHOUT the
+    single-partition sort a bare ``Window.orderBy`` plans. Returns
+    (ranked_df, total_rows).
+
+    Three distributed steps: range-bucket on ``range_col`` via loose
+    ``approxQuantile`` boundaries (any boundaries are correct — they only
+    bound per-task sort size; ties on ``range_col`` share a bucket so
+    concatenated bucket-local order IS the global order), per-bucket
+    ``row_number`` (parallel window, one hash shuffle), and a broadcast
+    join of per-bucket rank offsets (a <= ``num_buckets``-row aggregate
+    collected to the driver). ``order_cols`` must start with
+    ``range_col`` and include a unique tiebreaker."""
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    # loose accuracy on purpose: boundaries only balance bucket sizes, the
+    # rank arithmetic is exact regardless; 0.02 runs ~4x faster than the
+    # GK sketch at 0.001 with worst-case bucket imbalance of a few percent
+    cuts = sorted(set(df.approxQuantile(range_col, probs, 0.02)))
+
+    bucket = F.lit(0)
+    for i, c in enumerate(cuts):
+        bucket = F.when(F.col(range_col) > F.lit(c), i + 1).otherwise(bucket)
+    b = df.withColumn("__bucket", bucket)
+
+    counts = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n")).collect()
+    counts.sort(key=lambda r: r["__bucket"])
+    total = sum(r["__n"] for r in counts)
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["__bucket"], acc))
+        acc += r["__n"]
+    off = df.sparkSession.createDataFrame(offsets, "__bucket int, __offset long")
+
+    w = Window.partitionBy("__bucket").orderBy(*order_cols)
+    ranked = (
+        b.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(off), "__bucket")
+        .withColumn(rank_col, F.col("__offset") + F.col("__rn"))
+        .drop("__bucket", "__rn", "__offset")
+    )
+    return ranked, total
+
+
 def distributed_ntile(
     df: DataFrame,
     n: int,
@@ -62,31 +111,8 @@ def distributed_ntile(
     to a few hundred)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    probs = [i / num_buckets for i in range(1, num_buckets)]
-    # loose accuracy on purpose: boundaries only balance bucket sizes, the
-    # rank arithmetic is exact regardless; 0.02 runs ~4x faster than the
-    # GK sketch at 0.001 with worst-case bucket imbalance of a few percent
-    cuts = sorted(set(df.approxQuantile(range_col, probs, 0.02)))
-
-    bucket = F.lit(0)
-    for i, c in enumerate(cuts):
-        bucket = F.when(F.col(range_col) > F.lit(c), i + 1).otherwise(bucket)
-    b = df.withColumn("__bucket", bucket)
-
-    counts = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n")).collect()
-    counts.sort(key=lambda r: r["__bucket"])
-    total = sum(r["__n"] for r in counts)
-    offsets, acc = [], 0
-    for r in counts:
-        offsets.append((r["__bucket"], acc))
-        acc += r["__n"]
-    off = df.sparkSession.createDataFrame(offsets, "__bucket int, __offset long")
-
-    w = Window.partitionBy("__bucket").orderBy(*order_cols)
-    ranked = (
-        b.withColumn("__rn", F.row_number().over(w))
-        .join(F.broadcast(off), "__bucket")
-        .withColumn("__rank", F.col("__offset") + F.col("__rn"))
+    ranked, total = distributed_rank(
+        df, order_cols, range_col, rank_col="__rank", num_buckets=num_buckets
     )
     big = total % n
     size = total // n  # 0 only when total < n; then no row reaches the else
@@ -97,6 +123,4 @@ def distributed_ntile(
     ).otherwise(
         ((F.col("__rank") - threshold - 1) / max(size, 1)).cast("long") + big + 1
     )
-    return ranked.withColumn(tile_col, tile.cast("int")).drop(
-        "__bucket", "__rn", "__offset", "__rank"
-    )
+    return ranked.withColumn(tile_col, tile.cast("int")).drop("__rank")

@@ -171,3 +171,26 @@ def test_distributed_ntile_fewer_rows_than_tiles(spark):
         df, 10, [F.col("v").asc(), F.col("k").asc()], range_col="v"
     ).select("k", "tile").collect()
     assert sorted((r.k, r.tile) for r in got) == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_distributed_rank_matches_global_row_number(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from local_pubchem_db_spark.operators.topk import distributed_rank
+
+    df = spark.range(777).select(
+        F.col("id").alias("k"), (F.col("id") % 13).cast("double").alias("v")
+    )
+    want = {
+        r["k"]: r["r"]
+        for r in df.select(
+            "k", F.row_number().over(Window.orderBy("v", "k")).alias("r")
+        ).collect()
+    }
+    ranked, total = distributed_rank(
+        df, [F.col("v").asc(), F.col("k").asc()], range_col="v", num_buckets=8
+    )
+    got = {r["k"]: r["rank"] for r in ranked.select("k", "rank").collect()}
+    assert total == 777
+    assert got == want
