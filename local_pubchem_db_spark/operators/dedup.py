@@ -233,7 +233,11 @@ def incremental_minhash_new_ids(
     dup_in_batch = (
         _verify_jaccard(cand, shingled, threshold).select(F.col("id2").alias("id")).distinct()
     )
-    ids = shingled.select("id")
+    # The id universe comes from the UNFILTERED batch: a doc too short to
+    # shingle (< shingle_len tokens) produces no buckets, collides with
+    # nothing, and by this module's contract must be KEPT. Deriving ids
+    # from the shingled relation would silently drop it from the corpus.
+    ids = batch.select(F.col(id_col).alias("id"))
     return (
         ids.join(vs_history, "id", "left_anti")
         .join(dup_in_batch, "id", "left_anti")

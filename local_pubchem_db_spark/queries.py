@@ -392,7 +392,9 @@ def q_approx_sketches(spark, sf_dir):
     rows-only."""
     return t(spark, sf_dir, "lineitem").agg(
         F.approx_count_distinct("l_partkey").alias("approx_d_part"),
-        F.percentile_approx("l_quantity", [0.5, 0.9, 0.99]).alias("qty_pcts"),
+        F.percentile_approx("l_quantity", 0.5).alias("qty_p50"),
+        F.percentile_approx("l_quantity", 0.9).alias("qty_p90"),
+        F.percentile_approx("l_quantity", 0.99).alias("qty_p99"),
     )
 
 
@@ -647,19 +649,47 @@ def q_incremental_dedup(spark, sf_dir):
     external table bucketed by (band, bucket) — the incremental contract:
     subsequent batches join the index scan, never re-shingle history, and
     the bucketed layout makes the semi-join shuffle-free on the history
-    side (see tests/test_incremental_dedup.py for the restart shape)."""
+    side (see tests/test_incremental_dedup.py for the restart shape).
+
+    The table NAME is keyed on a fingerprint of the input files (size +
+    mtime), so regenerated testdata gets a fresh index instead of a stale
+    one; the PATH is keyed on the Spark applicationId, so concurrent
+    driver processes never race on shared files and the state dies with
+    the app instead of leaking across runs."""
+    import hashlib as _hashlib
+    import os as _os
     import re as _re
+    import tempfile as _tempfile
 
     docs = t(spark, sf_dir, "documents")
     history = docs.filter(F.col("doc_id") < 250)
     batch = docs.filter(F.col("doc_id") >= 250)
-    tbl = "lsh_hist_idx_" + _re.sub(r"\W+", "_", sf_dir).strip("_")
+    src = _os.path.join(sf_dir, "documents.parquet")
+    files = (
+        [src]
+        if _os.path.isfile(src)
+        else [
+            _os.path.join(r, fn)
+            for r, _, fns in sorted(_os.walk(src))
+            for fn in sorted(fns)
+        ]
+    )
+    fp = _hashlib.md5()
+    for p in files:
+        st = _os.stat(p)
+        fp.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+    tbl = "lsh_hist_idx_" + fp.hexdigest()[:12]
     if not spark.catalog.tableExists(tbl):
+        app_dir = _os.path.join(
+            _tempfile.gettempdir(),
+            "spark_graft_idx_"
+            + _re.sub(r"\W+", "_", spark.sparkContext.applicationId),
+        )
         (
             lsh_bucket_index(history, "doc_id", "text")
             .write.bucketBy(8, "band", "bucket")
             .sortBy("band", "bucket")
-            .option("path", f"/tmp/spark_graft_cache/{tbl}")
+            .option("path", _os.path.join(app_dir, tbl))
             .mode("overwrite")
             .saveAsTable(tbl)
         )

@@ -79,8 +79,12 @@ def stream_dedup_ingest(
             # batch row collide with itself — the replay would then
             # overwrite the corpus partition with an empty keep-set
             # (silent data loss) instead of reproducing it.
+            # Explicit schema: an all-short first batch legitimately
+            # writes ZERO index rows, leaving a dir with no part-files —
+            # schema inference would crash the next batch's read.
             history_index = (
-                spark.read.parquet(index_path)
+                spark.read.schema(_INDEX_SCHEMA + ", ingest_batch long")
+                .parquet(index_path)
                 .filter(F.col("ingest_batch") != batch_id)
                 .select("id", "band", "bucket")
             )

@@ -36,6 +36,26 @@ def test_incremental_dedup(spark, tmp_path):
     assert got == [11, 13]
 
 
+def test_short_docs_are_kept(spark, tmp_path):
+    # A doc with fewer than shingle_len tokens produces no shingles,
+    # collides with nothing, and by the module contract must be KEPT —
+    # deriving the id universe from the shingled relation used to drop it.
+    history = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    idx_path = str(tmp_path / "lsh_index")
+    lsh_bucket_index(history, "doc_id", "text").write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    batch = spark.createDataFrame(
+        [(20, "hi"), (21, "two words"), (22, BASE), (23, "")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in incremental_minhash_new_ids(batch, idx, "doc_id", "text").collect()
+    )
+    assert got == [20, 21, 23]  # 22 is a history dup; the short docs stay
+
+
 def test_index_shape(spark):
     history = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
     idx = lsh_bucket_index(history, "doc_id", "text", bands=32)

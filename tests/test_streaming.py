@@ -335,6 +335,43 @@ def test_stream_dedup_ingest_cross_batch(spark, sf_dir, tmp_path):
     assert kept1 <= kept2  # replay never loses accepted history
 
 
+def test_stream_dedup_ingest_all_short_first_batch(spark, tmp_path):
+    # Batch 1 is ALL short docs (zero shingles): they collide with nothing
+    # and must be kept, and the index dir they leave behind (no part-files)
+    # must not crash batch 2's history read.
+    from local_pubchem_db_spark.streaming import read_corpus, stream_dedup_ingest
+
+    in_dir = tmp_path / "docs_in"
+    out_dir = tmp_path / "dedup_out"
+    in_dir.mkdir()
+
+    def shard(rows, name):
+        stage = tmp_path / "stage"
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(stage))
+        for fn in os.listdir(stage):
+            if fn.endswith(".parquet"):
+                shutil.move(str(stage / fn), str(in_dir / name))
+        shutil.rmtree(stage)
+
+    shard([(1, "hi"), (2, "ok bye")], "shard-0.parquet")
+    q = stream_dedup_ingest(spark, str(in_dir), str(out_dir))
+    q.awaitTermination()
+    kept = {r["doc_id"] for r in read_corpus(spark, str(out_dir)).collect()}
+    assert kept == {1, 2}
+
+    long_text = (
+        "a genuinely long document about adaptive query execution and the "
+        "shuffle partition planning that follows it in every spark release"
+    )
+    shard([(3, "no"), (4, long_text)], "shard-1.parquet")
+    q2 = stream_dedup_ingest(spark, str(in_dir), str(out_dir))
+    q2.awaitTermination()
+    kept2 = {r["doc_id"] for r in read_corpus(spark, str(out_dir)).collect()}
+    assert kept2 == {1, 2, 3, 4}
+
+
 def test_stream_dedup_ingest_replay_is_lossless(spark, sf_dir, tmp_path):
     # Checkpoint replay of a dedup-ingest batch: the crashed attempt's own
     # index partition is already on disk, and must NOT make the replayed
