@@ -27,11 +27,15 @@ Scale design notes:
   sorted covering projection ``idx_<col>`` (col + pk) — the columnar
   analog of CREATE INDEX (utils.py:334-341), enabling stats-pruned
   lookups on that column at a small storage cost.
-- Exactly-once: batch mode appends data then manifest (a crash between the
-  two re-ingests at most the in-flight batch on retry — same contract as
-  re-running the reference after a mid-file crash). For the stronger
-  file-level exactly-once guarantee use
-  ``local_pubchem_db_spark.streaming.ingest`` (checkpointed file source).
+- Exactly-once: batch mode writes each file's rows into an
+  ``ingest_batch=<file>`` partition under dynamic partition overwrite and
+  commits the manifest LAST. A crash between the two writes leaves orphan
+  partitions with no manifest row; the retry re-selects exactly those
+  files and OVERWRITES their partitions instead of appending duplicates —
+  the no-duplicates guarantee of the reference's per-file transaction
+  (utils.py:322-332) without a transactional store.
+  ``local_pubchem_db_spark.streaming.ingest`` adds checkpointed file
+  tracking on the same sink contract.
 """
 
 from __future__ import annotations
@@ -175,9 +179,15 @@ def build_db(
             # materialization (two actions over the same plan).
             rows.persist()
             try:
+                # Idempotent retry (the batch twin of streaming/ingest.py):
+                # per-source-file partitions + dynamic overwrite + manifest
+                # last. See the module docstring's exactly-once note.
                 (
-                    rows.drop("source_file")
-                    .write.mode("append")
+                    rows.withColumn("ingest_batch", F.col("source_file"))
+                    .drop("source_file")
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("ingest_batch")
                     .parquet(db.compounds_path)
                 )
                 manifest = manifest_rows_for(

@@ -166,3 +166,33 @@ def test_strict_cast_fails_on_malformed_int(spark, sdf_dir, tmp_path):
         build_db(base, use_gzip=True, reset=True, db_specs=bad_specs, spark=spark)
         == 1
     )
+
+
+def test_crash_between_data_and_manifest_does_not_duplicate(
+    spark, sdf_dir, tmp_path
+):
+    # The batch twin of tests/test_streaming.py's replay test: a crash
+    # AFTER the compounds write but BEFORE the manifest commit leaves data
+    # partitions with no manifest rows. The retry must re-select those
+    # files and OVERWRITE their ingest_batch partitions — never append
+    # duplicates (reference utils.py:322-332 rolls the file back; here the
+    # partition is rewritten instead).
+    base = make_base(tmp_path, sdf_dir)
+    assert build_db(base, use_gzip=True, reset=True, db_specs=specs(), spark=spark) == 0
+    db = PubChemDB(spark, base)
+    assert db.compounds().count() == 8
+
+    # simulate the crash: the manifest write never happened
+    shutil.rmtree(db.manifest_path)
+    assert (
+        build_db(base, use_gzip=True, reset=False, db_specs=specs(), spark=spark) == 0
+    )
+    cids = sorted(r["cid"] for r in db.compounds().select("cid").collect())
+    assert cids == [31038, 31039, 31040, 34516, 34517, 34518, 46773, 46774]
+    assert db.sdf_file().count() == 3
+
+    # and a normal incremental re-run after recovery stays a no-op
+    assert (
+        build_db(base, use_gzip=True, reset=False, db_specs=specs(), spark=spark) == 0
+    )
+    assert db.compounds().count() == 8
