@@ -36,19 +36,26 @@ def distributed_rank(
     range_col: str,
     rank_col: str = "rank",
     num_buckets: int = 64,
-) -> tuple[DataFrame, int]:
+    total_col: str | None = None,
+) -> DataFrame:
     """Exact global 1-based row_number over ``order_cols`` WITHOUT the
-    single-partition sort a bare ``Window.orderBy`` plans. Returns
-    (ranked_df, total_rows).
+    single-partition sort a bare ``Window.orderBy`` plans.
 
-    Three distributed steps: range-bucket on ``range_col`` via loose
-    ``approxQuantile`` boundaries (any boundaries are correct — they only
-    bound per-task sort size; ties on ``range_col`` share a bucket so
-    concatenated bucket-local order IS the global order), per-bucket
-    ``row_number`` (parallel window, one hash shuffle), and a broadcast
-    join of per-bucket rank offsets (a <= ``num_buckets``-row aggregate
-    collected to the driver). ``order_cols`` must start with
-    ``range_col`` and include a unique tiebreaker."""
+    Range-bucket on ``range_col`` via loose ``approxQuantile`` boundaries
+    (any boundaries are correct — they only bound per-task sort size; ties
+    on ``range_col`` share a bucket so concatenated bucket-local order IS
+    the global order), then ONE query: per-bucket ``row_number`` (parallel
+    window, one hash shuffle of the data) joined with a broadcast subplan
+    that computes per-bucket counts, their prefix-sum offsets, and the
+    grand total — a <= ``num_buckets``-row aggregate over a column-pruned
+    scan of ``range_col`` alone. Nothing is collected to the driver and no
+    separate counts job runs (the lone Exchange SinglePartition in the
+    plan carries the <= ``num_buckets`` aggregated rows, never the data).
+
+    ``order_cols`` must start with ``range_col`` and include a unique
+    tiebreaker. Pass ``total_col`` to keep the total row count as a
+    column (lets callers do follow-up arithmetic, e.g. ntile, without
+    another action)."""
     probs = [i / num_buckets for i in range(1, num_buckets)]
     # loose accuracy on purpose: boundaries only balance bucket sizes, the
     # rank arithmetic is exact regardless; 0.02 runs ~4x faster than the
@@ -60,23 +67,35 @@ def distributed_rank(
         bucket = F.when(F.col(range_col) > F.lit(c), i + 1).otherwise(bucket)
     b = df.withColumn("__bucket", bucket)
 
-    counts = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n")).collect()
-    counts.sort(key=lambda r: r["__bucket"])
-    total = sum(r["__n"] for r in counts)
-    offsets, acc = [], 0
-    for r in counts:
-        offsets.append((r["__bucket"], acc))
-        acc += r["__n"]
-    off = df.sparkSession.createDataFrame(offsets, "__bucket int, __offset long")
+    # per-bucket counts -> prefix-sum offsets (+ total), all inside the
+    # query as a broadcast subplan: the windows below run over the tiny
+    # AGGREGATED relation (<= num_buckets rows), not the data
+    w_prev = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off = (
+        b.groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "__bucket",
+            F.coalesce(F.sum("__n").over(w_prev), F.lit(0)).alias("__offset"),
+            F.sum("__n").over(w_all).alias("__total"),
+        )
+    )
 
     w = Window.partitionBy("__bucket").orderBy(*order_cols)
     ranked = (
         b.withColumn("__rn", F.row_number().over(w))
         .join(F.broadcast(off), "__bucket")
         .withColumn(rank_col, F.col("__offset") + F.col("__rn"))
-        .drop("__bucket", "__rn", "__offset")
     )
-    return ranked, total
+    if total_col is not None:
+        ranked = ranked.withColumnRenamed("__total", total_col)
+        return ranked.drop("__bucket", "__rn", "__offset")
+    return ranked.drop("__bucket", "__rn", "__offset", "__total")
 
 
 def distributed_ntile(
@@ -100,8 +119,8 @@ def distributed_ntile(
        by ``order_cols`` concatenated across buckets IS the global order.
     2. Per-bucket ``row_number`` (parallel window, one hash shuffle) plus
        a broadcast join of per-bucket rank offsets (a <= ``num_buckets``
-       row aggregate collected to the driver) gives each row its exact
-       global rank.
+       row aggregate computed as a subplan of the same query — nothing
+       is collected to the driver) gives each row its exact global rank.
     3. Spark's ntile arithmetic on (rank, N): the first N mod n tiles
        hold ceil(N/n) rows, the rest floor(N/n).
 
@@ -111,16 +130,27 @@ def distributed_ntile(
     to a few hundred)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    ranked, total = distributed_rank(
-        df, order_cols, range_col, rank_col="__rank", num_buckets=num_buckets
+    ranked = distributed_rank(
+        df, order_cols, range_col, rank_col="__rank",
+        num_buckets=num_buckets, total_col="__nrows",
     )
+    # Column arithmetic on (rank, total): no action, no driver round-trip.
+    # Double division then truncation == floor here (operands positive and
+    # < 2^53 — a row count past that exceeds any real table).
+    total = F.col("__nrows")
     big = total % n
-    size = total // n  # 0 only when total < n; then no row reaches the else
-    threshold = big * (size + 1)
+    size = F.floor(total / n).cast("long")  # 0 only when total < n; then
+    threshold = big * (size + 1)  # no row reaches the else branch below
     tile = F.when(
         F.col("__rank") <= threshold,
         ((F.col("__rank") - 1) / (size + 1)).cast("long") + 1,
     ).otherwise(
-        ((F.col("__rank") - threshold - 1) / max(size, 1)).cast("long") + big + 1
+        ((F.col("__rank") - threshold - 1) / F.greatest(size, F.lit(1))).cast(
+            "long"
+        )
+        + big
+        + 1
     )
-    return ranked.withColumn(tile_col, tile.cast("int")).drop("__rank")
+    return ranked.withColumn(tile_col, tile.cast("int")).drop(
+        "__rank", "__nrows"
+    )

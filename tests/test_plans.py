@@ -126,10 +126,16 @@ def test_order_date_parts_single_scan(spark, sf_dir):
 
 def test_ntile_has_no_single_partition_exchange(spark, sf_dir):
     # A bare Window.orderBy plans Exchange SinglePartition — the whole
-    # table through one task. distributed_ntile must not.
+    # table through one task. distributed_ntile must not: the DATA window
+    # partitions by __bucket, and the only SinglePartition exchange in the
+    # plan is the offsets prefix-sum over the <= num_buckets-row AGGREGATE
+    # (broadcast-joined back; no driver collect, no separate counts job).
     plan = plan_of(spark, "ntile_price_deciles", sf_dir)
-    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("SinglePartition") == 1, plan
+    assert "hashpartitioning(__bucket" in plan, plan  # data-side window
     assert "BroadcastHashJoin" in plan  # offsets joined broadcast
+    # offsets come from an in-query aggregate, not a collected local table
+    assert "LocalTableScan" not in plan, plan
 
 
 def test_distributed_ntile_matches_builtin(spark):
@@ -188,9 +194,11 @@ def test_distributed_rank_matches_global_row_number(spark):
             "k", F.row_number().over(Window.orderBy("v", "k")).alias("r")
         ).collect()
     }
-    ranked, total = distributed_rank(
-        df, [F.col("v").asc(), F.col("k").asc()], range_col="v", num_buckets=8
+    ranked = distributed_rank(
+        df, [F.col("v").asc(), F.col("k").asc()], range_col="v",
+        num_buckets=8, total_col="tot",
     )
-    got = {r["k"]: r["rank"] for r in ranked.select("k", "rank").collect()}
-    assert total == 777
+    rows = ranked.select("k", "rank", "tot").collect()
+    assert all(r["tot"] == 777 for r in rows)
+    got = {r["k"]: r["rank"] for r in rows}
     assert got == want
