@@ -71,10 +71,17 @@ def pack_sequences(
     id_col: str = "doc_id",
     n_tokens_col: str = "n_tokens",
 ) -> DataFrame:
-    """Greedy first-fit sequence packing: assign each document a
+    """Greedy NEXT-FIT sequence packing: assign each document a
     ``pack_id`` so that every pack's token sum stays <= ``max_tokens`` —
     the step between chunking and training-batch assembly (padding waste
     drops from ~50% to a few percent for typical length distributions).
+    Next-fit: only the currently open pack is considered; earlier partial
+    packs are never revisited — the streaming-friendly discipline (O(1)
+    state per task; first-fit would need every open pack in memory).
+
+    Rows with a null ``n_tokens`` fail the job with an explicit error —
+    a null length is an upstream bug, and silently packing it as 0 would
+    overfill training batches.
 
     Greedy packing is inherently sequential, so the distributed contract
     is PARTITION-LOCAL packing in id order: rows are range-partitioned and
@@ -107,6 +114,12 @@ def pack_sequences(
         acc = 0
         started = False
         for pdf in batches:  # greedy state carries across Arrow batches
+            if pdf["n"].isna().any():
+                bad = pdf.loc[pdf["n"].isna(), "id"].head(5).tolist()
+                raise ValueError(
+                    "pack_sequences: null n_tokens for ids %s — token "
+                    "counts must be non-null (fix or filter upstream)" % bad
+                )
             packs = []
             for n in pdf["n"]:
                 n = int(n)

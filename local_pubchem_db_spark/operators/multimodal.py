@@ -41,13 +41,26 @@ FAKE_MAGIC = b"IMG!"
 
 # -- real stdlib codecs ------------------------------------------------------
 
-def make_bmp(width: int, height: int, rgb: tuple[int, int, int] = (255, 0, 0)) -> bytes:
-    """Minimal real 24-bit uncompressed bottom-up BMP (solid color)."""
-    row = bytes(rgb[::-1]) * width  # BMP stores BGR
-    pad = (4 - len(row) % 4) % 4
-    pixels = (row + b"\x00" * pad) * height
+def make_bmp(
+    width: int,
+    height: int,
+    rgb: tuple[int, int, int] = (255, 0, 0),
+    row_colors: list[tuple[int, int, int]] | None = None,
+    top_down: bool = False,
+) -> bytes:
+    """Minimal real 24-bit uncompressed BMP. ``row_colors`` gives per-row
+    colors in BOTTOM-UP order (default: solid ``rgb``); ``top_down=True``
+    stores rows top-first with the spec's negative-height convention."""
+    colors = row_colors if row_colors is not None else [rgb] * height
+    rows = []
+    for c in colors:  # bottom-up order; BMP stores BGR
+        row = bytes(c[::-1]) * width
+        pad = (4 - len(row) % 4) % 4
+        rows.append(row + b"\x00" * pad)
+    pixels = b"".join(rows[::-1] if top_down else rows)
+    h = -height if top_down else height
     dib = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+        "<IiiHHIIiiII", 40, width, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
     )
     offset = 14 + len(dib)
     return struct.pack("<2sIHHI", b"BM", offset + len(pixels), 0, 0, offset) + dib + pixels
@@ -79,6 +92,12 @@ def bmp_resize_codec(payload: bytes, target_w: int, target_h: int) -> bytes:
         .reshape(height, row_sz)[:, : width * 3]
         .reshape(height, width, 3)
     )
+    raw_h = struct.unpack_from("<i", payload, 22)[0]
+    if raw_h < 0:
+        # top-down BMP: stored rows are top-first; flip into the bottom-up
+        # order the positive-height re-encode below assumes, otherwise the
+        # resized image comes out vertically mirrored
+        px = px[::-1]
     yi = np.arange(target_h) * height // target_h
     xi = np.arange(target_w) * width // target_w
     out = px[yi][:, xi].reshape(target_h, target_w * 3)

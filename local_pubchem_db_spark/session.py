@@ -16,9 +16,11 @@ that survives a 1000-executor / 100 TB deployment:
 - Arrow enabled: every Python-side operator in this package uses
   Arrow-batched pandas UDFs, never row-at-a-time Python UDFs.
 
-(The SDF tag parser dedups repeated tags itself, so no
-``mapKeyDedupPolicy`` setting is required — sources/sdf.py works on any
-session.)
+- ``spark.sql.mapKeyDedupPolicy=LAST_WIN``: lets the SDF tag parser
+  build its tag map with a reversed entry array (first-occurrence-wins,
+  all codegen). Sessions from other factories keep their own policy —
+  sources/sdf.py detects it and falls back to an explicit expression-level
+  dedup instead of mutating foreign session state.
 """
 
 from __future__ import annotations
@@ -51,6 +53,7 @@ def get_spark(
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),

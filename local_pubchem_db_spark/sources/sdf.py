@@ -66,16 +66,20 @@ def read_sdf_records(spark: SparkSession, path: str | list[str]) -> DataFrame:
 def parse_sdf_records(records: DataFrame, record_col: str = "record") -> DataFrame:
     """Add ``cid`` (long) and ``tags`` (map<string,string>) columns.
 
-    First regex match wins for cid (utils.py:265). For tags, the entry
-    array is reversed before ``map_from_entries`` so that under LAST_WIN
-    dedup the FIRST occurrence of a duplicated tag wins — and the LAST_WIN
-    policy is set HERE on the records' own session, so callers with the
-    default ``mapKeyDedupPolicy=EXCEPTION`` work too (idempotent, always
-    the same value — no order-dependent behavior; the explicit O(tags²)
-    dedup HOF alternative measured 5x slower, interpreted-expression
-    cost).
+    First regex match wins for cid (utils.py:265). For tags, the fast
+    path reverses the entry array before ``map_from_entries`` so that
+    under the session's LAST_WIN dedup policy the FIRST occurrence of a
+    duplicated tag wins (``get_spark`` sets LAST_WIN; the dedup runs
+    inside codegen for free). A session whose ``mapKeyDedupPolicy`` is
+    not LAST_WIN is left UNTOUCHED — mutating foreign session state
+    would silently change duplicate-key semantics for unrelated code —
+    and gets an explicit first-occurrence filter instead (interpreted
+    HOF, ~5x the expression cost of the fast path; measured r2). The
+    policy is snapshotted at plan-construction time.
     """
-    records.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    policy = records.sparkSession.conf.get(
+        "spark.sql.mapKeyDedupPolicy", "EXCEPTION"
+    )
     rec = F.col(record_col)
     # regexp_extract_all with a group index extracts one group; we need both
     # groups, so extract full blocks then split tag/value per element.
@@ -85,12 +89,24 @@ def parse_sdf_records(records: DataFrame, record_col: str = "record") -> DataFra
     entries = F.transform(
         blocks, lambda b: F.struct(tag_of(b).alias("key"), val_of(b).alias("value"))
     )
+    if (policy or "").upper() == "LAST_WIN":
+        dedup_entries = F.reverse(entries)
+    else:
+        # first occurrence of each key survives; the deduped array is
+        # safe under the session's own EXCEPTION (or ANY) policy
+        dedup_entries = F.filter(
+            entries,
+            lambda e, i: F.array_position(
+                F.transform(entries, lambda x: x["key"]), e["key"]
+            )
+            == i + 1,
+        )
     cid_str = F.regexp_extract(rec, _CID_RE, 1)
     return records.withColumn(
         # nullif: a missing CID extracts as '' which ANSI cast rejects;
         # the documented deviation is cid NULL for CID-less records.
         "cid", F.nullif(cid_str, F.lit("")).cast("long")
-    ).withColumn("tags", F.map_from_entries(F.reverse(entries)))
+    ).withColumn("tags", F.map_from_entries(dedup_entries))
 
 
 def read_sdf(spark: SparkSession, path: str | list[str]) -> DataFrame:

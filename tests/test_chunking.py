@@ -94,3 +94,13 @@ def test_pack_sequences_respects_budget_and_covers_all(spark, sf_dir):
     # packing efficiency: multi-row packs should be mostly full
     stats = sums.agg(F.avg("tot").alias("avg")).collect()[0]
     assert stats["avg"] > 32
+
+
+def test_pack_sequences_null_tokens_fail_fast(spark):
+    from local_pubchem_db_spark.operators.chunking import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 4)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises(Exception, match="null n_tokens"):
+        pack_sequences(docs, 16).collect()

@@ -106,6 +106,8 @@ def test_duplicate_tag_first_wins_under_default_policy(spark):
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
     try:
         parsed = parse_sdf_records(df).collect()[0]
+        # the operator must NOT have mutated the foreign session's policy
+        assert spark.conf.get("spark.sql.mapKeyDedupPolicy") == "EXCEPTION"
     finally:
         spark.conf.set("spark.sql.mapKeyDedupPolicy", prev)
     assert parsed["cid"] == 42

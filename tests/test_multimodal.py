@@ -149,3 +149,19 @@ def test_audio_features(spark):
     assert rows[1]["mean_amp"] == pytest.approx(100.0)
     assert rows[1]["rms"] == pytest.approx((0 + 100**2 + 100**2 + 200**2) ** 0.5 / 2)
     assert rows[2]["n_samples"] == 0 and rows[2]["rms"] == 0.0
+
+
+def test_resize_top_down_bmp_not_flipped():
+    # A negative-height (top-down) BMP stores rows top-first; the codec
+    # must flip them into bottom-up order before re-encoding with positive
+    # height, or the output is vertically mirrored.
+    from local_pubchem_db_spark.operators.multimodal import (
+        bmp_resize_codec,
+        make_bmp,
+    )
+
+    colors = [(0, 0, 255), (255, 0, 0)]  # bottom row blue, top row red
+    bottom_up = make_bmp(4, 2, row_colors=colors)
+    top_down = make_bmp(4, 2, row_colors=colors, top_down=True)
+    assert bottom_up != top_down  # genuinely different storage order
+    assert bmp_resize_codec(bottom_up, 2, 2) == bmp_resize_codec(top_down, 2, 2)
