@@ -8,6 +8,7 @@ from local_pubchem_db_spark.operators.dedup import (
 from local_pubchem_db_spark.operators.similarity import (
     brute_force_knn,
     ivf_within_partition_pairs,
+    srp_lsh_neardup_pairs,
 )
 from local_pubchem_db_spark.operators.joins import range_join
 from local_pubchem_db_spark.operators.topk import top_k_per_group
@@ -21,5 +22,6 @@ __all__ = [
     "ngram_jaccard_pairs",
     "range_join",
     "simhash_dedup_pairs",
+    "srp_lsh_neardup_pairs",
     "top_k_per_group",
 ]

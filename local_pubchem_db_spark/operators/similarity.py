@@ -18,6 +18,13 @@ Three tiers, per the scale plan:
   for exact all-pairs at scale (choose B so a block pair fits an
   executor).
 
+- ``srp_lsh_neardup_pairs``: the LSH-bucketed tier — signed random
+  projections (random hyperplanes) hash each vector into per-band sign
+  buckets; only bucket collisions become candidates, then candidates are
+  verified with exact cosine. The embedding-space twin of MinHash+LSH:
+  map-only signatures, ONE candidate equi-join shuffle, exact verify —
+  nothing all-pairs, nothing driver-side.
+
 Scores are computed in float64 numpy; only ids/ranks are emitted (raw
 float scores never enter the correctness gate).
 """
@@ -31,7 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from local_pubchem_db_spark.operators.util import fan_out
+from local_pubchem_db_spark.operators.util import fan_out, shared
 
 
 def _norm_rows(M: np.ndarray) -> np.ndarray:
@@ -162,6 +169,99 @@ def ivf_within_partition_pairs(
 
     return base.groupBy("part").applyInPandas(
         bucket_pairs, "id1 long, id2 long, part int"
+    )
+
+
+def srp_lsh_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    n_bits: int = 128,
+    bands: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-dup pairs (id1 < id2, exact cosine >= threshold)
+    via signed-random-projection LSH — the LSH-bucketed ANN scale path.
+
+    Shape (mirrors ``dedup.minhash_lsh_dedup_pairs``):
+    1. map-only signature: the sign pattern of V @ H^T (H = ``n_bits``
+       seeded random hyperplanes, regenerated identically on every worker
+       from ``seed`` + the batch's dimensionality — no driver action, no
+       broadcast payload), packed into ``bands`` integer buckets of
+       r = n_bits/bands sign bits each;
+    2. candidates: ONE equi-join shuffle on (band, bucket) — two vectors
+       meet iff some band's r sign bits agree exactly;
+    3. exact verify: candidate pairs re-join their vectors and keep exact
+       float64 cosine >= threshold, so precision is 1.0 by construction
+       and the LSH only costs recall.
+
+    Collision math: P[one band agrees] = (1 - theta/pi)^r with
+    theta = arccos(cos_sim). At the 0.8 default (r=8, 16 bands) a true
+    pair is missed with p = (1 - 0.16)^16 ~ 6%; raise ``bands`` (or lower
+    r) for higher recall at more candidate volume. Unrelated pairs
+    (cos ~ 0) collide per band with p = 2^-r, so candidate volume stays
+    ~ bands * n^2 / 2^r per skew-free bucket space — bounded, never
+    all-pairs."""
+    if n_bits % bands:
+        raise ValueError("bands must divide n_bits")
+    r = n_bits // bands
+
+    base = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    )
+
+    def signatures(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        H = None
+        weights = 1 << np.arange(r, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            if H is None:
+                H = np.random.default_rng(seed).standard_normal(
+                    (n_bits, V.shape[1])
+                )
+            bits = (V @ H.T) > 0  # (n, n_bits) sign pattern
+            nid = pdf["id"].to_numpy(dtype=np.int64)
+            ids_out, band_out, bucket_out = [], [], []
+            for b in range(bands):
+                bucket = bits[:, b * r : (b + 1) * r] @ weights
+                ids_out.append(nid)
+                band_out.append(np.full(len(nid), b, dtype=np.int32))
+                bucket_out.append(bucket)
+            yield pd.DataFrame(
+                {
+                    "id": np.concatenate(ids_out),
+                    "band": np.concatenate(band_out),
+                    "bucket": np.concatenate(bucket_out),
+                }
+            )
+
+    buckets = shared(base.mapInPandas(signatures, "id long, band int, bucket long"))
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
+        .distinct()
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos_udf(v1: pd.Series, v2: pd.Series) -> pd.Series:
+        A = _norm_rows(np.array(v1.tolist(), dtype=np.float64))
+        B = _norm_rows(np.array(v2.tolist(), dtype=np.float64))
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    a = base.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
+    b = base.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
+    return (
+        cand.join(a, "id1")
+        .join(b, "id2")
+        .filter(cos_udf("v1", "v2") >= F.lit(threshold))
+        .select("id1", "id2")
     )
 
 
