@@ -8,12 +8,20 @@ from local_pubchem_db_spark.sources.manifest import (
     read_manifest,
     pending_files,
 )
+from local_pubchem_db_spark.sources.corpus import (
+    read_csv_corpus,
+    read_jsonl_corpus,
+    read_text_dir_corpus,
+)
 
 __all__ = [
     "MANIFEST_SCHEMA",
     "parse_sdf_records",
     "pending_files",
+    "read_csv_corpus",
+    "read_jsonl_corpus",
     "read_manifest",
     "read_sdf",
     "read_sdf_records",
+    "read_text_dir_corpus",
 ]
