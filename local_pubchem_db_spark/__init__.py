@@ -20,6 +20,7 @@ from local_pubchem_db_spark.plans.layout import (
     get_column_stmt,
     load_db_specifications,
 )
+from local_pubchem_db_spark.corpus_pipeline import clean_corpus
 from local_pubchem_db_spark.pipeline import PubChemDB, build_db
 from local_pubchem_db_spark.session import get_spark
 
@@ -30,6 +31,7 @@ __all__ = [
     "ColumnSpec",
     "PubChemDB",
     "build_db",
+    "clean_corpus",
     "compile_layout",
     "get_column_stmt",
     "get_spark",

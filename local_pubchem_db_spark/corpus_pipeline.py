@@ -1,0 +1,127 @@
+"""End-to-end corpus cleaning: the composed training-data pipeline.
+
+filter (length / language / quality) → exact dedup → MinHash-LSH
+near-dedup with cluster resolution → leakage-aware split assignment →
+chunk → pack. Each stage is one of this package's tested operators; this
+module only fixes the composition order and the cross-stage contracts a
+real pipeline gets wrong first:
+
+- **split before chunk**: train/val/test labels are assigned on the
+  DOCUMENT id and inherited by every chunk — assigning on chunk ids
+  would leak sibling chunks of one document across splits.
+- **exact dedup before near-dedup**: byte-identical copies collapse in
+  one cheap hash shuffle so the LSH stage never wastes candidate pairs
+  on them.
+- **cluster resolution, not pair filtering**: near-dup PAIRS become
+  connected components and one representative (min id) survives per
+  component — dropping `id2` of every pair would over-delete chains
+  (a~b, b~c drops b and c even though c only resembles the deleted b).
+
+Every stage is lazy; the returned dict holds DataFrames that share scan
+subtrees, so asking only for ``packed`` plans one job. At 100 TB the
+shape is: two hash shuffles (exact dedup, LSH candidates), one pair
+verify, the iterative (checkpointed) component resolution over the tiny
+pairs relation, and map-only everything else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from local_pubchem_db_spark.functions.text import (
+    lang_id,
+    quality_score,
+    token_count,
+)
+from local_pubchem_db_spark.operators.chunking import (
+    chunk_documents,
+    pack_sequences,
+)
+from local_pubchem_db_spark.operators.dedup import (
+    dedup_keep_ids,
+    exact_dedup_by_content,
+    minhash_lsh_dedup_pairs,
+)
+from local_pubchem_db_spark.operators.sampling import hash_split
+
+# chunk_id must fit below this factor when composing the synthetic
+# chunk uid (doc_id * MAX_CHUNKS_PER_DOC + chunk_id)
+MAX_CHUNKS_PER_DOC = 1 << 20
+
+
+def clean_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    languages: tuple[str, ...] | None = ("en",),
+    min_quality: float = 0.3,
+    lsh_threshold: float = 0.8,
+    split_fractions: dict[str, float] | None = None,
+    chunk_size: int = 32,
+    stride: int = 24,
+    pack_budget: int | None = None,
+) -> dict[str, DataFrame]:
+    """Run the full cleaning pipeline; returns the named lazy stages:
+
+    ``filtered``  docs surviving length/language/quality filters
+    ``deduped``   after exact + near-dup removal (one doc per cluster),
+                  with the ``split`` column when ``split_fractions``
+    ``chunks``    sliding-window chunks of the deduped docs
+    ``packed``    chunks with ``pack_id`` (only when ``pack_budget``)
+
+    ``languages=None`` / ``min_quality=0`` / ``split_fractions=None``
+    disable the respective stage.
+    """
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    keep = token_count(F.col("text")) >= min_tokens
+    if languages is not None:
+        keep = keep & lang_id(F.col("text")).isin(*languages)
+    if min_quality > 0:
+        keep = keep & (quality_score(F.col("text")) >= min_quality)
+    filtered = base.filter(keep)
+
+    # exact dedup: min id per content hash survives (one map-side-
+    # combinable shuffle); left_semi keeps the payload row
+    keep_ids = exact_dedup_by_content(filtered, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    exact_unique = filtered.join(keep_ids, "doc_id", "left_semi")
+
+    # near-dedup: LSH pairs -> connected components -> representatives
+    pairs = minhash_lsh_dedup_pairs(
+        exact_unique, "doc_id", "text", threshold=lsh_threshold
+    )
+    deduped = dedup_keep_ids(exact_unique, pairs, "doc_id")
+
+    if split_fractions is not None:
+        # document-level split BEFORE chunking: sibling chunks may never
+        # straddle train/val/test
+        deduped = hash_split(deduped, "doc_id", split_fractions)
+
+    chunks = chunk_documents(
+        deduped, "text", "doc_id", chunk_size=chunk_size, stride=stride
+    )
+    if "split" in deduped.columns:
+        chunks = chunks.join(deduped.select("doc_id", "split"), "doc_id")
+
+    out = {"filtered": filtered, "deduped": deduped, "chunks": chunks}
+    if pack_budget is not None:
+        uid = (F.col("doc_id") * MAX_CHUNKS_PER_DOC + F.col("chunk_id")).alias(
+            "chunk_uid"
+        )
+        packed = pack_sequences(
+            chunks.select(uid, "n_tokens"),
+            pack_budget,
+            id_col="chunk_uid",
+            n_tokens_col="n_tokens",
+        )
+        out["packed"] = packed.join(
+            chunks.withColumn(
+                "chunk_uid", F.col("doc_id") * MAX_CHUNKS_PER_DOC + F.col("chunk_id")
+            ).drop("n_tokens"),
+            "chunk_uid",
+        )
+    return out

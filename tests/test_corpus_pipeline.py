@@ -1,0 +1,88 @@
+"""End-to-end corpus cleaning pipeline: every stage's contract checked
+on a corpus engineered to trip them — short docs, wrong language, low
+quality, exact dups, near-dup chains, and split leakage."""
+
+from pyspark.sql import functions as F
+
+from local_pubchem_db_spark.corpus_pipeline import clean_corpus
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog while the keeper watches "
+    "from the old wooden bridge near the river"
+)
+NEAR = GOOD + " extra"
+NEAR2 = GOOD + " extra words"
+OTHER = (
+    "a completely different report about the spark shuffle service and "
+    "its external merge path for large clustered deployments"
+)
+GERMANISH = (
+    "der schnelle braune fuchs springt und der alte mann sieht ihn nicht "
+    "aber das wasser ist kalt und die nacht ist lang"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, GOOD),
+        (2, GOOD),        # exact dup of 1 -> collapses to 1
+        (3, NEAR),        # near-dup of 1 -> same cluster
+        (4, NEAR2),       # near-dup chain member -> same cluster
+        (5, OTHER),       # survives
+        (6, "too short"),  # length filter
+        (7, GERMANISH),   # language filter
+        (8, GOOD.upper().replace("THE", "zz")),  # no stopwords -> quality/lang
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_stages(spark):
+    stages = clean_corpus(
+        _docs(spark),
+        min_tokens=8,
+        languages=("en",),
+        min_quality=0.3,
+        lsh_threshold=0.8,
+        split_fractions={"train": 0.8, "val": 0.2},
+        chunk_size=8,
+        stride=8,
+        pack_budget=16,
+    )
+    filtered_ids = {r["doc_id"] for r in stages["filtered"].collect()}
+    assert filtered_ids == {1, 2, 3, 4, 5}
+
+    deduped = stages["deduped"].collect()
+    deduped_ids = {r["doc_id"] for r in deduped}
+    # 2 exact-collapses into 1; 3 and 4 near-dup into 1's cluster
+    assert deduped_ids == {1, 5}
+    assert all(r["split"] in ("train", "val") for r in deduped)
+
+    chunks = stages["chunks"].collect()
+    assert {r["doc_id"] for r in chunks} == {1, 5}
+    # leakage check: every chunk carries its document's split label
+    doc_split = {r["doc_id"]: r["split"] for r in deduped}
+    assert all(r["split"] == doc_split[r["doc_id"]] for r in chunks)
+
+    packed = stages["packed"].collect()
+    assert {r["doc_id"] for r in packed} == {1, 5}
+    # pack budget respected
+    sums = {}
+    for r in packed:
+        sums[r["pack_id"]] = sums.get(r["pack_id"], 0) + r["n_tokens"]
+    assert all(s <= 16 for s in sums.values())
+
+
+def test_near_dup_chain_keeps_one_representative(spark):
+    # a~b and b~c but a!~c: pair-based "drop id2" would delete b AND c;
+    # component resolution must keep exactly one of {a, b, c}
+    docs = spark.createDataFrame(
+        [(10, GOOD), (11, NEAR), (12, NEAR2), (13, OTHER)],
+        "doc_id long, text string",
+    )
+    stages = clean_corpus(
+        docs, languages=None, min_quality=0, split_fractions=None
+    )
+    kept = {r["doc_id"] for r in stages["deduped"].collect()}
+    assert 13 in kept
+    assert len(kept & {10, 11, 12}) == 1  # one representative, min id
+    assert 10 in kept
