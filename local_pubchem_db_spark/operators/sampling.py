@@ -64,6 +64,82 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def mix_domains(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    epochs_cap: float = 4.0,
+    seed: str = "0",
+) -> DataFrame:
+    """Deterministic domain mixing: resample each domain so the output
+    matches the target mixture ``weights`` (relative), scaled to the
+    largest total achievable without repeating any domain more than
+    ``epochs_cap`` times — the up/down-sampling step that turns crawled
+    domain proportions into a training mixture.
+
+    Per-domain rate r_d = w_d * T / n_d with T = epochs_cap *
+    min_d(n_d / w_d): the scarcest (relative to its weight) domain
+    repeats exactly ``epochs_cap`` times and every other domain scales to
+    proportion. Each row emits floor(r_d) whole copies plus one
+    hash-thresholded fractional copy; membership is a pure function of
+    (seed, epoch, id) — md5 string math like ``hash_split``, so re-runs,
+    re-partitionings, and external engines reproduce the exact row set.
+    Domains absent from ``weights`` are dropped. Output adds a 0-based
+    ``epoch`` copy index.
+
+    Cost: one tiny metadata aggregate (per-domain counts, collected to
+    plan the rates) + a map-only explode — no data shuffle; at 100 TB
+    the explode's fan-out equals the intended output size, there is no
+    intermediate blow-up.
+    """
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive")
+    if epochs_cap < 1.0:
+        raise ValueError("epochs_cap must be >= 1 (cannot emit less than the fractional pass)")
+    wsum = sum(weights.values())
+    norm = {d: w / wsum for d, w in weights.items()}
+    counts = {
+        r["d"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    missing = set(norm) - set(counts)
+    if missing:
+        raise ValueError(f"domains absent from the data: {sorted(missing)}")
+    total = epochs_cap * min(counts[d] / norm[d] for d in norm)
+    k_expr = None
+    f_expr = None
+    for d in norm:
+        rate = norm[d] * total / counts[d]
+        whole = int(rate)
+        fhex = _hex4(rate - whole)
+        cond = F.col(domain_col) == d
+        k_expr = F.when(cond, whole) if k_expr is None else k_expr.when(cond, whole)
+        f_expr = F.when(cond, fhex) if f_expr is None else f_expr.when(cond, fhex)
+    frac_bucket = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(f"{seed}:"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col(id_col).cast("string"),
+            )
+        ),
+        1,
+        4,
+    )
+    return (
+        df.filter(F.col(domain_col).isin(*norm))
+        .withColumn("__k", k_expr)
+        .withColumn("__f", f_expr)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__k"))))
+        .filter((F.col("epoch") < F.col("__k")) | (frac_bucket < F.col("__f")))
+        .drop("__k", "__f")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     group_col: str,
