@@ -12,6 +12,7 @@ Every function is deterministic and has an exact ANSI-SQL equivalent
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -221,6 +222,70 @@ def repetition_signals_udf():
         return pd.DataFrame(rows)
 
     return _signals
+
+
+# GPT-2-family pretokenizer shape: contractions, letter runs, digit runs,
+# punctuation runs, each with an optional leading space. Whitespace runs
+# are separators, not tokens. Java \p{L}/\p{N} = full Unicode classes.
+_BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def subword_token_count(text: Column) -> Column:
+    """BPE-style pretoken count (bigint): how many pieces the GPT-2-family
+    pretokenizer regex splits the text into. A codegen'd JVM regex pass —
+    the cheap scan-stage proxy for tokenizer budgeting when running the
+    real (Python) tokenizer over 100 TB would dominate the job. The BPE
+    merge table is NOT applied: counts correlate with, and upper-bound,
+    real tokenizer output (every merge only fuses pretoken pieces)."""
+    return F.regexp_count(text, F.lit(_BPE_SPLIT_RE)).cast("long")
+
+
+def winnow_fingerprints_udf(k: int = 9, window: int = 4):
+    """Arrow-batched pandas UDF: text → array<bigint> winnowing
+    fingerprints (Schleimer/Wilkerson/Aiken, the MOSS algorithm).
+
+    Rolling polynomial hash (base 257, uint64 wraparound) over character
+    ``k``-grams of the normalized text, then the minimum hash of each
+    ``window`` of consecutive k-gram hashes (rightmost-min tie-break),
+    deduplicated. Guarantees: any substring match of length >=
+    k + window - 1 between two documents shares at least one fingerprint
+    — the local-overlap detector exact shingle sets cannot give at
+    bounded output size. Output is ~|text| / window hashes.
+
+    Vectorized numpy per batch (sliding_window_view + one matmul per
+    doc); the whole pass is one Arrow crossing, no shuffle — fingerprints
+    then feed an explode + groupBy join exactly like the LSH band tables.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    base = np.uint64(257)
+    powers = base ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+
+    def fingerprints(t):
+        if not t:
+            return []
+        s = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(s) < k:
+            return []
+        grams = np.lib.stride_tricks.sliding_window_view(s, k)
+        H = (grams * powers).sum(axis=1, dtype=np.uint64)
+        if len(H) < window:
+            picks = np.array([H.min()], dtype=np.uint64)
+        else:
+            W = np.lib.stride_tricks.sliding_window_view(H, window)
+            # rightmost minimum per window: reverse, argmin, map back
+            rev = W[:, ::-1]
+            idx = (window - 1) - rev.argmin(axis=1)
+            picks = W[np.arange(len(W)), idx]
+        # fingerprint SET (sorted, distinct); int64 view because Spark has
+        # no unsigned type — the bit pattern is the identifier
+        return np.unique(picks).view(np.int64).tolist()
+
+    @pandas_udf("array<long>")
+    def _winnow(text: pd.Series) -> pd.Series:
+        return text.map(fingerprints)
+
+    return _winnow
 
 
 def char_ngrams(text: Column, n: int = 5) -> Column:
