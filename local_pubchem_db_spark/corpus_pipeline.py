@@ -74,7 +74,17 @@ def clean_corpus(
     ``languages=None`` / ``min_quality=0`` / ``split_fractions=None``
     disable the respective stage.
     """
-    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    # Fail fast on null ids: a null doc_id would silently vanish in the
+    # exact-dedup semi-join (min() skips nulls, the join never matches) —
+    # data loss an upstream bug should surface, not hide. The check lives
+    # INSIDE the doc_id expression (a pruned side-column assertion would
+    # be optimized away); on valid data it is a codegen'd per-row no-op.
+    checked_id = F.when(
+        F.col(id_col).isNotNull(), F.col(id_col)
+    ).otherwise(
+        F.raise_error(F.lit("clean_corpus: null doc_id")).cast("long")
+    )
+    base = docs.select(checked_id.alias("doc_id"), F.col(text_col).alias("text"))
 
     keep = token_count(F.col("text")) >= min_tokens
     if languages is not None:

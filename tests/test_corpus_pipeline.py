@@ -72,6 +72,25 @@ def test_stages(spark):
     assert all(s <= 16 for s in sums.values())
 
 
+def test_null_ids_fail_fast_and_null_text_is_filtered(spark):
+    import pytest
+
+    # null text: filtered (token filter), never crashes downstream stages
+    docs = spark.createDataFrame(
+        [(1, None), (2, GOOD)], "doc_id long, text string"
+    )
+    stages = clean_corpus(docs, languages=None, min_quality=0)
+    assert {r["doc_id"] for r in stages["deduped"].collect()} == {2}
+
+    # null doc_id: would silently vanish in the dedup semi-join -> the
+    # pipeline must raise instead of losing the row
+    bad = spark.createDataFrame(
+        [(None, GOOD + " unique tail")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="null doc_id"):
+        clean_corpus(bad, languages=None, min_quality=0)["deduped"].collect()
+
+
 def test_near_dup_chain_keeps_one_representative(spark):
     # a~b and b~c but a!~c: pair-based "drop id2" would delete b AND c;
     # component resolution must keep exactly one of {a, b, c}
