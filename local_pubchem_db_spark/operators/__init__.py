@@ -11,7 +11,7 @@ from local_pubchem_db_spark.operators.similarity import (
     srp_lsh_neardup_pairs,
 )
 from local_pubchem_db_spark.operators.joins import range_join
-from local_pubchem_db_spark.operators.topk import top_k_per_group
+from local_pubchem_db_spark.operators.topk import misra_gries_topk, top_k_per_group
 
 __all__ = [
     "brute_force_knn",
@@ -19,6 +19,7 @@ __all__ = [
     "exact_dedup_by_content",
     "ivf_within_partition_pairs",
     "minhash_lsh_dedup_pairs",
+    "misra_gries_topk",
     "ngram_jaccard_pairs",
     "range_join",
     "simhash_dedup_pairs",

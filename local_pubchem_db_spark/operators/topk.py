@@ -4,11 +4,16 @@ Global top-k (orderBy + limit) plans as TakeOrderedAndProject — per
 partition heaps + a driver merge, no full sort, no shuffle of the full
 data. Per-group top-k uses a ranked window; Spark 3.5+ pushes the rank
 filter into the shuffle as a group-limit, so only k rows per group per
-partition survive the exchange.
+partition survive the exchange. ``misra_gries_topk`` is the sketch tier:
+heavy hitters from bounded per-partition state when the domain is too
+large to exact-count.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
@@ -153,4 +158,69 @@ def distributed_ntile(
     )
     return ranked.withColumn(tile_col, tile.cast("int")).drop(
         "__rank", "__nrows"
+    )
+
+
+def misra_gries_topk(
+    df: DataFrame,
+    item_col: str,
+    k: int = 20,
+    capacity: int = 1024,
+) -> DataFrame:
+    """Approximate heavy hitters: top ``k`` items by estimated frequency
+    from a Misra-Gries summary of ``capacity`` counters per partition.
+
+    Returns (item, est_count) with the classic guarantees, which hold
+    under merging per-partition summaries by summation:
+
+    - est_count <= true_count (MG only undercounts), and
+    - true_count - est_count <= n / (capacity + 1) summed over
+      partitions' local n — so any item with true frequency above
+      n / (capacity + 1) is GUARANTEED to surface.
+
+    Scale shape: the data is never shuffled — each task compresses its
+    partition to <= ``capacity`` (item, count) rows in one pass of plain
+    dict arithmetic (per-batch ``value_counts`` does the heavy lifting
+    vectorized), and only the tiny summaries shuffle into the merge
+    (map-side combinable sum) and a TakeOrdered top-k. Exact counting
+    (token_topk) shuffles one row per DISTINCT item; this caps executor
+    memory and shuffle volume at ``capacity`` rows per task regardless
+    of domain size — the operator for quadrillion-item domains.
+    """
+    if k <= 0 or capacity < k:
+        raise ValueError(f"need capacity >= k >= 1, got k={k}, capacity={capacity}")
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for item, cnt in pdf.iloc[:, 0].value_counts().items():
+                if item is None:
+                    continue
+                if item in counters:
+                    counters[item] += int(cnt)
+                elif len(counters) < capacity:
+                    counters[item] = int(cnt)
+                else:
+                    # decrement-all by the smallest deficit that evicts
+                    # at least one counter; batch value_counts arrival
+                    # keeps this loop rare
+                    dec = min(int(cnt), min(counters.values()))
+                    counters = {
+                        i: c - dec for i, c in counters.items() if c > dec
+                    }
+                    rem = int(cnt) - dec
+                    if rem > 0 and len(counters) < capacity:
+                        counters[item] = rem
+        yield pd.DataFrame(
+            {"item": list(counters), "est_count": list(counters.values())}
+        )
+
+    summaries = df.select(F.col(item_col).cast("string")).mapInPandas(
+        summarize, "item string, est_count long"
+    )
+    return (
+        summaries.groupBy("item")
+        .agg(F.sum("est_count").alias("est_count"))
+        .orderBy(F.col("est_count").desc(), F.col("item").asc())
+        .limit(k)
     )

@@ -1,0 +1,64 @@
+"""Misra-Gries heavy hitters: classic sketch guarantees checked against
+exact counts on skewed data with deliberately tight capacity (so the
+eviction path actually runs)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from local_pubchem_db_spark.operators.topk import misra_gries_topk
+
+
+def test_mg_bounds_and_heavy_hitter_guarantee(spark):
+    rng = np.random.default_rng(7)
+    # Zipf over a 500-item domain: a few heavy items, long tail
+    items = [f"tok{v}" for v in np.minimum(rng.zipf(1.3, 4000), 500)]
+    df = spark.createDataFrame([(t,) for t in items], "item string").repartition(8)
+    n = len(items)
+    cap = 16
+
+    exact = {}
+    for t in items:
+        exact[t] = exact.get(t, 0) + 1
+
+    got = {
+        r["item"]: r["est_count"]
+        for r in misra_gries_topk(df, "item", k=10, capacity=cap).collect()
+    }
+    assert got, "sketch must produce output"
+    slack = n / (cap + 1)
+    for item, est in got.items():
+        true = exact.get(item, 0)
+        assert est <= true, (item, est, true)
+        assert true - est <= slack, (item, est, true, slack)
+
+    # guarantee: every item with true frequency above n/(cap+1) surfaces
+    heavy = {t for t, c in exact.items() if c > slack}
+    assert heavy, "test data must contain guaranteed-heavy items"
+    assert heavy <= set(got), sorted(heavy - set(got))
+
+    # the true #1 item must rank #1 in the sketch too (its undercount is
+    # bounded while every other estimate never overcounts true #2's mass
+    # plus slack — holds comfortably at this skew)
+    true_top = max(exact, key=lambda t: (exact[t], t))
+    sketch_top = max(got, key=lambda t: (got[t], t))
+    assert sketch_top == true_top
+
+
+def test_mg_exact_when_capacity_covers_domain(spark):
+    # capacity >= distinct items: MG degenerates to exact counting
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1, "item string"
+    ).repartition(4)
+    got = {
+        r["item"]: r["est_count"]
+        for r in misra_gries_topk(df, "item", k=3, capacity=64).collect()
+    }
+    assert got == {"a": 5, "b": 3, "c": 1}
+
+
+def test_mg_validates_arguments(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a",)], "item string")
+    with pytest.raises(ValueError, match="capacity >= k"):
+        misra_gries_topk(df, "item", k=10, capacity=5)
