@@ -1,4 +1,5 @@
 from local_pubchem_db_spark.operators.dedup import (
+    decontaminate,
     exact_dedup,
     exact_dedup_by_content,
     minhash_lsh_dedup_pairs,
@@ -15,6 +16,7 @@ from local_pubchem_db_spark.operators.topk import misra_gries_topk, top_k_per_gr
 
 __all__ = [
     "brute_force_knn",
+    "decontaminate",
     "exact_dedup",
     "exact_dedup_by_content",
     "ivf_within_partition_pairs",

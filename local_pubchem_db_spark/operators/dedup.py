@@ -245,6 +245,46 @@ def incremental_minhash_new_ids(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 9,
+    window: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: drop every training document that
+    shares a winnowing fingerprint with ANY evaluation document.
+
+    The winnowing guarantee (functions/text.py:winnow_fingerprints_udf)
+    makes this a span detector, not a whole-doc matcher: any verbatim
+    overlap of length >= k + window - 1 characters between a training
+    doc and an eval doc produces a shared fingerprint, so quoting one
+    eval sentence inside an otherwise-novel document is caught — the
+    case whole-document hashing and doc-level MinHash both miss.
+
+    Scale shape: eval sets are small (thousands of docs) — their
+    distinct fingerprints broadcast; the train side is one map-only
+    fingerprint pass + explode, a broadcast left_semi to find
+    contaminated ids, and one left_anti to drop them. The training
+    corpus is never shuffled."""
+    from local_pubchem_db_spark.functions.text import winnow_fingerprints_udf
+
+    fp = winnow_fingerprints_udf(k=k, window=window)
+    train_fps = fan_out(
+        train.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    ).select("id", F.explode(fp(F.col("text"))).alias("fp"))
+    eval_fps = (
+        eval_df.select(F.explode(fp(F.col(text_col))).alias("fp")).distinct()
+    )
+    contaminated = (
+        train_fps.join(F.broadcast(eval_fps), "fp", "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return train.join(contaminated, id_col, "left_anti")
+
+
 def connected_components(
     pairs: DataFrame,
     id1: str = "id1",
