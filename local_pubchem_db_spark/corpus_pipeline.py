@@ -39,6 +39,7 @@ from local_pubchem_db_spark.operators.chunking import (
     pack_sequences,
 )
 from local_pubchem_db_spark.operators.dedup import (
+    decontaminate,
     dedup_keep_ids,
     exact_dedup_by_content,
     minhash_lsh_dedup_pairs,
@@ -62,17 +63,25 @@ def clean_corpus(
     chunk_size: int = 32,
     stride: int = 24,
     pack_budget: int | None = None,
+    eval_df: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full cleaning pipeline; returns the named lazy stages:
 
     ``filtered``  docs surviving length/language/quality filters
-    ``deduped``   after exact + near-dup removal (one doc per cluster),
-                  with the ``split`` column when ``split_fractions``
+    ``deduped``   after exact + near-dup removal (one doc per cluster)
+                  and — when ``eval_df`` is given — eval-set
+                  decontamination, with the ``split`` column when
+                  ``split_fractions``
     ``chunks``    sliding-window chunks of the deduped docs
     ``packed``    chunks with ``pack_id`` (only when ``pack_budget``)
 
-    ``languages=None`` / ``min_quality=0`` / ``split_fractions=None``
-    disable the respective stage.
+    ``languages=None`` / ``min_quality=0`` / ``split_fractions=None`` /
+    ``eval_df=None`` disable the respective stage.
+
+    Decontamination runs AFTER dedup (fewer docs to fingerprint — dedup
+    shrinks the corpus, decontamination is a per-doc predicate that
+    commutes with it) and before split assignment, so every split is
+    contamination-free against ``eval_df``'s text column.
     """
     # Fail fast on null ids: a null doc_id would silently vanish in the
     # exact-dedup semi-join (min() skips nulls, the join never matches) —
@@ -105,6 +114,9 @@ def clean_corpus(
         exact_unique, "doc_id", "text", threshold=lsh_threshold
     )
     deduped = dedup_keep_ids(exact_unique, pairs, "doc_id")
+
+    if eval_df is not None:
+        deduped = decontaminate(deduped, eval_df, id_col="doc_id")
 
     if split_fractions is not None:
         # document-level split BEFORE chunking: sibling chunks may never

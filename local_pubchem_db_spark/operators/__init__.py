@@ -11,6 +11,7 @@ from local_pubchem_db_spark.operators.similarity import (
     ivf_within_partition_pairs,
     srp_lsh_neardup_pairs,
 )
+from local_pubchem_db_spark.operators.clustering import semantic_dedup
 from local_pubchem_db_spark.operators.joins import range_join
 from local_pubchem_db_spark.operators.topk import misra_gries_topk, top_k_per_group
 
@@ -24,6 +25,7 @@ __all__ = [
     "misra_gries_topk",
     "ngram_jaccard_pairs",
     "range_join",
+    "semantic_dedup",
     "simhash_dedup_pairs",
     "srp_lsh_neardup_pairs",
     "top_k_per_group",

@@ -125,6 +125,54 @@ def assign_clusters(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    threshold: float = 0.9,
+    max_iter: int = 10,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embeddings, find cosine-near pairs
+    WITHIN each cluster only, resolve pairs into connected components,
+    keep the minimum id per component.
+
+    Composition of this package's tested pieces — ``kmeans_fit`` (driver
+    holds only the k×dim centroids) → ``assign_clusters`` (map-only) →
+    ``ivf_within_partition_pairs`` (one shuffle on the cluster key,
+    per-cluster gram matrix) → ``dedup_keep_ids`` (transitive closure +
+    anti-join).
+
+    The clustering is the scale trick AND the semantic: cross-cluster
+    pairs are never scored, so the quadratic term is bounded by the
+    largest cluster, not the corpus — grow ``k`` with the corpus to keep
+    E[cluster size] fixed (the paper uses k≈100k on LAION-scale data).
+    A near-dup pair split across two clusters is missed by design;
+    that recall loss is the documented SemDeDup trade.
+
+    Returns ``df`` rows that survive (schema passthrough).
+    """
+    from local_pubchem_db_spark.operators.dedup import dedup_keep_ids
+    from local_pubchem_db_spark.operators.similarity import (
+        ivf_within_partition_pairs,
+    )
+
+    centroids = kmeans_fit(df, vec_col, id_col, k=k, max_iter=max_iter)
+    assigned = assign_clusters(df, centroids, vec_col, id_col).select(
+        F.col("id").alias(id_col), F.col("cluster")
+    )
+    with_cluster = df.select(id_col, vec_col).join(assigned, id_col)
+    pairs = ivf_within_partition_pairs(
+        with_cluster,
+        id_col=id_col,
+        vec_col=vec_col,
+        partition_col="cluster",
+        threshold=threshold,
+    )
+    return dedup_keep_ids(df, pairs, id_col)
+
+
 def ivf_search(
     corpus: DataFrame,
     queries: DataFrame,

@@ -250,8 +250,8 @@ def decontaminate(
     eval_df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    k: int = 9,
-    window: int = 4,
+    k: int = 40,
+    window: int = 20,
 ) -> DataFrame:
     """Benchmark decontamination: drop every training document that
     shares a winnowing fingerprint with ANY evaluation document.
@@ -262,6 +262,14 @@ def decontaminate(
     doc and an eval doc produces a shared fingerprint, so quoting one
     eval sentence inside an otherwise-novel document is caught — the
     case whole-document hashing and doc-level MinHash both miss.
+
+    The defaults (k=40, window=20: flag spans >= 59 chars, sample one
+    fingerprint per ~20 chars) target the token-scale overlaps real
+    decontamination uses (~8-13 contiguous tokens); char-scale settings
+    like k=9/window=4 flag any shared 12-char span — on ordinary prose
+    that matches ubiquitous phrases and empirically nukes most of a
+    corpus from a handful of eval docs. Eval docs shorter than ``k``
+    chars contribute no fingerprints and match nothing.
 
     Scale shape: eval sets are small (thousands of docs) — their
     distinct fingerprints broadcast; the train side is one map-only

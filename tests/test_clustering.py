@@ -76,3 +76,73 @@ def test_ivf_single_probe_stays_in_cell(spark, blobs):
     got = ivf_search(blobs, probes, centroids, k=5, nprobe=1).collect()
     assert len(got) == 5
     assert all(r["neighbor_id"] % 2 == 0 for r in got)  # all from blob a
+
+
+def _dedup_oracle(ids, V, threshold):
+    """All-pairs cosine + union-find: the keep-set semantic_dedup must
+    reproduce when clustering loses no pair (well-separated fixture)."""
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n = len(ids)
+    for a in range(n):
+        for b in range(a + 1, n):
+            if S[a, b] >= threshold:
+                ra, rb = find(ids[a]), find(ids[b])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    reps = {}
+    for i in ids:
+        reps.setdefault(find(i), []).append(i)
+    return {min(members) for members in reps.values()}
+
+
+@pytest.fixture(scope="module")
+def dup_groups(spark):
+    """Four tight directions in R^8; ids 0-3 are one seed per direction
+    (so the deterministic lowest-id k-means init starts one centroid in
+    each), 4-6 duplicate directions 0/0/1, 7-8 sit between directions
+    (cosine ~0.707 from both parents — below the 0.9 threshold)."""
+    rng = np.random.default_rng(11)
+    d = np.zeros((4, 8))
+    for i in range(4):
+        d[i, i] = 10.0
+    rows_np = [
+        d[0], d[1], d[2], d[3],          # ids 0..3
+        d[0], d[0], d[1],                # ids 4,5,6: near-dups
+        (d[0] + d[1]) / np.sqrt(2),      # id 7: between 0 and 1
+        (d[2] + d[3]) / np.sqrt(2),      # id 8: between 2 and 3
+    ]
+    V = np.array(rows_np) + rng.normal(0, 1e-3, (9, 8))
+    rows = [(i, [float(x) for x in V[i]]) for i in range(9)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, V
+
+
+def test_semantic_dedup_matches_allpairs_oracle(spark, dup_groups):
+    from local_pubchem_db_spark.operators.clustering import semantic_dedup
+
+    df, V = dup_groups
+    kept = semantic_dedup(df, k=4, threshold=0.9)
+    got = {r["vec_id"] for r in kept.collect()}
+    want = _dedup_oracle(list(range(9)), V, 0.9)
+    # components: {0,4,5}, {1,6}; singletons 2,3,7,8 -> keep 0,1,2,3,7,8
+    assert want == {0, 1, 2, 3, 7, 8}
+    assert got == want
+    assert kept.columns == df.columns  # schema passthrough
+
+
+def test_semantic_dedup_no_pairs_keeps_all(spark, dup_groups):
+    from local_pubchem_db_spark.operators.clustering import semantic_dedup
+
+    df, _ = dup_groups
+    # threshold above any achievable cosine between distinct noisy vectors
+    kept = semantic_dedup(df, k=4, threshold=1.0 - 1e-12)
+    assert kept.count() == 9

@@ -91,6 +91,29 @@ def test_null_ids_fail_fast_and_null_text_is_filtered(spark):
         clean_corpus(bad, languages=None, min_quality=0)["deduped"].collect()
 
 
+def test_decontamination_stage_drops_eval_quoters(spark):
+    # doc 5 (OTHER) quotes nothing; a doc quoting an eval sentence must be
+    # dropped AFTER surviving dedup, and chunks never contain it
+    quoter = (
+        "my own novel framing paragraph which then cites verbatim: "
+        + GOOD
+        + " and concludes with original analysis afterwards"
+    )
+    docs = spark.createDataFrame(
+        [(1, quoter), (2, OTHER)], "doc_id long, text string"
+    )
+    eval_df = spark.createDataFrame([(900, GOOD)], "doc_id long, text string")
+    stages = clean_corpus(
+        docs, languages=None, min_quality=0, eval_df=eval_df
+    )
+    assert {r["doc_id"] for r in stages["deduped"].collect()} == {2}
+    assert {r["doc_id"] for r in stages["chunks"].collect()} == {2}
+
+    # eval_df=None leaves the corpus untouched
+    stages_off = clean_corpus(docs, languages=None, min_quality=0)
+    assert {r["doc_id"] for r in stages_off["deduped"].collect()} == {1, 2}
+
+
 def test_near_dup_chain_keeps_one_representative(spark):
     # a~b and b~c but a!~c: pair-based "drop id2" would delete b AND c;
     # component resolution must keep exactly one of {a, b, c}

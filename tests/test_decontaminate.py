@@ -75,6 +75,24 @@ def test_decontaminate_plan_broadcasts_eval_side(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
 
+def test_default_scale_catches_sentence_quotes_not_common_phrases(spark):
+    # defaults flag spans >= k + window - 1 = 59 chars: a verbatim
+    # sentence-length quote is contamination, a shared 3-word idiom is not
+    sentence = "The mitochondria is the powerhouse of the cell, as every textbook says."
+    assert len(sentence) >= 59
+    quoter = "Lecture notes follow. " + sentence + " End of the quoted material."
+    phrase_sharer = (
+        "This text merely reuses as every textbook would, the common idiom "
+        "without copying any long passage from the evaluation corpus at all."
+    )
+    train = spark.createDataFrame(
+        [(1, quoter), (2, phrase_sharer)], "doc_id long, text string"
+    )
+    eval_df = spark.createDataFrame([(9, sentence)], "doc_id long, text string")
+    kept = {r["doc_id"] for r in decontaminate(train, eval_df).collect()}
+    assert kept == {2}
+
+
 def test_decontaminate_empty_eval_keeps_everything(spark):
     train = spark.createDataFrame(TRAIN_DOCS, "doc_id long, text string")
     eval_df = spark.createDataFrame([], "doc_id long, text string")
