@@ -13,20 +13,36 @@ from local_pubchem_db_spark.operators.similarity import (
 )
 from local_pubchem_db_spark.operators.clustering import semantic_dedup
 from local_pubchem_db_spark.operators.joins import range_join
+from local_pubchem_db_spark.operators.quality import (
+    unigram_logprob_scores,
+    unigram_model,
+)
+from local_pubchem_db_spark.operators.sampling import (
+    deterministic_shuffle,
+    hash_split,
+    mix_domains,
+    stratified_sample,
+)
 from local_pubchem_db_spark.operators.topk import misra_gries_topk, top_k_per_group
 
 __all__ = [
     "brute_force_knn",
     "decontaminate",
+    "deterministic_shuffle",
     "exact_dedup",
     "exact_dedup_by_content",
+    "hash_split",
     "ivf_within_partition_pairs",
     "minhash_lsh_dedup_pairs",
     "misra_gries_topk",
+    "mix_domains",
     "ngram_jaccard_pairs",
     "range_join",
     "semantic_dedup",
     "simhash_dedup_pairs",
     "srp_lsh_neardup_pairs",
+    "stratified_sample",
     "top_k_per_group",
+    "unigram_logprob_scores",
+    "unigram_model",
 ]

@@ -165,3 +165,31 @@ def stratified_sample(
         .filter(F.col("__rn") <= F.ceil(F.col("__n") * frac))
         .drop("__rn", "__n")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "0",
+    keep_key: bool = False,
+) -> DataFrame:
+    """Globally reorder rows into a reproducible pseudo-random order —
+    the corpus-shuffle step before training-example serialization.
+
+    The sort key is md5(seed:id): a pure function of the data, so the
+    SAME permutation comes back under re-runs, different partition
+    counts, different cluster sizes, and external engines (md5 + string
+    order are engine-portable, unlike rand(seed), whose draw order
+    follows Spark's physical row order). Change ``seed`` per epoch for a
+    fresh permutation.
+
+    Scale shape: one range-partitioned total sort (Spark samples key
+    ranges, then sorts partitions in parallel — never a single-partition
+    funnel). That one shuffle IS the product: the output files read back
+    in shuffled order. ``keep_key=True`` retains the ``shuffle_key``
+    column so a writer can re-sort after further narrow transforms or an
+    auditor can verify the order.
+    """
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    out = df.withColumn("shuffle_key", key).orderBy("shuffle_key", id_col)
+    return out if keep_key else out.drop("shuffle_key")

@@ -1,0 +1,73 @@
+"""unigram_logprob_scores vs an exact pure-Python re-implementation."""
+
+import math
+import re
+
+import pytest
+
+from local_pubchem_db_spark.operators.quality import (
+    unigram_logprob_scores,
+    unigram_model,
+)
+
+DOCS = [
+    (1, "The cat sat. The cat sat again!"),
+    (2, "the cat sat on the mat"),
+    (3, "Xylophone quixotic zephyr"),   # rare tokens -> low score
+    (4, "   "),                          # no tokens -> absent from output
+    (5, "the the the"),                  # most common token -> high score
+]
+
+
+def _norm_tokens(t):
+    t = re.sub(r"[.,!?;:]", "", t.lower())
+    t = re.sub(r"\s+", " ", t).strip()
+    return [x for x in t.split(" ") if x] if t else []
+
+
+def _oracle(docs):
+    counts = {}
+    for _, t in docs:
+        for tok in _norm_tokens(t):
+            counts[tok] = counts.get(tok, 0) + 1
+    n, v = sum(counts.values()), len(counts)
+    out = {}
+    for i, t in docs:
+        toks = _norm_tokens(t)
+        if not toks:
+            continue
+        lps = [math.log((counts.get(x, 0) + 1) / (n + v)) for x in toks]
+        out[i] = (len(toks), sum(lps) / len(lps))
+    return out
+
+
+def test_self_scoring_matches_oracle(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logprob"])
+        for r in unigram_logprob_scores(df).collect()
+    }
+    want = _oracle(DOCS)
+    assert set(got) == set(want) == {1, 2, 3, 5}
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert got[i][1] == pytest.approx(want[i][1], rel=1e-12)
+    # ranking signal: common-token doc above rare-token doc
+    assert got[5][1] > got[3][1]
+
+
+def test_scoring_against_foreign_model_floors_unseen_tokens(spark):
+    train = spark.createDataFrame(DOCS, "doc_id long, text string")
+    model = unigram_model(train)
+    target = spark.createDataFrame(
+        [(10, "the unseenword")], "doc_id long, text string"
+    )
+    got = unigram_logprob_scores(target, model=model).collect()[0]
+    counts = {}
+    for _, t in DOCS:
+        for tok in _norm_tokens(t):
+            counts[tok] = counts.get(tok, 0) + 1
+    n, v = sum(counts.values()), len(counts)
+    want = (math.log((counts["the"] + 1) / (n + v)) + math.log(1 / (n + v))) / 2
+    assert got["n_tokens"] == 2
+    assert got["logprob"] == pytest.approx(want, rel=1e-12)

@@ -57,3 +57,38 @@ def test_stratified_sample_deterministic(spark, ids):
     a = sorted(r["doc_id"] for r in stratified_sample(df, "g", 0.25, "doc_id").collect())
     b = sorted(r["doc_id"] for r in stratified_sample(df, "g", 0.25, "doc_id").collect())
     assert a == b
+
+
+def test_deterministic_shuffle_matches_md5_oracle_and_partitioning(spark):
+    import hashlib
+
+    from local_pubchem_db_spark.operators.sampling import deterministic_shuffle
+
+    rows = [(i, f"doc {i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", seed="s1").collect()]
+    want = sorted(range(200), key=lambda i: hashlib.md5(f"s1:{i}".encode()).hexdigest())
+    assert got == want                      # exact engine-portable order
+    assert sorted(got) == list(range(200))  # a permutation, nothing lost
+
+    # same permutation under a different physical layout
+    got13 = [
+        r["doc_id"]
+        for r in deterministic_shuffle(df.repartition(13), "doc_id", seed="s1").collect()
+    ]
+    assert got13 == want
+
+    # a different seed gives a different permutation
+    got_s2 = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", seed="s2").collect()]
+    assert got_s2 != want and sorted(got_s2) == list(range(200))
+
+    # keep_key exposes the audit column; default drops it
+    with_key = deterministic_shuffle(df, "doc_id", keep_key=True)
+    assert with_key.columns == ["doc_id", "text", "shuffle_key"]
+
+    # the sort is range-partitioned (parallel), not a single-partition funnel
+    qe = deterministic_shuffle(df, "doc_id")._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
