@@ -71,3 +71,19 @@ def test_scoring_against_foreign_model_floors_unseen_tokens(spark):
     want = (math.log((counts["the"] + 1) / (n + v)) + math.log(1 / (n + v))) / 2
     assert got["n_tokens"] == 2
     assert got["logprob"] == pytest.approx(want, rel=1e-12)
+
+
+def test_quality_plan_shape(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qe = unigram_logprob_scores(df)._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = qe.explainString(mode)
+    # token-count and doc-score aggregates both combine map-side before
+    # their shuffle — the (id, token) pairs relation is never rebuilt
+    assert "partial_count" in plan
+    assert "partial_avg" in plan
+    # the scalar totals fan-in is the ONLY nested-loop join (1-row side,
+    # broadcast by construction); the vocab join must be hash-based.
+    # formatted mode prints every operator twice (tree + details)
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
