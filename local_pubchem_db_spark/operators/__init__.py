@@ -12,7 +12,13 @@ from local_pubchem_db_spark.operators.similarity import (
     srp_lsh_neardup_pairs,
 )
 from local_pubchem_db_spark.operators.clustering import semantic_dedup
-from local_pubchem_db_spark.operators.joins import range_join
+from local_pubchem_db_spark.operators.joins import (
+    as_of_join,
+    banded_range_join,
+    edit_distance_join,
+    range_join,
+)
+from local_pubchem_db_spark.operators.physical import write_compacted
 from local_pubchem_db_spark.operators.quality import (
     unigram_logprob_scores,
     unigram_model,
@@ -26,9 +32,12 @@ from local_pubchem_db_spark.operators.sampling import (
 from local_pubchem_db_spark.operators.topk import misra_gries_topk, top_k_per_group
 
 __all__ = [
+    "as_of_join",
+    "banded_range_join",
     "brute_force_knn",
     "decontaminate",
     "deterministic_shuffle",
+    "edit_distance_join",
     "exact_dedup",
     "exact_dedup_by_content",
     "hash_split",
@@ -45,4 +54,5 @@ __all__ = [
     "top_k_per_group",
     "unigram_logprob_scores",
     "unigram_model",
+    "write_compacted",
 ]

@@ -101,3 +101,56 @@ def profile_table(df, approx_rsd: float = 0.05):
         for c in cols
     ]
     return row.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_file_mb: float = 256.0,
+    sample_rows: int = 2048,
+    mode: str = "overwrite",
+) -> dict:
+    """Write parquet with files sized near ``target_file_mb`` — the
+    small-files guard for pipeline sinks.
+
+    A 100 TB table written with the shuffle's partitioning inherits the
+    shuffle's row distribution: thousands of KB-scale files (metadata
+    pressure, open-cost-bound readers) or a few multi-GB ones (no read
+    parallelism). This sizes output deterministically instead:
+
+    1. measure compressed bytes/row by encoding a ``sample_rows`` head
+       sample to an in-memory parquet buffer (same codec family as the
+       write — a real measurement, not a plan-stats guess; head bias is
+       acceptable for sizing, it only moves file counts a few percent),
+    2. rows-per-file = target_bytes / bytes-per-row, file count =
+       ceil(rowcount / rows-per-file),
+    3. one round-robin repartition to the file count plus
+       ``maxRecordsPerFile`` as the hard cap (repartition balances,
+       the option bounds stragglers).
+
+    Costs one extra count() scan and one shuffle — the price of sized
+    output. Returns the sizing decision for observability.
+    """
+    import io
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    n_rows = df.count()
+    if n_rows == 0:
+        df.write.mode(mode).parquet(path)
+        return {"rows": 0, "files": 0, "rows_per_file": 0}
+    head = df.limit(min(sample_rows, n_rows)).toPandas()
+    buf = io.BytesIO()
+    papq.write_table(pa.Table.from_pandas(head), buf, compression="snappy")
+    bytes_per_row = max(buf.getbuffer().nbytes / len(head), 1e-6)
+    rows_per_file = max(int(target_file_mb * 1024 * 1024 / bytes_per_row), 1)
+    n_files = math.ceil(n_rows / rows_per_file)
+    (
+        df.repartition(n_files)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", rows_per_file)
+        .parquet(path)
+    )
+    return {"rows": n_rows, "files": n_files, "rows_per_file": rows_per_file}

@@ -50,3 +50,67 @@ def test_range_join_vs_banded(spark, sf_dir):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_join_matches_brute_force(spark):
+    import random
+
+    from local_pubchem_db_spark.operators.joins import edit_distance_join
+
+    rng = random.Random(13)
+    alphabet = "abc"
+    # small alphabet + varied lengths (incl. 0..2: the short path) makes
+    # near pairs common and exercises every branch
+    def rand_s():
+        return "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 9)))
+
+    lrows = [(i, rand_s()) for i in range(60)]
+    rrows = [(1000 + i, rand_s()) for i in range(60)]
+    ldf = spark.createDataFrame(lrows, "lid long, name string")
+    rdf = spark.createDataFrame(rrows, "rid long, name string")
+
+    for d in (0, 1, 2, 3):
+        got = {
+            (r["lid"], r["rid"], r["distance"])
+            for r in edit_distance_join(
+                ldf, rdf, "lid", "name", "rid", "name", max_distance=d
+            ).collect()
+        }
+        want = {
+            (li, ri, _lev(a, b))
+            for li, a in lrows
+            for ri, b in rrows
+            if _lev(a, b) <= d
+        }
+        assert got == want, (d, len(got), len(want))
+
+
+def test_edit_distance_join_inchikey_shape(spark):
+    # the reference workload: fixed-length uppercase keys, d=1 typo match
+    from local_pubchem_db_spark.operators.joins import edit_distance_join
+
+    keys = ["JGUZOCJCNMVJHU", "OAOUTNMJEFWJPO", "YBGBJYVHJTVUSL"]
+    ldf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(keys)], "lid long, k string"
+    )
+    typo = keys[0][:5] + "X" + keys[0][6:]  # one substitution
+    rdf = spark.createDataFrame(
+        [(100, typo), (101, "ZZZZZZZZZZZZZZ")], "rid long, k string"
+    )
+    got = {
+        (r["lid"], r["rid"], r["distance"])
+        for r in edit_distance_join(ldf, rdf, "lid", "k", "rid", "k", 1).collect()
+    }
+    assert got == {(0, 100, 1)}

@@ -111,3 +111,37 @@ def test_profile_table_single_job(spark, sf_dir):
     import re
     # all stats fold into ONE aggregation over ONE scan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_write_compacted_sizes_files(spark, tmp_path):
+    import glob
+    import os
+
+    from local_pubchem_db_spark.operators.physical import write_compacted
+
+    # ~100-byte rows x 20k rows ~ 2 MB of payload; 0.25 MB target -> >= 4 files
+    df = spark.range(20_000).selectExpr(
+        "id", "repeat(uuid(), 3) AS payload"
+    )
+    out = str(tmp_path / "compacted")
+    info = write_compacted(df, out, target_file_mb=0.25)
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert info["rows"] == 20_000
+    assert len(files) == info["files"] >= 4
+    sizes = [os.path.getsize(f) for f in files]
+    # every file within ~2x of target (compression variance allowance)
+    assert max(sizes) <= 2 * 0.25 * 1024 * 1024
+    # and balanced: smallest within 3x of largest
+    assert min(sizes) * 3 >= max(sizes)
+    # round-trips losslessly
+    assert spark.read.parquet(out).count() == 20_000
+
+
+def test_write_compacted_empty_input(spark, tmp_path):
+    from local_pubchem_db_spark.operators.physical import write_compacted
+
+    df = spark.range(0).selectExpr("id", "cast(id AS string) AS s")
+    out = str(tmp_path / "empty")
+    info = write_compacted(df, out)
+    assert info == {"rows": 0, "files": 0, "rows_per_file": 0}
+    assert spark.read.parquet(out).count() == 0
