@@ -74,43 +74,55 @@ def main() -> None:
     REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         samples = []
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(round(time.perf_counter() - t0, 3))
-            # shared() relations are per-invocation scratch; dropping them
-            # between repetitions keeps every sample a COLD run and keeps
-            # storage memory flat across the sweep.
+        # One broken query must never zero the whole artifact (the r4
+        # failure mode): record the error, keep measuring the rest, and
+        # always emit the final JSON line.
+        try:
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(round(time.perf_counter() - t0, 3))
+                # shared() relations are per-invocation scratch; dropping them
+                # between repetitions keeps every sample a COLD run and keeps
+                # storage memory flat across the sweep.
+                release_shared_caches(spark)
+        except Exception as e:  # noqa: BLE001 — survey harness, not control flow
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
             release_shared_caches(spark)
-        timings[name] = min(samples)
-        runs[name] = samples
+        if samples:
+            timings[name] = min(samples)
+            runs[name] = samples
 
     # Warm-path evidence for the one cache-dependent headline query: the
     # steady state of an LSH index kept resident (no release between
     # runs) — the deployment shape for a long-lived dedup service.
     name = "dedup_minhash_lsh"
-    QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    t0 = time.perf_counter()
-    QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    timings[name + "_warm"] = round(time.perf_counter() - t0, 3)
+    try:
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name + "_warm"] = round(time.perf_counter() - t0, 3)
+    except Exception as e:  # noqa: BLE001
+        errors[name + "_warm"] = f"{type(e).__name__}: {e}"[:500]
     release_shared_caches(spark)
 
     total = round(sum(v for k, v in timings.items() if not k.endswith("_warm")), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs": runs,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+        out["incomplete"] = True
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -70,19 +70,31 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects by default. Read nanos as long and rebuild a
-    microsecond timestamp with integer DIV — epoch nanos (~1.7e18) exceed
-    double's 2^53 exact-integer range, so float division here would
-    silently corrupt timestamps.
+    """Load events.parquet and normalize ``ts`` to TIMESTAMP (+ exact
+    ``ts_ns`` bigint), branching on the dtype the parquet reader actually
+    produced — the testdata has shipped ``ts`` as both TIMESTAMP(NANOS)
+    (readable only as epoch-nano longs via ``nanosAsLong``) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ), and
+    a frozen assumption about which one broke every events query at once.
+
+    Both branches yield identical downstream types; the session timezone
+    is pinned UTC (session.py), so the NTZ→TIMESTAMP cast and DuckDB's
+    naive-as-UTC epoch math agree and the value-hash oracles line up.
 
     session.get_spark pins the nanosAsLong conf at session construction;
     the set below is defensive for foreign sessions and idempotent (same
     value every call — no order-dependent behavior)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = t(spark, sf_dir, "events")
-    return ev.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    if dict(ev.dtypes)["ts"] == "bigint":
+        # TIMESTAMP(NANOS) surfaced as epoch-nano longs. Integer DIV:
+        # epoch nanos (~1.7e18) exceed double's 2^53 exact range, so
+        # float division would silently corrupt timestamps.
+        return ev.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return ev.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
     )
 
 

@@ -9,9 +9,11 @@ that survives a 1000-executor / 100 TB deployment:
 - ``spark.sql.adaptive.enabled`` (+ coalescePartitions + skewJoin): runtime
   re-planning — the knob that makes one static shuffle-partition setting
   usable from sf0.001 tests to a real cluster.
-- ``spark.sql.legacy.parquet.nanosAsLong=true``: the testdata events
-  table stores TIMESTAMP(NANOS), which Spark's reader otherwise rejects;
-  pinning it here (not inside a query function) keeps query behavior
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: some testdata vintages
+  store events.ts as TIMESTAMP(NANOS), which Spark's reader otherwise
+  rejects; the conf is a no-op on MICROS columns, so it is safe for both
+  vintages (queries.events_table branches on the dtype actually read).
+  Pinning it here (not inside a query function) keeps query behavior
   independent of call order on sessions from this factory.
 - Arrow enabled: every Python-side operator in this package uses
   Arrow-batched pandas UDFs, never row-at-a-time Python UDFs.

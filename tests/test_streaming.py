@@ -101,12 +101,9 @@ def test_stream_build_incremental_new_file(spark, stream_base, sdf_dir):
 @pytest.fixture(scope="module")
 def event_batches(spark, sf_dir, tmp_path_factory):
     """Events as micro-timestamped parquet shards in a stream directory."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select([f.name for f in EVENT_SCHEMA.fields])
-    )
+    from local_pubchem_db_spark.queries import events_table
+
+    ev = events_table(spark, sf_dir).select([f.name for f in EVENT_SCHEMA.fields])
     d = tmp_path_factory.mktemp("event_stream")
     # Two shards so AvailableNow exercises multi-file listing.
     ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(d / "a"))
