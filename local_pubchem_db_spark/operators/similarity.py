@@ -180,6 +180,7 @@ def srp_lsh_neardup_pairs(
     n_bits: int = 128,
     bands: int = 16,
     seed: int = 7,
+    max_bucket_size: int | None | str = "auto",
 ) -> DataFrame:
     """Embedding near-dup pairs (id1 < id2, exact cosine >= threshold)
     via signed-random-projection LSH — the LSH-bucketed ANN scale path.
@@ -238,13 +239,23 @@ def srp_lsh_neardup_pairs(
                 }
             )
 
+    from local_pubchem_db_spark.operators.dedup import bounded_bucket_pairs
+
+    # Bucket cap (see dedup.bounded_bucket_pairs): an embedding cluster of
+    # thousands of near-identical vectors shares sign patterns across all
+    # bands; without the cap the candidate join is quadratic in cluster
+    # size — the same skew shape as MinHash dup clusters. The cap's
+    # premise — "an oversized bucket IS a near-dup cluster" — only holds
+    # when unrelated vectors rarely share a band (P = 2^-r), so "auto"
+    # engages it at r >= 8 (collision p <= 1/256) and leaves coarse
+    # bucketings (small r), where big buckets are by design mostly
+    # non-dups and all-pairs IS the recall mechanism, uncapped.
+    if max_bucket_size == "auto":
+        max_bucket_size = 64 if r >= 8 else None
+
     buckets = shared(base.mapInPandas(signatures, "id long, band int, bucket long"))
-    cand = (
-        buckets.alias("x")
-        .join(buckets.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
-        .distinct()
+    cand = bounded_bucket_pairs(
+        buckets, ["band", "bucket"], max_bucket_size=max_bucket_size
     )
 
     from pyspark.sql.functions import pandas_udf

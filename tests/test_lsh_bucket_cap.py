@@ -1,0 +1,116 @@
+"""LSH bucket-cap tests: oversized (band, bucket) groups must emit a
+bounded connectivity subgraph, not C(n,2) pairs.
+
+The failure shape: a duplicate-heavy corpus puts a 1000-way cluster into
+ONE bucket per band, and the uncapped self-join emits ~500k candidate
+pairs per band (measured ~45x candidate load on a 10x dup-heavy corpus).
+Dedup only needs each true cluster to stay connected through component
+resolution — these tests pin both the bound and the connectivity.
+"""
+
+from pyspark.sql import functions as F
+
+from local_pubchem_db_spark.operators.dedup import (
+    bounded_bucket_pairs,
+    dedup_keep_ids,
+    minhash_lsh_dedup_pairs,
+)
+
+
+def _components(pairs):
+    """Driver-side union-find over a (small) collected pair list."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(r["id1"]), find(r["id2"])
+        if a != b:
+            parent[a] = b
+    return {x: find(x) for x in parent}
+
+
+def test_bounded_bucket_pairs_caps_oversized_bucket(spark):
+    # One 1000-member bucket (oversized) + one 5-member bucket (small).
+    rows = [(i, 0, 7) for i in range(1000)] + [(1000 + i, 1, 9) for i in range(5)]
+    buckets = spark.createDataFrame(rows, "id long, band int, bucket long")
+    pairs = bounded_bucket_pairs(
+        buckets, ["band", "bucket"], max_bucket_size=64
+    ).collect()
+
+    # Star (n-1) + chain (n-2) for the big bucket, all C(5,2) for the
+    # small one — nowhere near the uncapped C(1000,2) = 499500.
+    big = [r for r in pairs if r["id1"] < 1000]
+    small = [r for r in pairs if r["id1"] >= 1000]
+    assert len(big) == 999 + 998
+    assert len(small) == 10
+    assert all(r["id1"] < r["id2"] for r in pairs)
+
+    # Connectivity: every big-bucket id resolves into ONE component.
+    comp = _components(big)
+    assert len({comp[i] for i in range(1000)}) == 1
+
+
+def test_bounded_bucket_pairs_exact_within_cap(spark):
+    # Within the cap the output is exactly the all-pairs candidate set.
+    rows = [(i, b, 3) for b in range(2) for i in range(10)]
+    buckets = spark.createDataFrame(rows, "id long, band int, bucket long")
+    capped = bounded_bucket_pairs(buckets, ["band", "bucket"], max_bucket_size=64)
+    uncapped = bounded_bucket_pairs(buckets, ["band", "bucket"], max_bucket_size=None)
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, uncapped.collect()))
+    assert capped.count() == 45  # C(10,2), both bands' pairs dedup to one set
+
+
+def test_minhash_thousand_way_cluster_keeps_one(spark):
+    # 1000 identical documents + 3 distinct ones: the capped LSH path must
+    # still resolve the flood to a single representative, and candidate
+    # volume must stay linear in the cluster size.
+    dup_text = (
+        "spark structured streaming maintains state across micro batches "
+        "with watermarks bounding how late data may arrive for each window"
+    )
+    distinct = [
+        "completely different first document about parquet row groups",
+        "another unrelated text concerning broadcast hash joins in planners",
+        "a third standalone note on adaptive query execution partitions",
+    ]
+    rows = [(i, dup_text) for i in range(1000)] + [
+        (1000 + i, t) for i, t in enumerate(distinct)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = minhash_lsh_dedup_pairs(df, "doc_id", "text", threshold=0.8)
+    n_pairs = pairs.count()
+    # All emitted pairs are exact duplicates (jaccard 1.0) of the flood;
+    # the cap bounds them to O(n) instead of C(1000,2) = 499500.
+    assert n_pairs < 5000
+    kept = dedup_keep_ids(df, pairs, "doc_id")
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert kept_ids == {0, 1000, 1001, 1002}
+    spark.catalog.clearCache()
+
+
+def test_srp_flood_bounded_and_coarse_regime_uncapped(spark):
+    import numpy as np
+
+    from local_pubchem_db_spark.operators.similarity import srp_lsh_neardup_pairs
+
+    # A 300-vector flood of one embedding (+noise-free) lands in one
+    # bucket per band at the default r=8: the auto cap bounds candidates.
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(16)
+    rows = [(i, (v).tolist()) for i in range(300)] + [
+        (300 + i, rng.standard_normal(16).tolist()) for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = srp_lsh_neardup_pairs(emb, threshold=0.95)
+    got = [(r["id1"], r["id2"]) for r in pairs.collect()]
+    assert 0 < len(got) < 2000  # uncapped would emit C(300,2) = 44850
+    comp = _components([{"id1": a, "id2": b} for a, b in got])
+    assert len({comp[i] for i in range(300)}) == 1
+    spark.catalog.clearCache()
