@@ -46,9 +46,6 @@ from local_pubchem_db_spark.operators.dedup import (
 )
 from local_pubchem_db_spark.operators.sampling import hash_split
 
-# chunk_id must fit below this factor when composing the synthetic
-# chunk uid (doc_id * MAX_CHUNKS_PER_DOC + chunk_id)
-MAX_CHUNKS_PER_DOC = 1 << 20
 
 
 def clean_corpus(
@@ -131,19 +128,19 @@ def clean_corpus(
 
     out = {"filtered": filtered, "deduped": deduped, "chunks": chunks}
     if pack_budget is not None:
-        uid = (F.col("doc_id") * MAX_CHUNKS_PER_DOC + F.col("chunk_id")).alias(
-            "chunk_uid"
-        )
+        # Pack and join back on the COMPOSITE (doc_id, chunk_id) key: a
+        # synthetic scalar uid (doc_id * 2^20 + chunk_id) silently wraps
+        # once doc ids are 64-bit hashes (xxhash64 ids from the corpus
+        # sources), aliasing chunks across unrelated documents. The
+        # composite key is collision-free by construction and keeps the
+        # sibling-chunks-pack-adjacently scan order.
         packed = pack_sequences(
-            chunks.select(uid, "n_tokens"),
+            chunks.select("doc_id", "chunk_id", "n_tokens"),
             pack_budget,
-            id_col="chunk_uid",
             n_tokens_col="n_tokens",
+            order_cols=["doc_id", "chunk_id"],
         )
         out["packed"] = packed.join(
-            chunks.withColumn(
-                "chunk_uid", F.col("doc_id") * MAX_CHUNKS_PER_DOC + F.col("chunk_id")
-            ).drop("n_tokens"),
-            "chunk_uid",
+            chunks.drop("n_tokens"), ["doc_id", "chunk_id"]
         )
     return out

@@ -70,6 +70,7 @@ def pack_sequences(
     max_tokens: int,
     id_col: str = "doc_id",
     n_tokens_col: str = "n_tokens",
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Greedy NEXT-FIT sequence packing: assign each document a
     ``pack_id`` so that every pack's token sum stays <= ``max_tokens`` —
@@ -94,16 +95,29 @@ def pack_sequences(
     Documents longer than ``max_tokens`` get a pack of their own (the
     caller chunks them first — see chunk_documents).
 
-    Returns ``id_col, n_tokens, pack_id``.
+    ``order_cols`` packs on a COMPOSITE key (e.g. ``["doc_id",
+    "chunk_id"]``): rows are range-partitioned and scanned in that tuple
+    order, and all key columns pass through to the output. This is the
+    collision-safe path for chunk-level packing — a synthetic scalar uid
+    like ``doc_id * 2^20 + chunk_id`` silently wraps (and cross-doc
+    aliases) once doc ids are 64-bit hashes.
+
+    Returns ``*key cols, n_tokens_col, pack_id``.
     """
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
     import pandas as pd  # noqa: F401  (type-hint resolution)
 
+    keys = list(order_cols) if order_cols else [id_col]
+    in_types = dict(docs.dtypes)
+    out_schema = (
+        ", ".join(f"{c} {in_types[c]}" for c in keys) + ", __n long, pack_id long"
+    )
+
     base = (
-        docs.select(F.col(id_col).alias("id"), F.col(n_tokens_col).alias("n"))
-        .repartitionByRange(F.col("id"))
-        .sortWithinPartitions("id")
+        docs.select(*keys, F.col(n_tokens_col).cast("long").alias("__n"))
+        .repartitionByRange(*[F.col(c) for c in keys])
+        .sortWithinPartitions(*keys)
     )
 
     def pack(batches):
@@ -114,14 +128,14 @@ def pack_sequences(
         acc = 0
         started = False
         for pdf in batches:  # greedy state carries across Arrow batches
-            if pdf["n"].isna().any():
-                bad = pdf.loc[pdf["n"].isna(), "id"].head(5).tolist()
+            if pdf["__n"].isna().any():
+                bad = pdf.loc[pdf["__n"].isna(), keys[0]].head(5).tolist()
                 raise ValueError(
                     "pack_sequences: null n_tokens for ids %s — token "
                     "counts must be non-null (fix or filter upstream)" % bad
                 )
             packs = []
-            for n in pdf["n"]:
+            for n in pdf["__n"]:
                 n = int(n)
                 if started and acc + n > max_tokens:
                     local_pack += 1
@@ -129,15 +143,10 @@ def pack_sequences(
                 started = True
                 acc += n
                 packs.append((pid << 32) | local_pack)
-            out = pdf.rename(columns={"id": "id", "n": "n"}).copy()
+            out = pdf.copy()
             out["pack_id"] = packs
             yield out
 
-    return (
-        base.mapInPandas(pack, "id long, n long, pack_id long")
-        .select(
-            F.col("id").alias(id_col),
-            F.col("n").alias(n_tokens_col),
-            "pack_id",
-        )
+    return base.mapInPandas(pack, out_schema).withColumnRenamed(
+        "__n", n_tokens_col
     )

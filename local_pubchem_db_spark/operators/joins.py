@@ -221,12 +221,18 @@ def edit_distance_join(
                             keys.append(s[p : p + ln])
             yield pd.DataFrame({"id": ids, "L": Ls, "i": idxs, "key": keys})
 
-    schema = "id long, L int, i int, key string"
+    # Arrow schemas derive the id dtype from the input — the operator's
+    # motivating keys are string InChIKeys, and a hardcoded `id long`
+    # would fail (or worse, coerce) them.
     l_norm = left.select(F.col(left_id).alias("id"), F.col(left_col).alias("s"))
     r_norm = right.select(F.col(right_id).alias("id"), F.col(right_col).alias("s"))
 
-    seg = l_norm.mapInPandas(emit_index, schema)
-    probe = r_norm.mapInPandas(emit_probe, schema)
+    seg = l_norm.mapInPandas(
+        emit_index, f"id {dict(l_norm.dtypes)['id']}, L int, i int, key string"
+    )
+    probe = r_norm.mapInPandas(
+        emit_probe, f"id {dict(r_norm.dtypes)['id']}, L int, i int, key string"
+    )
     cand = (
         seg.join(probe.withColumnRenamed("id", "rid"), ["L", "i", "key"])
         .select(F.col("id").alias("lid"), "rid")

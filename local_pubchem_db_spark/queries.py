@@ -666,12 +666,16 @@ def q_incremental_dedup(spark, sf_dir):
     The table NAME is keyed on a fingerprint of the input files (size +
     mtime), so regenerated testdata gets a fresh index instead of a stale
     one; the PATH is keyed on the Spark applicationId, so concurrent
-    driver processes never race on shared files and the state dies with
-    the app instead of leaking across runs."""
+    driver processes never race on shared files. The dir is removed at
+    interpreter exit (atexit), and stale siblings left by crashed runs
+    are evicted opportunistically after a day — no unbounded /tmp leak."""
+    import atexit as _atexit
     import hashlib as _hashlib
     import os as _os
     import re as _re
+    import shutil as _shutil
     import tempfile as _tempfile
+    import time as _time
 
     docs = t(spark, sf_dir, "documents")
     history = docs.filter(F.col("doc_id") < 250)
@@ -692,11 +696,24 @@ def q_incremental_dedup(spark, sf_dir):
         fp.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
     tbl = "lsh_hist_idx_" + fp.hexdigest()[:12]
     if not spark.catalog.tableExists(tbl):
+        tmp = _tempfile.gettempdir()
         app_dir = _os.path.join(
-            _tempfile.gettempdir(),
+            tmp,
             "spark_graft_idx_"
             + _re.sub(r"\W+", "_", spark.sparkContext.applicationId),
         )
+        # Own dir dies with this process; crashed runs' dirs (different
+        # applicationId, never to be reused) are evicted once stale.
+        _atexit.register(_shutil.rmtree, app_dir, ignore_errors=True)
+        for d in _os.listdir(tmp):
+            p = _os.path.join(tmp, d)
+            if (
+                d.startswith("spark_graft_idx_")
+                and p != app_dir
+                and _os.path.isdir(p)
+                and _time.time() - _os.path.getmtime(p) > 86400
+            ):
+                _shutil.rmtree(p, ignore_errors=True)
         (
             lsh_bucket_index(history, "doc_id", "text")
             .write.bucketBy(8, "band", "bucket")

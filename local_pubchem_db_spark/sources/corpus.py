@@ -37,7 +37,19 @@ def _normalize(
     if id_col is None:
         doc_id = F.xxhash64(text)
     else:
-        doc_id = F.col(id_col).cast("long")
+        # Numeric ids keep their value (stable across engines); anything
+        # non-numeric (UUIDs, URL slugs) hashes deterministically with
+        # xxhash64 instead of cast→NULL silently merging every such row
+        # under one null id. A null input id raises — an id column the
+        # caller named must actually identify rows.
+        raw = F.col(id_col).cast("string")
+        doc_id = F.when(
+            raw.isNotNull(), F.coalesce(raw.try_cast("long"), F.xxhash64(raw))
+        ).otherwise(
+            F.raise_error(
+                F.lit(f"corpus source: null id in column '{id_col}'")
+            ).cast("long")
+        )
     return df.select(
         doc_id.alias("doc_id"),
         text.alias("text"),

@@ -128,3 +128,41 @@ def test_near_dup_chain_keeps_one_representative(spark):
     assert 13 in kept
     assert len(kept & {10, 11, 12}) == 1  # one representative, min id
     assert 10 in kept
+
+
+def test_packing_with_hash_scale_doc_ids(spark):
+    # 64-bit-hash doc ids (incl. negative, as xxhash64 emits) must pack
+    # without cross-document chunk aliasing — the old scalar
+    # doc_id * 2^20 + chunk_id uid wrapped and collided at this scale.
+    big = -(1 << 62) + 5
+    bigger = (1 << 62) + 11
+    rows = [
+        (big, OTHER),
+        (bigger, GOOD),
+        # ids whose packed uids would collide under the old scheme:
+        # (a * 2^20 + 3) == ((a + 1) * 2^20 - 2^20 + 3)
+        (7 << 20, GOOD + " trailing marker one two three four five six"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stages = clean_corpus(
+        docs,
+        min_tokens=4,
+        languages=None,
+        min_quality=0,
+        chunk_size=8,
+        stride=8,
+        pack_budget=16,
+    )
+    chunks = stages["chunks"].collect()
+    packed = stages["packed"].collect()
+    # every chunk appears exactly once in the packed output — no
+    # aliasing, no loss
+    assert sorted((r["doc_id"], r["chunk_id"]) for r in packed) == sorted(
+        (r["doc_id"], r["chunk_id"]) for r in chunks
+    )
+    sums = {}
+    for r in packed:
+        sums.setdefault(r["pack_id"], 0)
+        sums[r["pack_id"]] += r["n_tokens"]
+    assert all(s <= 16 for s in sums.values())
+    spark.catalog.clearCache()

@@ -81,3 +81,51 @@ def test_text_dir_corpus_feeds_dedup(spark, tmp_path):
     # ids stable across a re-read
     again = {r["doc_id"] for r in read_text_dir_corpus(spark, str(d)).collect()}
     assert again == {r["doc_id"] for r in df.collect()}
+
+
+def test_jsonl_string_ids_hash_instead_of_nulling(spark, tmp_path):
+    # Non-numeric ids (UUIDs, slugs) must become distinct deterministic
+    # hashes — the old cast-to-long produced NULL for every such row,
+    # merging the whole corpus under one id.
+    docs = [
+        {"id": "doc-alpha", "text": "first body of text"},
+        {"id": "doc-beta", "text": "second body of text"},
+        {"id": "42", "text": "numeric-string id keeps its value"},
+    ]
+    p = tmp_path / "s.jsonl"
+    p.write_text("\n".join(json.dumps(d) for d in docs))
+    rows = {r["text"]: r["doc_id"] for r in read_jsonl_corpus(
+        spark, str(p), id_field="id"
+    ).collect()}
+    assert len(set(rows.values())) == 3
+    assert all(v is not None for v in rows.values())
+    assert rows["numeric-string id keeps its value"] == 42
+    # deterministic across re-reads
+    again = {r["text"]: r["doc_id"] for r in read_jsonl_corpus(
+        spark, str(p), id_field="id"
+    ).collect()}
+    assert again == rows
+
+
+def test_jsonl_string_ids_flow_through_split(spark, tmp_path):
+    from local_pubchem_db_spark.operators.sampling import hash_split
+
+    docs = [{"id": f"slug-{i}", "text": f"document body number {i} with words"}
+            for i in range(30)]
+    p = tmp_path / "h.jsonl"
+    p.write_text("\n".join(json.dumps(d) for d in docs))
+    corpus = read_jsonl_corpus(spark, str(p), id_field="id")
+    split = hash_split(corpus, "doc_id", {"train": 0.8, "val": 0.2})
+    got = split.collect()
+    assert len(got) == 30
+    assert {r["split"] for r in got} <= {"train", "val"}
+
+
+def test_jsonl_null_id_raises(spark, tmp_path):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    p = tmp_path / "n.jsonl"
+    p.write_text(json.dumps({"id": None, "text": "orphan row"}))
+    with pytest.raises(SparkRuntimeException, match="null id"):
+        read_jsonl_corpus(spark, str(p), id_field="id").collect()

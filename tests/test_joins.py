@@ -114,3 +114,22 @@ def test_edit_distance_join_inchikey_shape(spark):
         for r in edit_distance_join(ldf, rdf, "lid", "k", "rid", "k", 1).collect()
     }
     assert got == {(0, 100, 1)}
+
+
+def test_edit_distance_join_string_ids(spark):
+    # The operator's motivating keys are string InChIKeys — the Arrow
+    # schema must follow the input id dtype, not assume long.
+    from local_pubchem_db_spark.operators.joins import edit_distance_join
+
+    ldf = spark.createDataFrame(
+        [("LID-A", "kitten"), ("LID-B", "flaw")], "lid string, w string"
+    )
+    rdf = spark.createDataFrame(
+        [("RID-1", "sitten"), ("RID-2", "lawn"), ("RID-3", "zzz")],
+        "rid string, w string",
+    )
+    got = {
+        (r["lid"], r["rid"], r["distance"])
+        for r in edit_distance_join(ldf, rdf, "lid", "w", "rid", "w", 2).collect()
+    }
+    assert got == {("LID-A", "RID-1", 1), ("LID-B", "RID-2", 2)}
