@@ -23,7 +23,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Column, Window
+from pyspark.sql import DataFrame, Column
 from pyspark.sql import functions as F
 
 from local_pubchem_db_spark.functions.hashing import (
@@ -114,55 +114,61 @@ def bounded_bucket_pairs(
     - a chain: every member linked to its sorted predecessor (redundancy
       if an individual star edge fails downstream exact verification),
 
-    i.e. <2n edges per oversized bucket, all emitted map-side after one
-    window pass — no join blow-up. Buckets within the cap keep the exact
-    all-pairs join, so pair-level output is unchanged wherever the cap
-    doesn't bite. ``max_bucket_size=None`` disables the cap.
+    i.e. <2n edges per oversized bucket — no join blow-up. Buckets within
+    the cap keep the exact all-pairs candidate set, so pair-level output
+    is unchanged wherever the cap doesn't bite. ``max_bucket_size=None``
+    disables the cap (every bucket expands all-pairs).
+
+    Cost shape: ONE shuffle — ``groupBy(keys).collect_list(id)`` — then
+    the pair expansion happens as array expressions on the grouped row
+    (the classic bucket SELF-join shuffles the relation twice and is
+    quadratic per bucket with no way to intervene). Each bucket's sorted
+    id array materializes on one task, which is exactly the bounded
+    amount of state the cap guarantees we can afford; with the cap
+    disabled a pathological flood bucket concentrates in one task — the
+    caller has opted into that.
     """
-    if max_bucket_size is None:
-        return (
-            buckets.alias("x")
-            .join(buckets.alias("y"), key_cols)
-            .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-            .select(
-                F.col(f"x.{id_col}").alias("id1"),
-                F.col(f"y.{id_col}").alias("id2"),
-            )
-            .distinct()
-        )
-    wb = Window.partitionBy(*key_cols)
-    ws = wb.orderBy(id_col)
-    ranked = shared(
-        buckets.select(
-            F.col(id_col).alias("_bid"),
-            *key_cols,
-            F.count(F.lit(1)).over(wb).alias("_n"),
-            F.min(id_col).over(wb).alias("_min"),
-            F.lag(id_col).over(ws).alias("_prev"),
+    tail = lambda ids: F.slice(ids, 2, F.greatest(F.size(ids) - 1, F.lit(0)))  # noqa: E731
+    ids_ = F.col("_ids")
+    all_pairs = F.flatten(
+        F.transform(
+            ids_,
+            lambda x, i: F.transform(
+                F.slice(ids_, i + F.lit(2), F.size(ids_)),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
         )
     )
-    small = ranked.filter(F.col("_n") <= max_bucket_size)
-    small_pairs = (
-        small.alias("x")
-        .join(small.alias("y"), key_cols)
-        .filter(F.col("x._bid") < F.col("y._bid"))
-        .select(F.col("x._bid").alias("id1"), F.col("y._bid").alias("id2"))
-    )
-    large_pairs = (
-        ranked.filter((F.col("_n") > max_bucket_size) & F.col("_prev").isNotNull())
-        .select(
-            F.explode(
-                F.array_distinct(
-                    F.array(
-                        F.struct(F.col("_min").alias("id1"), F.col("_bid").alias("id2")),
-                        F.struct(F.col("_prev").alias("id1"), F.col("_bid").alias("id2")),
-                    )
+    star_chain = F.flatten(
+        F.transform(
+            tail(ids_),
+            # element i of the tail is ids[i+2] 1-based; its chain
+            # predecessor is ids[i+1], and the star root is ids[1] (the
+            # bucket minimum — array_distinct drops the duplicate edge
+            # where predecessor == root).
+            lambda x, i: F.array_distinct(
+                F.array(
+                    F.struct(F.element_at(ids_, 1).alias("id1"), x.alias("id2")),
+                    F.struct(
+                        F.element_at(ids_, i + F.lit(1)).alias("id1"),
+                        x.alias("id2"),
+                    ),
                 )
-            ).alias("p")
+            ),
         )
-        .select("p.id1", "p.id2")
     )
-    return small_pairs.union(large_pairs).distinct()
+    expand = (
+        all_pairs
+        if max_bucket_size is None
+        else F.when(F.size(ids_) <= max_bucket_size, all_pairs).otherwise(star_chain)
+    )
+    return (
+        buckets.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+        .select(F.explode(expand).alias("_p"))
+        .select(F.col("_p.id1").alias("id1"), F.col("_p.id2").alias("id2"))
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(
