@@ -114,3 +114,24 @@ def test_srp_flood_bounded_and_coarse_regime_uncapped(spark):
     comp = _components([{"id1": a, "id2": b} for a, b in got])
     assert len({comp[i] for i in range(300)}) == 1
     spark.catalog.clearCache()
+
+
+def test_bounded_bucket_pairs_plan_shape(spark):
+    # Candidate generation must be join-free: one hash-partition exchange
+    # for the groupBy(collect_list) and one for the final distinct — the
+    # self-join formulation shuffled the bucket relation twice AND planned
+    # a quadratic per-bucket join we could not intervene in.
+    buckets = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("int").alias("band"),
+        (F.col("id") % 11).alias("bucket"),
+    )
+    df = bounded_bucket_pairs(buckets, ["band", "bucket"])
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = qe.explainString(mode)
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
