@@ -47,3 +47,47 @@ def test_query_analyzes_against_live_schemas(spark, sf_dir, name):
     bench artifact at once."""
     df = QUERIES[name](spark, sf_dir)
     assert df.schema is not None
+
+
+def test_events_table_normalizes_both_parquet_vintages(spark, tmp_path):
+    """Write the SAME events as TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    parquet and assert events_table yields identical (ts, ts_ns) for
+    both — the bidirectional pin for the dtype branch that round 4's
+    frozen nanos assumption lacked."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789, 1_700_009_999_000_001]
+    base = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([10, 20, 30], pa.int64()),
+        "event_type": pa.array(["click", "view", "purchase"]),
+        "value": pa.array([1.5, 2.5, 3.5], pa.float64()),
+        "props": pa.array(['{"k":1}', '{"k":2}', '{"k":3}']),
+    }
+    for vintage, ts_arr, version in [
+        ("micros", pa.array(micros, pa.timestamp("us")), "2.4"),
+        ("nanos", pa.array([m * 1000 for m in micros], pa.timestamp("ns")), "2.6"),
+    ]:
+        d = tmp_path / vintage
+        d.mkdir()
+        tbl = pa.table({"event_id": base["event_id"], "ts": ts_arr,
+                        "user_id": base["user_id"], "event_type": base["event_type"],
+                        "value": base["value"], "props": base["props"]})
+        pq.write_table(tbl, str(d / "events.parquet"), version=version,
+                       coerce_timestamps=None)
+
+    from local_pubchem_db_spark.queries import events_table
+
+    got = {}
+    for vintage in ("micros", "nanos"):
+        df = events_table(spark, str(tmp_path / vintage))
+        dt = dict(df.dtypes)
+        assert dt["ts"] == "timestamp", (vintage, dt)
+        assert dt["ts_ns"] == "bigint", (vintage, dt)
+        got[vintage] = sorted(
+            (r["event_id"], r["ts"], r["ts_ns"])
+            for r in df.select("event_id", "ts", "ts_ns").collect()
+        )
+    assert got["micros"] == got["nanos"]
+    assert [t[2] for t in got["micros"]] == [m * 1000 for m in micros]
