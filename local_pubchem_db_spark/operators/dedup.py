@@ -90,6 +90,43 @@ def _verify_jaccard(cand: DataFrame, shingled: DataFrame, threshold: float) -> D
     )
 
 
+def _all_pairs_expr(ids_: Column) -> Column:
+    """array<struct<id1,id2>> of all (i < j) pairs of a sorted id array."""
+    return F.flatten(
+        F.transform(
+            ids_,
+            lambda x, i: F.transform(
+                F.slice(ids_, i + F.lit(2), F.size(ids_)),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
+        )
+    )
+
+
+def _star_chain_expr(ids_: Column) -> Column:
+    """array<struct<id1,id2>> linking every member of a sorted id array to
+    the minimum (star) and to its predecessor (chain): <2n edges that keep
+    the set connected without the C(n,2) blow-up."""
+    return F.flatten(
+        F.transform(
+            F.slice(ids_, 2, F.greatest(F.size(ids_) - 1, F.lit(0))),
+            # element i of the tail is ids[i+2] 1-based; its chain
+            # predecessor is ids[i+1], and the star root is ids[1] (the
+            # minimum — array_distinct drops the duplicate edge where
+            # predecessor == root).
+            lambda x, i: F.array_distinct(
+                F.array(
+                    F.struct(F.element_at(ids_, 1).alias("id1"), x.alias("id2")),
+                    F.struct(
+                        F.element_at(ids_, i + F.lit(1)).alias("id1"),
+                        x.alias("id2"),
+                    ),
+                )
+            ),
+        )
+    )
+
+
 def bounded_bucket_pairs(
     buckets: DataFrame,
     key_cols: list[str],
@@ -128,39 +165,13 @@ def bounded_bucket_pairs(
     disabled a pathological flood bucket concentrates in one task — the
     caller has opted into that.
     """
-    tail = lambda ids: F.slice(ids, 2, F.greatest(F.size(ids) - 1, F.lit(0)))  # noqa: E731
     ids_ = F.col("_ids")
-    all_pairs = F.flatten(
-        F.transform(
-            ids_,
-            lambda x, i: F.transform(
-                F.slice(ids_, i + F.lit(2), F.size(ids_)),
-                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
-            ),
-        )
-    )
-    star_chain = F.flatten(
-        F.transform(
-            tail(ids_),
-            # element i of the tail is ids[i+2] 1-based; its chain
-            # predecessor is ids[i+1], and the star root is ids[1] (the
-            # bucket minimum — array_distinct drops the duplicate edge
-            # where predecessor == root).
-            lambda x, i: F.array_distinct(
-                F.array(
-                    F.struct(F.element_at(ids_, 1).alias("id1"), x.alias("id2")),
-                    F.struct(
-                        F.element_at(ids_, i + F.lit(1)).alias("id1"),
-                        x.alias("id2"),
-                    ),
-                )
-            ),
-        )
-    )
     expand = (
-        all_pairs
+        _all_pairs_expr(ids_)
         if max_bucket_size is None
-        else F.when(F.size(ids_) <= max_bucket_size, all_pairs).otherwise(star_chain)
+        else F.when(
+            F.size(ids_) <= max_bucket_size, _all_pairs_expr(ids_)
+        ).otherwise(_star_chain_expr(ids_))
     )
     return (
         buckets.groupBy(*key_cols)
@@ -185,6 +196,19 @@ def ngram_jaccard_pairs(
     blocking on shingles loses nothing (when max_shingle_df doesn't bite;
     with the default cap a missed pair would need ALL its shared shingles
     to occur in >1000 docs — such pairs are boilerplate, not content).
+
+    Physical shape note (r5, measured at sf0.1): this blocking join was
+    also tried as the one-shuffle ``groupBy(shingle).collect_list`` +
+    array-expansion formulation that won for ``minhash_lsh_dedup_pairs``
+    (7.8s) and as a window-count df cap with exchange-reuse into the
+    self-join (7.4s); the original groupBy-count + rare-semi-join +
+    self-join below stays fastest (6.1s) because shingle groups are
+    Zipf-tailed singletons — the codegen'd join skips them for free while
+    an object-hash collect_list pays per-group overhead. Unlike the LSH
+    cap, an over-cap shingle is DROPPED entirely (a ubiquitous shingle
+    carries no blocking signal) — semantics the DuckDB oracle mirrors in
+    its blocking CTE; per-bucket quadratic blow-up is therefore already
+    bounded by ``max_shingle_df``, no star+chain needed.
     """
     shingled = _with_shingles(df, id_col, text_col, shingle_len)
     exploded = shingled.select("id", F.explode("shingles").alias("shingle"))
