@@ -13,6 +13,12 @@ from local_pubchem_db_spark.sources.corpus import (
     read_jsonl_corpus,
     read_text_dir_corpus,
 )
+from local_pubchem_db_spark.sources.shards import (
+    read_shard_manifest,
+    read_training_shards,
+    shard_assignment,
+    write_training_shards,
+)
 
 __all__ = [
     "MANIFEST_SCHEMA",
@@ -23,5 +29,9 @@ __all__ = [
     "read_manifest",
     "read_sdf",
     "read_sdf_records",
+    "read_shard_manifest",
     "read_text_dir_corpus",
+    "read_training_shards",
+    "shard_assignment",
+    "write_training_shards",
 ]

@@ -1,0 +1,80 @@
+"""Training-shard sink: deterministic membership, one file per shard,
+manifest parity, pruned reads."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from local_pubchem_db_spark.sources.shards import (
+    read_shard_manifest,
+    read_training_shards,
+    shard_assignment,
+    write_training_shards,
+)
+
+
+def _docs(spark, n=200):
+    return spark.range(n).select(
+        (F.col("id") * 37 + 11).alias("doc_id"),
+        F.concat(F.lit("document body "), F.col("id")).alias("text"),
+    )
+
+
+def test_roundtrip_and_manifest(spark, tmp_path):
+    docs = _docs(spark)
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, num_shards=8)
+
+    back = read_training_shards(spark, out)
+    assert back.count() == 200
+    assert sorted(r["doc_id"] for r in back.collect()) == sorted(
+        r["doc_id"] for r in docs.collect()
+    )
+
+    manifest = {r["shard"]: r["n_rows"] for r in read_shard_manifest(spark, out).collect()}
+    actual = {
+        r["shard"]: r["n"]
+        for r in back.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert manifest == actual
+    assert sum(manifest.values()) == 200
+
+
+def test_membership_deterministic_and_one_file_per_shard(spark, tmp_path):
+    docs = _docs(spark)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    # different input partitioning must not change shard membership
+    write_training_shards(docs, a, num_shards=8)
+    write_training_shards(docs.repartition(13), b, num_shards=8)
+    rows_a = {(r["doc_id"], r["shard"]) for r in read_training_shards(spark, a).collect()}
+    rows_b = {(r["doc_id"], r["shard"]) for r in read_training_shards(spark, b).collect()}
+    assert rows_a == rows_b
+
+    # membership matches the exposed assignment expression
+    expected = {
+        (r["doc_id"], r["s"])
+        for r in docs.select("doc_id", shard_assignment("doc_id", 8).alias("s")).collect()
+    }
+    assert rows_a == expected
+
+    # one parquet file per shard dir: the sequential-scan layout
+    data_dir = os.path.join(a, "data")
+    shard_dirs = [d for d in os.listdir(data_dir) if d.startswith("shard=")]
+    assert shard_dirs
+    for d in shard_dirs:
+        files = [f for f in os.listdir(os.path.join(data_dir, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+
+
+def test_pruned_read_touches_selected_shards(spark, tmp_path):
+    docs = _docs(spark)
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, num_shards=8)
+    some = read_training_shards(spark, out, shards=[0, 3])
+    got = {r["shard"] for r in some.select("shard").distinct().collect()}
+    assert got <= {0, 3}
+    # partition pruning reaches the scan: the shard filter appears as a
+    # partition filter, not a post-scan filter
+    plan = some._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "shard" in plan.split("PartitionFilters", 1)[1][:200]
