@@ -78,3 +78,31 @@ def test_pruned_read_touches_selected_shards(spark, tmp_path):
     plan = some._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "shard" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_clean_corpus_composes_into_shards(spark, tmp_path, sf_dir):
+    # The full export story: documents -> clean_corpus -> shard sink ->
+    # pruned read. Chunk rows shard on the document id, so sibling
+    # chunks always land in the same shard (locality for packing-aware
+    # readers).
+    from local_pubchem_db_spark.corpus_pipeline import clean_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    chunks = clean_corpus(
+        docs, min_tokens=8, languages=None, min_quality=0,
+        chunk_size=16, stride=16,
+    )["chunks"]
+    out = str(tmp_path / "corpus_shards")
+    write_training_shards(chunks, out, num_shards=4)
+
+    back = read_training_shards(spark, out)
+    assert back.count() == chunks.count()
+    # sibling chunks co-sharded
+    spread = (
+        back.groupBy("doc_id")
+        .agg(F.countDistinct("shard").alias("k"))
+        .agg(F.max("k").alias("mx"))
+        .first()["mx"]
+    )
+    assert spread == 1
+    spark.catalog.clearCache()
