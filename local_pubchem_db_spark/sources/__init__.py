@@ -14,6 +14,7 @@ from local_pubchem_db_spark.sources.corpus import (
     read_text_dir_corpus,
 )
 from local_pubchem_db_spark.sources.shards import (
+    append_to_training_shards,
     read_shard_manifest,
     read_training_shards,
     shard_assignment,
@@ -22,6 +23,7 @@ from local_pubchem_db_spark.sources.shards import (
 
 __all__ = [
     "MANIFEST_SCHEMA",
+    "append_to_training_shards",
     "parse_sdf_records",
     "pending_files",
     "read_csv_corpus",

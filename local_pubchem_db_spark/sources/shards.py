@@ -67,10 +67,81 @@ def write_training_shards(
     (
         sharded.groupBy("shard")
         .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("num_shards", F.lit(num_shards))
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{path}/_shard_manifest")
     )
+
+
+def append_to_training_shards(
+    df: DataFrame, path: str, id_col: str = "doc_id"
+) -> list[int]:
+    """Incremental upsert into an existing shard layout: ONLY the shards
+    that receive rows are rewritten; every other shard's files are left
+    byte-for-byte untouched. Returns the affected shard ids.
+
+    This is the output-side mirror of the reference's incremental ingest
+    (manifest anti-join + per-file txn, reference utils.py:272-282,322):
+    membership is recomputed from the id (``shard_assignment``, with
+    ``num_shards`` read from the manifest, never guessed), affected
+    shards are loaded, rows whose id reappears in the batch are REPLACED
+    (so replaying a batch is idempotent — the exactly-once property the
+    rest of this repo's ingest paths keep), and the rewrite uses dynamic
+    partition overwrite so untouched partitions are never listed,
+    rewritten, or dropped.
+
+    Scale shape: cost is proportional to the affected shards' data plus
+    the batch — a small batch against a 100 TB corpus touches
+    |distinct shards in batch| files, not the corpus.
+    """
+    spark = df.sparkSession
+    meta = read_shard_manifest(spark, path).select("num_shards").first()
+    num_shards = int(meta["num_shards"])
+    new = df.withColumn("shard", shard_assignment(id_col, num_shards))
+    affected = sorted(
+        r["shard"] for r in new.select("shard").distinct().collect()
+    )
+    if not affected:
+        return []
+    existing = read_training_shards(spark, path, shards=affected)
+    survivors = existing.join(
+        new.select(id_col).distinct(), id_col, "left_anti"
+    )
+    merged = survivors.unionByName(new.select(*survivors.columns))
+    (
+        merged.repartition(len(affected), "shard")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(f"{path}/data")
+    )
+    # Invalidate the cached file listing: the session's FileStatusCache
+    # still holds the pre-overwrite file set for this path, and a fresh
+    # DataFrame would otherwise try to scan the deleted files.
+    spark.catalog.refreshByPath(f"{path}/data")
+    # Post-write counts come from the files actually on disk (a fresh
+    # read, since `merged`'s lineage points at the pre-overwrite files
+    # the rewrite just replaced); the surviving manifest rows are
+    # localCheckpoint-materialized before their own file is overwritten.
+    new_counts = (
+        read_training_shards(spark, path, shards=affected)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    manifest = (
+        read_shard_manifest(spark, path)
+        .filter(~F.col("shard").isin(affected))
+        .select("shard", "n_rows")
+        .localCheckpoint()
+        .unionByName(new_counts)
+        .withColumn("num_shards", F.lit(num_shards))
+    )
+    manifest.localCheckpoint().coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/_shard_manifest"
+    )
+    spark.catalog.refreshByPath(f"{path}/_shard_manifest")
+    return affected
 
 
 def read_training_shards(

@@ -106,3 +106,65 @@ def test_clean_corpus_composes_into_shards(spark, tmp_path, sf_dir):
     )
     assert spread == 1
     spark.catalog.clearCache()
+
+
+def test_incremental_append_rewrites_only_affected_shards(spark, tmp_path):
+    from local_pubchem_db_spark.sources.shards import append_to_training_shards
+
+    docs = _docs(spark)
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, num_shards=8)
+    data_dir = os.path.join(out, "data")
+
+    def snapshot():
+        snap = {}
+        for d in os.listdir(data_dir):
+            if d.startswith("shard="):
+                p = os.path.join(data_dir, d)
+                snap[d] = sorted(
+                    (f, os.path.getsize(os.path.join(p, f)))
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                )
+        return snap
+
+    before = snapshot()
+
+    # batch: one REPLACED id (doc_id 11 == id 0) + two new ids
+    batch = spark.createDataFrame(
+        [(11, "replaced body"), (100011, "new body a"), (100048, "new body b")],
+        "doc_id long, text string",
+    )
+    affected = append_to_training_shards(batch, out)
+    assert affected == sorted(
+        r["s"]
+        for r in batch.select(shard_assignment("doc_id", 8).alias("s"))
+        .distinct()
+        .collect()
+    )
+
+    after = snapshot()
+    # untouched shards: byte-for-byte identical file listings
+    for d, files in before.items():
+        shard_id = int(d.split("=")[1])
+        if shard_id not in affected:
+            assert after[d] == files, d
+
+    back = read_training_shards(spark, out)
+    assert back.count() == 202  # 200 - 1 replaced + 3 batch rows
+    assert back.filter(F.col("doc_id") == 11).first()["text"] == "replaced body"
+    assert back.filter(F.col("doc_id") == 100011).count() == 1
+
+    # replay idempotence: re-appending the same batch changes nothing
+    append_to_training_shards(batch, out)
+    back = read_training_shards(spark, out)  # fresh frame: replay rewrote files
+    assert back.count() == 202
+
+    manifest = read_shard_manifest(spark, out)
+    counts = {r["shard"]: r["n_rows"] for r in manifest.collect()}
+    actual = {
+        r["shard"]: r["n"]
+        for r in back.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == actual
+    assert {r["num_shards"] for r in manifest.collect()} == {8}
