@@ -241,3 +241,95 @@ def ivf_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def pca_fit(
+    df: DataFrame, vec_col: str = "embedding", k: int = 2
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distributed PCA fit: returns ``(mean, components, explained_var)``
+    with ``components`` of shape (k, dim), rows = principal axes in
+    decreasing-eigenvalue order.
+
+    Scale shape (the whitening / dim-reduction step before ANN over a
+    100 TB embedding corpus): ONE map-only Arrow pass emits per-batch
+    moment partials — (n, sum-vector, flattened Gram matrix) — so what
+    leaves the executors is O(batches × dim²) floats, never a row; the
+    driver reduces partials (sorted for run-to-run determinism) and
+    eigendecomposes the dim×dim covariance. ``dim`` is the embedding
+    width — small by contract; data volume only changes how many
+    partials stream back.
+
+    Sign convention: each component's largest-|loading| coordinate is
+    made positive, so results are reproducible across partitionings
+    (eigenvectors are otherwise sign-ambiguous).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for i, pdf in enumerate(batches):
+            if not len(pdf):
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "part": [pid],
+                    "batch": [i],
+                    "n": [len(V)],
+                    "s": [V.sum(axis=0)],
+                    "g": [(V.T @ V).ravel()],
+                }
+            )
+
+    rows = sorted(
+        fan_out(df.select(F.col(vec_col).alias("v")))
+        .mapInPandas(
+            partials, "part int, batch int, n long, s array<double>, g array<double>"
+        )
+        .collect(),
+        key=lambda r: (r["part"], r["batch"]),
+    )
+    if not rows:
+        raise ValueError("pca_fit: empty input")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.asarray(r["g"]) for r in rows], axis=0)
+    dim = len(s)
+    if k > dim:
+        raise ValueError(f"k={k} exceeds embedding dim={dim}")
+    mean = s / n
+    cov = g.reshape(dim, dim) / n - np.outer(mean, mean)
+    eigval, eigvec = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigval)[::-1][:k]
+    comps = eigvec[:, order].T
+    flip = np.sign(comps[np.arange(k), np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    return mean, comps, np.maximum(eigval[order], 0.0)
+
+
+def pca_transform(
+    df: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project ``vec_col`` onto fitted components: one vectorized
+    Arrow-batched matmul per batch, map-only (composes with the IVF /
+    kNN operators on the reduced vectors)."""
+    from pyspark.sql.functions import pandas_udf
+
+    mu = np.asarray(mean, dtype=np.float64)
+    C = np.asarray(components, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def project(v: pd.Series) -> pd.Series:
+        V = np.array(v.tolist(), dtype=np.float64)
+        P = (V - mu) @ C.T
+        return pd.Series(list(P))
+
+    return df.withColumn(out_col, project(F.col(vec_col)))
