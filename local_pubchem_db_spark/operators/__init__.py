@@ -1,5 +1,8 @@
 from local_pubchem_db_spark.operators.dedup import (
+    bounded_bucket_pairs,
+    connected_components,
     decontaminate,
+    dedup_keep_ids,
     exact_dedup,
     exact_dedup_by_content,
     minhash_lsh_dedup_pairs,
@@ -11,7 +14,11 @@ from local_pubchem_db_spark.operators.similarity import (
     ivf_within_partition_pairs,
     srp_lsh_neardup_pairs,
 )
-from local_pubchem_db_spark.operators.clustering import semantic_dedup
+from local_pubchem_db_spark.operators.clustering import (
+    pca_fit,
+    pca_transform,
+    semantic_dedup,
+)
 from local_pubchem_db_spark.operators.joins import (
     as_of_join,
     banded_range_join,
@@ -34,8 +41,11 @@ from local_pubchem_db_spark.operators.topk import misra_gries_topk, top_k_per_gr
 __all__ = [
     "as_of_join",
     "banded_range_join",
+    "bounded_bucket_pairs",
     "brute_force_knn",
+    "connected_components",
     "decontaminate",
+    "dedup_keep_ids",
     "deterministic_shuffle",
     "edit_distance_join",
     "exact_dedup",
@@ -45,6 +55,8 @@ __all__ = [
     "minhash_lsh_dedup_pairs",
     "misra_gries_topk",
     "mix_domains",
+    "pca_fit",
+    "pca_transform",
     "ngram_jaccard_pairs",
     "range_join",
     "semantic_dedup",
