@@ -156,6 +156,18 @@ def bounded_bucket_pairs(
     is unchanged wherever the cap doesn't bite. ``max_bucket_size=None``
     disables the cap (every bucket expands all-pairs).
 
+    The cap's soundness premise: an oversized bucket is overwhelmingly a
+    REAL near-dup cluster (true for fine bucketings — 64-bit MinHash
+    band buckets, SRP at r >= 8 sign bits — where unrelated collisions
+    are rare). Star+chain edges are chosen by id order, while downstream
+    verification filters by similarity; in a MIXED oversized bucket
+    (members not all mutually above threshold) a member whose star and
+    chain edges all fail verification loses its true pairs — bounded
+    recall loss at the cap boundary, the documented trade. For COARSE
+    bucketings whose big buckets are mostly non-dups by design (SimHash
+    16-bit quarters, SRP at r < 8), all-pairs IS the recall mechanism:
+    keep the cap off there (see the callers' defaults).
+
     Cost shape: ONE shuffle — ``groupBy(keys).collect_list(id)`` — then
     the pair expansion happens as array expressions on the grouped row
     (the classic bucket SELF-join shuffles the relation twice and is
@@ -308,6 +320,7 @@ def incremental_minhash_new_ids(
     shingle_len: int = 3,
     num_perm: int = 128,
     bands: int = 32,
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """Ids in ``batch`` that are near-dups of NOTHING in the history index
     nor of an earlier (lower-id) batch row — the rows safe to append.
@@ -318,6 +331,14 @@ def incremental_minhash_new_ids(
     against batch shingles (batch-internal pairs) or accepted on bucket
     collision (batch-vs-history, since history text is not at hand — the
     conservative choice: collisions drop the row).
+
+    ``max_bucket_size`` bounds the batch-internal candidate join for
+    dup-flood batches (see ``bounded_bucket_pairs``, incl. the mixed-
+    bucket recall caveat: a batch member of a >cap bucket whose star and
+    chain edges all fail exact-Jaccard verification can be admitted even
+    though a true near-dup shares the bucket). Batches are typically
+    small relative to history; set None for exhaustive batch-internal
+    pairs when the batch itself is modest.
     """
     shingled = _with_shingles(batch, id_col, text_col, shingle_len)
     buckets = shingled.select(
@@ -334,9 +355,11 @@ def incremental_minhash_new_ids(
         .distinct()
     )
     # batch-internal near-dups: keep the lowest id of each verified pair.
-    # Bucket cap active: a dup-flood batch (everyone re-sending the same
+    # Bucket cap: a dup-flood batch (everyone re-sending the same
     # document) must not turn one micro-batch into a quadratic pair join.
-    cand = bounded_bucket_pairs(buckets, ["band", "bucket"])
+    cand = bounded_bucket_pairs(
+        buckets, ["band", "bucket"], max_bucket_size=max_bucket_size
+    )
     dup_in_batch = (
         _verify_jaccard(cand, shingled, threshold).select(F.col("id2").alias("id")).distinct()
     )
@@ -490,6 +513,7 @@ def simhash_dedup_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidates: pairs with Hamming distance <=
     ``max_hamming`` between 64-bit SimHashes.
@@ -498,6 +522,15 @@ def simhash_dedup_pairs(
     blocks guarantees >=1 identical block), so no cross join. Output is the
     SimHash criterion itself (no SQL oracle — the xxhash64-based fingerprint
     is not expressible in ANSI SQL; the driver records a rows-only check).
+
+    ``max_bucket_size`` defaults to None (exhaustive): 16-bit blocks are
+    COARSE by pigeonhole design — at ~10M docs every block holds ~150
+    mostly-dissimilar members, so "oversized bucket == duplicate
+    cluster", the premise that makes the star+chain cap sound for the
+    64-bit MinHash buckets, does not hold here and a default cap would
+    silently break the documented exhaustive-pairs contract. Pass a cap
+    only for flood-shaped corpora where the pair output feeds component
+    resolution rather than being consumed as the complete pair set.
     """
     # SimHash as one vectorized map (see hashing.simhash_udf); shared():
     # the blocked self-join references the SimHash relation twice.
@@ -524,10 +557,7 @@ def simhash_dedup_pairs(
             )
         ).alias("b"),
     ).select("id", F.col("b.q").alias("q"), F.col("b.blk").alias("blk"))
-    # Bucket cap (see bounded_bucket_pairs): a flood of identical docs
-    # lands in one 16-bit block per quarter; candidates stay O(n), and the
-    # hamming verify below prunes false positives exactly as before.
-    cand = bounded_bucket_pairs(blocks, ["q", "blk"])
+    cand = bounded_bucket_pairs(blocks, ["q", "blk"], max_bucket_size=max_bucket_size)
     a = base.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
     b = base.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
     return (

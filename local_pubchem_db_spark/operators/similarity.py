@@ -203,7 +203,16 @@ def srp_lsh_neardup_pairs(
     r) for higher recall at more candidate volume. Unrelated pairs
     (cos ~ 0) collide per band with p = 2^-r, so candidate volume stays
     ~ bands * n^2 / 2^r per skew-free bucket space — bounded, never
-    all-pairs."""
+    all-pairs.
+
+    ``max_bucket_size`` (default "auto" = 64 at r >= 8, else None)
+    additionally bounds buckets that exceed the cap — embedding floods.
+    Inside such a bucket candidates degrade from all-pairs to a
+    star+chain subgraph, so recall there is no longer governed by the
+    banding math alone (see ``dedup.bounded_bucket_pairs`` for the
+    mixed-bucket caveat); precision stays exactly 1.0 — every emitted
+    pair is still exact-cosine-verified. Pass None to restore the pure
+    LSH contract regardless of bucket sizes."""
     if n_bits % bands:
         raise ValueError("bands must divide n_bits")
     r = n_bits // bands

@@ -695,25 +695,36 @@ def q_incremental_dedup(spark, sf_dir):
         st = _os.stat(p)
         fp.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
     tbl = "lsh_hist_idx_" + fp.hexdigest()[:12]
-    if not spark.catalog.tableExists(tbl):
-        tmp = _tempfile.gettempdir()
-        app_dir = _os.path.join(
-            tmp,
-            "spark_graft_idx_"
-            + _re.sub(r"\W+", "_", spark.sparkContext.applicationId),
-        )
-        # Own dir dies with this process; crashed runs' dirs (different
-        # applicationId, never to be reused) are evicted once stale.
-        _atexit.register(_shutil.rmtree, app_dir, ignore_errors=True)
-        for d in _os.listdir(tmp):
-            p = _os.path.join(tmp, d)
-            if (
+    tmp = _tempfile.gettempdir()
+    app_dir = _os.path.join(
+        tmp,
+        "spark_graft_idx_"
+        + _re.sub(r"\W+", "_", spark.sparkContext.applicationId),
+    )
+    # Heartbeat: refresh our dir's mtime on EVERY call (not just index
+    # builds), so a long-lived driver that keeps using its index never
+    # looks stale to sibling evictors; mtime-based eviction below only
+    # reaps dirs idle for a day (crashed runs, or siblings that stopped
+    # calling — the documented residual risk).
+    if _os.path.isdir(app_dir):
+        _os.utime(app_dir)
+    for d in _os.listdir(tmp):
+        p = _os.path.join(tmp, d)
+        try:
+            stale = (
                 d.startswith("spark_graft_idx_")
                 and p != app_dir
                 and _os.path.isdir(p)
                 and _time.time() - _os.path.getmtime(p) > 86400
-            ):
-                _shutil.rmtree(p, ignore_errors=True)
+            )
+        except OSError:  # dir vanished between checks (concurrent evictor)
+            continue
+        if stale:
+            _shutil.rmtree(p, ignore_errors=True)
+    if not spark.catalog.tableExists(tbl):
+        # Own dir dies with this process; crashed runs' dirs (different
+        # applicationId, never to be reused) are evicted above once stale.
+        _atexit.register(_shutil.rmtree, app_dir, ignore_errors=True)
         (
             lsh_bucket_index(history, "doc_id", "text")
             .write.bucketBy(8, "band", "bucket")

@@ -37,14 +37,20 @@ def _normalize(
     if id_col is None:
         doc_id = F.xxhash64(text)
     else:
-        # Numeric ids keep their value (stable across engines); anything
-        # non-numeric (UUIDs, URL slugs) hashes deterministically with
-        # xxhash64 instead of cast→NULL silently merging every such row
-        # under one null id. A null input id raises — an id column the
-        # caller named must actually identify rows.
+        # Numeric ids keep their value (stable across engines) — but only
+        # when the string form ROUND-TRIPS ('007', '+7', ' 7' do not:
+        # keeping 7 for them would silently merge distinct keys, the
+        # exact bug class this branch exists to eliminate). Anything
+        # non-round-tripping (UUIDs, URL slugs, zero-padded keys) hashes
+        # deterministically with xxhash64 instead of cast→NULL merging
+        # every such row under one null id. A null input id raises — an
+        # id column the caller named must actually identify rows.
         raw = F.col(id_col).cast("string")
+        as_long = raw.try_cast("long")
+        exact = as_long.isNotNull() & (as_long.cast("string") == raw)
         doc_id = F.when(
-            raw.isNotNull(), F.coalesce(raw.try_cast("long"), F.xxhash64(raw))
+            raw.isNotNull(),
+            F.when(exact, as_long).otherwise(F.xxhash64(raw)),
         ).otherwise(
             F.raise_error(
                 F.lit(f"corpus source: null id in column '{id_col}'")

@@ -51,12 +51,16 @@ def write_training_shards(
 
     The repartition puts each shard's rows in exactly one task, so every
     shard is one contiguous parquet file — the layout a training reader
-    wants (sequential scans, no tiny files). The manifest is computed
-    from the same frame in the same job lineage; a rewrite overwrites
-    both atomically enough for the batch contract (data first, manifest
-    last — a crash between the two leaves a readable data dir and a
-    stale manifest, which ``read_training_shards`` treats as advisory).
+    wants (sequential scans, no tiny files). The manifest is counted
+    from a POST-write read of the data dir, not from ``df``'s lineage:
+    counting the input frame would execute the whole upstream pipeline
+    (cleaning/dedup, not just a parquet scan) a second time, and the
+    read-back also makes the manifest the truth of what is on disk.
+    Data first, manifest last — a crash between the two leaves a
+    readable data dir and a stale manifest, which readers treat as
+    advisory.
     """
+    spark = df.sparkSession
     sharded = df.withColumn("shard", shard_assignment(id_col, num_shards))
     (
         sharded.repartition(num_shards, "shard")
@@ -64,14 +68,17 @@ def write_training_shards(
         .mode("overwrite")
         .parquet(f"{path}/data")
     )
+    spark.catalog.refreshByPath(f"{path}/data")
     (
-        sharded.groupBy("shard")
+        read_training_shards(spark, path)
+        .groupBy("shard")
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .withColumn("num_shards", F.lit(num_shards))
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{path}/_shard_manifest")
     )
+    spark.catalog.refreshByPath(f"{path}/_shard_manifest")
 
 
 def append_to_training_shards(
@@ -98,7 +105,12 @@ def append_to_training_shards(
     spark = df.sparkSession
     meta = read_shard_manifest(spark, path).select("num_shards").first()
     num_shards = int(meta["num_shards"])
-    new = df.withColumn("shard", shard_assignment(id_col, num_shards))
+    # Materialize the batch once: its lineage is otherwise executed three
+    # times (shard-distinct collect, the anti-join's id projection, and
+    # the merged write). Batches are small by the incremental contract.
+    new = df.withColumn(
+        "shard", shard_assignment(id_col, num_shards)
+    ).localCheckpoint()
     affected = sorted(
         r["shard"] for r in new.select("shard").distinct().collect()
     )

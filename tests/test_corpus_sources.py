@@ -129,3 +129,23 @@ def test_jsonl_null_id_raises(spark, tmp_path):
     p.write_text(json.dumps({"id": None, "text": "orphan row"}))
     with pytest.raises(SparkRuntimeException, match="null id"):
         read_jsonl_corpus(spark, str(p), id_field="id").collect()
+
+
+def test_jsonl_non_roundtripping_numeric_strings_stay_distinct(spark, tmp_path):
+    # '007' parses to 7 but does not round-trip — keeping the numeric
+    # value would silently merge it with a genuine id 7. Both must
+    # survive as distinct documents.
+    docs = [
+        {"id": "7", "text": "the canonical seven"},
+        {"id": "007", "text": "the zero padded impostor"},
+        {"id": "+7", "text": "the signed variant"},
+        {"id": " 7", "text": "the padded variant"},
+    ]
+    p = tmp_path / "pad.jsonl"
+    p.write_text("\n".join(json.dumps(d) for d in docs))
+    rows = {r["text"]: r["doc_id"] for r in read_jsonl_corpus(
+        spark, str(p), id_field="id"
+    ).collect()}
+    assert len(rows) == 4
+    assert len(set(rows.values())) == 4, rows
+    assert rows["the canonical seven"] == 7  # round-trips -> keeps value
