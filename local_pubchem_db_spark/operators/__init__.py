@@ -34,6 +34,7 @@ from local_pubchem_db_spark.operators.sampling import (
     deterministic_shuffle,
     hash_split,
     mix_domains,
+    sample_per_key,
     stratified_sample,
 )
 from local_pubchem_db_spark.operators.topk import misra_gries_topk, top_k_per_group
@@ -59,6 +60,7 @@ __all__ = [
     "pca_transform",
     "ngram_jaccard_pairs",
     "range_join",
+    "sample_per_key",
     "semantic_dedup",
     "simhash_dedup_pairs",
     "srp_lsh_neardup_pairs",

@@ -317,14 +317,23 @@ def pca_transform(
     components: np.ndarray,
     vec_col: str = "embedding",
     out_col: str = "pca",
+    explained_var: np.ndarray | None = None,
+    eps: float = 1e-12,
 ) -> DataFrame:
     """Project ``vec_col`` onto fitted components: one vectorized
     Arrow-batched matmul per batch, map-only (composes with the IVF /
-    kNN operators on the reduced vectors)."""
+    kNN operators on the reduced vectors).
+
+    Pass ``explained_var`` (from ``pca_fit``) to WHITEN: each projected
+    axis is scaled by 1/sqrt(var + eps), giving unit variance per
+    component — the standard preprocessing before cosine/L2 ANN when
+    axes carry very different energies."""
     from pyspark.sql.functions import pandas_udf
 
     mu = np.asarray(mean, dtype=np.float64)
     C = np.asarray(components, dtype=np.float64)
+    if explained_var is not None:
+        C = C / np.sqrt(np.asarray(explained_var, dtype=np.float64) + eps)[:, None]
 
     @pandas_udf("array<double>")
     def project(v: pd.Series) -> pd.Series:

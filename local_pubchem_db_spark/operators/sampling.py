@@ -193,3 +193,36 @@ def deterministic_shuffle(
     key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
     out = df.withColumn("shuffle_key", key).orderBy("shuffle_key", id_col)
     return out if keep_key else out.drop("shuffle_key")
+
+
+def sample_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int,
+    seed: str = "sample",
+) -> DataFrame:
+    """EXACTLY min(k, group size) rows per key, chosen uniformly and
+    deterministically: rank rows within each key by md5(seed:id) and
+    keep the first k.
+
+    The per-domain/"per-source cap" primitive of corpus curation (cap
+    every crawl domain at k documents before mixing): ``df.sampleBy``
+    is probabilistic (can't hit an exact per-key count) and a
+    driver-side loop doesn't scale; this is one window over the key —
+    a single shuffle, deterministic across runs and partitionings, and
+    re-running with a larger k EXTENDS each group's sample (the hash
+    order is a fixed permutation per key, so top-k nests within
+    top-k', k < k').
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    rank_key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(key_col).orderBy(rank_key, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -68,3 +68,12 @@ def test_pca_errors(spark):
         pca_fit(df, "embedding", k=5)
     with pytest.raises(ValueError, match="empty"):
         pca_fit(df.filter(F.col("vec_id") > 10), "embedding", k=1)
+
+
+def test_pca_whitening_unit_variance(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mean, comps, var = pca_fit(emb, "embedding", k=2)
+    white = pca_transform(emb, mean, comps, "embedding", "w", explained_var=var)
+    W = np.array([r["w"] for r in white.select("w").collect()], dtype=np.float64)
+    assert np.allclose(W.var(axis=0), 1.0, atol=1e-6)
+    assert np.allclose(W.mean(axis=0), 0.0, atol=1e-9)

@@ -92,3 +92,34 @@ def test_deterministic_shuffle_matches_md5_oracle_and_partitioning(spark):
     plan = qe.executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
     assert "SinglePartition" not in plan
+
+
+def test_sample_per_key_exact_deterministic_nested(spark, sf_dir):
+    from local_pubchem_db_spark.operators.sampling import sample_per_key
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    sizes = {r["source"]: r["n"] for r in docs.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    s5 = sample_per_key(docs, "source", "doc_id", 5)
+    got = {r["source"]: r["n"] for r in s5.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {src: min(5, n) for src, n in sizes.items()}
+
+    # deterministic across runs and input partitionings
+    a = sorted((r["source"], r["doc_id"]) for r in s5.collect())
+    b = sorted((r["source"], r["doc_id"]) for r in sample_per_key(
+        docs.repartition(13), "source", "doc_id", 5).collect())
+    assert a == b
+
+    # nesting: the k=3 sample is a subset of the k=5 sample per key
+    s3 = {(r["source"], r["doc_id"]) for r in sample_per_key(
+        docs, "source", "doc_id", 3).collect()}
+    assert s3 <= set(a)
+
+    # different seed -> different (but still exact-size) selection
+    alt = sorted((r["source"], r["doc_id"]) for r in sample_per_key(
+        docs, "source", "doc_id", 5, seed="other").collect())
+    assert alt != a and len(alt) == len(a)
