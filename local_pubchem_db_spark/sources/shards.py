@@ -91,23 +91,32 @@ def append_to_training_shards(
     This is the output-side mirror of the reference's incremental ingest
     (manifest anti-join + per-file txn, reference utils.py:272-282,322):
     membership is recomputed from the id (``shard_assignment``, with
-    ``num_shards`` read from the manifest, never guessed), affected
-    shards are loaded, rows whose id reappears in the batch are REPLACED
-    (so replaying a batch is idempotent — the exactly-once property the
-    rest of this repo's ingest paths keep), and the rewrite uses dynamic
-    partition overwrite so untouched partitions are never listed,
-    rewritten, or dropped.
+    ``num_shards`` read from the manifest, never guessed), rows whose id
+    reappears in the batch REPLACE the stored rows (so replaying a batch
+    is idempotent — the exactly-once property the rest of this repo's
+    ingest paths keep), and rewrites use dynamic partition overwrite so
+    untouched partitions are never listed, rewritten, or dropped.
 
-    Scale shape: cost is proportional to the affected shards' data plus
-    the batch — a small batch against a 100 TB corpus touches
-    |distinct shards in batch| files, not the corpus.
+    Scale shape — two tiers, because content-hash sharding SCATTERS a
+    random batch across ~min(|batch|, num_shards) shards and a naive
+    "rewrite every shard the batch touches" would approach a full
+    corpus rewrite for any batch larger than num_shards:
+
+    - shards where the batch only INSERTS (no stored id reappears):
+      the new rows are appended as additional parquet files — existing
+      data is never read or rewritten; cost = the batch itself. Small
+      files accumulate across appends; compact them with
+      ``operators.physical.write_compacted`` on a maintenance cadence.
+    - shards where the batch REPLACES stored ids: full partition
+      rewrite (replace cannot be expressed as an append); cost = those
+      shards' data.
     """
     spark = df.sparkSession
     meta = read_shard_manifest(spark, path).select("num_shards").first()
     num_shards = int(meta["num_shards"])
-    # Materialize the batch once: its lineage is otherwise executed three
-    # times (shard-distinct collect, the anti-join's id projection, and
-    # the merged write). Batches are small by the incremental contract.
+    # Materialize the batch once: its lineage is otherwise executed
+    # several times (shard-distinct collect, collision probe, writes).
+    # Batches are small by the incremental contract.
     new = df.withColumn(
         "shard", shard_assignment(id_col, num_shards)
     ).localCheckpoint()
@@ -117,20 +126,41 @@ def append_to_training_shards(
     if not affected:
         return []
     existing = read_training_shards(spark, path, shards=affected)
-    survivors = existing.join(
-        new.select(id_col).distinct(), id_col, "left_anti"
+    # Which shards actually contain a replaced id? Only those need the
+    # expensive rewrite; pure-insert shards take the append fast path.
+    rewrite = sorted(
+        r["shard"]
+        for r in existing.join(
+            new.select(id_col).distinct(), id_col, "left_semi"
+        )
+        .select("shard")
+        .distinct()
+        .collect()
     )
-    merged = survivors.unionByName(new.select(*survivors.columns))
+    insert_only = new.filter(~F.col("shard").isin(rewrite)) if rewrite else new
+    if rewrite:
+        survivors = read_training_shards(spark, path, shards=rewrite).join(
+            new.select(id_col).distinct(), id_col, "left_anti"
+        )
+        merged = survivors.unionByName(
+            new.filter(F.col("shard").isin(rewrite)).select(*survivors.columns)
+        )
+        (
+            merged.repartition(len(rewrite), "shard")
+            .write.partitionBy("shard")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(f"{path}/data")
+        )
     (
-        merged.repartition(len(affected), "shard")
+        insert_only.repartition(max(len(affected) - len(rewrite), 1), "shard")
         .write.partitionBy("shard")
-        .mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
+        .mode("append")
         .parquet(f"{path}/data")
     )
     # Invalidate the cached file listing: the session's FileStatusCache
-    # still holds the pre-overwrite file set for this path, and a fresh
-    # DataFrame would otherwise try to scan the deleted files.
+    # still holds the pre-write file set for this path, and a fresh
+    # DataFrame would otherwise try to scan replaced files.
     spark.catalog.refreshByPath(f"{path}/data")
     # Post-write counts come from the files actually on disk (a fresh
     # read, since `merged`'s lineage points at the pre-overwrite files

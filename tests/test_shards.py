@@ -168,3 +168,47 @@ def test_incremental_append_rewrites_only_affected_shards(spark, tmp_path):
     }
     assert counts == actual
     assert {r["num_shards"] for r in manifest.collect()} == {8}
+
+
+def test_insert_only_append_leaves_existing_files_untouched(spark, tmp_path):
+    from local_pubchem_db_spark.sources.shards import append_to_training_shards
+
+    docs = _docs(spark)
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, num_shards=4)
+    data_dir = os.path.join(out, "data")
+
+    def files_of(shard):
+        p = os.path.join(data_dir, f"shard={shard}")
+        return sorted(
+            (f, os.path.getsize(os.path.join(p, f)))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+
+    # a batch of only NEW ids: every touched shard takes the append fast
+    # path — the original file must survive byte-identically with a new
+    # file alongside
+    batch = spark.createDataFrame(
+        [(900001, "fresh a"), (900002, "fresh b"), (900005, "fresh c")],
+        "doc_id long, text string",
+    )
+    shards_hit = {
+        r["s"]
+        for r in batch.select(shard_assignment("doc_id", 4).alias("s")).collect()
+    }
+    before = {s: files_of(s) for s in shards_hit}
+    append_to_training_shards(batch, out)
+    for s in shards_hit:
+        after = files_of(s)
+        assert set(before[s]) <= set(after), s  # originals untouched
+        assert len(after) > len(before[s]), s  # new file appended
+
+    back = read_training_shards(spark, out)
+    assert back.count() == 203
+    # replay: the inserted ids now exist, so the collision probe routes
+    # them through the rewrite path — still idempotent
+    append_to_training_shards(batch, out)
+    assert read_training_shards(spark, out).count() == 203
+    manifest = {r["shard"]: r["n_rows"] for r in read_shard_manifest(spark, out).collect()}
+    assert sum(manifest.values()) == 203
