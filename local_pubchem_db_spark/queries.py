@@ -69,6 +69,36 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _parquet_ts_is_nanos(path: str, col: str = "ts") -> bool:
+    """Footer sniff: does this parquet (file or directory) store ``col``
+    as TIMESTAMP(NANOS)? Reads ONE footer with pyarrow — no Spark scan,
+    no session mutation. False on any probe failure (missing file, no
+    such column): the caller then reads with whatever conf is in force
+    and Spark's own error surfaces."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    p = path
+    if _os.path.isdir(p):
+        parts = sorted(
+            _glob.glob(_os.path.join(p, "**", "*.parquet"), recursive=True)
+        )
+        if not parts:
+            return False
+        p = parts[0]
+    try:
+        schema = _pq.read_schema(p)
+    except Exception:  # unreadable footer — let the Spark read report it
+        return False
+    if col not in schema.names:
+        return False
+    typ = schema.field(col).type
+    return _pa.types.is_timestamp(typ) and typ.unit == "ns"
+
+
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load events.parquet and normalize ``ts`` to TIMESTAMP (+ exact
     ``ts_ns`` bigint), branching on the dtype the parquet reader actually
@@ -81,10 +111,17 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pinned UTC (session.py), so the NTZ→TIMESTAMP cast and DuckDB's
     naive-as-UTC epoch math agree and the value-hash oracles line up.
 
-    session.get_spark pins the nanosAsLong conf at session construction;
-    the set below is defensive for foreign sessions and idempotent (same
-    value every call — no order-dependent behavior)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Session-conf contract: ``nanosAsLong`` is required only for the NANOS
+    vintage, so it is set ONLY when (a) the footer actually stores
+    TIMESTAMP(NANOS) and (b) the session has no explicit value for it —
+    a caller who set the conf (either way) is never overridden, and on
+    MICROS data the session is not touched at all. An explicit ``false``
+    against NANOS data fails the read with Spark's own unsupported-type
+    error — the caller's stated choice, not silently flipped."""
+    src = f"{sf_dir}/events.parquet"
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    if spark.conf.get(conf_key, None) is None and _parquet_ts_is_nanos(src):
+        spark.conf.set(conf_key, "true")
     ev = t(spark, sf_dir, "events")
     if dict(ev.dtypes)["ts"] == "bigint":
         # TIMESTAMP(NANOS) surfaced as epoch-nano longs. Integer DIV:

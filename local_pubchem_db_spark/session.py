@@ -9,12 +9,12 @@ that survives a 1000-executor / 100 TB deployment:
 - ``spark.sql.adaptive.enabled`` (+ coalescePartitions + skewJoin): runtime
   re-planning — the knob that makes one static shuffle-partition setting
   usable from sf0.001 tests to a real cluster.
-- ``spark.sql.legacy.parquet.nanosAsLong=true``: some testdata vintages
-  store events.ts as TIMESTAMP(NANOS), which Spark's reader otherwise
-  rejects; the conf is a no-op on MICROS columns, so it is safe for both
-  vintages (queries.events_table branches on the dtype actually read).
-  Pinning it here (not inside a query function) keeps query behavior
-  independent of call order on sessions from this factory.
+- NOT pinned here: ``spark.sql.legacy.parquet.nanosAsLong``. Earlier
+  rounds set it globally for TIMESTAMP(NANOS) testdata vintages; the
+  current vintage is MICROS and ``queries.events_table`` self-detects by
+  sniffing the parquet footer, setting the conf only when the data is
+  actually NANOS and the session has no explicit value — one less
+  global legacy knob, and foreign sessions are never mutated.
 - Arrow enabled: every Python-side operator in this package uses
   Arrow-batched pandas UDFs, never row-at-a-time Python UDFs.
 
@@ -54,7 +54,6 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
-        "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.filterPushdown": "true",
