@@ -251,13 +251,15 @@ def pca_fit(
     decreasing-eigenvalue order.
 
     Scale shape (the whitening / dim-reduction step before ANN over a
-    100 TB embedding corpus): ONE map-only Arrow pass emits per-batch
-    moment partials — (n, sum-vector, flattened Gram matrix) — so what
-    leaves the executors is O(batches × dim²) floats, never a row; the
-    driver reduces partials (sorted for run-to-run determinism) and
-    eigendecomposes the dim×dim covariance. ``dim`` is the embedding
-    width — small by contract; data volume only changes how many
-    partials stream back.
+    100 TB embedding corpus): ONE map-only Arrow pass accumulates the
+    moments — (n, sum-vector, flattened Gram matrix) — ACROSS batches
+    inside each partition and emits exactly one partial per non-empty
+    partition, so what leaves the executors is O(partitions × dim²)
+    floats — bounded by the task count, not the data volume (a per-batch
+    emit would stream millions of ~dim² rows to the driver at 100 TB).
+    The driver reduces partials (sorted by partition id for run-to-run
+    determinism) and eigendecomposes the dim×dim covariance. ``dim`` is
+    the embedding width — small by contract.
 
     Sign convention: each component's largest-|loading| coordinate is
     made positive, so results are reproducible across partitionings
@@ -270,27 +272,32 @@ def pca_fit(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        for i, pdf in enumerate(batches):
+        n_acc, s_acc, g_acc = 0, None, None
+        for pdf in batches:
             if not len(pdf):
                 continue
             V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            n_acc += len(V)
+            if s_acc is None:
+                s_acc, g_acc = V.sum(axis=0), V.T @ V
+            else:
+                s_acc += V.sum(axis=0)
+                g_acc += V.T @ V
+        if n_acc:
             yield pd.DataFrame(
                 {
                     "part": [pid],
-                    "batch": [i],
-                    "n": [len(V)],
-                    "s": [V.sum(axis=0)],
-                    "g": [(V.T @ V).ravel()],
+                    "n": [n_acc],
+                    "s": [s_acc],
+                    "g": [g_acc.ravel()],
                 }
             )
 
     rows = sorted(
         fan_out(df.select(F.col(vec_col).alias("v")))
-        .mapInPandas(
-            partials, "part int, batch int, n long, s array<double>, g array<double>"
-        )
+        .mapInPandas(partials, "part int, n long, s array<double>, g array<double>")
         .collect(),
-        key=lambda r: (r["part"], r["batch"]),
+        key=lambda r: r["part"],
     )
     if not rows:
         raise ValueError("pca_fit: empty input")

@@ -320,7 +320,7 @@ def incremental_minhash_new_ids(
     shingle_len: int = 3,
     num_perm: int = 128,
     bands: int = 32,
-    max_bucket_size: int | None = 64,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Ids in ``batch`` that are near-dups of NOTHING in the history index
     nor of an earlier (lower-id) batch row — the rows safe to append.
@@ -332,13 +332,17 @@ def incremental_minhash_new_ids(
     collision (batch-vs-history, since history text is not at hand — the
     conservative choice: collisions drop the row).
 
-    ``max_bucket_size`` bounds the batch-internal candidate join for
-    dup-flood batches (see ``bounded_bucket_pairs``, incl. the mixed-
-    bucket recall caveat: a batch member of a >cap bucket whose star and
-    chain edges all fail exact-Jaccard verification can be admitted even
-    though a true near-dup shares the bucket). Batches are typically
-    small relative to history; set None for exhaustive batch-internal
-    pairs when the batch itself is modest.
+    ``max_bucket_size`` defaults to **None** (exhaustive batch-internal
+    pairs): this function's contract is "safe to append", and the cap's
+    mixed-bucket caveat (a batch member of a >cap bucket whose star and
+    chain edges all fail exact-Jaccard verification is admitted even
+    though a true near-dup shares the bucket) would silently weaken that
+    guarantee — while batches are small by the incremental contract, so
+    the cap buys little by default. Pass an int (e.g. 64) ONLY for
+    flood-shaped batches where the quadratic batch-internal join is the
+    binding cost (see ``bounded_bucket_pairs``); the batch-oriented
+    ``minhash_lsh_dedup_pairs`` keeps the cap on by default because there
+    the keep-set is provably preserved.
     """
     shingled = _with_shingles(batch, id_col, text_col, shingle_len)
     buckets = shingled.select(
