@@ -119,10 +119,59 @@ def main() -> None:
         "runs": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # Self-verification against the previous round's artifact: the r5
+    # artifact drifted 1.2-1.4x on byte-identical queries and nothing in
+    # the artifact itself could separate host noise from a real
+    # regression. Two signals fix that: per-query drift vs the last
+    # recorded round (uniform drift across untouched queries = host;
+    # isolated drift = suspect code), and per-query spread (max/min of
+    # this run's own samples — high spread means the host was noisy
+    # WHILE this artifact was recorded, so its drift numbers are soft).
+    prev_name, prev = _load_previous_artifact()
+    if prev and prev.get("sf") != out["sf"]:
+        prev = None  # cross-sf ratios would be meaningless
+    if prev:
+        prev_q = prev.get("queries", {})
+        drift = {
+            q: round(timings[q] / prev_q[q], 3)
+            for q in timings
+            if prev_q.get(q)
+        }
+        out["prev_artifact"] = prev_name
+        out["prev_total"] = prev.get("value")
+        out["drift_vs_prev"] = drift
+    out["spread"] = {
+        q: round(max(s) / min(s), 3) for q, s in runs.items() if min(s) > 0
+    }
     if errors:
         out["errors"] = errors
         out["incomplete"] = True
     print(json.dumps(out))
+
+
+def _load_previous_artifact() -> tuple[str | None, dict | None]:
+    """The most recent BENCH_r{N}.json with a parsed payload — the
+    yardstick drift_vs_prev is computed against."""
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str, dict] | None = None
+    for fn in os.listdir(root):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
+        if not m:
+            continue
+        try:
+            with open(os.path.join(root, fn)) as f:
+                payload = json.load(f)
+        except (OSError, ValueError):
+            continue
+        parsed = payload.get("parsed")
+        if not isinstance(parsed, dict) or not parsed.get("queries"):
+            continue
+        n = int(m.group(1))
+        if best is None or n > best[0]:
+            best = (n, fn, parsed)
+    return (best[1], best[2]) if best else (None, None)
 
 
 if __name__ == "__main__":
