@@ -70,9 +70,7 @@ def write_training_shards(
     )
     spark.catalog.refreshByPath(f"{path}/data")
     (
-        read_training_shards(spark, path)
-        .groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
+        _shard_counts(read_training_shards(spark, path))
         .withColumn("num_shards", F.lit(num_shards))
         .coalesce(1)
         .write.mode("overwrite")
@@ -81,8 +79,27 @@ def write_training_shards(
     spark.catalog.refreshByPath(f"{path}/_shard_manifest")
 
 
+def _shard_counts(df: DataFrame) -> DataFrame:
+    """Per-shard (n_rows, n_files) counted from the files actually being
+    scanned — ``input_file_name`` makes the file count part of the same
+    single pass as the row count, engine-side and FS-agnostic."""
+    # input_file_name() is nondeterministic to the analyzer and may not
+    # sit directly inside an aggregate — project it first.
+    return (
+        df.withColumn("__file", F.input_file_name())
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col("__file")).alias("n_files"),
+        )
+    )
+
+
 def append_to_training_shards(
-    df: DataFrame, path: str, id_col: str = "doc_id"
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    max_files_per_shard: int = 8,
 ) -> list[int]:
     """Incremental upsert into an existing shard layout: ONLY the shards
     that receive rows are rewritten; every other shard's files are left
@@ -104,12 +121,28 @@ def append_to_training_shards(
 
     - shards where the batch only INSERTS (no stored id reappears):
       the new rows are appended as additional parquet files — existing
-      data is never read or rewritten; cost = the batch itself. Small
-      files accumulate across appends; compact them with
-      ``operators.physical.write_compacted`` on a maintenance cadence.
+      data is never read or rewritten; cost = the batch itself.
     - shards where the batch REPLACES stored ids: full partition
       rewrite (replace cannot be expressed as an append); cost = those
       shards' data.
+
+    Compaction is automatic, not a separate maintenance cadence: an
+    insert-only shard already holding ``max_files_per_shard - 1`` files
+    (counted on disk, not trusted from the manifest) is promoted into
+    the rewrite tier for THIS append, folding its accumulated small
+    files plus the new rows into one file — so an unattended ingest
+    loop keeps every shard at <= ``max_files_per_shard`` files and read
+    performance never degrades silently. The manifest records per-shard
+    ``n_files`` so the file-count state is observable.
+
+    Concurrency contract: SINGLE WRITER per shard layout. Two
+    concurrent appenders race on dynamic-overwrite of the same shard
+    partitions and on the one ``_shard_manifest`` file (last writer
+    wins; counts diverge from data). Serialize appends per ``path`` —
+    the same isolation q_incremental_dedup gets from per-applicationId
+    state dirs. A crash between the rewrite and the insert-append
+    leaves a partially applied batch; replaying the SAME batch heals it
+    (the upsert is idempotent).
     """
     spark = df.sparkSession
     meta = read_shard_manifest(spark, path).select("num_shards").first()
@@ -128,7 +161,7 @@ def append_to_training_shards(
     existing = read_training_shards(spark, path, shards=affected)
     # Which shards actually contain a replaced id? Only those need the
     # expensive rewrite; pure-insert shards take the append fast path.
-    rewrite = sorted(
+    replaced = {
         r["shard"]
         for r in existing.join(
             new.select(id_col).distinct(), id_col, "left_semi"
@@ -136,6 +169,24 @@ def append_to_training_shards(
         .select("shard")
         .distinct()
         .collect()
+    }
+    # Promote insert-only shards at the file-count ceiling into the
+    # rewrite tier: the rewrite IS the compaction (one task per shard →
+    # one file), so the append fast path can never accumulate more than
+    # max_files_per_shard files. Counts come from the files on disk
+    # (same pass layout as the manifest), never from a possibly-stale
+    # manifest.
+    on_disk_files = {
+        r["shard"]: r["n_files"] for r in _shard_counts(existing).collect()
+    }
+    rewrite = sorted(
+        replaced
+        | {
+            s
+            for s in affected
+            if s not in replaced
+            and on_disk_files.get(s, 0) + 1 > max_files_per_shard
+        }
     )
     insert_only = new.filter(~F.col("shard").isin(rewrite)) if rewrite else new
     if rewrite:
@@ -166,15 +217,13 @@ def append_to_training_shards(
     # read, since `merged`'s lineage points at the pre-overwrite files
     # the rewrite just replaced); the surviving manifest rows are
     # localCheckpoint-materialized before their own file is overwritten.
-    new_counts = (
-        read_training_shards(spark, path, shards=affected)
-        .groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-    )
+    new_counts = _shard_counts(read_training_shards(spark, path, shards=affected))
+    prior = read_shard_manifest(spark, path)
+    if "n_files" not in prior.columns:  # manifest written before n_files
+        prior = prior.withColumn("n_files", F.lit(None).cast("long"))
     manifest = (
-        read_shard_manifest(spark, path)
-        .filter(~F.col("shard").isin(affected))
-        .select("shard", "n_rows")
+        prior.filter(~F.col("shard").isin(affected))
+        .select("shard", "n_rows", "n_files")
         .localCheckpoint()
         .unionByName(new_counts)
         .withColumn("num_shards", F.lit(num_shards))

@@ -212,3 +212,58 @@ def test_insert_only_append_leaves_existing_files_untouched(spark, tmp_path):
     assert read_training_shards(spark, out).count() == 203
     manifest = {r["shard"]: r["n_rows"] for r in read_shard_manifest(spark, out).collect()}
     assert sum(manifest.values()) == 203
+
+
+def test_append_auto_compacts_at_file_ceiling(spark, tmp_path):
+    """10 successive insert-only appends must never leave a shard with
+    more than max_files_per_shard files (the append fast path promotes
+    at-ceiling shards into the rewrite tier, which compacts), and the
+    final row set must be exactly the union of everything appended."""
+    from local_pubchem_db_spark.sources.shards import append_to_training_shards
+
+    out = str(tmp_path / "shards")
+    base = _docs(spark, 40)
+    write_training_shards(base, out, num_shards=4)
+    want = {r["doc_id"] for r in base.collect()}
+
+    for i in range(1, 11):
+        batch = spark.range(1000 * i, 1000 * i + 25).select(
+            (F.col("id") * 37 + 11).alias("doc_id"),
+            F.concat(F.lit("batch "), F.col("id")).alias("text"),
+        )
+        append_to_training_shards(batch, out, max_files_per_shard=8)
+        want |= {r["doc_id"] for r in batch.collect()}
+
+    data_dir = os.path.join(out, "data")
+    for d in sorted(os.listdir(data_dir)):
+        if not d.startswith("shard="):
+            continue
+        files = [
+            f
+            for f in os.listdir(os.path.join(data_dir, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) <= 8, (d, len(files))
+
+    back = read_training_shards(spark, out)
+    assert {r["doc_id"] for r in back.collect()} == want
+
+    # The manifest's n_files mirrors the on-disk state per shard.
+    manifest = {
+        r["shard"]: (r["n_rows"], r["n_files"])
+        for r in read_shard_manifest(spark, out).collect()
+    }
+    actual_rows = {
+        r["shard"]: r["n"]
+        for r in back.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for shard, (n_rows, n_files) in manifest.items():
+        assert n_rows == actual_rows[shard]
+        on_disk = len(
+            [
+                f
+                for f in os.listdir(os.path.join(data_dir, f"shard={shard}"))
+                if f.endswith(".parquet")
+            ]
+        )
+        assert n_files == on_disk, (shard, n_files, on_disk)
