@@ -313,7 +313,7 @@ def lsh_bucket_index(
 
 def incremental_minhash_new_ids(
     batch: DataFrame,
-    history_index: DataFrame,
+    history_index: DataFrame | list[DataFrame],
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
@@ -352,12 +352,28 @@ def incremental_minhash_new_ids(
         ).alias("band", "bucket"),
     )
     # batch rows colliding with ANY history bucket → dropped (left_semi is
-    # the minimal shuffle: no history payload moves, only matching keys)
-    vs_history = (
-        buckets.join(history_index, ["band", "bucket"], "left_semi")
-        .select("id")
-        .distinct()
+    # the minimal shuffle: no history payload moves, only matching keys).
+    # ``history_index`` may be a LIST of index frames (e.g. a (band,
+    # bucket)-bucketed compacted table plus a small un-folded delta):
+    # semi-joining each frame separately and unioning the hit ids lets
+    # every join keep its own best physical strategy — the bucketed scan
+    # joins exchange-free on the history side, the small delta broadcasts
+    # — where a DataFrame union would destroy the bucketing and re-shuffle
+    # the full history every batch.
+    history_frames = (
+        history_index if isinstance(history_index, list) else [history_index]
     )
+    hit_ids = [
+        buckets.join(h, ["band", "bucket"], "left_semi").select("id")
+        for h in history_frames
+    ]
+    if hit_ids:
+        vs_history = hit_ids[0]
+        for h in hit_ids[1:]:
+            vs_history = vs_history.unionByName(h)
+        vs_history = vs_history.distinct()
+    else:  # no history at all — type-correct empty hit set
+        vs_history = batch.select(F.col(id_col).alias("id")).limit(0)
     # batch-internal near-dups: keep the lowest id of each verified pair.
     # Bucket cap: a dup-flood batch (everyone re-sending the same
     # document) must not turn one micro-batch into a quadratic pair join.

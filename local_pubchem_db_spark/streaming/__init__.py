@@ -1,5 +1,7 @@
 from local_pubchem_db_spark.streaming.ingest import stream_build_db
 from local_pubchem_db_spark.streaming.dedup_ingest import (
+    compact_dedup_index,
+    history_index_frames,
     read_corpus,
     stream_dedup_ingest,
 )
@@ -12,7 +14,9 @@ from local_pubchem_db_spark.streaming.events import (
 )
 
 __all__ = [
+    "compact_dedup_index",
     "dedup_stream",
+    "history_index_frames",
     "hourly_event_counts",
     "read_corpus",
     "read_event_stream",
