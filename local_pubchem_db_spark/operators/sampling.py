@@ -201,6 +201,7 @@ def sample_per_key(
     id_col: str,
     k: int,
     seed: str = "sample",
+    salt_buckets: int | None = 32,
 ) -> DataFrame:
     """EXACTLY min(k, group size) rows per key, chosen uniformly and
     deterministically: rank rows within each key by md5(seed:id) and
@@ -209,17 +210,38 @@ def sample_per_key(
     The per-domain/"per-source cap" primitive of corpus curation (cap
     every crawl domain at k documents before mixing): ``df.sampleBy``
     is probabilistic (can't hit an exact per-key count) and a
-    driver-side loop doesn't scale; this is one window over the key —
-    a single shuffle, deterministic across runs and partitionings, and
-    re-running with a larger k EXTENDS each group's sample (the hash
-    order is a fixed permutation per key, so top-k nests within
-    top-k', k < k').
+    driver-side loop doesn't scale; this is a window over the key —
+    deterministic across runs and partitionings, and re-running with a
+    larger k EXTENDS each group's sample (the hash order is a fixed
+    permutation per key, so top-k nests within top-k', k < k').
+
+    Hot keys (``salt_buckets``): the very domain that motivates a
+    per-domain cap — one giant crawl host — would make a single window
+    task sort that key's ENTIRE row set. With ``salt_buckets`` = S > 1
+    (default 32) a pre-prune window over (key, pmod(xxhash64(id), S))
+    keeps each salt slice's local top-k first, so no task ever sorts
+    more than its slice and the final per-key window sees at most S*k
+    rows per key. The result is IDENTICAL to the unsalted form: the
+    global top-k of a key is contained in the union of its slices'
+    local top-k (every discarded row ranks below k inside its own
+    slice, hence below the global k-th). Set None to skip the extra
+    (cheap, well-distributed) shuffle when keys are known to be small.
     """
     if k <= 0:
         raise ValueError("k must be positive")
     rank_key = F.md5(
         F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
     )
+    if salt_buckets is not None and salt_buckets > 1:
+        salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salt_buckets))
+        w1 = Window.partitionBy(F.col(key_col), salt).orderBy(
+            rank_key, F.col(id_col)
+        )
+        df = (
+            df.withColumn("__rn_salt", F.row_number().over(w1))
+            .filter(F.col("__rn_salt") <= k)
+            .drop("__rn_salt")
+        )
     w = Window.partitionBy(key_col).orderBy(rank_key, F.col(id_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))
