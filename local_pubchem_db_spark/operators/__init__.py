@@ -26,6 +26,12 @@ from local_pubchem_db_spark.operators.joins import (
     range_join,
 )
 from local_pubchem_db_spark.operators.physical import write_compacted
+from local_pubchem_db_spark.operators.pq import (
+    pq_encode,
+    pq_fit,
+    pq_knn,
+    pq_reconstruct,
+)
 from local_pubchem_db_spark.operators.quality import (
     unigram_logprob_scores,
     unigram_model,
@@ -58,6 +64,10 @@ __all__ = [
     "mix_domains",
     "pca_fit",
     "pca_transform",
+    "pq_encode",
+    "pq_fit",
+    "pq_knn",
+    "pq_reconstruct",
     "ngram_jaccard_pairs",
     "range_join",
     "sample_per_key",

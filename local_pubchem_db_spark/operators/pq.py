@@ -1,0 +1,228 @@
+"""Product quantization (PQ) for embedding compression + ANN search —
+the memory tier of the canonical IVF-PQ recipe for billion-scale
+similarity search (Jégou et al., "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011).
+
+Why this exists alongside the similarity operators: at 100 TB an
+embedding corpus does not fit in float — a dim-768 float32 vector is
+3 KB, while its PQ code at m=96 subspaces is 96 BYTES (32x). PQ stores
+each vector as ``m`` small codebook indices; search never decompresses —
+asymmetric distance computation (ADC) scores a RAW query against
+COMPRESSED codes via per-subspace lookup tables, so the per-vector cost
+is ``m`` table lookups instead of a ``dim``-wide dot product.
+
+Division of labor (mirrors the other fit/apply operators here):
+
+- ``pq_fit``: codebooks are trained on a DETERMINISTIC hash-ordered
+  sample collected to the driver — sample-based training is the
+  standard PQ contract (FAISS trains on ~100k vectors regardless of
+  corpus size); the driver does m independent small k-means fits. The
+  sample is a pure function of (seed, ids), so refits are reproducible
+  across runs, partitionings, and cluster sizes.
+- ``pq_encode``: the distributed part — one map-only Arrow pass over
+  the full corpus, argmin against the broadcast codebooks per subspace.
+  No shuffle; fuses into the scan.
+- ``pq_knn``: ADC top-k for a small probe set — per-query LUTs
+  (m x k inner products) broadcast with the codebooks; each corpus
+  partition scores its codes via LUT gathers and keeps its local top-k,
+  then one partitions-x-k window picks the global top-k (the same
+  two-phase shape as ``similarity.brute_force_knn``).
+
+Cosine contract: vectors are L2-normalized before BOTH fit and encode,
+and ADC maximizes the inner product — on normalized inputs that is
+cosine ranking. Scores are approximations (quantization error), so only
+(query_id, neighbor_id, rank) is emitted, never raw floats — and the
+accuracy contract is recall against the exact operator, pinned in
+tests/test_pq.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from local_pubchem_db_spark.operators.util import fan_out
+
+
+def _norm_rows(M: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return M / n
+
+
+def _kmeans_1sub(X: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
+    """Plain seeded Lloyd on one subspace sample (driver-side, small)."""
+    k = min(k, len(X))
+    centroids = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def pq_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    sample_rows: int = 65536,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Train PQ codebooks; returns array of shape (m, k, dim/m).
+
+    The training sample is the ``sample_rows`` lowest md5(seed:id) rows —
+    a uniform, deterministic, engine-independent choice (the same
+    hash-order trick as operators/sampling.py), so the fitted codebooks
+    are identical across reruns and partitionings. ``dim`` must divide
+    by ``m`` (PQ splits the vector into m contiguous subspaces).
+    """
+    if m <= 0 or k <= 1:
+        raise ValueError("m must be positive and k >= 2")
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    rows = (
+        df.select(F.col(vec_col).alias("v"), key.alias("__k"))
+        .orderBy("__k")
+        .limit(sample_rows)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_fit: empty input")
+    X = _norm_rows(np.array([list(r["v"]) for r in rows], dtype=np.float64))
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    return np.stack(
+        [
+            _kmeans_1sub(X[:, j * dsub : (j + 1) * dsub], k, iters, rng)
+            for j in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Quantize ``vec_col`` to ``out_col: array<int>`` (m codebook
+    indices per vector). Map-only Arrow pass; input column retained so
+    callers can drop it explicitly once codes are persisted (at scale,
+    dropping the raw vectors IS the point)."""
+    C = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, k, dsub = C.shape
+    bc = df.sparkSession.sparkContext.broadcast(C)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        Cb = bc.value
+        V = _norm_rows(np.array(v.tolist(), dtype=np.float64))
+        n = len(V)
+        codes = np.empty((n, m), dtype=np.int32)
+        for j in range(m):
+            sub = V[:, j * dsub : (j + 1) * dsub]
+            # argmin ||x - c||^2 = argmin (||c||^2 - 2 x.c): one matmul
+            d = (Cb[j] ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ Cb[j].T)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, encode(F.col(vec_col)))
+
+
+def pq_reconstruct(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Decode codes back to (approximate) vectors — test/audit helper."""
+    C = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = C.shape
+    codes = np.asarray(codes, dtype=np.int64)
+    return np.concatenate(
+        [C[j][codes[:, j]] for j in range(m)], axis=1
+    )
+
+
+def pq_knn(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k: exact (normalized) query vectors against PQ codes.
+
+    Returns (query_id, neighbor_id, rank); self-matches excluded, ties
+    break on neighbor id — deterministic given the codebooks. The probe
+    set is collected/broadcast (the ANN contract: few probes against a
+    huge corpus); per corpus partition the cost is a LUT gather-sum over
+    the codes — no decompression, no dim-wide dot products.
+    """
+    C = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, _, dsub = C.shape
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Qn = _norm_rows(np.array([list(r[1]) for r in q_rows], dtype=np.float64))
+    # LUT[q, j, c] = <query_q subspace_j, codebook_j centroid_c>: ADC
+    # scores are then sum_j LUT[q, j, code_j] — inner product == cosine
+    # ranking on normalized inputs.
+    lut = np.einsum(
+        "qjd,jcd->qjc", Qn.reshape(len(q_ids), m, dsub), C
+    )
+    bq = encoded.sparkSession.sparkContext.broadcast((q_ids, lut))
+
+    cols = fan_out(
+        encoded.select(
+            F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("code")
+        )
+    )
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, lut = bq.value
+        j_idx = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            codes = np.array(pdf["code"].tolist(), dtype=np.int64)
+            # (n_queries, batch): gather per subspace, sum over subspaces
+            S = lut[:, j_idx[None, :], codes].sum(axis=2)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                mask = nid != q_ids[qi]
+                idx = np.nonzero(mask)[0]
+                if not idx.size:
+                    continue
+                s = S[qi, idx]
+                order = np.lexsort((nid[idx], -s))[:k]
+                take = idx[order]
+                out_q.extend([q_ids[qi]] * len(take))
+                out_n.extend(nid[take].tolist())
+                out_s.extend(S[qi, take].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+            )
+
+    scored = cols.mapInPandas(
+        local_topk, "query_id long, neighbor_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
