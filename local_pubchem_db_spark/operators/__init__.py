@@ -27,6 +27,7 @@ from local_pubchem_db_spark.operators.joins import (
 )
 from local_pubchem_db_spark.operators.physical import write_compacted
 from local_pubchem_db_spark.operators.pq import (
+    ivf_pq_search,
     pq_encode,
     pq_fit,
     pq_knn,
@@ -58,6 +59,7 @@ __all__ = [
     "exact_dedup",
     "exact_dedup_by_content",
     "hash_split",
+    "ivf_pq_search",
     "ivf_within_partition_pairs",
     "minhash_lsh_dedup_pairs",
     "misra_gries_topk",
