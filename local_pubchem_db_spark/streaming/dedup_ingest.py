@@ -274,6 +274,7 @@ def stream_dedup_ingest(
     threshold: float = 0.8,
     available_now: bool = True,
     compact_threshold_rows: int = 1_000_000,
+    max_files_per_trigger: int | None = None,
 ):
     """Start the checkpointed dedup-ingest stream over parquet document
     shards arriving in ``docs_dir``. Returns the StreamingQuery.
@@ -281,13 +282,22 @@ def stream_dedup_ingest(
     Output layout under ``out_dir``: ``corpus/`` (accepted rows),
     ``lsh_index/`` (delta (id, band, bucket) rows), ``lsh_index_compacted/``
     + ``_compacted_meta.json`` (the bucketed folded tier), ``_checkpoint/``.
+
+    ``max_files_per_trigger`` bounds each micro-batch to that many input
+    files (availableNow still drains everything, in multiple batches) —
+    the continuous-arrival shape where the two-tier index earns its keep:
+    each batch semi-joins the bucketed compacted tier exchange-free plus
+    only the small un-folded delta.
     """
     corpus_path = os.path.join(out_dir, "corpus")
     index_path = os.path.join(out_dir, "lsh_index")
     checkpoint = os.path.join(out_dir, "_checkpoint")
     os.makedirs(out_dir, exist_ok=True)
 
-    stream = spark.readStream.schema(DOC_SCHEMA).parquet(docs_dir)
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         history = history_index_frames(spark, out_dir, exclude_batch=batch_id)

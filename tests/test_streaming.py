@@ -542,3 +542,60 @@ def test_stream_dedup_replay_after_compaction(spark, sf_dir, tmp_path):
     q2.awaitTermination()
     kept2 = {r["doc_id"] for r in read_corpus(spark, str(out_dir)).collect()}
     assert kept2 == kept1, "replay must reproduce the keep-set exactly"
+
+
+def test_stream_dedup_multibatch_folds_geometrically(spark, sf_dir, tmp_path):
+    """ONE stream run draining 4 shards as 4 micro-batches
+    (maxFilesPerTrigger=1) with a tiny fold threshold: folds happen
+    DURING the run, later batches dedup against the compacted tier, and
+    the final keep-set equals the single-batch run's on the same data."""
+    from local_pubchem_db_spark.streaming import read_corpus, stream_dedup_ingest
+    from local_pubchem_db_spark.streaming.dedup_ingest import _read_meta
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 50)
+        .orderBy("doc_id")
+        .limit(40)
+        .collect()
+    )
+    rows = [(r["doc_id"], r["text"]) for r in docs]
+    # shard 2 re-sends shard 0's texts under new ids: cross-batch dups
+    resent = [(90000 + i, t) for i, (_, t) in enumerate(rows[:10])]
+    shards = [rows[:10], rows[10:20], resent, rows[20:40]]
+
+    multi_in = tmp_path / "multi_in"
+    multi_in.mkdir()
+    for i, shard_rows in enumerate(shards):
+        _doc_shard(spark, str(multi_in), shard_rows, f"shard-{i}.parquet")
+    multi_out = tmp_path / "multi_out"
+    q = stream_dedup_ingest(
+        spark, str(multi_in), str(multi_out),
+        compact_threshold_rows=1, max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    meta = _read_meta(str(multi_out))
+    assert meta and meta["version"] >= 2, meta  # folded more than once
+    kept_multi = {
+        r["doc_id"] for r in read_corpus(spark, str(multi_out)).collect()
+    }
+    assert not any(90000 <= d < 90010 for d in kept_multi), (
+        "cross-batch re-sends must be rejected against the compacted tier")
+
+    # oracle: the same corpus in ONE batch (no folding mid-run)
+    single_in = tmp_path / "single_in"
+    single_in.mkdir()
+    _doc_shard(spark, str(single_in),
+               [r for shard_rows in shards for r in shard_rows],
+               "shard-all.parquet")
+    single_out = tmp_path / "single_out"
+    q2 = stream_dedup_ingest(spark, str(single_in), str(single_out),
+                             compact_threshold_rows=10**9)
+    q2.awaitTermination()
+    kept_single = {
+        r["doc_id"] for r in read_corpus(spark, str(single_out)).collect()
+    }
+    # Batch-internal ties pick the lowest id; the resent copies have the
+    # HIGHEST ids, so both orderings keep the original docs: identical sets.
+    assert kept_multi == kept_single
