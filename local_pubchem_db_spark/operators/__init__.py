@@ -11,8 +11,10 @@ from local_pubchem_db_spark.operators.dedup import (
 )
 from local_pubchem_db_spark.operators.similarity import (
     brute_force_knn,
+    incremental_srp_new_ids,
     ivf_within_partition_pairs,
     srp_lsh_neardup_pairs,
+    srp_sign_index,
 )
 from local_pubchem_db_spark.operators.clustering import (
     pca_fit,
@@ -59,6 +61,7 @@ __all__ = [
     "exact_dedup",
     "exact_dedup_by_content",
     "hash_split",
+    "incremental_srp_new_ids",
     "ivf_pq_search",
     "ivf_within_partition_pairs",
     "minhash_lsh_dedup_pairs",
@@ -76,6 +79,7 @@ __all__ = [
     "semantic_dedup",
     "simhash_dedup_pairs",
     "srp_lsh_neardup_pairs",
+    "srp_sign_index",
     "stratified_sample",
     "top_k_per_group",
     "unigram_logprob_scores",

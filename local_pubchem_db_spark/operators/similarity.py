@@ -172,6 +172,136 @@ def ivf_within_partition_pairs(
     )
 
 
+def _srp_signatures_fn(n_bits: int, bands: int, seed: int):
+    """mapInPandas fn emitting (id, band, bucket) SRP sign rows. The
+    hyperplanes regenerate identically on every worker from (seed, dim) —
+    no driver action, no broadcast payload."""
+    r = n_bits // bands
+
+    def signatures(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        H = None
+        weights = 1 << np.arange(r, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            if H is None:
+                H = np.random.default_rng(seed).standard_normal(
+                    (n_bits, V.shape[1])
+                )
+            bits = (V @ H.T) > 0  # (n, n_bits) sign pattern
+            nid = pdf["id"].to_numpy(dtype=np.int64)
+            ids_out, band_out, bucket_out = [], [], []
+            for b in range(bands):
+                bucket = bits[:, b * r : (b + 1) * r] @ weights
+                ids_out.append(nid)
+                band_out.append(np.full(len(nid), b, dtype=np.int32))
+                bucket_out.append(bucket)
+            yield pd.DataFrame(
+                {
+                    "id": np.concatenate(ids_out),
+                    "band": np.concatenate(band_out),
+                    "bucket": np.concatenate(bucket_out),
+                }
+            )
+
+    return signatures
+
+
+def srp_sign_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 128,
+    bands: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """The persistable (id, band, bucket) SRP index of a corpus — the
+    embedding twin of ``dedup.lsh_bucket_index``. Map-only; write it
+    bucketed/partitioned by (band, bucket) and the incremental join
+    below is shuffle-free on the history side."""
+    if n_bits % bands:
+        raise ValueError("bands must divide n_bits")
+    base = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    )
+    return base.mapInPandas(
+        _srp_signatures_fn(n_bits, bands, seed), "id long, band int, bucket long"
+    )
+
+
+def incremental_srp_new_ids(
+    batch: DataFrame,
+    history_index: DataFrame | list[DataFrame],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    n_bits: int = 128,
+    bands: int = 16,
+    seed: int = 7,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Ids in ``batch`` whose embeddings are near-dups of NOTHING in the
+    history SRP index nor of an earlier (lower-id) batch row — the
+    embedding twin of ``dedup.incremental_minhash_new_ids``, same
+    conservative incremental contract: history is never re-embedded or
+    re-scored (only its (id, band, bucket) rows are joined; a bucket
+    collision with history drops the row outright), while batch-internal
+    candidates ARE exact-cosine verified (both vectors at hand). The
+    ``seed``/``n_bits``/``bands`` MUST match the index's — the sign
+    buckets are only comparable under identical hyperplanes.
+
+    ``history_index`` accepts a list of frames (bucketed compacted table
+    + small delta) exactly like the MinHash form. ``max_bucket_size``
+    defaults to None for the same safe-to-append reason documented
+    there."""
+    from local_pubchem_db_spark.operators.dedup import bounded_bucket_pairs
+
+    buckets = shared(srp_sign_index(batch, id_col, vec_col, n_bits, bands, seed))
+    history_frames = (
+        history_index if isinstance(history_index, list) else [history_index]
+    )
+    hit_ids = [
+        buckets.join(h, ["band", "bucket"], "left_semi").select("id")
+        for h in history_frames
+    ]
+    if hit_ids:
+        vs_history = hit_ids[0]
+        for h in hit_ids[1:]:
+            vs_history = vs_history.unionByName(h)
+        vs_history = vs_history.distinct()
+    else:
+        vs_history = batch.select(F.col(id_col).alias("id")).limit(0)
+
+    cand = bounded_bucket_pairs(
+        buckets, ["band", "bucket"], max_bucket_size=max_bucket_size
+    )
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos_udf(v1: pd.Series, v2: pd.Series) -> pd.Series:
+        A = _norm_rows(np.array(v1.tolist(), dtype=np.float64))
+        B = _norm_rows(np.array(v2.tolist(), dtype=np.float64))
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    base = batch.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a = base.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
+    b = base.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
+    dup_in_batch = (
+        cand.join(a, "id1")
+        .join(b, "id2")
+        .filter(cos_udf("v1", "v2") >= F.lit(threshold))
+        .select(F.col("id2").alias("id"))
+        .distinct()
+    )
+    ids = batch.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(vs_history, "id", "left_anti")
+        .join(dup_in_batch, "id", "left_anti")
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def srp_lsh_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -221,33 +351,6 @@ def srp_lsh_neardup_pairs(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     )
 
-    def signatures(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        H = None
-        weights = 1 << np.arange(r, dtype=np.int64)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.array(pdf["v"].tolist(), dtype=np.float64)
-            if H is None:
-                H = np.random.default_rng(seed).standard_normal(
-                    (n_bits, V.shape[1])
-                )
-            bits = (V @ H.T) > 0  # (n, n_bits) sign pattern
-            nid = pdf["id"].to_numpy(dtype=np.int64)
-            ids_out, band_out, bucket_out = [], [], []
-            for b in range(bands):
-                bucket = bits[:, b * r : (b + 1) * r] @ weights
-                ids_out.append(nid)
-                band_out.append(np.full(len(nid), b, dtype=np.int32))
-                bucket_out.append(bucket)
-            yield pd.DataFrame(
-                {
-                    "id": np.concatenate(ids_out),
-                    "band": np.concatenate(band_out),
-                    "bucket": np.concatenate(bucket_out),
-                }
-            )
-
     from local_pubchem_db_spark.operators.dedup import bounded_bucket_pairs
 
     # Bucket cap (see dedup.bounded_bucket_pairs): an embedding cluster of
@@ -262,7 +365,12 @@ def srp_lsh_neardup_pairs(
     if max_bucket_size == "auto":
         max_bucket_size = 64 if r >= 8 else None
 
-    buckets = shared(base.mapInPandas(signatures, "id long, band int, bucket long"))
+    buckets = shared(
+        base.mapInPandas(
+            _srp_signatures_fn(n_bits, bands, seed),
+            "id long, band int, bucket long",
+        )
+    )
     cand = bounded_bucket_pairs(
         buckets, ["band", "bucket"], max_bucket_size=max_bucket_size
     )

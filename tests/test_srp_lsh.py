@@ -147,3 +147,58 @@ def test_srp_lsh_cap_boundary_recall(spark):
     )
     assert n_flood_capped < 0.1 * n_flood_uncapped, (
         n_flood_capped, n_flood_uncapped)
+
+
+def test_incremental_srp_new_ids(spark, tmp_path):
+    """Embedding twin of incremental MinHash dedup: batch vs a PERSISTED
+    SRP sign index. History collisions drop conservatively; batch-internal
+    dups exact-verify and keep the lowest id; novel vectors pass."""
+    import pytest
+
+    from local_pubchem_db_spark.operators.similarity import (
+        incremental_srp_new_ids,
+        srp_sign_index,
+    )
+
+    rng = np.random.default_rng(21)
+    dim = 32
+
+    def vec(base=None, jitter=0.0):
+        v = rng.standard_normal(dim) if base is None else base + jitter * rng.standard_normal(dim)
+        return [float(x) for x in v]
+
+    h1, h2 = vec(), vec()
+    history = spark.createDataFrame(
+        [(1, h1), (2, h2)], "vec_id long, embedding array<double>"
+    )
+    idx_path = str(tmp_path / "srp_index")
+    srp_sign_index(history).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    novel_a = vec()
+    batch = spark.createDataFrame(
+        [
+            (10, vec(np.array(h1), 0.01)),  # near-dup of history -> dropped
+            (11, novel_a),                   # novel -> kept
+            (12, vec(np.array(novel_a), 0.01)),  # dup of 11 -> dropped
+            (13, vec()),                     # novel -> kept
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = sorted(
+        r["vec_id"]
+        for r in incremental_srp_new_ids(batch, idx).collect()
+    )
+    assert got == [11, 13]
+
+    # list-of-frames form (compacted + delta) gives the same answer
+    got2 = sorted(
+        r["vec_id"]
+        for r in incremental_srp_new_ids(batch, [idx]).collect()
+    )
+    assert got2 == [11, 13]
+
+    # mismatched banding parameters vs the index must raise, not
+    # silently compare incompatible sign buckets
+    with pytest.raises(ValueError, match="bands must divide"):
+        incremental_srp_new_ids(batch, idx, n_bits=100, bands=16)
