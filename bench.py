@@ -103,9 +103,15 @@ def main() -> None:
     name = "dedup_minhash_lsh"
     try:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name + "_warm"] = round(time.perf_counter() - t0, 3)
+        warm_samples = []
+        for _ in range(2):  # min-of-2: one warm sample is hostage to a
+            t0 = time.perf_counter()  # GC pause (the sf1 26s-vs-7s case)
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            warm_samples.append(round(time.perf_counter() - t0, 3))
+        timings[name + "_warm"] = min(warm_samples)
+        runs[name + "_warm"] = warm_samples
     except Exception as e:  # noqa: BLE001
         errors[name + "_warm"] = f"{type(e).__name__}: {e}"[:500]
     release_shared_caches(spark)
