@@ -7,6 +7,7 @@ from local_pubchem_db_spark.operators.dedup import (
     exact_dedup_by_content,
     minhash_lsh_dedup_pairs,
     ngram_jaccard_pairs,
+    remove_duplicate_spans,
     simhash_dedup_pairs,
 )
 from local_pubchem_db_spark.operators.similarity import (
@@ -75,6 +76,7 @@ __all__ = [
     "pq_reconstruct",
     "ngram_jaccard_pairs",
     "range_join",
+    "remove_duplicate_spans",
     "sample_per_key",
     "semantic_dedup",
     "simhash_dedup_pairs",

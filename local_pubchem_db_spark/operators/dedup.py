@@ -23,6 +23,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Column
 from pyspark.sql import functions as F
 
@@ -585,4 +586,116 @@ def simhash_dedup_pairs(
         .join(b, "id2")
         .select("id1", "id2", hamming64(F.col("sh1"), F.col("sh2")).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _window_hashes(df: DataFrame, id_col: str, text_col: str, span_tokens: int) -> DataFrame:
+    """(id, pos, whash) for every ``span_tokens``-token window of every
+    document — all codegen (split / sequence / slice / xxhash64), no
+    Python in the hot path. Documents shorter than the span emit no
+    windows."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+        )
+        .filter(F.size("toks") >= span_tokens)
+        .select(
+            "id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {span_tokens}),"
+                    f" i -> xxhash64(concat_ws(' ', slice(toks, i + 1, {span_tokens}))))"
+                )
+            ).alias("pos", "whash"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 50,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Substring-level exact dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL 2022): every ``span_tokens``-
+    token window occurring ``min_occurrences``+ times across the corpus
+    is removed from every document EXCEPT its canonical (lowest
+    (id, pos)) occurrence — boilerplate, licenses, and quoted chunks
+    vanish corpus-wide while one copy survives. Doc-level MinHash misses
+    these entirely (two documents sharing one paragraph are not
+    near-dups; the paragraph is still memorized verbatim at training).
+
+    Returns the input columns with ``text_col`` rewritten (duplicated
+    spans cut, surviving tokens re-joined with single spaces — token-
+    stream semantics, whitespace is not preserved) plus
+    ``n_removed_tokens``. Overlapping duplicated windows merge into one
+    cut interval, so adjacent shared windows do not over-remove.
+
+    Scale shape: the window explode is the inherent cost (one row per
+    token of corpus — the same order as any tokenization pass) and is
+    entirely JVM codegen; duplicated-hash detection is one groupBy with
+    a count>=N filter plus a min-struct for the canonical owner (map-side
+    combinable); span removal joins each doc's flagged positions back
+    and rewrites text in one Arrow pass. Nothing is driver-side,
+    nothing quadratic: cost ~ 2 shuffles of (hash) and (id) keyed rows.
+
+    Determinism: the canonical occurrence is the MINIMUM (id, pos) —
+    a pure function of the data, so reruns and external oracles agree
+    exactly (tests/test_span_dedup.py pins a pure-Python oracle)."""
+    if span_tokens < 1:
+        raise ValueError("span_tokens must be positive")
+    windows = shared(_window_hashes(df, id_col, text_col, span_tokens))
+    # hash -> (count, canonical owner): one map-side-combinable groupBy
+    dup = windows.groupBy("whash").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.struct("id", "pos")).alias("canon"),
+    ).filter(F.col("n") >= min_occurrences)
+    # every non-canonical occurrence of a duplicated window
+    cut = (
+        windows.join(dup, "whash")
+        .filter(
+            (F.col("id") != F.col("canon.id"))
+            | (F.col("pos") != F.col("canon.pos"))
+        )
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("cut_starts"))
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def rewrite(text: pd.Series, starts: pd.Series) -> pd.Series:
+        out = []
+        for t, ss in zip(text, starts):
+            toks = t.strip().split()
+            if ss is None or not len(ss):
+                out.append(" ".join(toks))
+                continue
+            # overlapping [s, s+span) intervals merge via the keep mask
+            keep = [True] * len(toks)
+            for s in ss:
+                for i in range(int(s), min(int(s) + span_tokens, len(toks))):
+                    keep[i] = False
+            out.append(" ".join(tk for tk, k in zip(toks, keep) if k))
+        return pd.Series(out)
+
+    joined = df.join(cut.withColumnRenamed("id", id_col), id_col, "left")
+
+    def n_toks(c):  # empty string splits to [""] — count it as 0 tokens
+        return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+            F.size(F.split(F.trim(c), r"\s+"))
+        )
+
+    res = joined.withColumn(
+        "__new_text", rewrite(F.col(text_col), F.col("cut_starts"))
+    )
+    return res.select(
+        *[c for c in df.columns if c != text_col],
+        F.col("__new_text").alias(text_col),
+        (n_toks(F.col(text_col)) - n_toks(F.col("__new_text")))
+        .cast("int")
+        .alias("n_removed_tokens"),
     )
