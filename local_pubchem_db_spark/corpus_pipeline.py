@@ -43,6 +43,7 @@ from local_pubchem_db_spark.operators.dedup import (
     dedup_keep_ids,
     exact_dedup_by_content,
     minhash_lsh_dedup_pairs,
+    remove_duplicate_spans,
 )
 from local_pubchem_db_spark.operators.sampling import hash_split
 
@@ -61,6 +62,7 @@ def clean_corpus(
     stride: int = 24,
     pack_budget: int | None = None,
     eval_df: DataFrame | None = None,
+    span_dedup_tokens: int | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full cleaning pipeline; returns the named lazy stages:
 
@@ -73,7 +75,10 @@ def clean_corpus(
     ``packed``    chunks with ``pack_id`` (only when ``pack_budget``)
 
     ``languages=None`` / ``min_quality=0`` / ``split_fractions=None`` /
-    ``eval_df=None`` disable the respective stage.
+    ``eval_df=None`` / ``span_dedup_tokens=None`` disable the
+    respective stage (``span_dedup_tokens=N`` cuts every N-token span
+    duplicated across the deduped corpus down to one canonical copy —
+    see ``remove_duplicate_spans``).
 
     Decontamination runs AFTER dedup (fewer docs to fingerprint — dedup
     shrinks the corpus, decontamination is a per-doc predicate that
@@ -111,6 +116,16 @@ def clean_corpus(
         exact_unique, "doc_id", "text", threshold=lsh_threshold
     )
     deduped = dedup_keep_ids(exact_unique, pairs, "doc_id")
+
+    if span_dedup_tokens is not None:
+        # Substring-level dedup AFTER doc-level dedup: whole-document
+        # duplicates are already gone (cheaper per doc there), so this
+        # stage only pays for the cross-document boilerplate spans the
+        # doc-level stages cannot see. Before decontamination/split so
+        # their predicates act on the final text.
+        deduped = remove_duplicate_spans(
+            deduped, "doc_id", "text", span_tokens=span_dedup_tokens
+        ).drop("n_removed_tokens")
 
     if eval_df is not None:
         deduped = decontaminate(deduped, eval_df, id_col="doc_id")

@@ -166,3 +166,28 @@ def test_packing_with_hash_scale_doc_ids(spark):
         sums[r["pack_id"]] += r["n_tokens"]
     assert all(s <= 16 for s in sums.values())
     spark.catalog.clearCache()
+
+
+def test_clean_corpus_span_dedup_stage(spark):
+    """span_dedup_tokens wires remove_duplicate_spans between doc-level
+    dedup and decontamination: cross-document boilerplate disappears
+    from all but one surviving document, whole docs are not dropped."""
+    boiler = " ".join(f"lic{i}" for i in range(6))
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(20)) + " " + boiler),
+        (2, " ".join(f"b{i}" for i in range(20)) + " " + boiler),
+        (3, " ".join(f"c{i}" for i in range(20))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = clean_corpus(
+        docs,
+        languages=None,
+        min_quality=0,
+        split_fractions=None,
+        span_dedup_tokens=4,
+    )
+    deduped = {r["doc_id"]: r["text"] for r in out["deduped"].collect()}
+    assert set(deduped) == {1, 2, 3}  # no document vanishes
+    assert sum(1 for t in deduped.values() if boiler in t) == 1
+    assert boiler in deduped[1]  # canonical = lowest (id, pos)
+    assert "b0" in deduped[2]  # unique content survives the cut
