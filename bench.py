@@ -155,12 +155,14 @@ def main() -> None:
     print(json.dumps(out))
 
 
-def _load_previous_artifact() -> tuple[str | None, dict | None]:
+def _load_previous_artifact(
+    root: str | None = None,
+) -> tuple[str | None, dict | None]:
     """The most recent BENCH_r{N}.json with a parsed payload — the
     yardstick drift_vs_prev is computed against."""
     import re
 
-    root = os.path.dirname(os.path.abspath(__file__))
+    root = root or os.path.dirname(os.path.abspath(__file__))
     best: tuple[int, str, dict] | None = None
     for fn in os.listdir(root):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
