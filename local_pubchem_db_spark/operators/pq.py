@@ -55,16 +55,22 @@ def _norm_rows(M: np.ndarray) -> np.ndarray:
 
 
 def _kmeans_1sub(X: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
-    """Plain seeded Lloyd on one subspace sample (driver-side, small)."""
+    """Plain seeded Lloyd on one subspace sample (driver-side, small).
+
+    Assignment uses argmin(||c||^2 - 2 x.c) — one (n,k) matmul — rather
+    than the (n,k,dsub) broadcast form, which churns ~GBs of temporaries
+    at a 64k-row sample and dominated fit wall-time."""
     k = min(k, len(X))
     centroids = X[rng.choice(len(X), size=k, replace=False)].copy()
     for _ in range(iters):
-        d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        d = (centroids**2).sum(axis=1)[None, :] - 2.0 * (X @ centroids.T)
         assign = d.argmin(axis=1)
-        for c in range(k):
-            members = X[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
+        # vectorized per-cluster mean: bincount on the assignment
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        sums = np.zeros_like(centroids)
+        np.add.at(sums, assign, X)
+        nonempty = counts > 0
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
     return centroids
 
 
