@@ -40,6 +40,12 @@ from local_pubchem_db_spark.operators.quality import (
     unigram_logprob_scores,
     unigram_model,
 )
+from local_pubchem_db_spark.operators.resampling import (
+    bucket_counts,
+    dsir_logweights,
+    dsir_select,
+    hashed_ngram_buckets,
+)
 from local_pubchem_db_spark.operators.sampling import (
     deterministic_shuffle,
     hash_split,
@@ -54,27 +60,31 @@ __all__ = [
     "banded_range_join",
     "bounded_bucket_pairs",
     "brute_force_knn",
+    "bucket_counts",
     "connected_components",
     "decontaminate",
     "dedup_keep_ids",
     "deterministic_shuffle",
+    "dsir_logweights",
+    "dsir_select",
     "edit_distance_join",
     "exact_dedup",
     "exact_dedup_by_content",
     "hash_split",
+    "hashed_ngram_buckets",
     "incremental_srp_new_ids",
     "ivf_pq_search",
     "ivf_within_partition_pairs",
     "minhash_lsh_dedup_pairs",
     "misra_gries_topk",
     "mix_domains",
+    "ngram_jaccard_pairs",
     "pca_fit",
     "pca_transform",
     "pq_encode",
     "pq_fit",
     "pq_knn",
     "pq_reconstruct",
-    "ngram_jaccard_pairs",
     "range_join",
     "remove_duplicate_spans",
     "sample_per_key",

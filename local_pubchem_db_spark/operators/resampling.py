@@ -1,0 +1,215 @@
+"""Data selection via importance resampling (DSIR; Xie et al.,
+NeurIPS 2023): pick the k raw-corpus documents whose hashed-n-gram
+feature distribution looks most like a small target corpus.
+
+This generalizes the reference's static row filters (NOT_NULL /
+dtype-parse gates, reference ``pubchem2sqlite/utils.py:140-155``) to a
+data-driven selector: instead of "keep rows passing a predicate", keep
+the rows a target distribution would weight highest — the standard way
+a pretraining pipeline skims quality web text against a trusted corpus.
+
+Method (paper's hashed n-gram variant, exactly):
+1. featurize every document as a bag of hashed unigrams + bigrams over
+   ``n_buckets`` buckets;
+2. fit two bucket unigram distributions — target corpus and raw corpus —
+   with add-one smoothing;
+3. per raw doc, importance log-weight = sum over feature occurrences of
+   ``log p_target(b) - log p_raw(b)``;
+4. resample without replacement via the Gumbel-top-k trick:
+   ``argmax_k(logweight + Gumbel noise)``; noise is derived from
+   ``md5(seed, id)`` so the selected set is a pure function of
+   (data, seed) — stable across runs, partitionings, and engines.
+
+Hashing contract: bucket = ``md5("{seed}:{ngram}")[:8]`` as a 32-bit int
+mod ``n_buckets`` — the same engine-portable md5 string math as
+``operators/sampling.py``, so an external oracle reproduces every bucket,
+weight, and selection bit-for-bit (pytest oracle:
+``tests/test_dsir.py``).
+
+Scale shape (100 TB raw corpus, small target corpus):
+- featurization is a map-only explode to ``(id, bucket)`` pairs — the
+  corpus text itself is never shuffled;
+- each distribution is one map-side-combinable groupBy over at most
+  ``n_buckets`` keys (the relation is B rows, corpus-size independent);
+- scoring joins the B-row distributions (AQE broadcasts them) and
+  reduces per doc — one more map-side-combinable shuffle;
+- selection is ``TakeOrderedAndProject`` for modest k; for k beyond
+  driver comfort, take an ``approxQuantile`` threshold on
+  ``dsir_score`` and filter instead (map-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from local_pubchem_db_spark.functions.text import normalize_text, tokens
+
+
+def _portable_bucket(ngram: Column, n_buckets: int, seed: str) -> Column:
+    """md5-prefix hash bucket in [0, n_buckets): identical in any engine
+    with md5 + hex→int conversion (no xxhash64 in the contract)."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), ngram)), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
+def hashed_ngram_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    seed: str = "0",
+) -> DataFrame:
+    """(id, bucket): one row per unigram/bigram OCCURRENCE of the
+    normalized text. Map-only (narrow); docs with no tokens emit no
+    rows."""
+    toks = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != "")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.when(n >= 2, F.slice(toks, 2, n - 1)).otherwise(
+            F.array().cast("array<string>")
+        ),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.concat(toks, bigrams)).alias("ngram"),
+        )
+        .select("id", _portable_bucket(F.col("ngram"), n_buckets, seed).alias("bucket"))
+    )
+
+
+def bucket_counts(features: DataFrame) -> DataFrame:
+    """(bucket, n): occurrence counts — the unnormalized hashed-n-gram
+    unigram model. At most ``n_buckets`` rows regardless of corpus size."""
+    return features.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+def dsir_logweights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    seed: str = "0",
+) -> DataFrame:
+    """(id, n_feats, logweight) for every raw doc with >=1 token.
+
+    logweight = sum over the doc's feature occurrences of
+    ``log((c_target(b)+1)/(N_target+B)) - log((c_raw(b)+1)/(N_raw+B))``
+    — add-one smoothing keeps buckets absent from the target corpus at
+    the 1/(N+B) floor instead of -inf. Token-less docs are absent (no
+    features → no evidence; callers keep or drop them explicitly).
+    """
+    feats = hashed_ngram_buckets(raw_docs, id_col, text_col, n_buckets, seed)
+    raw_dist = bucket_counts(feats).withColumnRenamed("n", "n_raw")
+    tgt_dist = bucket_counts(
+        hashed_ngram_buckets(target_docs, id_col, text_col, n_buckets, seed)
+    ).withColumnRenamed("n", "n_tgt")
+    # two tiny aggregates folded into a 1-row broadcast fan-in (the
+    # quality.py pattern) — no driver-side collect of model state.
+    # Renamed projections break the name collision the self-joined
+    # lineage (dist used in both the feature join and the total) causes.
+    totals = (
+        raw_dist.select(F.col("n_raw").alias("nr"))
+        .agg(F.sum("nr").alias("total_raw"))
+        .crossJoin(
+            tgt_dist.select(F.col("n_tgt").alias("nt")).agg(
+                F.sum("nt").alias("total_tgt")
+            )
+        )
+    )
+    b = F.lit(float(n_buckets))
+    scored = (
+        feats.join(tgt_dist, "bucket", "left")
+        .join(raw_dist, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "id",
+            (
+                F.log(
+                    (F.coalesce(F.col("n_tgt"), F.lit(0)) + F.lit(1))
+                    / (F.col("total_tgt") + b)
+                )
+                - F.log(
+                    (F.coalesce(F.col("n_raw"), F.lit(0)) + F.lit(1))
+                    / (F.col("total_raw") + b)
+                )
+            ).alias("lw"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lw").alias("logweight"),
+        )
+        .select(F.col("id").alias(id_col), "n_feats", "logweight")
+    )
+
+
+def _gumbel(id_col: Column, seed: str) -> Column:
+    """Deterministic standard Gumbel noise from md5(seed,id): 32 hash
+    bits → u in (0,1) → -log(-log(u)). Engine-portable like the
+    bucket hash."""
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"gumbel:{seed}:"), id_col.cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(4294967296.0)
+    return -F.log(-F.log(u))
+
+
+def dsir_select(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    seed: str = "0",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Top-k raw docs by ``logweight/temperature + Gumbel`` — sampling
+    without replacement from the softmax of importance weights
+    (temperature→0 approaches deterministic argmax-k; the paper uses 1).
+    Returns the raw docs' columns plus ``dsir_logweight``.
+
+    k-row ``TakeOrderedAndProject`` (each partition forwards at most k
+    rows); for k too large to gather, filter on a score threshold
+    instead (``approxQuantile`` on ``dsir_score``) — map-only.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    w = dsir_logweights(
+        raw_docs, target_docs, id_col, text_col, n_buckets, seed
+    )
+    scored = w.select(
+        id_col,
+        F.col("logweight").alias("dsir_logweight"),
+        (
+            F.col("logweight") / F.lit(float(temperature))
+            + _gumbel(F.col(id_col), seed)
+        ).alias("dsir_score"),
+    )
+    picked = scored.orderBy(
+        F.col("dsir_score").desc(), F.col(id_col).asc()
+    ).limit(k)
+    return raw_docs.join(
+        picked.select(id_col, "dsir_logweight", "dsir_score"), id_col, "inner"
+    )

@@ -1,0 +1,174 @@
+"""DSIR importance resampling vs an independent pure-Python oracle.
+
+The operator's whole contract is engine-portable md5 math, so the oracle
+reimplements featurization, smoothing, weighting, Gumbel noise, and
+top-k selection from scratch (hashlib + math) and the test demands exact
+id-set equality and tight float agreement on the weights.
+"""
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_pubchem_db_spark.operators.resampling import (
+    bucket_counts,
+    dsir_logweights,
+    dsir_select,
+    hashed_ngram_buckets,
+)
+
+RAW = [
+    (1, "the cat sat on the mat"),
+    (2, "stock markets rally as tech shares surge higher today"),
+    (3, "the dog sat on the log, happily."),
+    (4, "Buy cheap pills online!!! best price best price best price"),
+    (5, "Photosynthesis converts light energy into chemical energy."),
+    (6, "the the the the the the"),
+    (7, "quantum entanglement links particle states across distance"),
+    (8, ""),
+    (9, "cells divide through mitosis; chromosomes align and separate"),
+    (10, "click here to win a FREE prize click here click here"),
+]
+TARGET = [
+    (100, "Photosynthesis stores chemical energy in plant cells."),
+    (101, "Mitosis separates chromosomes into daughter cells."),
+    (102, "Quantum states of entangled particles correlate across distance."),
+]
+B = 64
+SEED = "42"
+
+
+def _norm_tokens(text):
+    t = re.sub(r"[.,!?;:]", "", text.lower())
+    t = re.sub(r"\s+", " ", t).strip()
+    return [w for w in t.split(" ") if w] if t else []
+
+
+def _bucket(ngram, seed=SEED, b=B):
+    h = hashlib.md5(f"{seed}:{ngram}".encode()).hexdigest()[:8]
+    return int(h, 16) % b
+
+
+def _features(text):
+    toks = _norm_tokens(text)
+    grams = list(toks) + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    return [_bucket(g) for g in grams]
+
+
+def _dist(rows):
+    c = Counter()
+    for _, text in rows:
+        c.update(_features(text))
+    return c
+
+
+def _oracle_logweights():
+    raw_d, tgt_d = _dist(RAW), _dist(TARGET)
+    n_raw, n_tgt = sum(raw_d.values()), sum(tgt_d.values())
+    out = {}
+    for i, text in RAW:
+        feats = _features(text)
+        if not feats:
+            continue
+        out[i] = sum(
+            math.log((tgt_d.get(f, 0) + 1) / (n_tgt + B))
+            - math.log((raw_d.get(f, 0) + 1) / (n_raw + B))
+            for f in feats
+        )
+    return out
+
+
+def _oracle_gumbel(doc_id, seed=SEED):
+    h = hashlib.md5(f"gumbel:{seed}:{doc_id}".encode()).hexdigest()[:8]
+    u = (int(h, 16) + 0.5) / 2**32
+    return -math.log(-math.log(u))
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    tgt = spark.createDataFrame(TARGET, "doc_id long, text string")
+    return raw, tgt
+
+
+def test_features_match_oracle(frames):
+    raw, _ = frames
+    got = Counter(
+        (r["id"], r["bucket"])
+        for r in hashed_ngram_buckets(raw, n_buckets=B, seed=SEED).collect()
+    )
+    want = Counter()
+    for i, text in RAW:
+        for f in _features(text):
+            want[(i, f)] += 1
+    assert got == want
+
+
+def test_bucket_counts_bounded(frames):
+    raw, _ = frames
+    d = bucket_counts(hashed_ngram_buckets(raw, n_buckets=B, seed=SEED))
+    rows = d.collect()
+    assert len(rows) <= B
+    assert sum(r["n"] for r in rows) == sum(_dist(RAW).values())
+
+
+def test_logweights_match_oracle(frames):
+    raw, tgt = frames
+    got = {
+        r["doc_id"]: r["logweight"]
+        for r in dsir_logweights(raw, tgt, n_buckets=B, seed=SEED).collect()
+    }
+    want = _oracle_logweights()
+    assert set(got) == set(want)  # doc 8 (empty) absent from both
+    assert 8 not in got
+    for i in want:
+        assert got[i] == pytest.approx(want[i], rel=1e-9), i
+
+
+def test_select_matches_oracle_and_is_partition_invariant(frames):
+    raw, tgt = frames
+    want_w = _oracle_logweights()
+    scored = sorted(
+        ((want_w[i] + _oracle_gumbel(i), -i) for i in want_w), reverse=True
+    )
+    want_ids = {-x[1] for x in scored[:4]}
+    got = dsir_select(raw, tgt, k=4, n_buckets=B, seed=SEED)
+    assert {r["doc_id"] for r in got.collect()} == want_ids
+    assert set(got.columns) == {"doc_id", "text", "dsir_logweight", "dsir_score"}
+    got2 = dsir_select(raw.repartition(7), tgt.repartition(3), k=4, n_buckets=B, seed=SEED)
+    assert {r["doc_id"] for r in got2.collect()} == want_ids
+
+
+def test_target_like_docs_outrank_spam_without_noise(frames):
+    """Deterministic sanity: zero-noise ranking puts the science docs
+    (sharing target vocabulary) above spam/repetition. Use the weights
+    directly so Gumbel noise can't blur the semantics under test."""
+    raw, tgt = frames
+    w = {
+        r["doc_id"]: r["logweight"]
+        for r in dsir_logweights(raw, tgt, n_buckets=B, seed=SEED).collect()
+    }
+    science = {5, 7, 9}
+    junk = {4, 6, 10}
+    assert min(w[i] for i in science) > max(w[j] for j in junk)
+
+
+def test_select_validates_args(frames):
+    raw, tgt = frames
+    with pytest.raises(ValueError):
+        dsir_select(raw, tgt, k=0)
+    with pytest.raises(ValueError):
+        dsir_select(raw, tgt, k=1, temperature=0.0)
+
+
+def test_plan_shape(frames):
+    """Distributions broadcast; selection is a k-row TakeOrdered — no
+    full-sort exchange and no Python eval anywhere."""
+    raw, tgt = frames
+    plan = dsir_select(raw, tgt, k=4, n_buckets=B, seed=SEED)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "EvalPython" not in plan
