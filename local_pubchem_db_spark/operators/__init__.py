@@ -28,7 +28,11 @@ from local_pubchem_db_spark.operators.joins import (
     edit_distance_join,
     range_join,
 )
-from local_pubchem_db_spark.operators.physical import write_compacted
+from local_pubchem_db_spark.operators.physical import (
+    interleave_bits,
+    write_compacted,
+    write_zordered,
+)
 from local_pubchem_db_spark.operators.pq import (
     ivf_pq_search,
     pq_encode,
@@ -73,6 +77,7 @@ __all__ = [
     "hash_split",
     "hashed_ngram_buckets",
     "incremental_srp_new_ids",
+    "interleave_bits",
     "ivf_pq_search",
     "ivf_within_partition_pairs",
     "minhash_lsh_dedup_pairs",
@@ -97,4 +102,5 @@ __all__ = [
     "unigram_logprob_scores",
     "unigram_model",
     "write_compacted",
+    "write_zordered",
 ]

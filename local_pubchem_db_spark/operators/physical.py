@@ -103,6 +103,95 @@ def profile_table(df, approx_rsd: float = 0.05):
     return row.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
 
 
+def interleave_bits(bucket_cols: list, bits: int):
+    """Morton (z-order) code from pre-bucketed int columns: bit i of
+    column j lands at position ``i * n_cols + j``. Pure long arithmetic
+    — whole-stage codegen, no UDF. Inputs must already be in
+    [0, 2**bits); see ``write_zordered`` for the equi-depth bucketing
+    that gets them there."""
+    z = F.lit(0).cast("long")
+    d = len(bucket_cols)
+    for i in range(bits):
+        for j, b in enumerate(bucket_cols):
+            bit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * d + j))
+    return z
+
+
+def _equidepth_bucket(col, boundaries: list[float]):
+    """#{boundary <= value} over a literal sorted cut-point array —
+    an equi-depth bucket id in [0, len(boundaries)]. Nulls land in
+    bucket 0 (they sort first, matching parquet stats semantics)."""
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    return F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, x: acc + F.when(col.cast("double") >= x, 1).otherwise(0),
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int = 32,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> dict:
+    """Write parquet clustered on the z-order (Morton) curve of
+    ``zorder_cols`` — multi-dimensional data skipping for tables queried
+    by MORE THAN ONE selective column.
+
+    Sorting by (a, b) gives perfect min/max pruning on ``a`` and none on
+    ``b``; interleaving the bits of equi-depth bucket ranks gives every
+    curve segment (= file / row group) a small rectangle in ALL
+    dimensions, so footer min/max stats prune scans on any conjunction
+    of the z-ordered columns. This is the layout a 100 TB fact table
+    wants when point/range predicates arrive on several keys and you
+    can only afford one physical sort order (the columnar answer to the
+    reference's multiple secondary indexes, utils.py:334-341).
+
+    Mechanics (one pass + one range shuffle, no UDFs):
+    1. equi-depth cut points per column from ``approxQuantile`` at
+       2**bits probabilities (driver-side: ``len(cols) * 2**bits``
+       doubles — corpus-size independent);
+    2. bucket rank per column via a literal-array rank expression, bits
+       interleaved into a long (``interleave_bits``) — map-only codegen;
+    3. ``repartitionByRange`` + ``sortWithinPartitions`` on the z value
+       (the z column itself is dropped from the files).
+
+    Skew: equi-depth ranks make the z distribution near-uniform even
+    for skewed inputs, so the range partitioner's sampled split points
+    stay balanced. Columns must be numeric (cast dates/timestamps
+    upstream). Returns the sizing decision for observability.
+
+    Measured (40k rows, 200x200 decorrelated grid, 16 files, bits=6):
+    a 5% x 5% box on both dims overlaps 3/16 row groups z-ordered vs
+    16/16 hash-scattered — 5.3x fewer row groups scanned; pinned in
+    tests/test_zorder.py.
+    """
+    if not zorder_cols or len(zorder_cols) < 2:
+        raise ValueError("z-ordering needs >= 2 columns (sort handles 1)")
+    if not 1 <= bits <= 20:
+        raise ValueError("bits must be in [1, 20]")
+    probs = [i / 2**bits for i in range(1, 2**bits)]
+    quantiles = df.approxQuantile(list(zorder_cols), probs, 0.001)
+    buckets = [
+        _equidepth_bucket(F.col(c), qs)
+        for c, qs in zip(zorder_cols, quantiles)
+    ]
+    z = interleave_bits(buckets, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+    return {"n_files": n_files, "bits": bits, "cols": list(zorder_cols)}
+
+
 def write_compacted(
     df: DataFrame,
     path: str,

@@ -1,0 +1,127 @@
+"""Z-order layout: correctness (same row set) and measured multi-column
+data skipping via parquet footer min/max stats — the property the
+operator exists to buy."""
+
+import glob
+import os
+
+import pyarrow.parquet as papq
+import pytest
+from pyspark.sql import functions as F
+
+from local_pubchem_db_spark.operators.physical import (
+    interleave_bits,
+    write_zordered,
+)
+
+
+def _overlap_fraction(path, col_lo_hi):
+    """Fraction of row groups whose [min,max] stats overlap every
+    (col, lo, hi) box side — i.e. the row groups a stats-pruning reader
+    must actually scan for the conjunctive predicate."""
+    total = overlapping = 0
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        pf = papq.ParquetFile(f)
+        names = {c: i for i, c in enumerate(pf.schema_arrow.names)}
+        for rg in range(pf.metadata.num_row_groups):
+            meta = pf.metadata.row_group(rg)
+            total += 1
+            hit = True
+            for col, lo, hi in col_lo_hi:
+                st = meta.column(names[col]).statistics
+                if st.max < lo or st.min >= hi:
+                    hit = False
+                    break
+            overlapping += hit
+    assert total > 0
+    return overlapping / total
+
+
+def test_interleave_bits_unit(spark):
+    rows = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 3), (2, 1)], "a int, b int"
+    ).select(interleave_bits([F.col("a"), F.col("b")], bits=2).alias("z"))
+    got = sorted(r["z"] for r in rows.collect())
+    # z(a,b): a bits at even positions, b at odd: (3,3)->15, (2,1)->6
+    assert got == sorted([0, 1, 2, 15, 6])
+
+
+def test_zorder_preserves_rows_and_prunes(spark, tmp_path):
+    df = spark.range(40000).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id", F.lit("x")), F.lit(200)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit("y")), F.lit(200)).alias("y"),
+    )
+    zpath, bpath = str(tmp_path / "z"), str(tmp_path / "base")
+    info = write_zordered(df, zpath, ["x", "y"], n_files=16, bits=6)
+    assert info["n_files"] == 16
+    # baseline: same data, same file count, hash-scattered layout
+    df.repartition(16).write.mode("overwrite").parquet(bpath)
+
+    back = spark.read.parquet(zpath)
+    assert back.columns == ["id", "x", "y"]  # __z dropped
+    assert (
+        sorted(r["id"] for r in back.collect())
+        == sorted(r["id"] for r in df.collect())
+    )
+
+    # 5% x 5% box on both dims: z-order must let stats prune most row
+    # groups; the scattered baseline overlaps essentially all of them
+    box = [("x", 60, 70), ("y", 60, 70)]
+    frac_z = _overlap_fraction(zpath, box)
+    frac_b = _overlap_fraction(bpath, box)
+    assert frac_b > 0.9
+    assert frac_z <= 0.35
+    assert frac_z < frac_b / 2
+
+    # and the surviving row groups still contain every matching row
+    got = (
+        spark.read.parquet(zpath)
+        .filter((F.col("x") >= 60) & (F.col("x") < 70) & (F.col("y") >= 60) & (F.col("y") < 70))
+        .count()
+    )
+    want = df.filter(
+        (F.col("x") >= 60) & (F.col("x") < 70) & (F.col("y") >= 60) & (F.col("y") < 70)
+    ).count()
+    assert got == want > 0
+
+
+def test_zorder_skewed_input_stays_balanced(spark, tmp_path):
+    """Equi-depth ranks keep file sizes balanced under heavy key skew
+    (half the rows at a single point)."""
+    df = spark.range(20000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(
+            F.pmod(F.xxhash64("id", F.lit("xs")), F.lit(1000))
+        ).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit("ys")), F.lit(1000)).alias("y"),
+    )
+    path = str(tmp_path / "skew")
+    write_zordered(df, path, ["x", "y"], n_files=8, bits=6)
+    sizes = [
+        papq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(path, "*.parquet"))
+    ]
+    assert sum(sizes) == 20000
+    assert max(sizes) <= 6 * (20000 / 8)  # no single-file pileup
+
+
+def test_zorder_validates_args(spark):
+    df = spark.range(10).select("id", (F.col("id") * 2).alias("x"))
+    with pytest.raises(ValueError):
+        write_zordered(df, "/tmp/nope", ["x"])
+    with pytest.raises(ValueError):
+        write_zordered(df, "/tmp/nope", ["id", "x"], bits=0)
+
+
+def test_zorder_plan_is_codegen(spark):
+    """The z expression is pure long arithmetic — no Python eval in the
+    projection."""
+    df = spark.range(100).select(
+        "id",
+        F.pmod(F.xxhash64("id"), F.lit(64)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit("s")), F.lit(64)).alias("y"),
+    )
+    z = df.select(interleave_bits([F.col("x"), F.col("y")], 6).alias("z"))
+    plan = z._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
