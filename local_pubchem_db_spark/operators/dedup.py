@@ -24,7 +24,7 @@ Scale notes:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Column
+from pyspark.sql import DataFrame, Column, Window
 from pyspark.sql import functions as F
 
 from local_pubchem_db_spark.functions.hashing import (
@@ -517,14 +517,42 @@ def dedup_keep_ids(
     id_col: str,
     id1: str = "id1",
     id2: str = "id2",
+    quality_col: str | None = None,
 ) -> DataFrame:
-    """Rows of ``df`` to KEEP after near-dup clustering: for every
-    component of ``pairs`` only the minimum id survives; rows in no pair
-    survive untouched. One anti-join against the (tiny relative to df)
-    non-representative set."""
+    """Rows of ``df`` to KEEP after near-dup clustering: one survivor
+    per component of ``pairs``; rows in no pair survive untouched.
+
+    ``quality_col=None`` keeps the minimum id (stable, metadata-free).
+    With ``quality_col`` set, the survivor is the component member with
+    the HIGHEST value of that column (ties → minimum id) — "keep the
+    best copy, not the first copy": near-dup clusters in crawled corpora
+    typically mix a clean original with mangled mirrors, and the id
+    order says nothing about which is which. Pair it with any per-doc
+    signal (``unigram_logprob_scores``, ``text_quality_signals``).
+
+    Cost: the component relation is sized by paired ids only (tiny
+    relative to df). Quality mode adds one join of that relation to
+    df's (id, quality) projection plus one component-keyed window —
+    both shuffles scale with the number of PAIRED docs, not the corpus.
+    """
     comps = connected_components(pairs, id1, id2)
-    drop = comps.filter(F.col("id") != F.col("rep")).select(
-        F.col("id").alias(id_col)
+    if quality_col is None:
+        drop = comps.filter(F.col("id") != F.col("rep")).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(drop, id_col, "left_anti")
+    scored = comps.join(
+        df.select(F.col(id_col).alias("id"), F.col(quality_col).alias("__q")),
+        "id",
+    )
+    w = (
+        Window.partitionBy("rep")
+        .orderBy(F.col("__q").desc_nulls_last(), F.col("id").asc())
+    )
+    drop = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") != 1)
+        .select(F.col("id").alias(id_col))
     )
     return df.join(drop, id_col, "left_anti")
 

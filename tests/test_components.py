@@ -75,3 +75,36 @@ def test_dedup_keep_ids_end_to_end(spark, sf_dir):
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert got_ids == all_ids - want_dropped
     assert want_dropped, "fixture lost its near-dups"
+
+
+def test_dedup_keep_ids_quality_mode(spark):
+    """quality_col keeps the best-scoring member per component (ties →
+    min id); unpaired rows and null-quality members behave sanely."""
+    docs = spark.createDataFrame(
+        [
+            (1, 0.2),  # comp A
+            (2, 0.9),  # comp A — best, survives
+            (3, 0.9),  # comp A — tie with 2, higher id, dropped
+            (10, None),  # comp B — null quality loses to any value
+            (11, -5.0),  # comp B — survives
+            (20, 0.0),  # unpaired — survives untouched
+        ],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id1 long, id2 long"
+    )
+    kept = dedup_keep_ids(docs, pairs, "doc_id", quality_col="q")
+    assert {r["doc_id"] for r in kept.collect()} == {2, 11, 20}
+    # default mode on the same inputs keeps min ids instead
+    kept_min = dedup_keep_ids(docs, pairs, "doc_id")
+    assert {r["doc_id"] for r in kept_min.collect()} == {1, 10, 20}
+
+
+def test_dedup_keep_ids_quality_all_null_falls_back_to_min_id(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, q double"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+    kept = dedup_keep_ids(docs, pairs, "doc_id", quality_col="q")
+    assert {r["doc_id"] for r in kept.collect()} == {1}
