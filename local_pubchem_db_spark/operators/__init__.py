@@ -28,6 +28,11 @@ from local_pubchem_db_spark.operators.joins import (
     edit_distance_join,
     range_join,
 )
+from local_pubchem_db_spark.operators.bloom import (
+    bloom_build,
+    bloom_contains,
+    decontaminate_bloom,
+)
 from local_pubchem_db_spark.operators.physical import (
     interleave_bits,
     write_compacted,
@@ -62,11 +67,14 @@ from local_pubchem_db_spark.operators.topk import misra_gries_topk, top_k_per_gr
 __all__ = [
     "as_of_join",
     "banded_range_join",
+    "bloom_build",
+    "bloom_contains",
     "bounded_bucket_pairs",
     "brute_force_knn",
     "bucket_counts",
     "connected_components",
     "decontaminate",
+    "decontaminate_bloom",
     "dedup_keep_ids",
     "deterministic_shuffle",
     "dsir_logweights",

@@ -1,0 +1,86 @@
+"""Distributed Bloom filter: no false negatives ever, sized FPR,
+partitioning-invariant bytes, and the bloom decontamination path
+over-approximating the exact one."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_pubchem_db_spark.operators.bloom import (
+    bloom_build,
+    bloom_contains,
+    decontaminate_bloom,
+)
+from local_pubchem_db_spark.operators.dedup import decontaminate
+
+N_BITS = 1 << 17  # 16 KiB bitmap
+K = 5
+
+
+def test_no_false_negatives_and_bounded_fpr(spark):
+    members = spark.range(0, 5000).select(F.col("id").alias("key"))
+    bitmap = bloom_build(members, "key", n_bits=N_BITS, k=K)
+    assert len(bitmap) == N_BITS // 8
+
+    probe = spark.range(0, 20000).select(F.col("id").alias("key"))
+    hits = probe.filter(bloom_contains(probe, "key", bitmap, k=K)).collect()
+    hit_ids = {r["key"] for r in hits}
+    # every inserted key must test positive
+    assert set(range(5000)) <= hit_ids
+    # m/n = 26 bits/key, k=5 -> theoretical FPR ~0.1%; allow 1%
+    false_pos = len(hit_ids) - 5000
+    assert false_pos / 15000 < 0.01, false_pos
+
+
+def test_bitmap_bytes_partition_invariant(spark):
+    keys = spark.range(0, 3000).select(F.col("id").alias("key"))
+    b1 = bloom_build(keys, "key", n_bits=N_BITS, k=K)
+    b2 = bloom_build(keys.repartition(13), "key", n_bits=N_BITS, k=K, build_partitions=5)
+    assert b1 == b2
+
+
+def test_build_validates_args(spark):
+    keys = spark.range(10).select(F.col("id").alias("key"))
+    with pytest.raises(ValueError):
+        bloom_build(keys, "key", n_bits=100)  # not a multiple of 8
+    with pytest.raises(ValueError):
+        bloom_build(keys, "key", k=0)
+
+
+def test_string_keys_work(spark):
+    members = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",)], "key string"
+    )
+    bitmap = bloom_build(members, "key", n_bits=1 << 12, k=4)
+    probe = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("delta",), ("epsilon",)],
+        "key string",
+    )
+    got = {
+        r["key"]
+        for r in probe.filter(
+            bloom_contains(probe, "key", bitmap, k=4)
+        ).collect()
+    }
+    assert {"alpha", "beta", "gamma"} <= got
+
+
+def test_bloom_decontaminate_superset_of_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 7 == 0)
+
+    exact_kept = {
+        r["doc_id"]
+        for r in decontaminate(train, eval_df, "doc_id", "text").collect()
+    }
+    bloom_kept = {
+        r["doc_id"]
+        for r in decontaminate_bloom(train, eval_df, "doc_id", "text").collect()
+    }
+    # false positives only ever drop MORE: bloom keep-set within exact's
+    assert bloom_kept <= exact_kept
+    # and at default sizing (2 MiB bitmap vs a few thousand fps) the
+    # FPR is ~0: the two must agree exactly on this corpus
+    assert bloom_kept == exact_kept
+    all_train = {r["doc_id"] for r in train.select("doc_id").collect()}
+    assert exact_kept < all_train, "fixture lost its planted contamination"
