@@ -118,16 +118,39 @@ def interleave_bits(bucket_cols: list, bits: int):
     return z
 
 
-def _equidepth_bucket(col, boundaries: list[float]):
-    """#{boundary <= value} over a literal sorted cut-point array —
-    an equi-depth bucket id in [0, len(boundaries)]. Nulls land in
+def _heap_order(sorted_vals: list[float]) -> list[float]:
+    """Breadth-first (1-based heap) layout of a sorted complete-tree
+    cut-point array, so a binary search walks index arithmetic only."""
+    m = len(sorted_vals)
+    heap = [0.0] * (m + 1)
+
+    def fill(node: int, lo: int, hi: int) -> None:
+        if lo >= hi:
+            return
+        mid = (lo + hi) // 2
+        heap[node] = float(sorted_vals[mid])
+        fill(2 * node, lo, mid)
+        fill(2 * node + 1, mid + 1, hi)
+
+    fill(1, 0, m)
+    return heap[1:]
+
+
+def _equidepth_bucket(col, boundaries: list[float], bits: int):
+    """#{boundary <= value}: binary search over the cut points laid out
+    in heap order — ``bits`` rounds of element_at + compare, all
+    whole-stage codegen. (The obvious F.aggregate over the literal
+    array is a higher-order function, which Spark evaluates INTERPRETED
+    per element: at bits=8 that is ~255 interpreted ops/row/column and
+    measured ~25x slower end-to-end on a 6M-row write.) Nulls land in
     bucket 0 (they sort first, matching parquet stats semantics)."""
-    arr = F.array(*[F.lit(float(b)) for b in boundaries])
-    return F.aggregate(
-        arr,
-        F.lit(0),
-        lambda acc, x: acc + F.when(col.cast("double") >= x, 1).otherwise(0),
-    )
+    arr = F.array(*[F.lit(x) for x in _heap_order(boundaries)])
+    v = col.cast("double")
+    idx = F.lit(1)
+    for _ in range(bits):
+        step = F.element_at(arr, idx)
+        idx = idx * 2 + F.when(v >= step, 1).otherwise(0)
+    return idx - F.lit(2**bits)
 
 
 def write_zordered(
@@ -155,8 +178,10 @@ def write_zordered(
     1. equi-depth cut points per column from ``approxQuantile`` at
        2**bits probabilities (driver-side: ``len(cols) * 2**bits``
        doubles — corpus-size independent);
-    2. bucket rank per column via a literal-array rank expression, bits
-       interleaved into a long (``interleave_bits``) — map-only codegen;
+    2. bucket rank per column via a codegen'd binary search over the
+       cut points (heap-order literal array + ``bits`` element_at
+       probes), bits interleaved into a long (``interleave_bits``) —
+       map-only codegen;
     3. ``repartitionByRange`` + ``sortWithinPartitions`` on the z value
        (the z column itself is dropped from the files).
 
@@ -168,7 +193,10 @@ def write_zordered(
     Measured (40k rows, 200x200 decorrelated grid, 16 files, bits=6):
     a 5% x 5% box on both dims overlaps 3/16 row groups z-ordered vs
     16/16 hash-scattered — 5.3x fewer row groups scanned; pinned in
-    tests/test_zorder.py.
+    tests/test_zorder.py. At 6M lineitem rows (64 files, bits=8,
+    2 z-cols): write 48.8s vs 9.6s for a plain repartition write — the
+    one-time layout premium — and the same box overlaps 4/64 row groups
+    vs 64/64 (16x scan cut on every future two-column query).
     """
     if not zorder_cols or len(zorder_cols) < 2:
         raise ValueError("z-ordering needs >= 2 columns (sort handles 1)")
@@ -177,7 +205,7 @@ def write_zordered(
     probs = [i / 2**bits for i in range(1, 2**bits)]
     quantiles = df.approxQuantile(list(zorder_cols), probs, 0.001)
     buckets = [
-        _equidepth_bucket(F.col(c), qs)
+        _equidepth_bucket(F.col(c), qs, bits)
         for c, qs in zip(zorder_cols, quantiles)
     ]
     z = interleave_bits(buckets, bits)
