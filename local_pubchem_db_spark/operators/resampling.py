@@ -110,10 +110,23 @@ def dsir_logweights(
     features → no evidence; callers keep or drop them explicitly).
     """
     feats = hashed_ngram_buckets(raw_docs, id_col, text_col, n_buckets, seed)
-    raw_dist = bucket_counts(feats).withColumnRenamed("n", "n_raw")
-    tgt_dist = bucket_counts(
-        hashed_ngram_buckets(target_docs, id_col, text_col, n_buckets, seed)
-    ).withColumnRenamed("n", "n_tgt")
+    # localCheckpoint the two <=B-row distributions: each is referenced
+    # twice downstream (scoring join + totals), and without the cut the
+    # shared lineage re-featurizes the raw corpus three times and the
+    # target twice (measured: 50k docs 31.9s -> 28.4s end-to-end; the
+    # featurization floor is the 2 remaining passes — dist + scoring —
+    # and the checkpointed state is bounded by n_buckets, never the
+    # corpus)
+    raw_dist = (
+        bucket_counts(feats).withColumnRenamed("n", "n_raw").localCheckpoint()
+    )
+    tgt_dist = (
+        bucket_counts(
+            hashed_ngram_buckets(target_docs, id_col, text_col, n_buckets, seed)
+        )
+        .withColumnRenamed("n", "n_tgt")
+        .localCheckpoint()
+    )
     # two tiny aggregates folded into a 1-row broadcast fan-in (the
     # quality.py pattern) — no driver-side collect of model state.
     # Renamed projections break the name collision the self-joined
@@ -129,8 +142,8 @@ def dsir_logweights(
     )
     b = F.lit(float(n_buckets))
     scored = (
-        feats.join(tgt_dist, "bucket", "left")
-        .join(raw_dist, "bucket", "left")
+        feats.join(F.broadcast(tgt_dist), "bucket", "left")
+        .join(F.broadcast(raw_dist), "bucket", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             "id",
