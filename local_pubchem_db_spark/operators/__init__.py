@@ -1,6 +1,7 @@
 from local_pubchem_db_spark.operators.dedup import (
     bounded_bucket_pairs,
     connected_components,
+    contamination_report,
     decontaminate,
     dedup_keep_ids,
     exact_dedup,
@@ -73,6 +74,7 @@ __all__ = [
     "brute_force_knn",
     "bucket_counts",
     "connected_components",
+    "contamination_report",
     "decontaminate",
     "decontaminate_bloom",
     "dedup_keep_ids",

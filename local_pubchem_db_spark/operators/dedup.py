@@ -444,6 +444,47 @@ def decontaminate(
     return train.join(contaminated, id_col, "left_anti")
 
 
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    eval_id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 40,
+    window: int = 20,
+) -> DataFrame:
+    """(train id, eval_id, n_shared_fps): WHICH eval document each
+    contaminated training document overlaps, and how strongly — the
+    audit trail ``decontaminate`` (same parameters, same winnowing
+    guarantee) doesn't keep when it silently drops rows. Rank by
+    ``n_shared_fps`` to separate whole-document copies (hundreds of
+    shared fingerprints) from a single quoted sentence (one or two).
+
+    The set of train ids here is EXACTLY the set ``decontaminate``
+    drops (pinned in tests/test_decontaminate.py). Same scale shape:
+    eval fingerprints broadcast, train side map-only + one
+    grouped count over the (tiny) matched subset.
+    """
+    from local_pubchem_db_spark.functions.text import winnow_fingerprints_udf
+
+    fp = winnow_fingerprints_udf(k=k, window=window)
+    train_fps = fan_out(
+        train.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    ).select("id", F.explode(fp(F.col("text"))).alias("fp"))
+    eval_fps = (
+        eval_df.select(
+            F.col(eval_id_col).alias("eval_id"),
+            F.explode(fp(F.col(text_col))).alias("fp"),
+        )
+        .distinct()
+    )
+    return (
+        train_fps.join(F.broadcast(eval_fps), "fp")
+        .groupBy(F.col("id").alias(id_col), "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id1: str = "id1",

@@ -98,3 +98,28 @@ def test_decontaminate_empty_eval_keeps_everything(spark):
     eval_df = spark.createDataFrame([], "doc_id long, text string")
     kept = decontaminate(train, eval_df, k=K, window=W)
     assert kept.count() == len(TRAIN_DOCS)
+
+
+def test_contamination_report_names_sources_and_matches_drop_set(spark):
+    from local_pubchem_db_spark.operators.dedup import contamination_report
+
+    train = spark.createDataFrame(TRAIN_DOCS, "doc_id long, text string")
+    eval_df = spark.createDataFrame(EVAL_DOCS, "doc_id long, text string")
+    report = contamination_report(
+        train, eval_df, "doc_id", "doc_id", "text", k=K, window=W
+    ).collect()
+    by_pair = {(r["doc_id"], r["eval_id"]): r["n_shared_fps"] for r in report}
+    # the quoter matches eval 101 only; the verbatim copy matches 102 only
+    assert set(by_pair) == {(2, 101), (3, 102)}
+    # the full copy shares at least as many fingerprints as the partial
+    # quote shares with ITS source (both against their own eval doc)
+    assert by_pair[(3, 102)] >= 1 and by_pair[(2, 101)] >= 1
+    # audit trail consistency: reported train ids == decontaminate's drops
+    kept = {
+        r["doc_id"]
+        for r in decontaminate(
+            train, eval_df, "doc_id", "text", k=K, window=W
+        ).collect()
+    }
+    dropped = {r[0] for r in {(d, e) for d, e in by_pair}}
+    assert dropped == {1, 2, 3, 4, 5} - kept
