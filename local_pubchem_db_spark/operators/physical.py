@@ -187,8 +187,9 @@ def write_zordered(
 
     Skew: equi-depth ranks make the z distribution near-uniform even
     for skewed inputs, so the range partitioner's sampled split points
-    stay balanced. Columns must be numeric (cast dates/timestamps
-    upstream). Returns the sizing decision for observability.
+    stay balanced. Numeric, timestamp, and date columns are supported
+    (time dims rank by epoch seconds). Returns the sizing decision for
+    observability.
 
     Measured (40k rows, 200x200 decorrelated grid, 16 files, bits=6):
     a 5% x 5% box on both dims overlaps 3/16 row groups z-ordered vs
@@ -202,11 +203,40 @@ def write_zordered(
         raise ValueError("z-ordering needs >= 2 columns (sort handles 1)")
     if not 1 <= bits <= 20:
         raise ValueError("bits must be in [1, 20]")
+    # timestamp/date dims (the canonical z-order use: time x key) rank
+    # by their epoch seconds; everything else must cast to double
+    dtypes = dict(df.dtypes)
+    rank_exprs = []
+    has_ts = False
+    for c in zorder_cols:
+        if c not in dtypes:
+            raise ValueError(f"unknown z-order column {c!r}")
+        if dtypes[c] in ("timestamp", "timestamp_ntz", "date"):
+            has_ts = dtypes[c] != "date"  # dates encode INT32, stats ok
+            rank_exprs.append(F.col(c).cast("timestamp").cast("double"))
+        else:
+            rank_exprs.append(F.col(c).cast("double"))
+    if has_ts:
+        out_type = df.sparkSession.conf.get(
+            "spark.sql.parquet.outputTimestampType", "INT96"
+        )
+        if out_type == "INT96":
+            # INT96 row groups carry no statistics at all — the layout
+            # would cluster perfectly and prune nothing
+            raise ValueError(
+                "timestamp z-order column would be written as INT96, "
+                "which has no parquet min/max stats; set "
+                "spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS "
+                "(the get_spark default) on the session"
+            )
     probs = [i / 2**bits for i in range(1, 2**bits)]
-    quantiles = df.approxQuantile(list(zorder_cols), probs, 0.001)
+    qcols = [f"__zq{i}" for i in range(len(zorder_cols))]
+    quantiles = df.select(
+        *[e.alias(q) for e, q in zip(rank_exprs, qcols)]
+    ).approxQuantile(qcols, probs, 0.001)
     buckets = [
-        _equidepth_bucket(F.col(c), qs, bits)
-        for c, qs in zip(zorder_cols, quantiles)
+        _equidepth_bucket(e, qs, bits)
+        for e, qs in zip(rank_exprs, quantiles)
     ]
     z = interleave_bits(buckets, bits)
     (

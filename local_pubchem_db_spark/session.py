@@ -57,6 +57,13 @@ def get_spark(
         "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.filterPushdown": "true",
+        # INT96 (Spark's default parquet timestamp encoding) carries NO
+        # column statistics: every time-range predicate scans every row
+        # group of every sink this engine writes. MICROS is the modern
+        # encoding (stats + pyarrow/duckdb-native); write_zordered
+        # fail-fasts if a caller's session still emits INT96 for a
+        # timestamp z-dim.
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

@@ -125,3 +125,45 @@ def test_zorder_plan_is_codegen(spark):
     z = df.select(interleave_bits([F.col("x"), F.col("y")], 6).alias("z"))
     plan = z._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_zorder_timestamp_dimension(spark, tmp_path):
+    """time x key — the canonical z-order pair: timestamp dims rank by
+    epoch seconds, both dims prune."""
+    df = spark.range(30000).select(
+        F.col("id"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.pmod(F.xxhash64("id", F.lit("t")), F.lit(86400 * 30))
+        ).alias("ts"),
+        F.pmod(F.xxhash64("id", F.lit("u")), F.lit(500)).alias("user_id"),
+    )
+    path = str(tmp_path / "zts")
+    write_zordered(df, path, ["ts", "user_id"], n_files=16, bits=6)
+    back = spark.read.parquet(path)
+    assert back.count() == 30000
+    assert dict(back.dtypes)["ts"] == "timestamp"
+    # ~1/30 time slice x 10% of users
+    lo = 1700000000 + 86400 * 10
+    hi = lo + 86400
+    pred = (
+        (F.col("ts") >= F.timestamp_seconds(F.lit(lo)))
+        & (F.col("ts") < F.timestamp_seconds(F.lit(hi)))
+        & (F.col("user_id") < 50)
+    )
+    assert back.filter(pred).count() == df.filter(pred).count() > 0
+    # footer stats on the ts column must be selective: most row groups
+    # excluded by the one-day slice alone
+    import glob as _glob
+
+    tot = ov = 0
+    for f in _glob.glob(os.path.join(path, "*.parquet")):
+        pf = papq.ParquetFile(f)
+        names = {c: i for i, c in enumerate(pf.schema_arrow.names)}
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(names["ts"]).statistics
+            tot += 1
+            ov += not (
+                st.max.timestamp() < lo or st.min.timestamp() >= hi
+            )
+    assert tot >= 16
+    assert ov / tot <= 0.5
