@@ -45,6 +45,7 @@ from local_pubchem_db_spark.operators.dedup import (
     minhash_lsh_dedup_pairs,
     remove_duplicate_spans,
 )
+from local_pubchem_db_spark.operators.resampling import dsir_select
 from local_pubchem_db_spark.operators.sampling import hash_split
 
 
@@ -63,6 +64,9 @@ def clean_corpus(
     pack_budget: int | None = None,
     eval_df: DataFrame | None = None,
     span_dedup_tokens: int | None = None,
+    keep_best_quality: bool = False,
+    dsir_target: DataFrame | None = None,
+    dsir_keep: int | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full cleaning pipeline; returns the named lazy stages:
 
@@ -84,6 +88,15 @@ def clean_corpus(
     shrinks the corpus, decontamination is a per-doc predicate that
     commutes with it) and before split assignment, so every split is
     contamination-free against ``eval_df``'s text column.
+
+    ``keep_best_quality=True`` makes each near-dup cluster keep its
+    highest-``quality_score`` member instead of the minimum id (see
+    ``dedup_keep_ids``). ``dsir_target`` + ``dsir_keep`` append DSIR
+    importance selection as the LAST corpus-shaping stage (after dedup /
+    span dedup / decontamination, before split assignment): keep the
+    ``dsir_keep`` docs whose hashed-n-gram distribution best matches the
+    target corpus, scored on the FINAL cleaned text. Selected rows carry
+    ``dsir_logweight`` / ``dsir_score`` through to chunks.
     """
     # Fail fast on null ids: a null doc_id would silently vanish in the
     # exact-dedup semi-join (min() skips nulls, the join never matches) —
@@ -115,7 +128,15 @@ def clean_corpus(
     pairs = minhash_lsh_dedup_pairs(
         exact_unique, "doc_id", "text", threshold=lsh_threshold
     )
-    deduped = dedup_keep_ids(exact_unique, pairs, "doc_id")
+    if keep_best_quality:
+        scored = exact_unique.withColumn(
+            "__q", quality_score(F.col("text"))
+        )
+        deduped = dedup_keep_ids(
+            scored, pairs, "doc_id", quality_col="__q"
+        ).drop("__q")
+    else:
+        deduped = dedup_keep_ids(exact_unique, pairs, "doc_id")
 
     if span_dedup_tokens is not None:
         # Substring-level dedup AFTER doc-level dedup: whole-document
@@ -129,6 +150,13 @@ def clean_corpus(
 
     if eval_df is not None:
         deduped = decontaminate(deduped, eval_df, id_col="doc_id")
+
+    if (dsir_target is None) != (dsir_keep is None):
+        raise ValueError("dsir_target and dsir_keep must be set together")
+    if dsir_target is not None:
+        deduped = dsir_select(
+            deduped, dsir_target, k=dsir_keep, id_col="doc_id"
+        )
 
     if split_fractions is not None:
         # document-level split BEFORE chunking: sibling chunks may never

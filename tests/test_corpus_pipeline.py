@@ -191,3 +191,68 @@ def test_clean_corpus_span_dedup_stage(spark):
     assert sum(1 for t in deduped.values() if boiler in t) == 1
     assert boiler in deduped[1]  # canonical = lowest (id, pos)
     assert "b0" in deduped[2]  # unique content survives the cut
+
+
+def test_keep_best_quality_survivor(spark):
+    """keep_best_quality keeps the cleanest member of the near-dup
+    cluster instead of the lowest id."""
+    # doc 3 extends GOOD with punctuation-free filler; make doc 1 the
+    # LOWER-quality member by appending junk punctuation to it
+    rows = [
+        (1, GOOD + " !!!! ???? ;;;; ::::"),
+        (3, GOOD + " extra"),
+        (5, OTHER),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = clean_corpus(docs, min_quality=0, lsh_threshold=0.7)
+    best = clean_corpus(
+        docs, min_quality=0, lsh_threshold=0.7, keep_best_quality=True
+    )
+    assert {r["doc_id"] for r in base["deduped"].collect()} == {1, 5}
+    assert {r["doc_id"] for r in best["deduped"].collect()} == {3, 5}
+
+
+def test_dsir_stage_selects_target_like_docs(spark):
+    """The DSIR stage keeps the k docs closest to the target
+    distribution, scored on the final cleaned text, and the scores ride
+    through to chunks."""
+    science = [
+        (10, "photosynthesis converts light energy into chemical energy "
+             "inside the plant cells during the long day"),
+        (11, "mitosis separates chromosomes into two daughter cells while "
+             "the spindle fibers pull them apart slowly"),
+    ]
+    chatter = [
+        (20, "click here to win a free prize today and tell all your "
+             "friends about this amazing offer right now"),
+        (21, "best price best price buy cheap pills online with the most "
+             "amazing discount you have ever seen here"),
+    ]
+    target = spark.createDataFrame(
+        [(100, "plant cells store chemical energy from light while "
+               "chromosomes divide during mitosis in daughter cells")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        science + chatter, "doc_id long, text string"
+    )
+    stages = clean_corpus(
+        docs,
+        min_quality=0,
+        languages=None,
+        dsir_target=target,
+        dsir_keep=2,
+    )
+    kept = stages["deduped"].collect()
+    assert {r["doc_id"] for r in kept} == {10, 11}
+    assert all("dsir_logweight" in r.asDict() for r in kept)
+    chunk_ids = {r["doc_id"] for r in stages["chunks"].collect()}
+    assert chunk_ids == {10, 11}
+
+
+def test_dsir_args_must_pair(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="dsir_target and dsir_keep"):
+        clean_corpus(docs, dsir_keep=5)
