@@ -54,6 +54,7 @@ from local_pubchem_db_spark.operators.resampling import (
     bucket_counts,
     dsir_logweights,
     dsir_select,
+    dsir_select_fraction,
     hashed_ngram_buckets,
 )
 from local_pubchem_db_spark.operators.sampling import (
@@ -81,6 +82,7 @@ __all__ = [
     "deterministic_shuffle",
     "dsir_logweights",
     "dsir_select",
+    "dsir_select_fraction",
     "edit_distance_join",
     "exact_dedup",
     "exact_dedup_by_content",

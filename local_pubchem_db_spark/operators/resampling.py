@@ -226,3 +226,48 @@ def dsir_select(
     return raw_docs.join(
         picked.select(id_col, "dsir_logweight", "dsir_score"), id_col, "inner"
     )
+
+
+def dsir_select_fraction(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    seed: str = "0",
+    temperature: float = 1.0,
+    relative_error: float = 1e-4,
+) -> DataFrame:
+    """``dsir_select`` for selections too large to gather through a
+    k-row TakeOrdered (every partition forwards k rows to one task —
+    fine for thousands, wrong for "keep the best 10% of 100 TB"): keep
+    the ~``fraction`` of scored docs above the (1 - fraction)
+    approxQuantile of ``dsir_score``.
+
+    The kept set is approximate in SIZE (quantile estimation at
+    ``relative_error``) but exact in ORDER: it is always a prefix of
+    ``dsir_select``'s ranking, never a reshuffle of it. The threshold
+    pass is one quantile sketch; selection is a map-only filter + one
+    join back to the raw rows.
+    """
+    if not 0 < fraction < 1:
+        raise ValueError("fraction must be in (0, 1)")
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    w = dsir_logweights(
+        raw_docs, target_docs, id_col, text_col, n_buckets, seed
+    )
+    scored = w.select(
+        id_col,
+        F.col("logweight").alias("dsir_logweight"),
+        (
+            F.col("logweight") / F.lit(float(temperature))
+            + _gumbel(F.col(id_col), seed)
+        ).alias("dsir_score"),
+    # the scoring subtree feeds both the quantile sketch and the filter;
+    # cut it so the corpus is scored once, not twice
+    ).localCheckpoint()
+    thr = scored.approxQuantile("dsir_score", [1.0 - fraction], relative_error)[0]
+    picked = scored.filter(F.col("dsir_score") >= F.lit(thr))
+    return raw_docs.join(picked, id_col, "inner")

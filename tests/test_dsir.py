@@ -172,3 +172,44 @@ def test_plan_shape(frames):
     plan = dsir_select(raw, tgt, k=4, n_buckets=B, seed=SEED)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "EvalPython" not in plan
+
+
+def test_select_fraction_is_prefix_of_ranking(frames, spark):
+    """Threshold selection keeps a PREFIX of the exact score ranking
+    (approximate only in size), sized near the requested fraction."""
+    from local_pubchem_db_spark.operators.resampling import (
+        dsir_logweights,
+        dsir_select_fraction,
+    )
+
+    raw = spark.range(0, 400).selectExpr(
+        "id as doc_id",
+        "concat('alpha beta gamma token', cast(id % 37 as string), "
+        "' delta epsilon word', cast(id % 11 as string)) as text",
+    )
+    tgt = spark.createDataFrame(
+        [(9001, "alpha beta gamma token3 delta epsilon word4")],
+        "doc_id long, text string",
+    )
+    got = dsir_select_fraction(raw, tgt, 0.25, n_buckets=B, seed=SEED)
+    kept = {r["doc_id"] for r in got.collect()}
+    assert 0.15 * 400 <= len(kept) <= 0.35 * 400
+    # full exact ranking from the weights + the same gumbel oracle
+    w = {
+        r["doc_id"]: r["logweight"]
+        for r in dsir_logweights(raw, tgt, n_buckets=B, seed=SEED).collect()
+    }
+    ranking = sorted(w, key=lambda i: (-(w[i] + _oracle_gumbel(i)), i))
+    assert kept == set(ranking[: len(kept)])
+
+
+def test_select_fraction_validates(frames):
+    from local_pubchem_db_spark.operators.resampling import (
+        dsir_select_fraction,
+    )
+
+    raw, tgt = frames
+    with pytest.raises(ValueError):
+        dsir_select_fraction(raw, tgt, 0.0)
+    with pytest.raises(ValueError):
+        dsir_select_fraction(raw, tgt, 1.5)
