@@ -167,3 +167,28 @@ def test_zorder_timestamp_dimension(spark, tmp_path):
             )
     assert tot >= 16
     assert ov / tot <= 0.5
+
+
+def test_equidepth_bucket_rank_matches_linear_count(spark):
+    """The heap-order binary search must equal #{boundary <= v} for any
+    sorted cut-point array — including the duplicate-heavy arrays
+    approxQuantile returns on skewed data."""
+    import random
+
+    from local_pubchem_db_spark.operators.physical import _equidepth_bucket
+
+    rng = random.Random(7)
+    for bits in (1, 2, 4, 6):
+        m = 2**bits - 1
+        # duplicate-heavy boundaries: draw from a tiny value domain
+        bounds = sorted(rng.choice([0.0, 1.0, 2.0, 5.0, 5.0, 9.0]) for _ in range(m))
+        probes = [rng.uniform(-1, 11) for _ in range(40)] + [0.0, 5.0, 9.0, -1.0, 11.0]
+        df = spark.createDataFrame([(v,) for v in probes], "v double")
+        got = [
+            r["b"]
+            for r in df.select(
+                _equidepth_bucket(F.col("v"), bounds, bits).alias("b")
+            ).collect()
+        ]
+        want = [sum(1 for x in bounds if v >= x) for v in probes]
+        assert got == want, (bits, bounds)
