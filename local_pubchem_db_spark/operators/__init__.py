@@ -36,6 +36,8 @@ from local_pubchem_db_spark.operators.bloom import (
 )
 from local_pubchem_db_spark.operators.physical import (
     interleave_bits,
+    span_amplification,
+    table_health,
     write_compacted,
     write_zordered,
 )
@@ -107,9 +109,11 @@ __all__ = [
     "sample_per_key",
     "semantic_dedup",
     "simhash_dedup_pairs",
+    "span_amplification",
     "srp_lsh_neardup_pairs",
     "srp_sign_index",
     "stratified_sample",
+    "table_health",
     "top_k_per_group",
     "unigram_logprob_scores",
     "unigram_model",

@@ -197,7 +197,10 @@ def write_zordered(
     tests/test_zorder.py. At 6M lineitem rows (64 files, bits=8,
     2 z-cols): write 48.8s vs 9.6s for a plain repartition write — the
     one-time layout premium — and the same box overlaps 4/64 row groups
-    vs 64/64 (16x scan cut on every future two-column query).
+    vs 64/64 (16x scan cut on every future two-column query); a
+    box-filter aggregate over the warm data runs 1.9x faster (0.27s vs
+    0.52s — decode avoidance only; with cold I/O at cluster scale the
+    16x byte cut is the operative number).
     """
     if not zorder_cols or len(zorder_cols) < 2:
         raise ValueError("z-ordering needs >= 2 columns (sort handles 1)")
@@ -248,6 +251,116 @@ def write_zordered(
         .parquet(path)
     )
     return {"n_files": n_files, "bits": bits, "cols": list(zorder_cols)}
+
+
+def table_health(
+    spark: SparkSession, path: str, stats_cols: list[str] | None = None
+) -> DataFrame:
+    """One row per parquet file: physical-layout health of a table the
+    engine wrote — the observability side of ``write_compacted`` /
+    ``write_zordered`` / the shard sink's compaction threshold.
+
+    Columns: ``file, bytes, rows, n_row_groups`` plus, for each
+    requested stats column (numeric), ``<c>_has_stats`` (min/max
+    present in every row group — False means no pruning ever, e.g.
+    INT96 timestamps) and ``<c>_min`` / ``<c>_max`` (the file's span).
+    Feed the result to ``span_amplification`` for the one-number
+    clustering verdict per column. Read it to answer "are my files
+    sized right, and will my predicates actually prune?" without
+    scanning any data.
+
+    Scale shape: the file LIST is driver-side metadata (same listing
+    every read already performs); footer reads are distributed — one
+    Arrow task batch per group of paths, each reading only the parquet
+    footer (KBs per file, never row data). 100k files => 100k footer
+    reads spread over the cluster, output 100k small rows.
+    """
+    import os as _os
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    stats_cols = list(stats_cols or [])
+    files = sorted(
+        _os.path.join(path, fn)
+        for fn in _os.listdir(path)
+        if fn.endswith(".parquet")
+    )
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    fields = [
+        StructField("file", StringType()),
+        StructField("bytes", LongType()),
+        StructField("rows", LongType()),
+        StructField("n_row_groups", LongType()),
+    ]
+    for c in stats_cols:
+        fields.append(StructField(f"{c}_has_stats", BooleanType()))
+        fields.append(StructField(f"{c}_min", DoubleType()))
+        fields.append(StructField(f"{c}_max", DoubleType()))
+    schema = StructType(fields)
+
+    def read_footers(batches):
+        import pandas as _pd
+        import pyarrow.parquet as _papq
+
+        for b in batches:
+            out = []
+            for f in b["file"]:
+                pf = _papq.ParquetFile(f)
+                md = pf.metadata
+                names = {c: i for i, c in enumerate(pf.schema_arrow.names)}
+                row = {
+                    "file": _os.path.basename(f),
+                    "bytes": _os.path.getsize(f),
+                    "rows": md.num_rows,
+                    "n_row_groups": md.num_row_groups,
+                }
+                for c in stats_cols:
+                    spans = []
+                    ok = True
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(names[c]).statistics
+                        if st is None or not st.has_min_max:
+                            ok = False
+                            break
+                        spans.append((st.min, st.max))
+                    row[f"{c}_has_stats"] = ok
+                    row[f"{c}_min"] = (
+                        float(min(s[0] for s in spans)) if ok else None
+                    )
+                    row[f"{c}_max"] = (
+                        float(max(s[1] for s in spans)) if ok else None
+                    )
+                out.append(row)
+            yield _pd.DataFrame(out, columns=[f.name for f in fields])
+
+    paths_df = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(min(len(files), 64))
+    return paths_df.mapInPandas(read_footers, schema)
+
+
+def span_amplification(health: DataFrame, col: str) -> float:
+    """Clustering verdict from a ``table_health`` frame:
+    ``sum(per-file span) / global span`` for ``col``. 1.0 = files
+    partition the value range cleanly (every range predicate prunes to
+    ~its selectivity); ~n_files = every file spans the whole range
+    (stats prune nothing). One aggregate over the tiny health relation;
+    NaN if the column has no stats anywhere or zero global range."""
+    row = health.agg(
+        F.sum(F.col(f"{col}_max") - F.col(f"{col}_min")).alias("s"),
+        (F.max(f"{col}_max") - F.min(f"{col}_min")).alias("g"),
+    ).first()
+    if row["s"] is None or not row["g"]:
+        return float("nan")
+    return float(row["s"] / row["g"])
 
 
 def write_compacted(

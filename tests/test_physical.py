@@ -145,3 +145,51 @@ def test_write_compacted_empty_input(spark, tmp_path):
     info = write_compacted(df, out)
     assert info == {"rows": 0, "files": 0, "rows_per_file": 0}
     assert spark.read.parquet(out).count() == 0
+
+
+def test_table_health_reports_layout_and_stats(spark, tmp_path):
+    from local_pubchem_db_spark.operators.physical import (
+        span_amplification,
+        table_health,
+        write_zordered,
+    )
+
+    df = spark.range(20000).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id", F.lit("a")), F.lit(100)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit("b")), F.lit(100)).alias("y"),
+    )
+    zp, pp = str(tmp_path / "z"), str(tmp_path / "p")
+    write_zordered(df, zp, ["x", "y"], n_files=8, bits=5)
+    df.repartition(8).write.parquet(pp)
+
+    hz = table_health(spark, zp, ["x", "y"])
+    hp = table_health(spark, pp, ["x", "y"])
+    hz_pd, hp_pd = hz.toPandas(), hp.toPandas()
+    assert hz_pd["rows"].sum() == hp_pd["rows"].sum() == 20000
+    assert hz_pd["x_has_stats"].all() and hp_pd["x_has_stats"].all()
+    assert set(hz_pd.columns) == {
+        "file", "bytes", "rows", "n_row_groups",
+        "x_has_stats", "x_min", "x_max", "y_has_stats", "y_min", "y_max",
+    }
+    # clustering verdict: hash-scattered files each span ~the full
+    # range (amplification ~= n_files); z-order SHARES clustering
+    # across dims — per-dim amplification ~= sqrt(n_files) (8 files =
+    # 3 z-prefix bits = x splits in 2, y in 4), so expect ~4-5 on x
+    # and strictly better than scattered on BOTH dims at once
+    amp_z_x, amp_z_y = span_amplification(hz, "x"), span_amplification(hz, "y")
+    amp_p_x, amp_p_y = span_amplification(hp, "x"), span_amplification(hp, "y")
+    assert amp_p_x > 6.0 and amp_p_y > 6.0  # each file nearly full-range
+    assert amp_z_x < 0.75 * amp_p_x and amp_z_y < 0.75 * amp_p_y
+    assert amp_z_x * amp_z_y < 0.33 * amp_p_x * amp_p_y
+
+
+def test_table_health_errors_on_empty_dir(spark, tmp_path):
+    import pytest as _pytest
+
+    from local_pubchem_db_spark.operators.physical import table_health
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    with _pytest.raises(ValueError, match="no parquet files"):
+        table_health(spark, str(d))
