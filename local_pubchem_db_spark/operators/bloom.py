@@ -102,11 +102,13 @@ def bloom_contains(
     @F.pandas_udf(BooleanType())
     def _test(positions: pd.Series) -> pd.Series:
         bm = np.frombuffer(bc.value, dtype=np.uint8)
-        out = np.empty(len(positions), dtype=bool)
-        for i, p in enumerate(positions):
-            p = np.asarray(p, dtype=np.int64)
-            out[i] = bool(np.all(bm[p >> 3] & (1 << (p & 7)).astype(np.uint8)))
-        return pd.Series(out)
+        if len(positions) == 0:
+            return pd.Series(np.empty(0, dtype=bool))
+        # every row has exactly k positions -> one (n, k) gather for the
+        # whole Arrow batch, no per-row Python loop
+        p = np.vstack(positions.to_numpy())
+        hit = (bm[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+        return pd.Series(hit.all(axis=1))
 
     return _test(_positions(F.col(key_col), n_bits, k))
 

@@ -206,6 +206,15 @@ def write_zordered(
         raise ValueError("z-ordering needs >= 2 columns (sort handles 1)")
     if not 1 <= bits <= 20:
         raise ValueError("bits must be in [1, 20]")
+    if len(zorder_cols) * bits > 63:
+        # bit i of column j lands at position i*d+j; past 63 the JVM
+        # shift wraps mod 64 (and 63 itself is the sign bit), silently
+        # corrupting the Morton order
+        raise ValueError(
+            f"{len(zorder_cols)} columns x {bits} bits = "
+            f"{len(zorder_cols) * bits} z-bits; must be <= 63 "
+            "(lower bits or drop a column)"
+        )
     # timestamp/date dims (the canonical z-order use: time x key) rank
     # by their epoch seconds; everything else must cast to double
     dtypes = dict(df.dtypes)
@@ -215,7 +224,9 @@ def write_zordered(
         if c not in dtypes:
             raise ValueError(f"unknown z-order column {c!r}")
         if dtypes[c] in ("timestamp", "timestamp_ntz", "date"):
-            has_ts = dtypes[c] != "date"  # dates encode INT32, stats ok
+            # dates encode INT32 (stats fine); any timestamp col keeps
+            # the INT96 guard armed regardless of later columns
+            has_ts = has_ts or dtypes[c] != "date"
             rank_exprs.append(F.col(c).cast("timestamp").cast("double"))
         else:
             rank_exprs.append(F.col(c).cast("double"))
@@ -254,7 +265,10 @@ def write_zordered(
 
 
 def table_health(
-    spark: SparkSession, path: str, stats_cols: list[str] | None = None
+    spark: SparkSession,
+    path: str,
+    stats_cols: list[str] | None = None,
+    files: list[str] | None = None,
 ) -> DataFrame:
     """One row per parquet file: physical-layout health of a table the
     engine wrote — the observability side of ``write_compacted`` /
@@ -269,11 +283,17 @@ def table_health(
     sized right, and will my predicates actually prune?" without
     scanning any data.
 
-    Scale shape: the file LIST is driver-side metadata (same listing
-    every read already performs); footer reads are distributed — one
-    Arrow task batch per group of paths, each reading only the parquet
-    footer (KBs per file, never row data). 100k files => 100k footer
-    reads spread over the cluster, output 100k small rows.
+    Stats columns may be numeric, timestamp, or date (time stats report
+    epoch seconds); other types report ``has_stats`` with null spans.
+
+    Scale shape: the file LIST is driver-side metadata (recursive, so
+    ``partitionBy`` layouts work; same listing every read already
+    performs); footer reads are distributed — one Arrow task batch per
+    group of paths, each reading only the parquet footer (KBs per file,
+    never row data). 100k files => 100k footer reads spread over the
+    cluster, output 100k small rows. Paths must be visible to the
+    executors' filesystem (local/NFS here; for object stores list the
+    files upstream and pass ``files``).
     """
     import os as _os
 
@@ -287,11 +307,13 @@ def table_health(
     )
 
     stats_cols = list(stats_cols or [])
-    files = sorted(
-        _os.path.join(path, fn)
-        for fn in _os.listdir(path)
-        if fn.endswith(".parquet")
-    )
+    if files is None:
+        files = sorted(
+            _os.path.join(root, fn)
+            for root, _dirs, fns in _os.walk(path)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
     if not files:
         raise ValueError(f"no parquet files under {path}")
     fields = [
@@ -307,8 +329,23 @@ def table_health(
     schema = StructType(fields)
 
     def read_footers(batches):
+        import datetime as _dt
+
         import pandas as _pd
         import pyarrow.parquet as _papq
+
+        def as_double(v):
+            # timestamp/date stats -> epoch seconds; strings/bytes have
+            # no meaningful numeric span
+            if isinstance(v, _dt.datetime):
+                return v.replace(tzinfo=v.tzinfo or _dt.timezone.utc).timestamp()
+            if isinstance(v, _dt.date):
+                return float(
+                    _dt.datetime(v.year, v.month, v.day, tzinfo=_dt.timezone.utc).timestamp()
+                )
+            if isinstance(v, (int, float)):
+                return float(v)
+            return None
 
         for b in batches:
             out = []
@@ -330,13 +367,16 @@ def table_health(
                         if st is None or not st.has_min_max:
                             ok = False
                             break
-                        spans.append((st.min, st.max))
+                        spans.append((as_double(st.min), as_double(st.max)))
+                    ok_num = ok and all(
+                        lo is not None and hi is not None for lo, hi in spans
+                    )
                     row[f"{c}_has_stats"] = ok
                     row[f"{c}_min"] = (
-                        float(min(s[0] for s in spans)) if ok else None
+                        min(s[0] for s in spans) if ok_num else None
                     )
                     row[f"{c}_max"] = (
-                        float(max(s[1] for s in spans)) if ok else None
+                        max(s[1] for s in spans) if ok_num else None
                     )
                 out.append(row)
             yield _pd.DataFrame(out, columns=[f.name for f in fields])

@@ -40,10 +40,9 @@ Scale shape (100 TB raw corpus, small target corpus):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-from local_pubchem_db_spark.functions.text import normalize_text, tokens
 
 
 def _portable_bucket(ngram: Column, n_buckets: int, seed: str) -> Column:
@@ -59,6 +58,38 @@ def _portable_bucket(ngram: Column, n_buckets: int, seed: str) -> Column:
     )
 
 
+def _ngrams_udf():
+    """Arrow-batched pandas UDF: text → unigram+bigram occurrence list.
+
+    Mirrors ``normalize_text`` + ``tokens`` exactly (lowercase, strip
+    [.,!?;:], ASCII-whitespace split — ``re.ASCII`` because Java's \\s
+    is ASCII-only; equivalence pinned by the pure-Python AND DuckDB
+    oracles in tests). A pandas UDF rather than array expressions for
+    the same reason as ``shingle_array_udf``: Spark's higher-order
+    array functions (zip_with/filter lambdas) evaluate INTERPRETED per
+    element — the cost class the z-order bucket fix measured at ~25x —
+    while this is plain string ops over Arrow batches. The md5 bucket
+    hash stays JVM-side either way."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"\s+", re.ASCII)
+    punct = re.compile(r"[.,!?;:]")
+
+    @pandas_udf("array<string>")
+    def _ngrams(text: pd.Series) -> pd.Series:
+        def grams(t):
+            if t is None:
+                return []
+            w = [tok for tok in ws.split(punct.sub("", t.lower()).strip()) if tok]
+            return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+        return text.map(grams)
+
+    return _ngrams
+
+
 def hashed_ngram_buckets(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -69,19 +100,10 @@ def hashed_ngram_buckets(
     """(id, bucket): one row per unigram/bigram OCCURRENCE of the
     normalized text. Map-only (narrow); docs with no tokens emit no
     rows."""
-    toks = F.filter(tokens(normalize_text(F.col(text_col))), lambda t: t != "")
-    n = F.size(toks)
-    bigrams = F.zip_with(
-        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-        F.when(n >= 2, F.slice(toks, 2, n - 1)).otherwise(
-            F.array().cast("array<string>")
-        ),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
     return (
         docs.select(
             F.col(id_col).alias("id"),
-            F.explode(F.concat(toks, bigrams)).alias("ngram"),
+            F.explode(_ngrams_udf()(F.col(text_col))).alias("ngram"),
         )
         .select("id", _portable_bucket(F.col("ngram"), n_buckets, seed).alias("bucket"))
     )
@@ -113,10 +135,11 @@ def dsir_logweights(
     # localCheckpoint the two <=B-row distributions: each is referenced
     # twice downstream (scoring join + totals), and without the cut the
     # shared lineage re-featurizes the raw corpus three times and the
-    # target twice (measured: 50k docs 31.9s -> 28.4s end-to-end; the
-    # featurization floor is the 2 remaining passes — dist + scoring —
-    # and the checkpointed state is bounded by n_buckets, never the
-    # corpus)
+    # target twice. The featurization floor is the 2 remaining passes
+    # (dist + scoring); checkpointed state is bounded by n_buckets,
+    # never the corpus. Measured at 50k docs: 31.9s naive -> 28.4s with
+    # this cut -> 17.5s after moving featurization off interpreted
+    # array HOFs onto the Arrow UDF.
     raw_dist = (
         bucket_counts(feats).withColumnRenamed("n", "n_raw").localCheckpoint()
     )
@@ -127,6 +150,13 @@ def dsir_logweights(
         .withColumnRenamed("n", "n_tgt")
         .localCheckpoint()
     )
+    # a token-less target would make total_tgt NULL and every weight
+    # NULL — selection would silently degrade to id order; fail fast
+    if tgt_dist.limit(1).count() == 0:
+        raise ValueError(
+            "target corpus has no tokens after normalization — cannot "
+            "fit a DSIR target distribution"
+        )
     # two tiny aggregates folded into a 1-row broadcast fan-in (the
     # quality.py pattern) — no driver-side collect of model state.
     # Renamed projections break the name collision the self-joined
@@ -268,6 +298,9 @@ def dsir_select_fraction(
     # the scoring subtree feeds both the quantile sketch and the filter;
     # cut it so the corpus is scored once, not twice
     ).localCheckpoint()
-    thr = scored.approxQuantile("dsir_score", [1.0 - fraction], relative_error)[0]
-    picked = scored.filter(F.col("dsir_score") >= F.lit(thr))
+    qs = scored.approxQuantile("dsir_score", [1.0 - fraction], relative_error)
+    if not qs:
+        # no scorable docs (all token-less): empty result, stable schema
+        return raw_docs.join(scored, id_col, "inner")
+    picked = scored.filter(F.col("dsir_score") >= F.lit(qs[0]))
     return raw_docs.join(picked, id_col, "inner")

@@ -68,14 +68,58 @@ def materialize_hourly_rollup(
     q.awaitTermination()
 
 
+def _checkpoint_watermark(checkpoint_dir: str):
+    """Event-time watermark (UTC datetime) persisted by the streaming
+    query's newest offset log entry, or None if unreadable. This is the
+    EXACT finalization frontier: every bucket ending at or before it
+    has been emitted, including empty ones."""
+    import json
+    import os
+    from datetime import datetime, timezone
+
+    offsets = os.path.join(checkpoint_dir, "offsets")
+    try:
+        batches = sorted(
+            (int(f) for f in os.listdir(offsets) if f.isdigit()),
+            reverse=True,
+        )
+        for b in batches:
+            with open(os.path.join(offsets, str(b))) as fh:
+                lines = fh.read().splitlines()
+            # line 0: version tag; line 1: JSON metadata incl. watermark
+            meta = json.loads(lines[1])
+            wm_ms = meta.get("batchWatermarkMs", 0)
+            if wm_ms:
+                return datetime.fromtimestamp(
+                    wm_ms / 1000.0, tz=timezone.utc
+                ).replace(tzinfo=None)
+            return None
+        return None
+    except (OSError, ValueError, IndexError, json.JSONDecodeError):
+        return None
+
+
 def hourly_rollup_with_realtime(
-    spark: SparkSession, rollup_dir: str, events: DataFrame
+    spark: SparkSession,
+    rollup_dir: str,
+    events: DataFrame,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Real-time continuous aggregate: materialized finalized buckets
-    UNION an on-the-fly aggregation of raw events at or after the first
-    un-finalized bucket. Equals the full batch ``hourly_event_counts``
-    over ``events`` whenever no event was dropped for lateness (pinned
-    in tests/test_rollup.py).
+    UNION an on-the-fly aggregation of raw events from the first
+    un-finalized bucket onward. Equals the full batch
+    ``hourly_event_counts`` over ``events`` whenever no event was
+    dropped for lateness (pinned in tests/test_rollup.py).
+
+    The cutoff between the two sides is the hour floor of the
+    checkpoint's persisted event-time watermark when ``checkpoint_dir``
+    is given — the exact finalization frontier, correct even when
+    trailing hours are EMPTY. Without a checkpoint the cutoff falls
+    back to the last materialized bucket's end, which is exact unless
+    hours between it and the watermark held no on-time events; in that
+    gap a beyond-watermark straggler the stream dropped could transiently
+    surface on the raw side — pass ``checkpoint_dir`` where that
+    distinction matters.
 
     The raw side's filter is a plain ``ts >= cutoff`` predicate — it
     pushes down to the parquet scan, so the expensive side of the union
@@ -85,13 +129,20 @@ def hourly_rollup_with_realtime(
         rollup = spark.read.parquet(rollup_dir)
         last = rollup.agg(F.max("hour_start").alias("m")).first()["m"]
     except AnalysisException:
-        last = None
-    if last is None:
+        rollup, last = None, None
+    cutoff = None
+    if checkpoint_dir is not None:
+        wm = _checkpoint_watermark(checkpoint_dir)
+        if wm is not None:
+            # buckets ending <= wm are finalized; the first un-finalized
+            # bucket starts at the hour floor of wm
+            cutoff = wm.replace(minute=0, second=0, microsecond=0)
+    if cutoff is None and last is not None:
+        # fallback: max finalized bucket START + 1h == that bucket's END
+        cutoff = last + timedelta(hours=1)
+    if rollup is None or cutoff is None:
         return hourly_event_counts(events)
-    # max finalized bucket START + 1h == that bucket's END; every bucket
-    # ending at or before it has been emitted (watermark monotonicity),
-    # so buckets strictly below the cutoff come from the rollup and the
-    # raw side starts exactly at the cutoff — no gap, no overlap.
-    cutoff = last + timedelta(hours=1)
     recent = hourly_event_counts(events.filter(F.col("ts") >= F.lit(cutoff)))
-    return rollup.unionByName(recent)
+    return rollup.filter(F.col("hour_start") < F.lit(cutoff)).unionByName(
+        recent
+    )

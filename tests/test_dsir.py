@@ -166,12 +166,14 @@ def test_select_validates_args(frames):
 
 
 def test_plan_shape(frames):
-    """Distributions broadcast; selection is a k-row TakeOrdered — no
-    full-sort exchange and no Python eval anywhere."""
+    """Distributions broadcast; selection is a k-row TakeOrdered.
+    Featurization is an Arrow-batched pandas UDF (ArrowEvalPython) by
+    design; row-at-a-time Python (BatchEvalPython) must never appear."""
     raw, tgt = frames
     plan = dsir_select(raw, tgt, k=4, n_buckets=B, seed=SEED)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
-    assert "BatchEvalPython" not in plan and "EvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
 
 
 def test_select_fraction_is_prefix_of_ranking(frames, spark):
@@ -213,3 +215,26 @@ def test_select_fraction_validates(frames):
         dsir_select_fraction(raw, tgt, 0.0)
     with pytest.raises(ValueError):
         dsir_select_fraction(raw, tgt, 1.5)
+
+
+def test_empty_target_fails_fast(frames, spark):
+    raw, _ = frames
+    empty_tgt = spark.createDataFrame(
+        [(1, ""), (2, "   ")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="target corpus has no tokens"):
+        dsir_logweights(raw, empty_tgt, n_buckets=B, seed=SEED)
+
+
+def test_select_fraction_tokenless_raw_returns_empty(frames, spark):
+    from local_pubchem_db_spark.operators.resampling import (
+        dsir_select_fraction,
+    )
+
+    _, tgt = frames
+    empty_raw = spark.createDataFrame(
+        [(1, ""), (2, "!!!")], "doc_id long, text string"
+    )
+    got = dsir_select_fraction(empty_raw, tgt, 0.5, n_buckets=B, seed=SEED)
+    assert got.count() == 0
+    assert "dsir_score" in got.columns

@@ -193,3 +193,30 @@ def test_table_health_errors_on_empty_dir(spark, tmp_path):
     d.mkdir()
     with _pytest.raises(ValueError, match="no parquet files"):
         table_health(spark, str(d))
+
+
+def test_table_health_timestamp_stats_report_epoch_spans(spark, tmp_path):
+    from local_pubchem_db_spark.operators.physical import table_health
+
+    df = spark.range(1000).select(
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 60).alias("ts")
+    )
+    p = str(tmp_path / "ts_table")
+    df.coalesce(2).write.parquet(p)
+    h = table_health(spark, p, ["ts"]).toPandas()
+    assert h["ts_has_stats"].all()
+    assert (h["ts_min"] >= 1700000000.0).all()
+    assert (h["ts_max"] <= 1700000000.0 + 1000 * 60).all()
+
+
+def test_table_health_recurses_partitioned_layouts(spark, tmp_path):
+    from local_pubchem_db_spark.operators.physical import table_health
+
+    df = spark.range(100).select(
+        "id", (F.col("id") % 3).alias("k")
+    )
+    p = str(tmp_path / "parted")
+    df.write.partitionBy("k").parquet(p)
+    h = table_health(spark, p, ["id"]).toPandas()
+    assert h["rows"].sum() == 100
+    assert len(h) >= 3

@@ -135,3 +135,76 @@ def test_realtime_raw_side_filter_pushes_down(spark, stream_setup, tmp_path):
         "GreaterThanOrEqual(ts," in seg.split("PushedFilters:")[1].split("]")[0]
         for seg in scans
     )
+
+
+def test_checkpoint_watermark_cutoff_excludes_dropped_stragglers(
+    spark, tmp_path
+):
+    """When trailing hours are EMPTY, the last-bucket fallback cutoff
+    under-shoots the watermark and can resurrect a straggler the stream
+    dropped; the checkpoint-watermark cutoff is the exact frontier and
+    agrees with the stream."""
+    from datetime import datetime
+
+    from local_pubchem_db_spark.streaming.events import EVENT_SCHEMA
+
+    def shard(path, rows, mtime):
+        df = spark.createDataFrame(
+            [(i, ts, 1, "x", 1.0, "{}") for i, ts in rows], EVENT_SCHEMA
+        )
+        df.coalesce(1).write.parquet(str(path))
+        for fn in os.listdir(path):
+            os.utime(os.path.join(path, fn), (mtime, mtime))
+
+    staging = tmp_path / "shards"
+    staging.mkdir()
+    # hour-1 bucket gets data; hour 10 advances the watermark to 08:00
+    # (2h watermark); hours 2..9 are EMPTY
+    shard(
+        staging / "s1",
+        [(1, datetime(2024, 1, 1, 1, 15)), (2, datetime(2024, 1, 1, 10, 0))],
+        1_700_000_000,
+    )
+    # straggler at 05:30 arrives later: its bucket (ends 06:00) is
+    # behind the persisted 08:00 watermark -> stream DROPS it
+    shard(staging / "s2", [(3, datetime(2024, 1, 1, 5, 30))], 1_700_000_100)
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    rollup_dir, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    _flat_copy([staging / "s1"], flat)
+    materialize_hourly_rollup(spark, str(flat), rollup_dir, ckpt)
+    _flat_copy([staging / "s2"], flat, start=1)
+    materialize_hourly_rollup(spark, str(flat), rollup_dir, ckpt)
+
+    # the stream dropped the straggler: only the 01:00 bucket exists
+    assert [
+        (r["hour_start"].hour, r["n"])
+        for r in spark.read.parquet(rollup_dir).collect()
+    ] == [(1, 1)]
+
+    raw = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 1, 15), 1, "x", 1.0, "{}"),
+            (2, datetime(2024, 1, 1, 10, 0), 1, "x", 1.0, "{}"),
+            (3, datetime(2024, 1, 1, 5, 30), 1, "x", 1.0, "{}"),
+        ],
+        EVENT_SCHEMA,
+    )
+    # exact mode: straggler stays dropped (view agrees with the stream);
+    # the live edge (hour 10, past the 08:00 frontier) still shows
+    exact = hourly_rollup_with_realtime(
+        spark, rollup_dir, raw, checkpoint_dir=ckpt
+    ).collect()
+    assert sorted((r["hour_start"].hour, r["n"]) for r in exact) == [
+        (1, 1),
+        (10, 1),
+    ]
+    # fallback mode (no checkpoint): cutoff = last bucket end = 02:00,
+    # so the dropped straggler transiently surfaces — the documented gap
+    fallback = hourly_rollup_with_realtime(spark, rollup_dir, raw).collect()
+    assert sorted((r["hour_start"].hour, r["n"]) for r in fallback) == [
+        (1, 1),
+        (5, 1),
+        (10, 1),
+    ]

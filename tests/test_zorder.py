@@ -192,3 +192,36 @@ def test_equidepth_bucket_rank_matches_linear_count(spark):
         ]
         want = [sum(1 for x in bounds if v >= x) for v in probes]
         assert got == want, (bits, bounds)
+
+
+def test_zorder_bit_budget_validated(spark):
+    df = spark.range(10).select(
+        "id",
+        (F.col("id") * 2).alias("a"),
+        (F.col("id") * 3).alias("b"),
+        (F.col("id") * 5).alias("c"),
+        (F.col("id") * 7).alias("d"),
+    )
+    with pytest.raises(ValueError, match="z-bits; must be <= 63"):
+        write_zordered(df, "/tmp/nope", ["a", "b", "c", "d"], bits=16)
+
+
+def test_zorder_int96_guard_survives_trailing_date_column(spark, tmp_path):
+    """A date column AFTER a timestamp column must not disarm the INT96
+    fail-fast (regression: has_ts was overwritten per column)."""
+    df = spark.range(100).select(
+        "id",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+    )
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "INT96")
+    try:
+        with pytest.raises(ValueError, match="INT96"):
+            write_zordered(df, str(tmp_path / "z96"), ["ts", "d"], n_files=2, bits=4)
+    finally:
+        spark.conf.set(key, prev)
+    # with the session default (TIMESTAMP_MICROS) the same call succeeds
+    write_zordered(df, str(tmp_path / "zok"), ["ts", "d"], n_files=2, bits=4)
+    assert spark.read.parquet(str(tmp_path / "zok")).count() == 100

@@ -20,8 +20,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import pandas as pd
 import pyarrow.parquet as papq
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from local_pubchem_db_spark.operators.bloom import decontaminate_bloom
 from local_pubchem_db_spark.operators.dedup import decontaminate
@@ -56,7 +58,13 @@ def main() -> None:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = docs.count()
-    docs.limit(10).select(F.length("text")).count()  # warm UDF workers
+    # warm the PYTHON workers (a real pandas UDF — a codegen expression
+    # would not fork them and the first timed workload would absorb it)
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    docs.limit(64).select(_warm("doc_id")).count()
 
     target = docs.filter(F.col("doc_id") % 100 == 0).select("doc_id", "text")
     t0 = time.time()
