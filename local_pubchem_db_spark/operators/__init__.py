@@ -49,6 +49,7 @@ from local_pubchem_db_spark.operators.pq import (
     pq_reconstruct,
 )
 from local_pubchem_db_spark.operators.quality import (
+    bigram_logprob_scores,
     unigram_logprob_scores,
     unigram_model,
 )
@@ -71,6 +72,7 @@ from local_pubchem_db_spark.operators.topk import misra_gries_topk, top_k_per_gr
 __all__ = [
     "as_of_join",
     "banded_range_join",
+    "bigram_logprob_scores",
     "bloom_build",
     "bloom_contains",
     "bounded_bucket_pairs",

@@ -27,6 +27,7 @@ semantics (tokens absent from the vocab get the 1/(N+V) floor).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -91,5 +92,108 @@ def unigram_logprob_scores(
             F.count(F.lit(1)).alias("n_tokens"),
             F.avg("lp").alias("logprob"),
         )
+        .select(F.col("id").alias(id_col), "n_tokens", "logprob")
+    )
+
+
+def _token_pairs_udf():
+    """Arrow-batched pandas UDF: text → array<struct<prev,cur>> with one
+    entry per token (prev null on the first). Mirrors ``normalize_text``
+    + ``tokens`` (lowercase, strip [.,!?;:], ASCII \\s split — same
+    contract as the DSIR featurizer); a pandas UDF for the same measured
+    reason: Spark's array higher-order functions evaluate interpreted
+    per element."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"\s+", re.ASCII)
+    punct = re.compile(r"[.,!?;:]")
+
+    @pandas_udf("array<struct<prev: string, cur: string>>")
+    def _pairs(text: pd.Series) -> pd.Series:
+        def pairs(t):
+            if t is None:
+                return []
+            w = [x for x in ws.split(punct.sub("", t.lower()).strip()) if x]
+            return [(w[i - 1] if i else None, w[i]) for i in range(len(w))]
+
+        return text.map(pairs)
+
+    return _pairs
+
+
+def bigram_logprob_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """(id, n_tokens, logprob): mean per-token log probability under an
+    interpolated bigram model of the corpus itself — the next step up
+    from ``unigram_logprob_scores`` toward the CCNet KenLM filter:
+    word-salad documents whose TOKENS are common but whose TRANSITIONS
+    are not ("the of and the of") now score low, which a unigram model
+    cannot see.
+
+    Model (self-trained, add-one smoothed, auditable):
+      p_uni(w)    = (c1(w) + 1) / (N + V)
+      p_cond(w|a) = (c2(a, w) + 1) / (c1(a) + V)
+      first token:   log p_uni(w)
+      later tokens:  log(lam * p_cond(w|prev) + (1 - lam) * p_uni(w))
+
+    Scale shape: one Arrow pass emits (prev, cur) per token occurrence;
+    unigram/bigram counts are two map-side-combinable groupBys; scoring
+    joins the V-row unigram relation (broadcast) and the bigram relation
+    — the one join keyed by (prev, cur), sized by DISTINCT bigrams, a
+    plain hash join that scales with corpus vocabulary rather than
+    corpus bytes — then one grouped mean per doc. Token-less docs are
+    absent from the output (same contract as the unigram scorer).
+    """
+    if not 0.0 < lam < 1.0:
+        raise ValueError("lam must be in (0, 1)")
+    pairs = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_token_pairs_udf()(F.col(text_col))).alias("p"),
+    ).select("id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    # the pair stream feeds counts AND scoring; cut the lineage so the
+    # corpus is tokenized once per side rather than once per reference
+    uni = (
+        pairs.groupBy(F.col("cur").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint()
+    )
+    big = pairs.filter(F.col("prev").isNotNull()).groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    totals = (
+        uni.select(F.col("c1").alias("c"))
+        .agg(F.sum("c").alias("total_n"), F.count(F.lit(1)).alias("vocab_v"))
+    )
+    scored = (
+        pairs.join(F.broadcast(uni.withColumnRenamed("w", "cur")), "cur", "left")
+        .join(
+            F.broadcast(
+                uni.select(
+                    F.col("w").alias("prev"), F.col("c1").alias("c1_prev")
+                )
+            ),
+            "prev",
+            "left",
+        )
+        .join(big, ["prev", "cur"], "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    p_uni = (F.col("c1") + F.lit(1)) / (F.col("total_n") + F.col("vocab_v"))
+    p_cond = (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1)) / (
+        F.col("c1_prev") + F.col("vocab_v")
+    )
+    term = F.when(F.col("prev").isNull(), F.log(p_uni)).otherwise(
+        F.log(F.lit(lam) * p_cond + F.lit(1.0 - lam) * p_uni)
+    )
+    return (
+        scored.select("id", term.alias("lp"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.avg("lp").alias("logprob"))
         .select(F.col("id").alias(id_col), "n_tokens", "logprob")
     )

@@ -87,3 +87,75 @@ def test_quality_plan_shape(spark):
     # formatted mode prints every operator twice (tree + details)
     assert plan.count("BroadcastNestedLoopJoin") == 2
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def _bigram_oracle(docs, lam=0.75):
+    c1, c2 = {}, {}
+    for _, t in docs:
+        w = _norm_tokens(t)
+        for i, x in enumerate(w):
+            c1[x] = c1.get(x, 0) + 1
+            if i:
+                c2[(w[i - 1], x)] = c2.get((w[i - 1], x), 0) + 1
+    n, v = sum(c1.values()), len(c1)
+    out = {}
+    for i, t in docs:
+        w = _norm_tokens(t)
+        if not w:
+            continue
+        terms = []
+        for j, x in enumerate(w):
+            pu = (c1[x] + 1) / (n + v)
+            if j == 0:
+                terms.append(math.log(pu))
+            else:
+                pc = (c2.get((w[j - 1], x), 0) + 1) / (c1[w[j - 1]] + v)
+                terms.append(math.log(lam * pc + (1 - lam) * pu))
+        out[i] = (len(w), sum(terms) / len(terms))
+    return out
+
+
+def test_bigram_scoring_matches_oracle(spark):
+    from local_pubchem_db_spark.operators.quality import bigram_logprob_scores
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logprob"])
+        for r in bigram_logprob_scores(df).collect()
+    }
+    want = _bigram_oracle(DOCS)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert got[i][1] == pytest.approx(want[i][1], rel=1e-9), i
+
+
+def test_bigram_model_penalizes_word_salad(spark):
+    """Tokens common, transitions rare: the bigram model must rank the
+    scrambled doc below the fluent one, where a unigram model ties them
+    (same bag of words)."""
+    from local_pubchem_db_spark.operators.quality import bigram_logprob_scores
+
+    fluent = "the cat sat on the mat and the dog sat on the log"
+    salad = "the on cat the sat mat and dog the on sat the log"
+    corpus = [(i, fluent) for i in range(1, 9)] + [(100, fluent), (200, salad)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["logprob"]
+        for r in bigram_logprob_scores(df).collect()
+    }
+    assert got[200] < got[100]
+    uni = {
+        r["doc_id"]: r["logprob"]
+        for r in unigram_logprob_scores(df).collect()
+    }
+    assert uni[200] == pytest.approx(uni[100], rel=1e-12)
+
+
+def test_bigram_validates_lam(spark):
+    from local_pubchem_db_spark.operators.quality import bigram_logprob_scores
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bigram_logprob_scores(df, lam=1.0)
