@@ -114,3 +114,21 @@ def read_text_dir_corpus(
         F.col("value").alias("text"),
         F.lit(source).alias("source"),
     ).filter(F.length("text") > 0)
+
+
+def read_orc_corpus(
+    spark: SparkSession,
+    path: str | list[str],
+    text_field: str = "text",
+    id_field: str | None = None,
+    source: str = "orc",
+) -> DataFrame:
+    """ORC corpus → documents shape. ORC is columnar with embedded
+    stats (like parquet), so the ``select`` prunes to the requested
+    fields at the stripe reader — no schema declaration needed and no
+    full-row materialization. Same id contract as the other readers
+    (``_normalize``: round-tripping numeric ids keep their value,
+    everything else hashes, nulls raise)."""
+    cols = [text_field] + ([id_field] if id_field else [])
+    df = spark.read.orc(path).select(*cols)
+    return _normalize(df, text_field, id_field, source)

@@ -149,3 +149,21 @@ def test_jsonl_non_roundtripping_numeric_strings_stay_distinct(spark, tmp_path):
     assert len(rows) == 4
     assert len(set(rows.values())) == 4, rows
     assert rows["the canonical seven"] == 7  # round-trips -> keeps value
+
+
+def test_read_orc_corpus_roundtrip_and_pruning(spark, tmp_path):
+    from local_pubchem_db_spark.sources.corpus import read_orc_corpus
+
+    src = spark.createDataFrame(
+        [(1, "alpha doc", "x"), (2, "beta doc", "y"), (3, "gamma doc", "z")],
+        "my_id long, body string, extra string",
+    )
+    p = str(tmp_path / "corpus_orc")
+    src.write.orc(p)
+    docs = read_orc_corpus(spark, p, text_field="body", id_field="my_id")
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert rows == {1: "alpha doc", 2: "beta doc", 3: "gamma doc"}
+    assert set(docs.columns) == {"doc_id", "text", "source"}
+    # the unrequested column never reaches the plan
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert "extra" not in plan
