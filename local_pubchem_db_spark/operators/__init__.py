@@ -67,7 +67,11 @@ from local_pubchem_db_spark.operators.sampling import (
     sample_per_key,
     stratified_sample,
 )
-from local_pubchem_db_spark.operators.topk import misra_gries_topk, top_k_per_group
+from local_pubchem_db_spark.operators.topk import (
+    misra_gries_topk,
+    skew_report,
+    top_k_per_group,
+)
 
 __all__ = [
     "as_of_join",
@@ -111,6 +115,7 @@ __all__ = [
     "sample_per_key",
     "semantic_dedup",
     "simhash_dedup_pairs",
+    "skew_report",
     "span_amplification",
     "srp_lsh_neardup_pairs",
     "srp_sign_index",

@@ -224,3 +224,37 @@ def misra_gries_topk(
         .orderBy(F.col("est_count").desc(), F.col("item").asc())
         .limit(k)
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    k: int = 10,
+    capacity: int = 1024,
+) -> DataFrame:
+    """(column, key, est_count, est_share): the heaviest keys of each
+    candidate join/groupBy column in ONE pass per column with no data
+    shuffle — the pre-flight check before keying a 100 TB shuffle.
+    ``est_share`` is the key's estimated fraction of all rows: a key
+    near 1/shuffle-partitions or above means one reducer will carry it —
+    salt it (``salted_group_count``), broadcast the other side, or let
+    AQE's skew-join split it.
+
+    Uses the Misra-Gries summaries of ``misra_gries_topk``, so counts
+    only undercount (never inflate a skew alarm) and any key above
+    n/(capacity+1) is guaranteed to appear. Cost: one MG pass per
+    column over the same scan; the row count reuses a single count().
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    n = df.count()
+    out = None
+    for c in key_cols:
+        top = misra_gries_topk(df, c, k=k, capacity=capacity).select(
+            F.lit(c).alias("column"),
+            F.col("item").cast("string").alias("key"),
+            F.col("est_count"),
+            (F.col("est_count") / F.lit(float(max(n, 1)))).alias("est_share"),
+        )
+        out = top if out is None else out.unionByName(top)
+    return out

@@ -62,3 +62,33 @@ def test_mg_validates_arguments(spark):
     df = spark.createDataFrame([("a",)], "item string")
     with pytest.raises(ValueError, match="capacity >= k"):
         misra_gries_topk(df, "item", k=10, capacity=5)
+
+
+def test_skew_report_flags_hot_keys(spark):
+    from local_pubchem_db_spark.operators.topk import skew_report
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    # 10k rows: key column 'a' has one 40% hot key; 'b' is uniform
+    df = spark.range(10000).select(
+        F.when(F.col("id") % 10 < 4, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 997).cast("string")))
+        .alias("a"),
+        (F.col("id") % 500).alias("b"),
+    )
+    rep = skew_report(df, ["a", "b"], k=5).collect()
+    by_col = {}
+    for r in rep:
+        by_col.setdefault(r["column"], []).append(r)
+    assert set(by_col) == {"a", "b"}
+    top_a = max(by_col["a"], key=lambda r: r["est_count"])
+    assert top_a["key"] == "HOT"
+    # MG only undercounts: estimated share <= true 40%, but well above
+    # the uniform background and the guarantee floor
+    assert 0.3 <= top_a["est_share"] <= 0.4
+    # the uniform column's heaviest key holds ~1/500 of rows
+    top_b = max(by_col["b"], key=lambda r: r["est_count"])
+    assert top_b["est_share"] < 0.01
+    with _pytest.raises(ValueError):
+        skew_report(df, [])
