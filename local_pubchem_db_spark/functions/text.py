@@ -296,3 +296,24 @@ def char_ngrams(text: Column, n: int = 5) -> Column:
         F.length(t) >= n,
         F.array_distinct(F.transform(idx, lambda i: F.substring(t, i.cast("int"), n))),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def py_token_fn():
+    """Self-contained Python twin of ``normalize_text`` + ``tokens`` for
+    Arrow-UDF builders (DSIR featurization, bigram LM pairs): returns a
+    closure over locally-compiled regexes so pandas UDFs capturing it
+    pickle BY VALUE — no module import needed on workers (the same
+    reason ``shingle_array_udf`` keeps its logic local). ``re.ASCII``
+    because Java's \\s is ASCII-only. One definition, every Python-side
+    tokenizer stays byte-equivalent with the JVM normalization."""
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
+    punct = re.compile(r"[.,!?;:]")
+
+    def toks(t):
+        if t is None:
+            return []
+        return [x for x in ws.split(punct.sub("", t.lower()).strip()) if x]
+
+    return toks

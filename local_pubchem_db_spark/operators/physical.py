@@ -361,15 +361,24 @@ def table_health(
                 }
                 for c in stats_cols:
                     spans = []
-                    ok = True
-                    for rg in range(md.num_row_groups):
+                    # partition columns live in directory names, not the
+                    # data files: no per-file stats to report
+                    ok = c in names
+                    for rg in range(md.num_row_groups) if ok else ():
                         st = md.row_group(rg).column(names[c]).statistics
                         if st is None or not st.has_min_max:
                             ok = False
                             break
                         spans.append((as_double(st.min), as_double(st.max)))
-                    ok_num = ok and all(
-                        lo is not None and hi is not None for lo, hi in spans
+                    # bool(spans): a schema-only file (0 row groups, an
+                    # empty write) has nothing to aggregate
+                    ok_num = (
+                        ok
+                        and bool(spans)
+                        and all(
+                            lo is not None and hi is not None
+                            for lo, hi in spans
+                        )
                     )
                     row[f"{c}_has_stats"] = ok
                     row[f"{c}_min"] = (

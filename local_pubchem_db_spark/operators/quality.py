@@ -103,19 +103,16 @@ def _token_pairs_udf():
     contract as the DSIR featurizer); a pandas UDF for the same measured
     reason: Spark's array higher-order functions evaluate interpreted
     per element."""
-    import re
-
     from pyspark.sql.functions import pandas_udf
 
-    ws = re.compile(r"\s+", re.ASCII)
-    punct = re.compile(r"[.,!?;:]")
+    from local_pubchem_db_spark.functions.text import py_token_fn
+
+    toks = py_token_fn()
 
     @pandas_udf("array<struct<prev: string, cur: string>>")
     def _pairs(text: pd.Series) -> pd.Series:
         def pairs(t):
-            if t is None:
-                return []
-            w = [x for x in ws.split(punct.sub("", t.lower()).strip()) if x]
+            w = toks(t)
             return [(w[i - 1] if i else None, w[i]) for i in range(len(w))]
 
         return text.map(pairs)
@@ -163,8 +160,15 @@ def bigram_logprob_scores(
         .agg(F.count(F.lit(1)).alias("c1"))
         .localCheckpoint()
     )
-    big = pairs.filter(F.col("prev").isNotNull()).groupBy("prev", "cur").agg(
-        F.count(F.lit(1)).alias("c2")
+    big = (
+        pairs.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        # same lineage cut as uni: without it the scoring join's big side
+        # re-runs the corpus-sized Arrow tokenization a second time in
+        # the same job; checkpointed state is bounded by DISTINCT
+        # bigrams, not corpus bytes
+        .localCheckpoint()
     )
     totals = (
         uni.select(F.col("c1").alias("c"))

@@ -70,19 +70,16 @@ def _ngrams_udf():
     element — the cost class the z-order bucket fix measured at ~25x —
     while this is plain string ops over Arrow batches. The md5 bucket
     hash stays JVM-side either way."""
-    import re
-
     from pyspark.sql.functions import pandas_udf
 
-    ws = re.compile(r"\s+", re.ASCII)
-    punct = re.compile(r"[.,!?;:]")
+    from local_pubchem_db_spark.functions.text import py_token_fn
+
+    toks = py_token_fn()
 
     @pandas_udf("array<string>")
     def _ngrams(text: pd.Series) -> pd.Series:
         def grams(t):
-            if t is None:
-                return []
-            w = [tok for tok in ws.split(punct.sub("", t.lower()).strip()) if tok]
+            w = toks(t)
             return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
 
         return text.map(grams)

@@ -242,19 +242,37 @@ def skew_report(
 
     Uses the Misra-Gries summaries of ``misra_gries_topk``, so counts
     only undercount (never inflate a skew alarm) and any key above
-    n/(capacity+1) is guaranteed to appear. Cost: one MG pass per
-    column over the same scan; the row count reuses a single count().
+    n/(capacity+1) is guaranteed to appear. NULL keys — the most common
+    real-world hot key, since they form ONE group under groupBy/join —
+    are counted EXACTLY (one agg alongside the row count) and reported
+    as a ``<null>`` row per column. Cost: one MG pass per column over
+    the same scan plus one counting pass.
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
-    n = df.count()
+    counts = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{i}")
+            for i, c in enumerate(key_cols)
+        ],
+    ).first()
+    n = counts["__n"]
+    spark = df.sparkSession
     out = None
-    for c in key_cols:
+    for i, c in enumerate(key_cols):
         top = misra_gries_topk(df, c, k=k, capacity=capacity).select(
             F.lit(c).alias("column"),
             F.col("item").cast("string").alias("key"),
             F.col("est_count"),
             (F.col("est_count") / F.lit(float(max(n, 1)))).alias("est_share"),
         )
+        n_null = counts[f"__nulls_{i}"]
+        if n_null:
+            null_row = spark.createDataFrame(
+                [(c, "<null>", n_null, n_null / max(n, 1))],
+                "column string, key string, est_count long, est_share double",
+            )
+            top = top.unionByName(null_row)
         out = top if out is None else out.unionByName(top)
     return out

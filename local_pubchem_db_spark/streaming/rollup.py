@@ -69,32 +69,33 @@ def materialize_hourly_rollup(
 
 
 def _checkpoint_watermark(checkpoint_dir: str):
-    """Event-time watermark (UTC datetime) persisted by the streaming
-    query's newest offset log entry, or None if unreadable. This is the
-    EXACT finalization frontier: every bucket ending at or before it
-    has been emitted, including empty ones."""
+    """Event-time watermark (UTC datetime) of the newest COMMITTED
+    batch, or None if unreadable. Spark writes ``offsets/N`` at batch
+    START, before batch N's output exists — reading the newest offsets
+    entry during (or after a crash inside) an in-flight batch would
+    claim buckets the rollup parquet does not yet contain. Gating on
+    ``commits/`` membership makes this the exact finalization frontier:
+    every bucket ending at or before it has been emitted, including
+    empty ones."""
     import json
     import os
     from datetime import datetime, timezone
 
     offsets = os.path.join(checkpoint_dir, "offsets")
+    commits = os.path.join(checkpoint_dir, "commits")
     try:
-        batches = sorted(
-            (int(f) for f in os.listdir(offsets) if f.isdigit()),
-            reverse=True,
-        )
-        for b in batches:
-            with open(os.path.join(offsets, str(b))) as fh:
-                lines = fh.read().splitlines()
-            # line 0: version tag; line 1: JSON metadata incl. watermark
-            meta = json.loads(lines[1])
-            wm_ms = meta.get("batchWatermarkMs", 0)
-            if wm_ms:
-                return datetime.fromtimestamp(
-                    wm_ms / 1000.0, tz=timezone.utc
-                ).replace(tzinfo=None)
+        committed = [int(f) for f in os.listdir(commits) if f.isdigit()]
+        if not committed:
             return None
-        return None
+        with open(os.path.join(offsets, str(max(committed)))) as fh:
+            lines = fh.read().splitlines()
+        # line 0: version tag; line 1: JSON metadata incl. watermark
+        wm_ms = json.loads(lines[1]).get("batchWatermarkMs", 0)
+        if not wm_ms:
+            return None
+        return datetime.fromtimestamp(
+            wm_ms / 1000.0, tz=timezone.utc
+        ).replace(tzinfo=None)
     except (OSError, ValueError, IndexError, json.JSONDecodeError):
         return None
 

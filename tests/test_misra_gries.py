@@ -92,3 +92,20 @@ def test_skew_report_flags_hot_keys(spark):
     assert top_b["est_share"] < 0.01
     with _pytest.raises(ValueError):
         skew_report(df, [])
+
+
+def test_skew_report_counts_null_keys_exactly(spark):
+    from local_pubchem_db_spark.operators.topk import skew_report
+
+    from pyspark.sql import functions as F
+
+    # 90% of rows have a NULL key: one reducer would carry them all
+    df = spark.range(1000).select(
+        F.when(F.col("id") % 10 == 0, F.concat(F.lit("k"), F.col("id").cast("string")))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("user"),
+    )
+    rep = {r["key"]: r for r in skew_report(df, ["user"], k=5).collect()}
+    assert "<null>" in rep
+    assert rep["<null>"]["est_count"] == 900  # exact, not sketched
+    assert rep["<null>"]["est_share"] == 0.9

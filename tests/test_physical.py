@@ -220,3 +220,23 @@ def test_table_health_recurses_partitioned_layouts(spark, tmp_path):
     h = table_health(spark, p, ["id"]).toPandas()
     assert h["rows"].sum() == 100
     assert len(h) >= 3
+
+
+def test_table_health_partition_column_and_empty_file(spark, tmp_path):
+    from local_pubchem_db_spark.operators.physical import table_health
+
+    df = spark.range(100).select("id", (F.col("id") % 3).alias("k"))
+    p = str(tmp_path / "parted2")
+    df.write.partitionBy("k").parquet(p)
+    # a partition column has no per-file stats — report, don't crash
+    h = table_health(spark, p, ["k", "id"]).toPandas()
+    assert (~h["k_has_stats"]).all()
+    assert h["k_min"].isna().all()
+    assert h["id_has_stats"].all()
+
+    # an empty write produces a schema-only file (0 row groups)
+    e = str(tmp_path / "empty_table")
+    spark.range(0).select("id").write.parquet(e)
+    he = table_health(spark, e, ["id"]).toPandas()
+    assert he["rows"].sum() == 0
+    assert he["id_min"].isna().all()

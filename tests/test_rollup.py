@@ -208,3 +208,40 @@ def test_checkpoint_watermark_cutoff_excludes_dropped_stragglers(
         (5, 1),
         (10, 1),
     ]
+
+
+def test_watermark_ignores_uncommitted_offsets(spark, tmp_path):
+    """offsets/N is written at batch START; an in-flight (uncommitted)
+    batch must not advance the realtime cutoff past what the rollup
+    parquet actually contains."""
+    import json
+    from datetime import datetime
+
+    from local_pubchem_db_spark.streaming.events import EVENT_SCHEMA
+    from local_pubchem_db_spark.streaming.rollup import _checkpoint_watermark
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 1, 15), 1, "x", 1.0, "{}"),
+         (2, datetime(2024, 1, 1, 10, 0), 1, "x", 1.0, "{}")],
+        EVENT_SCHEMA,
+    ).coalesce(1).write.parquet(str(flat / "part"))
+    # move files up one level for the file stream
+    import glob as _g, shutil as _sh
+    for i, f in enumerate(_g.glob(str(flat / "part" / "*.parquet"))):
+        _sh.copy(f, flat / f"p{i}.parquet")
+    rollup_dir, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    materialize_hourly_rollup(spark, str(flat), rollup_dir, ckpt)
+    wm_before = _checkpoint_watermark(ckpt)
+    assert wm_before is not None
+
+    # simulate an in-flight batch: offsets entry with a FUTURE watermark
+    # and no matching commits entry
+    offsets = os.path.join(ckpt, "offsets")
+    next_b = max(int(f) for f in os.listdir(offsets) if f.isdigit()) + 1
+    with open(os.path.join(offsets, str(next_b)), "w") as fh:
+        fh.write("v1\n")
+        fh.write(json.dumps({"batchWatermarkMs": 2_000_000_000_000}) + "\n")
+        fh.write("{}\n")
+    assert _checkpoint_watermark(ckpt) == wm_before

@@ -64,7 +64,11 @@ def main() -> None:
     def _warm(s: pd.Series) -> pd.Series:
         return s
 
-    docs.limit(64).select(_warm("doc_id")).count()
+    # noop-sink write (bench.py's pattern): count() would let Catalyst
+    # prune the UDF projection away and never fork a worker
+    spark.range(0, 64, 1, 64).select(_warm("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     target = docs.filter(F.col("doc_id") % 100 == 0).select("doc_id", "text")
     t0 = time.time()
