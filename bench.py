@@ -1,11 +1,24 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints TWO JSON lines: a diagnostics line first ({"diagnostics": {runs,
+spread, drift_vs_prev, ...}}), then the compact headline record LAST:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The compact record must stay last and small: the round driver captures a
+bounded tail of stdout and parses the final line. In round 6 the enriched
+payload was a single line that outgrew that buffer and truncated from the
+FRONT, so BENCH_r06.json recorded `parsed: null` and the best-ever number
+survived only as prose. Splitting the output keeps the machine-read record
+~500 bytes regardless of how much diagnostics grow.
 
 Execution is forced with the noop sink (full pipeline runs on executors,
 nothing collected to the driver) so the timing measures the distributed
 plan, not driver-side materialization.
+
+Set SPARK_GRAFT_BENCH_RECORD=1 to also append the full payload to the
+per-sf artifact series under bench_artifacts/ (BENCH_sf{sf}_seq{N}.json).
+This is how non-driver scales (sf1 replicas) get a diffable history:
+drift_vs_prev is computed within the same-sf series only.
 """
 
 from __future__ import annotations
@@ -133,7 +146,7 @@ def main() -> None:
     # isolated drift = suspect code), and per-query spread (max/min of
     # this run's own samples — high spread means the host was noisy
     # WHILE this artifact was recorded, so its drift numbers are soft).
-    prev_name, prev = _load_previous_artifact()
+    prev_name, prev = _load_previous_artifact(sf=out["sf"])
     if prev and prev.get("sf") != out["sf"]:
         prev = None  # cross-sf ratios would be meaningless
     if prev:
@@ -152,14 +165,83 @@ def main() -> None:
     if errors:
         out["errors"] = errors
         out["incomplete"] = True
-    print(json.dumps(out))
+    record_dir = None
+    if os.environ.get("SPARK_GRAFT_BENCH_RECORD") == "1":
+        record_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_artifacts"
+        )
+    emit(out, record_dir=record_dir)
+
+
+# Fields that belong to the diagnostics line, not the compact tail record.
+_DIAG_KEYS = (
+    "runs",
+    "spread",
+    "prev_artifact",
+    "prev_total",
+    "drift_vs_prev",
+    "errors",
+)
+
+
+def split_payload(out: dict) -> tuple[dict, dict]:
+    """(compact, diagnostics): compact is the driver-parsed tail record and
+    must stay bounded (metric/value/unit/sf/queries/incomplete); everything
+    sized by REPS or by history goes to diagnostics."""
+    compact = {k: v for k, v in out.items() if k not in _DIAG_KEYS}
+    diag = {k: v for k, v in out.items() if k in _DIAG_KEYS}
+    return compact, diag
+
+
+def emit(out: dict, stream=None, record_dir: str | None = None) -> None:
+    """Print diagnostics first, compact record LAST (the driver parses the
+    final line of a bounded tail — see module docstring). Optionally append
+    the full payload to the per-sf series under record_dir."""
+    stream = stream or sys.stdout
+    compact, diag = split_payload(out)
+    print(json.dumps({"diagnostics": diag}), file=stream)
+    if record_dir:
+        path = _record_artifact(out, record_dir)
+        print(json.dumps({"recorded": path}), file=stream)
+    print(json.dumps(compact), file=stream)
+
+
+def _sf_tag(sf) -> str:
+    return str(sf).replace("/", "_")
+
+
+def _record_artifact(out: dict, record_dir: str) -> str:
+    """Append the full payload to bench_artifacts/BENCH_sf{sf}_seq{N}.json
+    (next free N in this sf's series)."""
+    import re
+
+    os.makedirs(record_dir, exist_ok=True)
+    tag = _sf_tag(out.get("sf"))
+    pat = re.compile(rf"BENCH_sf{re.escape(tag)}_seq(\d+)\.json")
+    seqs = [
+        int(m.group(1))
+        for fn in os.listdir(record_dir)
+        if (m := pat.fullmatch(fn))
+    ]
+    path = os.path.join(
+        record_dir, f"BENCH_sf{tag}_seq{(max(seqs) + 1 if seqs else 1):03d}.json"
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    return path
 
 
 def _load_previous_artifact(
-    root: str | None = None,
+    root: str | None = None, sf=None
 ) -> tuple[str | None, dict | None]:
-    """The most recent BENCH_r{N}.json with a parsed payload — the
-    yardstick drift_vs_prev is computed against."""
+    """The yardstick drift_vs_prev is computed against.
+
+    Two same-sf series, driver-first: the most recent BENCH_r{N}.json whose
+    driver-parsed payload matches `sf` (artifacts with `parsed: null` —
+    the r6 truncation casualty — are skipped); if no driver artifact
+    matches (e.g. sf1 replica runs the driver never records), fall back to
+    the newest self-recorded bench_artifacts/BENCH_sf{sf}_seq{N}.json.
+    """
     import re
 
     root = root or os.path.dirname(os.path.abspath(__file__))
@@ -176,10 +258,35 @@ def _load_previous_artifact(
         parsed = payload.get("parsed")
         if not isinstance(parsed, dict) or not parsed.get("queries"):
             continue
+        if sf is not None and parsed.get("sf") != sf:
+            continue
         n = int(m.group(1))
         if best is None or n > best[0]:
             best = (n, fn, parsed)
-    return (best[1], best[2]) if best else (None, None)
+    if best:
+        return best[1], best[2]
+    # Same-sf self-recorded series (sf1 and other non-driver scales).
+    art_dir = os.path.join(root, "bench_artifacts")
+    if sf is not None and os.path.isdir(art_dir):
+        pat = re.compile(rf"BENCH_sf{re.escape(_sf_tag(sf))}_seq(\d+)\.json")
+        local: tuple[int, str, dict] | None = None
+        for fn in os.listdir(art_dir):
+            m = pat.fullmatch(fn)
+            if not m:
+                continue
+            try:
+                with open(os.path.join(art_dir, fn)) as f:
+                    payload = json.load(f)
+            except (OSError, ValueError):
+                continue
+            if not payload.get("queries"):
+                continue
+            n = int(m.group(1))
+            if local is None or n > local[0]:
+                local = (n, fn, payload)
+        if local:
+            return os.path.join("bench_artifacts", local[1]), local[2]
+    return (None, None)
 
 
 if __name__ == "__main__":

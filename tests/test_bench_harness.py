@@ -26,3 +26,82 @@ def test_load_previous_artifact_empty_dir(tmp_path):
     from bench import _load_previous_artifact
 
     assert _load_previous_artifact(str(tmp_path)) == (None, None)
+
+
+def test_loader_picks_own_round_over_unparseable_sibling(tmp_path):
+    """The r6 regression, pinned: with an unparseable (parsed: null) r6
+    sibling present, a parsed r7 artifact must be the yardstick."""
+    from bench import _load_previous_artifact
+
+    (tmp_path / "BENCH_r6.json").write_text(
+        json.dumps({"parsed": None, "raw_tail": '..."queries": {"q": 1.0}}'})
+    )
+    (tmp_path / "BENCH_r7.json").write_text(
+        json.dumps({"parsed": {"value": 9.1, "sf": 0.1, "queries": {"q": 0.9}}})
+    )
+    name, parsed = _load_previous_artifact(str(tmp_path), sf=0.1)
+    assert name == "BENCH_r7.json"
+    assert parsed["value"] == 9.1
+
+
+def test_loader_filters_by_sf_and_falls_back_to_local_series(tmp_path):
+    """sf1 runs have no driver artifacts: the loader must skip the sf0.1
+    driver series and pick the newest self-recorded same-sf artifact."""
+    from bench import _load_previous_artifact
+
+    (tmp_path / "BENCH_r5.json").write_text(
+        json.dumps({"parsed": {"value": 11.5, "sf": 0.1, "queries": {"q": 1.2}}})
+    )
+    art = tmp_path / "bench_artifacts"
+    art.mkdir()
+    (art / "BENCH_sf1.0_seq001.json").write_text(
+        json.dumps({"value": 49.1, "sf": 1.0, "queries": {"q": 40.0}})
+    )
+    (art / "BENCH_sf1.0_seq002.json").write_text(
+        json.dumps({"value": 36.0, "sf": 1.0, "queries": {"q": 30.0}})
+    )
+    name, parsed = _load_previous_artifact(str(tmp_path), sf=1.0)
+    assert name.endswith("BENCH_sf1.0_seq002.json")
+    assert parsed["value"] == 36.0
+    # and the sf0.1 path still prefers the driver series
+    name01, parsed01 = _load_previous_artifact(str(tmp_path), sf=0.1)
+    assert name01 == "BENCH_r5.json" and parsed01["value"] == 11.5
+
+
+def test_emit_compact_record_is_last_line_and_bounded(tmp_path):
+    """The driver parses the FINAL line of a bounded stdout tail: emit()
+    must print the compact record last, keep it small, and push runs/
+    drift/spread to an earlier diagnostics line."""
+    import io
+
+    from bench import emit
+
+    out = {
+        "metric": "headline_total",
+        "value": 9.1,
+        "unit": "sec",
+        "queries": {f"q{i}": 0.5 for i in range(16)},
+        "runs": {f"q{i}": [0.5, 0.6, 0.7] * 20 for i in range(16)},
+        "spread": {f"q{i}": 1.4 for i in range(16)},
+        "drift_vs_prev": {f"q{i}": 0.9 for i in range(16)},
+        "prev_artifact": "BENCH_r5.json",
+        "prev_total": 11.5,
+        "sf": 0.1,
+    }
+    buf = io.StringIO()
+    emit(out, stream=buf, record_dir=str(tmp_path / "bench_artifacts"))
+    lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
+    last = json.loads(lines[-1])
+    assert last["value"] == 9.1 and len(last["queries"]) == 16
+    assert "runs" not in last and "drift_vs_prev" not in last
+    assert len(lines[-1]) < 2000  # bounded regardless of diagnostics size
+    diag = json.loads(lines[0])["diagnostics"]
+    assert diag["runs"] and diag["drift_vs_prev"]
+    # full payload recorded to the per-sf series
+    rec = json.loads(
+        (tmp_path / "bench_artifacts" / "BENCH_sf0.1_seq001.json").read_text()
+    )
+    assert rec["runs"] and rec["value"] == 9.1
+    # a second emit appends seq002, not overwrite
+    emit(out, stream=io.StringIO(), record_dir=str(tmp_path / "bench_artifacts"))
+    assert (tmp_path / "bench_artifacts" / "BENCH_sf0.1_seq002.json").exists()
