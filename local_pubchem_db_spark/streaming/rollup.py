@@ -66,20 +66,34 @@ def materialize_hourly_rollup(
         .start()
     )
     q.awaitTermination()
+    # Persist the finalization frontier beside the rollup so real-time
+    # readers get the EXACT cutoff by default, without needing access to
+    # the checkpoint dir (which in production often lives with the writer,
+    # not the dashboards).
+    wm_ms = _checkpoint_watermark_ms(checkpoint_dir)
+    if wm_ms is not None:
+        _write_frontier(rollup_dir, wm_ms)
 
 
-def _checkpoint_watermark(checkpoint_dir: str):
-    """Event-time watermark (UTC datetime) of the newest COMMITTED
+def _checkpoint_watermark_ms(checkpoint_dir: str) -> int | None:
+    """Event-time watermark (epoch MILLIS) of the newest COMMITTED
     batch, or None if unreadable. Spark writes ``offsets/N`` at batch
     START, before batch N's output exists — reading the newest offsets
     entry during (or after a crash inside) an in-flight batch would
     claim buckets the rollup parquet does not yet contain. Gating on
     ``commits/`` membership makes this the exact finalization frontier:
     every bucket ending at or before it has been emitted, including
-    empty ones."""
+    empty ones.
+
+    Millis, not a naive datetime: PySpark converts naive datetime
+    literals via the driver's LOCAL timezone (time.mktime in
+    TimestampType.toInternal), so a UTC-derived naive cutoff shifts by
+    the host's UTC offset on any non-UTC driver. Keeping the frontier in
+    epoch millis and comparing via ``F.timestamp_millis`` stays in
+    instant space end-to-end — timezone never enters.
+    """
     import json
     import os
-    from datetime import datetime, timezone
 
     offsets = os.path.join(checkpoint_dir, "offsets")
     commits = os.path.join(checkpoint_dir, "commits")
@@ -91,12 +105,41 @@ def _checkpoint_watermark(checkpoint_dir: str):
             lines = fh.read().splitlines()
         # line 0: version tag; line 1: JSON metadata incl. watermark
         wm_ms = json.loads(lines[1]).get("batchWatermarkMs", 0)
-        if not wm_ms:
-            return None
-        return datetime.fromtimestamp(
-            wm_ms / 1000.0, tz=timezone.utc
-        ).replace(tzinfo=None)
+        return int(wm_ms) or None
     except (OSError, ValueError, IndexError, json.JSONDecodeError):
+        return None
+
+
+_FRONTIER_FILE = "_frontier.json"  # "_"-prefixed: invisible to data scans
+
+
+def _write_frontier(rollup_dir: str, wm_ms: int) -> None:
+    """Atomically record the committed watermark beside the rollup data
+    (tmp + rename, so readers never see a torn file). Best-effort: on a
+    store without POSIX rename semantics callers should pass the
+    checkpoint dir to ``hourly_rollup_with_realtime`` instead."""
+    import json
+    import os
+    import tempfile
+
+    try:
+        os.makedirs(rollup_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=rollup_dir, prefix="._frontier-")
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"batchWatermarkMs": wm_ms}, fh)
+        os.replace(tmp, os.path.join(rollup_dir, _FRONTIER_FILE))
+    except OSError:
+        pass
+
+
+def _read_frontier(rollup_dir: str) -> int | None:
+    import json
+    import os
+
+    try:
+        with open(os.path.join(rollup_dir, _FRONTIER_FILE)) as fh:
+            return int(json.load(fh)["batchWatermarkMs"]) or None
+    except (OSError, ValueError, KeyError, json.JSONDecodeError):
         return None
 
 
@@ -113,37 +156,55 @@ def hourly_rollup_with_realtime(
     dropped for lateness (pinned in tests/test_rollup.py).
 
     The cutoff between the two sides is the hour floor of the
-    checkpoint's persisted event-time watermark when ``checkpoint_dir``
-    is given — the exact finalization frontier, correct even when
-    trailing hours are EMPTY. Without a checkpoint the cutoff falls
-    back to the last materialized bucket's end, which is exact unless
-    hours between it and the watermark held no on-time events; in that
-    gap a beyond-watermark straggler the stream dropped could transiently
-    surface on the raw side — pass ``checkpoint_dir`` where that
-    distinction matters.
+    finalization frontier — the checkpoint's committed event-time
+    watermark, read from ``checkpoint_dir`` when given, else from the
+    ``_frontier.json`` sidecar ``materialize_hourly_rollup`` writes
+    beside the rollup. This is exact even when trailing hours are
+    EMPTY. Only when neither source exists (a rollup produced by some
+    other writer) does the cutoff fall back to the last materialized
+    bucket's end; in that legacy mode a beyond-watermark straggler the
+    stream dropped could transiently surface on the raw side.
 
-    The raw side's filter is a plain ``ts >= cutoff`` predicate — it
-    pushes down to the parquet scan, so the expensive side of the union
-    reads only the tail.
+    The frontier is epoch millis and the cutoff a foldable
+    ``timestamp_millis`` literal: the comparison happens in instant
+    space, immune to the driver timezone (a naive-datetime literal would
+    shift by the host UTC offset — ADVICE r6), and the hour floor is
+    millis arithmetic, matching ``F.window``'s unix-epoch alignment
+    exactly (``date_trunc`` would truncate in the session zone, wrong on
+    fractional-offset zones).
+
+    The raw side's filter is a plain ``ts >= cutoff`` predicate —
+    Catalyst folds the literal and pushes it to the parquet scan, so the
+    expensive side of the union reads only the tail.
     """
     try:
         rollup = spark.read.parquet(rollup_dir)
         last = rollup.agg(F.max("hour_start").alias("m")).first()["m"]
     except AnalysisException:
         rollup, last = None, None
-    cutoff = None
-    if checkpoint_dir is not None:
-        wm = _checkpoint_watermark(checkpoint_dir)
-        if wm is not None:
-            # buckets ending <= wm are finalized; the first un-finalized
-            # bucket starts at the hour floor of wm
-            cutoff = wm.replace(minute=0, second=0, microsecond=0)
-    if cutoff is None and last is not None:
-        # fallback: max finalized bucket START + 1h == that bucket's END
-        cutoff = last + timedelta(hours=1)
-    if rollup is None or cutoff is None:
+    wm_ms = (
+        _checkpoint_watermark_ms(checkpoint_dir)
+        if checkpoint_dir is not None
+        else None
+    )
+    if wm_ms is None:
+        wm_ms = _read_frontier(rollup_dir)
+    cutoff_col = None
+    if wm_ms is not None:
+        # buckets ending <= wm are finalized; the first un-finalized
+        # bucket starts at the epoch-aligned hour floor of wm
+        cutoff_col = F.timestamp_millis(
+            F.lit((wm_ms // 3_600_000) * 3_600_000)
+        )
+    elif last is not None:
+        # legacy fallback: max finalized bucket START + 1h == its END.
+        # `last` came out of collect() through the same local-time
+        # conversion F.lit applies going back in, so the round-trip is
+        # symmetric (unlike a UTC-derived naive datetime).
+        cutoff_col = F.lit(last + timedelta(hours=1))
+    if rollup is None or cutoff_col is None:
         return hourly_event_counts(events)
-    recent = hourly_event_counts(events.filter(F.col("ts") >= F.lit(cutoff)))
-    return rollup.filter(F.col("hour_start") < F.lit(cutoff)).unionByName(
+    recent = hourly_event_counts(events.filter(F.col("ts") >= cutoff_col))
+    return rollup.filter(F.col("hour_start") < cutoff_col).unionByName(
         recent
     )

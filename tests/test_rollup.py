@@ -183,6 +183,15 @@ def test_checkpoint_watermark_cutoff_excludes_dropped_stragglers(
         for r in spark.read.parquet(rollup_dir).collect()
     ] == [(1, 1)]
 
+    # materialize persisted the committed frontier beside the rollup
+    from local_pubchem_db_spark.streaming.rollup import (
+        _checkpoint_watermark_ms,
+        _read_frontier,
+    )
+
+    assert _read_frontier(rollup_dir) == _checkpoint_watermark_ms(ckpt)
+    assert _read_frontier(rollup_dir) is not None
+
     raw = spark.createDataFrame(
         [
             (1, datetime(2024, 1, 1, 1, 15), 1, "x", 1.0, "{}"),
@@ -200,8 +209,18 @@ def test_checkpoint_watermark_cutoff_excludes_dropped_stragglers(
         (1, 1),
         (10, 1),
     ]
-    # fallback mode (no checkpoint): cutoff = last bucket end = 02:00,
-    # so the dropped straggler transiently surfaces — the documented gap
+    # DEFAULT mode (no checkpoint arg): materialize wrote the frontier
+    # sidecar beside the rollup, so the exact cutoff is the default and
+    # the dropped straggler stays dropped — the r6 gap, closed
+    default = hourly_rollup_with_realtime(spark, rollup_dir, raw).collect()
+    assert sorted((r["hour_start"].hour, r["n"]) for r in default) == [
+        (1, 1),
+        (10, 1),
+    ]
+    # legacy fallback (foreign rollup, no sidecar): cutoff = last bucket
+    # end = 02:00, so the dropped straggler transiently surfaces — the
+    # documented gap now requires opting INTO
+    os.remove(os.path.join(rollup_dir, "_frontier.json"))
     fallback = hourly_rollup_with_realtime(spark, rollup_dir, raw).collect()
     assert sorted((r["hour_start"].hour, r["n"]) for r in fallback) == [
         (1, 1),
@@ -218,7 +237,9 @@ def test_watermark_ignores_uncommitted_offsets(spark, tmp_path):
     from datetime import datetime
 
     from local_pubchem_db_spark.streaming.events import EVENT_SCHEMA
-    from local_pubchem_db_spark.streaming.rollup import _checkpoint_watermark
+    from local_pubchem_db_spark.streaming.rollup import (
+        _checkpoint_watermark_ms as _checkpoint_watermark,
+    )
 
     flat = tmp_path / "flat"
     flat.mkdir()
