@@ -193,24 +193,9 @@ def misra_gries_topk(
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         for pdf in batches:
-            for item, cnt in pdf.iloc[:, 0].value_counts().items():
-                if item is None:
-                    continue
-                if item in counters:
-                    counters[item] += int(cnt)
-                elif len(counters) < capacity:
-                    counters[item] = int(cnt)
-                else:
-                    # decrement-all by the smallest deficit that evicts
-                    # at least one counter; batch value_counts arrival
-                    # keeps this loop rare
-                    dec = min(int(cnt), min(counters.values()))
-                    counters = {
-                        i: c - dec for i, c in counters.items() if c > dec
-                    }
-                    rem = int(cnt) - dec
-                    if rem > 0 and len(counters) < capacity:
-                        counters[item] = rem
+            counters = _mg_ingest(
+                counters, pdf.iloc[:, 0].value_counts(), capacity
+            )
         yield pd.DataFrame(
             {"item": list(counters), "est_count": list(counters.values())}
         )
@@ -223,6 +208,77 @@ def misra_gries_topk(
         .agg(F.sum("est_count").alias("est_count"))
         .orderBy(F.col("est_count").desc(), F.col("item").asc())
         .limit(k)
+    )
+
+
+def _mg_ingest(counters: dict, value_counts, capacity: int) -> dict:
+    """Fold one batch's ``value_counts`` series into a Misra-Gries
+    summary of at most ``capacity`` counters; returns the (possibly
+    rebuilt) dict. Vectorized arrival (whole-batch counts, not row by
+    row) keeps the eviction loop rare."""
+    for item, cnt in value_counts.items():
+        if item is None:
+            continue
+        if item in counters:
+            counters[item] += int(cnt)
+        elif len(counters) < capacity:
+            counters[item] = int(cnt)
+        else:
+            # decrement-all by the smallest deficit that evicts at least
+            # one counter
+            dec = min(int(cnt), min(counters.values()))
+            counters = {i: c - dec for i, c in counters.items() if c > dec}
+            rem = int(cnt) - dec
+            if rem > 0 and len(counters) < capacity:
+                counters[item] = rem
+    return counters
+
+
+def misra_gries_summaries(
+    df: DataFrame,
+    item_cols: list[str],
+    capacity: int = 1024,
+) -> DataFrame:
+    """(column, item, est_count): merged Misra-Gries summaries for ALL
+    of ``item_cols`` from ONE pass over the data.
+
+    Each task maintains one ``capacity``-bounded counter dict per column
+    inside a single ``mapInPandas``, so k candidate columns cost one
+    scan, not k — at the 100 TB scale a pre-flight diagnostic targets,
+    scan count IS the cost. Only the <= capacity × k summary rows per
+    task shuffle into the merge (map-side combinable sum)."""
+    if not item_cols:
+        raise ValueError("item_cols must be non-empty")
+    if len(set(item_cols)) != len(item_cols):
+        raise ValueError(f"duplicate columns in item_cols: {item_cols}")
+    if capacity < 1:
+        raise ValueError(f"need capacity >= 1, got {capacity}")
+    aliases = [f"__c{i}" for i in range(len(item_cols))]
+    proj = df.select(
+        *[F.col(c).cast("string").alias(a) for c, a in zip(item_cols, aliases)]
+    )
+    names = list(item_cols)
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: list[dict] = [{} for _ in names]
+        for pdf in batches:
+            for j, a in enumerate(aliases):
+                counters[j] = _mg_ingest(
+                    counters[j], pdf[a].value_counts(), capacity
+                )
+        yield pd.DataFrame(
+            {
+                "column": [n for j, n in enumerate(names) for _ in counters[j]],
+                "item": [i for ctr in counters for i in ctr],
+                "est_count": [c for ctr in counters for c in ctr.values()],
+            }
+        )
+
+    summaries = proj.mapInPandas(
+        summarize, "column string, item string, est_count long"
+    )
+    return summaries.groupBy("column", "item").agg(
+        F.sum("est_count").alias("est_count")
     )
 
 
@@ -240,13 +296,15 @@ def skew_report(
     salt it (``salted_group_count``), broadcast the other side, or let
     AQE's skew-join split it.
 
-    Uses the Misra-Gries summaries of ``misra_gries_topk``, so counts
-    only undercount (never inflate a skew alarm) and any key above
-    n/(capacity+1) is guaranteed to appear. NULL keys — the most common
-    real-world hot key, since they form ONE group under groupBy/join —
-    are counted EXACTLY (one agg alongside the row count) and reported
-    as a ``<null>`` row per column. Cost: one MG pass per column over
-    the same scan plus one counting pass.
+    Uses the merged Misra-Gries summaries of ``misra_gries_summaries``,
+    so counts only undercount (never inflate a skew alarm) and any key
+    above n/(capacity+1) is guaranteed to appear. NULL keys — the most
+    common real-world hot key, since they form ONE group under
+    groupBy/join — are counted EXACTLY (one agg alongside the row
+    count) and reported as a ``<null>`` row per column. Cost: ONE MG
+    pass for ALL columns (k counter dicts in a single mapInPandas —
+    r6's per-column loop scanned the table k times) plus one counting
+    pass; the per-column top-k runs over the tiny merged summaries.
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
@@ -259,20 +317,30 @@ def skew_report(
     ).first()
     n = counts["__n"]
     spark = df.sparkSession
-    out = None
-    for i, c in enumerate(key_cols):
-        top = misra_gries_topk(df, c, k=k, capacity=capacity).select(
-            F.lit(c).alias("column"),
+    w = Window.partitionBy("column").orderBy(
+        F.col("est_count").desc(), F.col("item").asc()
+    )
+    top = (
+        misra_gries_summaries(df, key_cols, capacity=capacity)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select(
+            "column",
             F.col("item").cast("string").alias("key"),
             F.col("est_count"),
             (F.col("est_count") / F.lit(float(max(n, 1)))).alias("est_share"),
         )
-        n_null = counts[f"__nulls_{i}"]
-        if n_null:
-            null_row = spark.createDataFrame(
-                [(c, "<null>", n_null, n_null / max(n, 1))],
+    )
+    null_rows = [
+        (c, "<null>", counts[f"__nulls_{i}"], counts[f"__nulls_{i}"] / max(n, 1))
+        for i, c in enumerate(key_cols)
+        if counts[f"__nulls_{i}"]
+    ]
+    if null_rows:
+        top = top.unionByName(
+            spark.createDataFrame(
+                null_rows,
                 "column string, key string, est_count long, est_share double",
             )
-            top = top.unionByName(null_row)
-        out = top if out is None else out.unionByName(top)
-    return out
+        )
+    return top

@@ -94,6 +94,58 @@ def test_skew_report_flags_hot_keys(spark):
         skew_report(df, [])
 
 
+def test_skew_report_single_scan_for_all_columns(spark, tmp_path):
+    """One report over 3 columns must read the input ONCE: all columns'
+    MG summaries come from a single mapInPandas over a single file scan
+    (r6 looped misra_gries_topk per column = k+1 scans)."""
+    from local_pubchem_db_spark.operators.topk import skew_report
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "keys")
+    spark.range(1000).select(
+        (F.col("id") % 7).cast("string").alias("a"),
+        (F.col("id") % 11).cast("string").alias("b"),
+        (F.col("id") % 13).cast("string").alias("c"),
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    plan = (
+        skew_report(df, ["a", "b", "c"], k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_mg_summaries_match_per_column_sketch_semantics(spark):
+    """The fused multi-column summarizer degenerates to exact counts per
+    column when capacity covers each domain, independent of the other
+    columns sharing the pass."""
+    from local_pubchem_db_spark.operators.topk import misra_gries_summaries
+
+    df = spark.createDataFrame(
+        [("a", "x")] * 5 + [("b", "x")] * 3 + [("a", "y")] * 2,
+        "k1 string, k2 string",
+    ).repartition(4)
+    got = {
+        (r["column"], r["item"]): r["est_count"]
+        for r in misra_gries_summaries(df, ["k1", "k2"], capacity=64).collect()
+    }
+    assert got == {
+        ("k1", "a"): 7,
+        ("k1", "b"): 3,
+        ("k2", "x"): 8,
+        ("k2", "y"): 2,
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate"):
+        misra_gries_summaries(df, ["k1", "k1"])
+
+
 def test_skew_report_counts_null_keys_exactly(spark):
     from local_pubchem_db_spark.operators.topk import skew_report
 
