@@ -57,17 +57,27 @@ def bloom_build(
     n_bits: int = 1 << 24,
     k: int = 5,
     build_partitions: int = 32,
+    fold_fanin: int = 8,
 ) -> bytes:
     """Bitmap (``n_bits/8`` bytes) with every key's k positions set.
 
     One narrow projection to positions, one shuffle down to
-    ``build_partitions`` tasks, one bitmap partial per task to the
-    driver. Bytes are identical for any input partitioning or row
-    order (bit-OR is commutative)."""
+    ``build_partitions`` tasks, one bitmap partial per task — then an
+    executor-side tree fold (fan-in ``fold_fanin`` per level) ORs the
+    partials down to ONE bitmap before the collect, so driver traffic is
+    a single ``n_bits/8``-byte row regardless of ``build_partitions``
+    (the r6 shape collected every partial: at the 2^32-bit sizing the
+    docstring motivates that was 16 GiB to the driver). Each fold level
+    is a repartition (a real shuffle barrier, so the parallel set_bits
+    stage is NOT serialized the way ``coalesce(1)`` would) followed by
+    a mapInPandas OR. Bytes are identical for any input partitioning or
+    row order (bit-OR is commutative)."""
     if n_bits % 8 != 0 or n_bits <= 0:
         raise ValueError("n_bits must be a positive multiple of 8")
     if k < 1:
         raise ValueError("k must be >= 1")
+    if fold_fanin < 2:
+        raise ValueError("fold_fanin must be >= 2")
     pos = (
         keys.select(
             F.explode(_positions(F.col(key_col), n_bits, k)).alias("pos")
@@ -82,22 +92,71 @@ def bloom_build(
             np.bitwise_or.at(bitmap, p >> 3, (1 << (p & 7)).astype(np.uint8))
         yield pd.DataFrame({"partial": [bitmap.tobytes()]})
 
-    partials = pos.mapInPandas(set_bits, "partial binary").collect()
+    partials = pos.mapInPandas(set_bits, "partial binary")
+    folded = _tree_or_fold(
+        partials, n_bits // 8, build_partitions, fold_fanin
+    )
+    rows = folded.collect()
     out = np.zeros(n_bits // 8, dtype=np.uint8)
-    for r in partials:
+    for r in rows:  # exactly one row after the fold; loop kept for safety
         out |= np.frombuffer(r["partial"], dtype=np.uint8)
     return out.tobytes()
 
 
+def _tree_or_fold(
+    partials: DataFrame, n_bytes: int, width: int, fanin: int
+) -> DataFrame:
+    """OR ``width`` one-row bitmap partials down to a single row with
+    log_fanin(width) repartition+mapInPandas levels. All traffic stays
+    executor-side; the final relation holds one bitmap row."""
+
+    def or_fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for b in batches:
+            for buf in b["partial"]:
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                acc = arr.copy() if acc is None else acc | arr
+        if acc is None:  # round-robin can leave a partition empty
+            acc = np.zeros(n_bytes, dtype=np.uint8)
+        yield pd.DataFrame({"partial": [acc.tobytes()]})
+
+    while width > 1:
+        width = -(-width // fanin)
+        partials = partials.repartition(width).mapInPandas(
+            or_fold, "partial binary"
+        )
+    return partials
+
+
+def bloom_broadcast(df: DataFrame, bitmap: bytes):
+    """Broadcast handle for a bitmap, for reuse across many
+    ``bloom_contains`` probes. Long-lived sessions should create ONE
+    handle per filter and ``bc.unpersist()`` when done — passing raw
+    bytes to every probe re-broadcasts the bitmap each call and the
+    blocks accumulate on driver and executors for the session's life."""
+    return df.sparkSession.sparkContext.broadcast(bitmap)
+
+
 def bloom_contains(
-    df: DataFrame, key_col: str, bitmap: bytes, k: int = 5
+    df: DataFrame, key_col: str, bitmap, k: int = 5
 ) -> Column:
     """Boolean column: all k of the key's bits are set (possible member;
     false negatives impossible). Positions come from the same JVM
     expression as the build; the pandas UDF is a vectorized bitmap
-    gather over a task-broadcast of the bitmap."""
-    n_bits = len(bitmap) * 8
-    bc = df.sparkSession.sparkContext.broadcast(bitmap)
+    gather over a task-broadcast of the bitmap.
+
+    ``bitmap`` may be raw bytes (a one-shot broadcast is created — it
+    lives until the session ends) or a ``Broadcast`` handle from
+    ``bloom_broadcast`` (the reuse path: one broadcast however many
+    probes, caller unpersists after the last action)."""
+    from pyspark.broadcast import Broadcast
+
+    if isinstance(bitmap, Broadcast):
+        bc = bitmap
+        n_bits = len(bc.value) * 8
+    else:
+        n_bits = len(bitmap) * 8
+        bc = df.sparkSession.sparkContext.broadcast(bitmap)
 
     @F.pandas_udf(BooleanType())
     def _test(positions: pd.Series) -> pd.Series:
@@ -145,8 +204,9 @@ def decontaminate_bloom(
     train_fps = fan_out(
         train.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     ).select("id", F.explode(fp(F.col("text"))).alias("fp"))
+    bc = bloom_broadcast(train_fps, bitmap)  # one broadcast, reusable
     contaminated = (
-        train_fps.filter(bloom_contains(train_fps, "fp", bitmap, k=n_hashes))
+        train_fps.filter(bloom_contains(train_fps, "fp", bc, k=n_hashes))
         .select(F.col("id").alias(id_col))
         .distinct()
     )

@@ -38,6 +38,70 @@ def test_bitmap_bytes_partition_invariant(spark):
     assert b1 == b2
 
 
+def test_tree_fold_collects_exactly_one_partial(spark):
+    """Driver traffic must be ONE bitmap row regardless of
+    build_partitions: the tree fold reduces the partials executor-side
+    through real shuffle barriers (repartition levels, so the parallel
+    set_bits stage is not serialized), and the folded bytes match a
+    single-partition build exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from local_pubchem_db_spark.operators.bloom import _tree_or_fold
+
+    keys = spark.range(0, 3000).select(F.col("id").alias("key"))
+    # byte-identity across fold shapes, including a multi-level tree
+    # (32 partials at fanin 4 -> 8 -> 2 -> 1: three levels)
+    b_flat = bloom_build(keys, "key", n_bits=N_BITS, k=K, build_partitions=1)
+    b_tree = bloom_build(
+        keys, "key", n_bits=N_BITS, k=K, build_partitions=32, fold_fanin=4
+    )
+    assert b_flat == b_tree
+
+    # the folded relation itself: one row, and the plan shows the
+    # executor-side fold levels (repartition Exchanges + MapInPandas)
+    partials = spark.createDataFrame(
+        pd.DataFrame({"partial": [bytes([1 << i] + [0] * 7) for i in range(8)]})
+    )
+    folded = _tree_or_fold(partials, 8, width=8, fanin=2)
+    rows = folded.collect()
+    assert len(rows) == 1
+    assert np.frombuffer(rows[0]["partial"], dtype=np.uint8)[0] == 0xFF
+    # AQE's toString prints Final and Initial plans; count the final only
+    plan = (
+        folded._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("MapInPandas") == 3  # 8 -> 4 -> 2 -> 1
+    with pytest.raises(ValueError):
+        bloom_build(keys, "key", n_bits=N_BITS, fold_fanin=1)
+
+
+def test_bloom_contains_accepts_broadcast_handle(spark):
+    """Repeated probes must be able to share ONE broadcast (the r6 shape
+    re-broadcast the bitmap every call and never unpersisted)."""
+    from local_pubchem_db_spark.operators.bloom import bloom_broadcast
+
+    members = spark.range(0, 100).select(F.col("id").alias("key"))
+    bitmap = bloom_build(members, "key", n_bits=1 << 12, k=4)
+    probe = spark.range(0, 200).select(F.col("id").alias("key"))
+    bc = bloom_broadcast(probe, bitmap)
+    try:
+        got1 = {
+            r["key"]
+            for r in probe.filter(bloom_contains(probe, "key", bc, k=4)).collect()
+        }
+        got2 = {
+            r["key"]
+            for r in probe.filter(bloom_contains(probe, "key", bc, k=4)).collect()
+        }
+        assert set(range(100)) <= got1 and got1 == got2
+    finally:
+        bc.unpersist()
+
+
 def test_build_validates_args(spark):
     keys = spark.range(10).select(F.col("id").alias("key"))
     with pytest.raises(ValueError):
