@@ -83,6 +83,8 @@ def pq_fit(
     sample_rows: int = 65536,
     iters: int = 10,
     seed: int = 7,
+    centroids: np.ndarray | None = None,
+    cluster_col: str = "cluster",
 ) -> np.ndarray:
     """Train PQ codebooks; returns array of shape (m, k, dim/m).
 
@@ -91,19 +93,31 @@ def pq_fit(
     hash-order trick as operators/sampling.py), so the fitted codebooks
     are identical across reruns and partitionings. ``dim`` must divide
     by ``m`` (PQ splits the vector into m contiguous subspaces).
+
+    RESIDUAL mode (the Jégou et al. IVF-PQ composition): pass the coarse
+    quantizer's ``centroids`` and have ``cluster_col`` on ``df`` (from
+    ``clustering.assign_clusters``). The codebooks are then trained on
+    ``x_n - centroid_n(cell(x))`` instead of raw vectors — residuals
+    concentrate near the origin, so at equal m the codebook spends its
+    k centroids on a much smaller volume, tightening quantization error
+    exactly where IVF already localized the query. Codes fit in residual
+    mode must be encoded (``pq_encode``) and searched (``ivf_pq_search``)
+    in residual mode with the SAME centroids.
     """
     if m <= 0 or k <= 1:
         raise ValueError("m must be positive and k >= 2")
     key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
-    rows = (
-        df.select(F.col(vec_col).alias("v"), key.alias("__k"))
-        .orderBy("__k")
-        .limit(sample_rows)
-        .collect()
-    )
+    sel = [F.col(vec_col).alias("v"), key.alias("__k")]
+    if centroids is not None:
+        sel.append(F.col(cluster_col).alias("__cell"))
+    rows = df.select(*sel).orderBy("__k").limit(sample_rows).collect()
     if not rows:
         raise ValueError("pq_fit: empty input")
     X = _norm_rows(np.array([list(r["v"]) for r in rows], dtype=np.float64))
+    if centroids is not None:
+        Cn = _norm_rows(np.asarray(centroids, dtype=np.float64))
+        cells = np.array([r["__cell"] for r in rows], dtype=np.int64)
+        X = X - Cn[cells]
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
@@ -122,21 +136,31 @@ def pq_encode(
     codebooks: np.ndarray,
     vec_col: str = "embedding",
     out_col: str = "pq_code",
+    centroids: np.ndarray | None = None,
+    cluster_col: str = "cluster",
 ) -> DataFrame:
     """Quantize ``vec_col`` to ``out_col: array<int>`` (m codebook
     indices per vector). Map-only Arrow pass; input column retained so
     callers can drop it explicitly once codes are persisted (at scale,
-    dropping the raw vectors IS the point)."""
+    dropping the raw vectors IS the point).
+
+    With ``centroids`` (residual mode, matching a residual ``pq_fit``),
+    each vector's normalized cell centroid is subtracted before
+    quantization — still map-only, the centroid matrix rides the same
+    broadcast."""
     C = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, k, dsub = C.shape
-    bc = df.sparkSession.sparkContext.broadcast(C)
+    Cn = (
+        _norm_rows(np.asarray(centroids, dtype=np.float64))
+        if centroids is not None
+        else None
+    )
+    bc = df.sparkSession.sparkContext.broadcast((C, Cn))
 
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("array<int>")
-    def encode(v: pd.Series) -> pd.Series:
-        Cb = bc.value
-        V = _norm_rows(np.array(v.tolist(), dtype=np.float64))
+    def _quantize(V: np.ndarray) -> pd.Series:
+        Cb, _ = bc.value
         n = len(V)
         codes = np.empty((n, m), dtype=np.int32)
         for j in range(m):
@@ -146,17 +170,44 @@ def pq_encode(
             codes[:, j] = d.argmin(axis=1)
         return pd.Series(list(codes))
 
-    return df.withColumn(out_col, encode(F.col(vec_col)))
+    if Cn is None:
+
+        @pandas_udf("array<int>")
+        def encode(v: pd.Series) -> pd.Series:
+            return _quantize(
+                _norm_rows(np.array(v.tolist(), dtype=np.float64))
+            )
+
+        return df.withColumn(out_col, encode(F.col(vec_col)))
+
+    @pandas_udf("array<int>")
+    def encode_res(v: pd.Series, cell: pd.Series) -> pd.Series:
+        _, Cent = bc.value
+        V = _norm_rows(np.array(v.tolist(), dtype=np.float64))
+        return _quantize(V - Cent[cell.to_numpy(dtype=np.int64)])
+
+    return df.withColumn(
+        out_col, encode_res(F.col(vec_col), F.col(cluster_col))
+    )
 
 
-def pq_reconstruct(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
-    """Decode codes back to (approximate) vectors — test/audit helper."""
+def pq_reconstruct(
+    codes: np.ndarray,
+    codebooks: np.ndarray,
+    centroids: np.ndarray | None = None,
+    cells: np.ndarray | None = None,
+) -> np.ndarray:
+    """Decode codes back to (approximate) vectors — test/audit helper.
+    For residual-mode codes pass ``centroids`` + per-row ``cells``: the
+    reconstruction is centroid(cell) + decoded residual."""
     C = np.asarray(codebooks, dtype=np.float64)
     m, _, dsub = C.shape
     codes = np.asarray(codes, dtype=np.int64)
-    return np.concatenate(
-        [C[j][codes[:, j]] for j in range(m)], axis=1
-    )
+    out = np.concatenate([C[j][codes[:, j]] for j in range(m)], axis=1)
+    if centroids is not None:
+        Cn = _norm_rows(np.asarray(centroids, dtype=np.float64))
+        out = out + Cn[np.asarray(cells, dtype=np.int64)]
+    return out
 
 
 def pq_knn(
@@ -245,10 +296,20 @@ def ivf_pq_search(
     vec_col: str = "embedding",
     k: int = 10,
     nprobe: int = 2,
+    residual: bool = False,
 ) -> DataFrame:
     """The full IVF-PQ composition: coarse-quantizer cell pruning
     (``clustering.kmeans_fit`` + ``assign_clusters`` supply ``centroids``
     and the ``cluster_col``) over ADC scoring of PQ codes.
+
+    ``residual=True`` matches codes produced by residual-mode
+    ``pq_fit``/``pq_encode``: the reconstruction is ``centroid(cell) +
+    residual_hat``, so the ADC score decomposes as ``<q, centroid_c>``
+    (a per-(query, cell) scalar from the probe matrix already computed
+    for cell selection — zero extra passes) plus the same m LUT lookups
+    over the residual codebooks. At equal m this is strictly tighter
+    quantization than raw-vector PQ because residuals concentrate near
+    the origin (Jégou et al. 2011, §IV).
 
     The scale shape this buys at 100 TB: ``encoded`` persisted
     PARTITIONED BY cluster makes the probed-cells filter a PARTITION
@@ -267,13 +328,18 @@ def ivf_pq_search(
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Qn = _norm_rows(np.array([list(r[1]) for r in q_rows], dtype=np.float64))
-    probe = np.argsort(-(Qn @ Cn.T), axis=1, kind="stable")[:, :nprobe]
+    qc = Qn @ Cn.T  # (n_queries, n_cells) query-centroid inner products
+    probe = np.argsort(-qc, axis=1, kind="stable")[:, :nprobe]
     cell_to_q: dict[int, list[int]] = {}
     for qi, cells in enumerate(probe):
         for c in cells:
             cell_to_q.setdefault(int(c), []).append(qi)
     lut = np.einsum("qjd,jcd->qjc", Qn.reshape(len(q_ids), m, dsub), C)
-    bq = encoded.sparkSession.sparkContext.broadcast((q_ids, lut, cell_to_q))
+    # residual ADC: score = <q, centroid_cell> + sum_j LUT[q, j, code_j]
+    offsets = qc if residual else None
+    bq = encoded.sparkSession.sparkContext.broadcast(
+        (q_ids, lut, cell_to_q, offsets)
+    )
 
     # The pruning filter: a plain isin over the cluster column, so when
     # the encoded corpus is stored partitioned by cluster this reaches
@@ -287,7 +353,7 @@ def ivf_pq_search(
     )
 
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        q_ids, lut, cell_to_q = bq.value
+        q_ids, lut, cell_to_q, offsets = bq.value
         j_idx = np.arange(m)
         for pdf in batches:
             if not len(pdf):
@@ -306,6 +372,8 @@ def ivf_pq_search(
                 # ADC for just this cell's rows x its probing queries:
                 # gather per subspace then sum -> (len(qs), len(sel))
                 S = lut[qs][:, j_idx[None, :], codes[sel]].sum(axis=2)
+                if offsets is not None:
+                    S = S + offsets[qs, int(c)][:, None]
                 for row_i, qi in enumerate(qs):
                     keep = nid[sel] != q_ids[qi]
                     rows["query_id"].extend([q_ids[qi]] * int(keep.sum()))

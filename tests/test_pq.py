@@ -111,6 +111,89 @@ def test_pq_encode_partitioning_invariant(spark, sf_dir):
     assert a == b
 
 
+def test_residual_encoding_tightens_quantization(spark):
+    """Residual-mode PQ (Jégou et al. IVF-PQ): at EQUAL m, codebooks
+    trained on x - centroid(cell) must reconstruct better than raw-vector
+    codebooks on a clustered corpus, and residual-mode ivf_pq_search must
+    retrieve within-cluster at >= 0.98 without regressing the raw path."""
+    from local_pubchem_db_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_fit,
+    )
+    from local_pubchem_db_spark.operators.pq import ivf_pq_search
+
+    rng = np.random.default_rng(11)
+    dim, n_clusters, per = 32, 12, 40
+    rows = []
+    for c in range(n_clusters):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        for i in range(per):
+            v = base + 0.05 * rng.standard_normal(dim)
+            rows.append((c * 1000 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = kmeans_fit(emb, k=n_clusters, max_iter=10)
+    assigned = emb.join(
+        assign_clusters(emb, centroids).withColumnRenamed("id", "vec_id"),
+        "vec_id",
+    )
+
+    # reconstruction error at equal m: residual strictly tighter
+    cb_raw = pq_fit(emb, m=8, k=16)
+    cb_res = pq_fit(assigned, m=8, k=16, centroids=centroids)
+    sample = assigned.orderBy("vec_id").limit(300).collect()
+    V = np.array([list(r["embedding"]) for r in sample], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cells = np.array([r["cluster"] for r in sample], dtype=np.int64)
+    enc_raw = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in pq_encode(assigned, cb_raw).collect()
+    }
+    enc_res = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in pq_encode(assigned, cb_res, centroids=centroids).collect()
+    }
+    ids = [r["vec_id"] for r in sample]
+    R_raw = pq_reconstruct(np.array([enc_raw[i] for i in ids]), cb_raw)
+    R_res = pq_reconstruct(
+        np.array([enc_res[i] for i in ids]), cb_res, centroids, cells
+    )
+    mse_raw = float(((R_raw - Vn) ** 2).mean())
+    mse_res = float(((R_res - Vn) ** 2).mean())
+    assert mse_res < mse_raw, (mse_res, mse_raw)
+
+    # retrieval: residual search >= 0.98 within-cluster, >= raw path
+    enc_res_df = pq_encode(assigned, cb_res, centroids=centroids)
+    queries = emb.filter(F.col("vec_id") % 1000 == 0)
+
+    def within_rate(res_df):
+        got = res_df.collect()
+        assert len(got) == n_clusters * 5
+        return (
+            sum(
+                1
+                for r in got
+                if r["neighbor_id"] // 1000 == r["query_id"] // 1000
+            )
+            / len(got)
+        )
+
+    rate_res = within_rate(
+        ivf_pq_search(
+            enc_res_df, queries, centroids, cb_res, k=5, nprobe=2,
+            residual=True,
+        )
+    )
+    rate_raw = within_rate(
+        ivf_pq_search(
+            pq_encode(assigned, cb_raw), queries, centroids, cb_raw,
+            k=5, nprobe=2,
+        )
+    )
+    assert rate_res >= 0.98, (rate_res, rate_raw)
+    assert rate_res >= rate_raw, (rate_res, rate_raw)
+
+
 def test_ivf_pq_search_recall_and_partition_pruning(spark, tmp_path):
     """The composed IVF-PQ path on a clustered corpus: a kmeans coarse
     quantizer + cluster-partitioned PQ codes on disk. Pins (a) retrieval
