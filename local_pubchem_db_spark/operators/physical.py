@@ -264,11 +264,28 @@ def write_zordered(
     return {"n_files": n_files, "bits": bits, "cols": list(zorder_cols)}
 
 
+def _spark_list_parquet(spark: SparkSession, path: str) -> list[str]:
+    """List a table's parquet files THROUGH Spark (binaryFile source,
+    recursive, metadata columns only — content is pruned, nothing is
+    read) — for layouts the driver has no POSIX view of (object
+    stores). Returns URIs as Spark reports them."""
+    rows = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path")
+        .collect()
+    )
+    return sorted(r["path"] for r in rows)
+
+
 def table_health(
     spark: SparkSession,
     path: str,
     stats_cols: list[str] | None = None,
     files: list[str] | None = None,
+    listing: str = "auto",
 ) -> DataFrame:
     """One row per parquet file: physical-layout health of a table the
     engine wrote — the observability side of ``write_compacted`` /
@@ -286,14 +303,22 @@ def table_health(
     Stats columns may be numeric, timestamp, or date (time stats report
     epoch seconds); other types report ``has_stats`` with null spans.
 
-    Scale shape: the file LIST is driver-side metadata (recursive, so
-    ``partitionBy`` layouts work; same listing every read already
-    performs); footer reads are distributed — one Arrow task batch per
-    group of paths, each reading only the parquet footer (KBs per file,
-    never row data). 100k files => 100k footer reads spread over the
-    cluster, output 100k small rows. Paths must be visible to the
-    executors' filesystem (local/NFS here; for object stores list the
-    files upstream and pass ``files``).
+    Scale shape: the file LIST is metadata only (recursive, so
+    ``partitionBy`` layouts work); footer reads are distributed — one
+    Arrow task batch per group of paths, each reading only the parquet
+    footer (KBs per file, never row data). 100k files => 100k footer
+    reads spread over the cluster, output 100k small rows.
+
+    Listing modes: ``auto`` (default) walks the driver filesystem for
+    plain local paths — the zero-Spark-jobs fast path — and falls back
+    to listing THROUGH Spark (``binaryFile`` metadata scan) for URIs or
+    paths the driver cannot see; ``driver`` / ``spark`` force one side.
+    An explicit ``files`` list always wins (the object-store escape
+    hatch when the table layout is known upstream). Footers are opened
+    on executors with pyarrow, which resolves local paths and
+    ``file:``/cloud URIs it has a filesystem for; Hadoop-only schemes
+    (``s3a://``, ``hdfs://``) need ``files`` rewritten to a
+    pyarrow-resolvable form.
     """
     import os as _os
 
@@ -306,14 +331,20 @@ def table_health(
         StructType,
     )
 
+    if listing not in ("auto", "driver", "spark"):
+        raise ValueError(f"listing must be auto|driver|spark, got {listing}")
     stats_cols = list(stats_cols or [])
-    if files is None:
+    if files is None and listing != "spark":
         files = sorted(
             _os.path.join(root, fn)
             for root, _dirs, fns in _os.walk(path)
             for fn in fns
             if fn.endswith(".parquet")
-        )
+        ) or None
+        if files is None and listing == "driver":
+            raise ValueError(f"no parquet files under {path}")
+    if files is None and listing != "driver":
+        files = _spark_list_parquet(spark, path)
     if not files:
         raise ValueError(f"no parquet files under {path}")
     fields = [
@@ -347,15 +378,33 @@ def table_health(
                 return float(v)
             return None
 
+        from urllib.parse import unquote, urlparse
+
         for b in batches:
             out = []
             for f in b["file"]:
-                pf = _papq.ParquetFile(f)
+                # Spark listings hand back file: URIs; pyarrow + getsize
+                # want plain paths for the local scheme
+                local = (
+                    unquote(urlparse(f).path) if f.startswith("file:") else f
+                )
+                pf = _papq.ParquetFile(local)
                 md = pf.metadata
-                names = {c: i for i, c in enumerate(pf.schema_arrow.names)}
+                # Map stats columns by parquet LEAF path, not arrow
+                # top-level position: row-group column indices run over
+                # flattened leaves, so with a struct/map column ahead of
+                # a stats column the positional map silently reads the
+                # wrong physical column (ADVICE r6). Top-level primitive
+                # columns have path == name; struct leaves are dotted
+                # paths and correctly report no single-column stats.
+                pq_schema = md.schema
+                leaves = {
+                    pq_schema.column(j).path: j
+                    for j in range(len(pq_schema))
+                }
                 row = {
-                    "file": _os.path.basename(f),
-                    "bytes": _os.path.getsize(f),
+                    "file": _os.path.basename(local),
+                    "bytes": _os.path.getsize(local),
                     "rows": md.num_rows,
                     "n_row_groups": md.num_row_groups,
                 }
@@ -363,9 +412,9 @@ def table_health(
                     spans = []
                     # partition columns live in directory names, not the
                     # data files: no per-file stats to report
-                    ok = c in names
+                    ok = c in leaves
                     for rg in range(md.num_row_groups) if ok else ():
-                        st = md.row_group(rg).column(names[c]).statistics
+                        st = md.row_group(rg).column(leaves[c]).statistics
                         if st is None or not st.has_min_max:
                             ok = False
                             break

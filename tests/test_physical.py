@@ -240,3 +240,61 @@ def test_table_health_partition_column_and_empty_file(spark, tmp_path):
     he = table_health(spark, e, ["id"]).toPandas()
     assert he["rows"].sum() == 0
     assert he["id_min"].isna().all()
+
+
+def test_table_health_spark_listing_matches_driver(spark, tmp_path, monkeypatch):
+    """listing='spark' lists the table THROUGH Spark (binaryFile
+    metadata scan) and must match the driver os.walk result; 'auto'
+    must fall back to the Spark listing when the driver has no POSIX
+    view of the path (simulated by an os.walk that sees nothing)."""
+    from local_pubchem_db_spark.operators.physical import table_health
+
+    df = spark.range(200).select("id", (F.col("id") % 4).alias("k"))
+    p = str(tmp_path / "store")
+    df.write.partitionBy("k").parquet(p)
+
+    def key(h):
+        return sorted(
+            (r["file"], r["rows"], r["id_min"], r["id_max"])
+            for _, r in h.iterrows()
+        )
+
+    via_driver = table_health(spark, p, ["id"], listing="driver").toPandas()
+    via_spark = table_health(spark, p, ["id"], listing="spark").toPandas()
+    assert key(via_driver) == key(via_spark)
+    assert via_spark["rows"].sum() == 200
+
+    # auto: driver walk sees nothing -> Spark listing takes over
+    import os as _os
+
+    monkeypatch.setattr(_os, "walk", lambda *_a, **_k: iter(()))
+    via_auto = table_health(spark, p, ["id"], listing="auto").toPandas()
+    assert key(via_auto) == key(via_spark)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="listing"):
+        table_health(spark, p, ["id"], listing="nope")
+
+
+def test_table_health_stats_by_leaf_path_not_position(spark, tmp_path):
+    """A struct column AHEAD of the stats column flattens to multiple
+    parquet leaves; positional arrow-name mapping would read another
+    column's stats (ADVICE r6). Mapping by leaf path must report the
+    true span, and the struct column itself reports no stats."""
+    from local_pubchem_db_spark.operators.physical import table_health
+
+    df = spark.range(50).select(
+        F.struct(
+            (F.col("id") * 1000).alias("a"), (F.col("id") * -1).alias("b")
+        ).alias("s"),
+        (F.col("id") + 7).alias("x"),
+    )
+    p = str(tmp_path / "structed")
+    df.coalesce(1).write.parquet(p)
+    h = table_health(spark, p, ["x", "s"]).toPandas()
+    assert h["x_has_stats"].all()
+    assert float(h["x_min"].min()) == 7.0
+    assert float(h["x_max"].max()) == 56.0
+    assert (~h["s_has_stats"]).all()
+    assert h["s_min"].isna().all()
