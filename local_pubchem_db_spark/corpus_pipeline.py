@@ -97,6 +97,11 @@ def clean_corpus(
     ``dsir_keep`` docs whose hashed-n-gram distribution best matches the
     target corpus, scored on the FINAL cleaned text. Selected rows carry
     ``dsir_logweight`` / ``dsir_score`` through to chunks.
+
+    Laziness caveat: with ``dsir_target`` set, construction runs ONE
+    eager check — featurizing the (small, by contract) TARGET corpus to
+    fail fast on a token-less target. No job ever touches the raw/
+    deduped corpus until a returned stage is acted on.
     """
     # Fail fast on null ids: a null doc_id would silently vanish in the
     # exact-dedup semi-join (min() skips nulls, the join never matches) —

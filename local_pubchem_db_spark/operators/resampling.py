@@ -129,26 +129,32 @@ def dsir_logweights(
     features → no evidence; callers keep or drop them explicitly).
     """
     feats = hashed_ngram_buckets(raw_docs, id_col, text_col, n_buckets, seed)
-    # localCheckpoint the two <=B-row distributions: each is referenced
-    # twice downstream (scoring join + totals), and without the cut the
-    # shared lineage re-featurizes the raw corpus three times and the
-    # target twice. The featurization floor is the 2 remaining passes
-    # (dist + scoring); checkpointed state is bounded by n_buckets,
-    # never the corpus. Measured at 50k docs: 31.9s naive -> 28.4s with
-    # this cut -> 17.5s after moving featurization off interpreted
-    # array HOFs onto the Arrow UDF.
+    # persist() the two <=B-row distributions: each is referenced twice
+    # downstream (scoring join + totals), and without the cut the shared
+    # lineage re-featurizes the raw corpus three times and the target
+    # twice. persist — not the eager localCheckpoint r6 used — for two
+    # reasons (ADVICE r6): it is LAZY, so building this plan inside
+    # clean_corpus launches no full-corpus featurization jobs at
+    # construction time, and it KEEPS lineage, so losing an executor's
+    # cached blocks at 100 TB recomputes them instead of failing the
+    # job. Cached state is bounded by n_buckets, never the corpus. The
+    # featurization floor stays 2 passes (dist + scoring); measured at
+    # 50k docs: 31.9s naive -> 28.4s with the cut -> 17.5s after moving
+    # featurization off interpreted array HOFs onto the Arrow UDF.
     raw_dist = (
-        bucket_counts(feats).withColumnRenamed("n", "n_raw").localCheckpoint()
+        bucket_counts(feats).withColumnRenamed("n", "n_raw").persist()
     )
     tgt_dist = (
         bucket_counts(
             hashed_ngram_buckets(target_docs, id_col, text_col, n_buckets, seed)
         )
         .withColumnRenamed("n", "n_tgt")
-        .localCheckpoint()
+        .persist()
     )
     # a token-less target would make total_tgt NULL and every weight
-    # NULL — selection would silently degrade to id order; fail fast
+    # NULL — selection would silently degrade to id order; fail fast.
+    # This check is the one EAGER step here, and it touches only the
+    # TARGET corpus — small by the DSIR contract — never the raw side.
     if tgt_dist.limit(1).count() == 0:
         raise ValueError(
             "target corpus has no tokens after normalization — cannot "
@@ -293,8 +299,10 @@ def dsir_select_fraction(
             + _gumbel(F.col(id_col), seed)
         ).alias("dsir_score"),
     # the scoring subtree feeds both the quantile sketch and the filter;
-    # cut it so the corpus is scored once, not twice
-    ).localCheckpoint()
+    # persist it so the corpus is scored once, not twice (lazy + keeps
+    # lineage for recompute on executor loss, unlike localCheckpoint —
+    # the approxQuantile below is the action that materializes it)
+    ).persist()
     qs = scored.approxQuantile("dsir_score", [1.0 - fraction], relative_error)
     if not qs:
         # no scorable docs (all token-less): empty result, stable schema

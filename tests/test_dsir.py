@@ -238,3 +238,30 @@ def test_select_fraction_tokenless_raw_returns_empty(frames, spark):
     got = dsir_select_fraction(empty_raw, tgt, 0.5, n_buckets=B, seed=SEED)
     assert got.count() == 0
     assert "dsir_score" in got.columns
+
+
+def test_logweights_construction_is_lazy_on_raw_side(spark):
+    """Building the DSIR plan must launch NO job over the raw corpus
+    (ADVICE r6: the eager localCheckpoint featurized everything at
+    plan-construction inside clean_corpus). Raw text here comes from a
+    UDF that explodes on evaluation: construction and the eager
+    target-only fail-fast must survive; the first raw-side ACTION must
+    be what detonates it."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from local_pubchem_db_spark.operators.resampling import dsir_logweights
+
+    @pandas_udf("string")
+    def boom(ids: pd.Series) -> pd.Series:
+        raise RuntimeError("raw corpus was evaluated")
+
+    raw = spark.range(10).select(
+        F.col("id").alias("doc_id"), boom(F.col("id")).alias("text")
+    )
+    target = spark.createDataFrame(
+        [(1, "clean prose about chemistry")], "doc_id long, text string"
+    )
+    w = dsir_logweights(raw, target)  # must not raise
+    with pytest.raises(Exception, match="raw corpus was evaluated"):
+        w.count()
