@@ -322,9 +322,18 @@ def incremental_minhash_new_ids(
     num_perm: int = 128,
     bands: int = 32,
     max_bucket_size: int | None = None,
+    quality_col: str | None = None,
 ) -> DataFrame:
     """Ids in ``batch`` that are near-dups of NOTHING in the history index
     nor of an earlier (lower-id) batch row — the rows safe to append.
+
+    ``quality_col`` changes only the BATCH-INTERNAL survivor: instead of
+    the lowest id, each verified near-dup component keeps its
+    highest-``quality_col`` member (ties → lowest id; the
+    ``dedup_keep_ids`` contract). History collisions stay drop-only
+    regardless — history text is not at hand to compare quality against,
+    and re-ranking against an already-persisted corpus would mean
+    rewriting accepted rows.
 
     The incremental contract of a training-data pipeline: history is never
     rescanned (only its (id, band, bucket) index is joined), the batch is
@@ -381,9 +390,22 @@ def incremental_minhash_new_ids(
     cand = bounded_bucket_pairs(
         buckets, ["band", "bucket"], max_bucket_size=max_bucket_size
     )
-    dup_in_batch = (
-        _verify_jaccard(cand, shingled, threshold).select(F.col("id2").alias("id")).distinct()
-    )
+    vpairs = _verify_jaccard(cand, shingled, threshold)
+    if quality_col is None:
+        dup_in_batch = vpairs.select(F.col("id2").alias("id")).distinct()
+    else:
+        kept = dedup_keep_ids(
+            batch.select(F.col(id_col), F.col(quality_col)),
+            vpairs.select("id1", "id2"),
+            id_col,
+            quality_col=quality_col,
+        ).select(F.col(id_col).alias("id"))
+        paired = (
+            vpairs.select(F.col("id1").alias("id"))
+            .unionByName(vpairs.select(F.col("id2").alias("id")))
+            .distinct()
+        )
+        dup_in_batch = paired.join(kept, "id", "left_anti")
     # The id universe comes from the UNFILTERED batch: a doc too short to
     # shingle (< shingle_len tokens) produces no buckets, collides with
     # nothing, and by this module's contract must be KEPT. Deriving ids

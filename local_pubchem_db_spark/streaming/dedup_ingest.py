@@ -54,7 +54,13 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from local_pubchem_db_spark.operators.dedup import (
     incremental_minhash_new_ids,
@@ -275,6 +281,7 @@ def stream_dedup_ingest(
     available_now: bool = True,
     compact_threshold_rows: int = 1_000_000,
     max_files_per_trigger: int | None = None,
+    quality_col: str | None = None,
 ):
     """Start the checkpointed dedup-ingest stream over parquet document
     shards arriving in ``docs_dir``. Returns the StreamingQuery.
@@ -288,13 +295,27 @@ def stream_dedup_ingest(
     the continuous-arrival shape where the two-tier index earns its keep:
     each batch semi-joins the bucketed compacted tier exchange-free plus
     only the small un-folded delta.
+
+    ``quality_col`` (a double column expected on the incoming shards,
+    read alongside id/text and persisted with the corpus): WITHIN a
+    micro-batch, each near-dup component keeps its best-quality member
+    instead of first-arrival — the ``dedup_keep_ids(quality_col=…)``
+    semantics lifted into the stream. Collisions against persisted
+    HISTORY remain drop-only: accepted rows are never rewritten, so a
+    better copy arriving a batch late still loses (document the cadence:
+    batch boundaries, not arrival jitter, decide who competes).
     """
     corpus_path = os.path.join(out_dir, "corpus")
     index_path = os.path.join(out_dir, "lsh_index")
     checkpoint = os.path.join(out_dir, "_checkpoint")
     os.makedirs(out_dir, exist_ok=True)
 
-    reader = spark.readStream.schema(DOC_SCHEMA)
+    schema = DOC_SCHEMA
+    if quality_col is not None:
+        schema = StructType(
+            DOC_SCHEMA.fields + [StructField(quality_col, DoubleType())]
+        )
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(docs_dir)
@@ -302,7 +323,8 @@ def stream_dedup_ingest(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         history = history_index_frames(spark, out_dir, exclude_batch=batch_id)
         new_ids = incremental_minhash_new_ids(
-            batch_df, history, id_col, text_col, threshold=threshold
+            batch_df, history, id_col, text_col, threshold=threshold,
+            quality_col=quality_col,
         )
         kept = batch_df.join(new_ids, id_col, "left_semi").localCheckpoint()
         (

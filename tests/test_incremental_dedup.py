@@ -62,3 +62,35 @@ def test_index_shape(spark):
     rows = idx.collect()
     assert len(rows) == 32  # one bucket per band per doc
     assert {r["band"] for r in rows} == set(range(32))
+
+
+def test_incremental_quality_mode_keeps_best_not_lowest(spark):
+    """quality_col re-ranks only the batch-internal survivor; the id
+    universe (short docs kept, history hits dropped) is unchanged."""
+    from local_pubchem_db_spark.operators.dedup import (
+        incremental_minhash_new_ids,
+    )
+
+    text = " ".join(f"w{i} alpha beta" for i in range(40))
+    batch = spark.createDataFrame(
+        [
+            (1, text, 0.2),
+            (2, text, 0.8),  # near-dup of 1, better quality
+            (3, "tiny", 0.9),  # too short to shingle: always kept
+        ],
+        "doc_id long, text string, q double",
+    )
+    ids_default = {
+        r["doc_id"]
+        for r in incremental_minhash_new_ids(
+            batch, [], "doc_id", "text"
+        ).collect()
+    }
+    assert ids_default == {1, 3}
+    ids_quality = {
+        r["doc_id"]
+        for r in incremental_minhash_new_ids(
+            batch, [], "doc_id", "text", quality_col="q"
+        ).collect()
+    }
+    assert ids_quality == {2, 3}

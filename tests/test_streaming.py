@@ -599,3 +599,60 @@ def test_stream_dedup_multibatch_folds_geometrically(spark, sf_dir, tmp_path):
     # Batch-internal ties pick the lowest id; the resent copies have the
     # HIGHEST ids, so both orderings keep the original docs: identical sets.
     assert kept_multi == kept_single
+
+
+def test_stream_dedup_quality_survivor_within_batch(spark, tmp_path):
+    """With quality_col set, a batch-internal near-dup component keeps
+    its BEST-quality member (not first-arrival/lowest id); history
+    collisions stay drop-only even for a better late copy."""
+    from local_pubchem_db_spark.streaming import (
+        read_corpus,
+        stream_dedup_ingest,
+    )
+
+    text = " ".join(f"token{i} alpha beta gamma" for i in range(40))
+    other = " ".join(f"distinct{i} delta epsilon zeta" for i in range(40))
+    in_dir = tmp_path / "docs_in"
+    out_dir = tmp_path / "q_out"
+    in_dir.mkdir()
+
+    # batch 1: ids 1 and 2 are exact near-dups; 2 has higher quality.
+    # id 5 is unrelated.
+    b1 = [(1, text, 0.1), (2, text, 0.9), (5, other, 0.5)]
+    spark.createDataFrame(
+        b1, "doc_id long, text string, q double"
+    ).coalesce(1).write.parquet(str(in_dir / "b1"))
+    for fn in os.listdir(in_dir / "b1"):
+        if fn.endswith(".parquet"):
+            shutil.move(
+                str(in_dir / "b1" / fn), str(in_dir / "shard-0.parquet")
+            )
+    shutil.rmtree(in_dir / "b1")
+    q = stream_dedup_ingest(
+        spark, str(in_dir), str(out_dir), quality_col="q"
+    )
+    q.awaitTermination()
+    kept = {
+        r["doc_id"]: r["q"]
+        for r in read_corpus(spark, str(out_dir)).collect()
+    }
+    assert set(kept) == {2, 5}, kept  # best copy won, not lowest id
+
+    # batch 2: an even better copy of the same text arrives late —
+    # history collisions are drop-only, so it must NOT displace id 2
+    b2 = [(9, text, 1.0)]
+    spark.createDataFrame(
+        b2, "doc_id long, text string, q double"
+    ).coalesce(1).write.parquet(str(in_dir / "b2"))
+    for fn in os.listdir(in_dir / "b2"):
+        if fn.endswith(".parquet"):
+            shutil.move(
+                str(in_dir / "b2" / fn), str(in_dir / "shard-1.parquet")
+            )
+    shutil.rmtree(in_dir / "b2")
+    q2 = stream_dedup_ingest(
+        spark, str(in_dir), str(out_dir), quality_col="q"
+    )
+    q2.awaitTermination()
+    kept2 = {r["doc_id"] for r in read_corpus(spark, str(out_dir)).collect()}
+    assert kept2 == {2, 5}, kept2
