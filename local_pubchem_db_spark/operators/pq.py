@@ -297,6 +297,7 @@ def ivf_pq_search(
     k: int = 10,
     nprobe: int = 2,
     residual: bool = False,
+    rerank: int | None = None,
 ) -> DataFrame:
     """The full IVF-PQ composition: coarse-quantizer cell pruning
     (``clustering.kmeans_fit`` + ``assign_clusters`` supply ``centroids``
@@ -310,6 +311,18 @@ def ivf_pq_search(
     over the residual codebooks. At equal m this is strictly tighter
     quantization than raw-vector PQ because residuals concentrate near
     the origin (Jégou et al. 2011, §IV).
+
+    ``rerank=R`` (R >= k) adds the classic third stage: ADC retrieves
+    the top R candidates per query, then EXACT cosine on the raw
+    ``vec_col`` re-orders just those R and the true top-k wins —
+    quantization error stops costing rank accuracy and only costs
+    candidate-miss risk (tune R up to buy recall). Scale shape: the
+    candidate id set is n_queries x R rows — broadcast it against the
+    corpus (one broadcast semi-join, map-only scan; the corpus never
+    shuffles), score exactly in one Arrow pass, window over the tiny
+    candidate relation. Requires ``vec_col`` still present on
+    ``encoded`` (keep it alongside the codes when re-ranking is wanted;
+    at 100 TB the re-rank join touches only probed-cell partitions).
 
     The scale shape this buys at 100 TB: ``encoded`` persisted
     PARTITIONED BY cluster makes the probed-cells filter a PARTITION
@@ -341,6 +354,13 @@ def ivf_pq_search(
         (q_ids, lut, cell_to_q, offsets)
     )
 
+    if rerank is not None and rerank < k:
+        raise ValueError(f"rerank must be >= k, got rerank={rerank}, k={k}")
+    # per-partition forward width: the ADC stage must propose enough
+    # candidates for the exact stage to re-order — capping local top-k
+    # at k would let ADC misranks silently evict true neighbors before
+    # rerank ever sees them
+    n_local = k if rerank is None else rerank
     # The pruning filter: a plain isin over the cluster column, so when
     # the encoded corpus is stored partitioned by cluster this reaches
     # the scan as a partition filter and unprobed cells cost zero I/O.
@@ -387,7 +407,7 @@ def ivf_pq_search(
                         ascending=[True, False, True],
                     )
                     .groupby("query_id", sort=False)
-                    .head(k)
+                    .head(n_local)
                 )
             yield out
 
@@ -397,8 +417,45 @@ def ivf_pq_search(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
-    return (
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank")
+        )
+    candidates = (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    # exact stage: raw vectors ONLY for the n_queries x R candidate ids;
+    # the candidate relation broadcasts, the corpus side stays a
+    # map-only (partition-pruned) scan
+    bqv = encoded.sparkSession.sparkContext.broadcast((q_ids, Qn))
+    with_vec = F.broadcast(candidates).join(
+        encoded.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+        ),
+        "neighbor_id",
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def exact_score(qid: pd.Series, v: pd.Series) -> pd.Series:
+        ids, Q = bqv.value
+        pos = {int(i): j for j, i in enumerate(ids)}
+        V = _norm_rows(np.array(v.tolist(), dtype=np.float64))
+        qrows = Q[[pos[int(i)] for i in qid]]
+        return pd.Series((qrows * V).sum(axis=1))
+
+    rescored = with_vec.select(
+        "query_id",
+        "neighbor_id",
+        exact_score(F.col("query_id"), F.col("__v")).alias("score"),
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )

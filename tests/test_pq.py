@@ -194,6 +194,75 @@ def test_residual_encoding_tightens_quantization(spark):
     assert rate_res >= rate_raw, (rate_res, rate_raw)
 
 
+def test_ivf_pq_rerank_recovers_exact_ordering(spark):
+    """rerank=R: ADC proposes R candidates, exact cosine on raw vectors
+    re-orders them. With R covering the probed cells the result must
+    EQUAL exact IVF search (same centroids/nprobe) even under aggressive
+    compression where plain ADC misranks; rerank must never do worse
+    than no rerank."""
+    from local_pubchem_db_spark.operators.clustering import (
+        assign_clusters,
+        ivf_search,
+        kmeans_fit,
+    )
+    from local_pubchem_db_spark.operators.pq import ivf_pq_search
+
+    rng = np.random.default_rng(17)
+    dim, n_clusters, per = 32, 8, 30
+    rows = []
+    for c in range(n_clusters):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        for i in range(per):
+            v = base + 0.08 * rng.standard_normal(dim)
+            rows.append((c * 1000 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = kmeans_fit(emb, k=n_clusters, max_iter=10)
+    assigned = emb.join(
+        assign_clusters(emb, centroids).withColumnRenamed("id", "vec_id"),
+        "vec_id",
+    )
+    # brutal compression: m=4 over dim 32 (8 dims/subspace, 8 centroids)
+    cb = pq_fit(assigned, m=4, k=8, centroids=centroids)
+    enc = pq_encode(assigned, cb, centroids=centroids)
+    queries = emb.filter(F.col("vec_id") % 1000 == 0)
+
+    exact_ivf = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_search(emb, queries, centroids, k=5, nprobe=2).collect()
+    }
+    reranked = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_pq_search(
+            enc, queries, centroids, cb, k=5, nprobe=2, residual=True,
+            rerank=2 * per,  # covers both probed cells entirely
+        ).collect()
+    }
+    assert reranked == exact_ivf
+
+    # partial rerank still >= plain ADC on exact-top-5 agreement
+    plain = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_search(
+            enc, queries, centroids, cb, k=5, nprobe=2, residual=True
+        ).collect()
+    }
+    partial = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_search(
+            enc, queries, centroids, cb, k=5, nprobe=2, residual=True,
+            rerank=15,
+        ).collect()
+    }
+    exact_pairs = {(q, n) for q, n, _ in exact_ivf}
+    assert len(partial & exact_pairs) >= len(plain & exact_pairs)
+
+    with pytest.raises(ValueError, match="rerank"):
+        ivf_pq_search(
+            enc, queries, centroids, cb, k=5, nprobe=2, rerank=3
+        )
+
+
 def test_ivf_pq_search_recall_and_partition_pruning(spark, tmp_path):
     """The composed IVF-PQ path on a clustered corpus: a kmeans coarse
     quantizer + cluster-partitioned PQ codes on disk. Pins (a) retrieval
