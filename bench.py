@@ -201,8 +201,13 @@ def emit(out: dict, stream=None, record_dir: str | None = None) -> None:
     compact, diag = split_payload(out)
     print(json.dumps({"diagnostics": diag}), file=stream)
     if record_dir:
-        path = _record_artifact(out, record_dir)
-        print(json.dumps({"recorded": path}), file=stream)
+        # best-effort: a failed optional recording (read-only checkout,
+        # full disk) must never kill the machine-read tail record
+        try:
+            path = _record_artifact(out, record_dir)
+            print(json.dumps({"recorded": path}), file=stream)
+        except OSError as e:
+            print(json.dumps({"record_error": str(e)[:200]}), file=stream)
     print(json.dumps(compact), file=stream)
 
 

@@ -333,7 +333,21 @@ def incremental_minhash_new_ids(
     ``dedup_keep_ids`` contract). History collisions stay drop-only
     regardless — history text is not at hand to compare quality against,
     and re-ranking against an already-persisted corpus would mean
-    rewriting accepted rows.
+    rewriting accepted rows. Both modes share one deliberate transitive
+    conservatism: when a component's elected survivor ALSO collides
+    with history, the whole component is dropped — the survivor's
+    near-dups are near-dups of (probable) history content too, so
+    admitting a losing member would re-introduce what the history hit
+    just excluded. A false-positive bucket collision therefore
+    over-drops, never under-drops.
+
+    Laziness: with ``quality_col`` set this function is EAGER (the
+    component resolution inside ``dedup_keep_ids`` runs Spark jobs at
+    call time; the verified-pairs relation is persisted so the
+    candidate/verify subtree executes once). Its caller of record is
+    ``stream_dedup_ingest``'s foreachBatch, which executes immediately
+    anyway; batches with zero verified pairs short-circuit past the
+    component machinery entirely.
 
     The incremental contract of a training-data pipeline: history is never
     rescanned (only its (id, band, bucket) index is joined), the batch is
@@ -394,18 +408,30 @@ def incremental_minhash_new_ids(
     if quality_col is None:
         dup_in_batch = vpairs.select(F.col("id2").alias("id")).distinct()
     else:
-        kept = dedup_keep_ids(
-            batch.select(F.col(id_col), F.col(quality_col)),
-            vpairs.select("id1", "id2"),
-            id_col,
-            quality_col=quality_col,
-        ).select(F.col(id_col).alias("id"))
-        paired = (
-            vpairs.select(F.col("id1").alias("id"))
-            .unionByName(vpairs.select(F.col("id2").alias("id")))
-            .distinct()
-        )
-        dup_in_batch = paired.join(kept, "id", "left_anti")
+        # persist: vpairs feeds BOTH the component resolution and the
+        # paired-id universe; without the cut the candidate-pair groupBy
+        # and the two verify joins execute twice. The count doubles as
+        # the clean-stream short-circuit — no verified pairs means no
+        # component machinery (connected_components runs several jobs
+        # even on an empty edge set).
+        from local_pubchem_db_spark.operators.util import shared
+
+        vpairs = shared(vpairs.select("id1", "id2"))
+        if vpairs.limit(1).count() == 0:
+            dup_in_batch = batch.select(F.col(id_col).alias("id")).limit(0)
+        else:
+            kept = dedup_keep_ids(
+                batch.select(F.col(id_col), F.col(quality_col)),
+                vpairs,
+                id_col,
+                quality_col=quality_col,
+            ).select(F.col(id_col).alias("id"))
+            paired = (
+                vpairs.select(F.col("id1").alias("id"))
+                .unionByName(vpairs.select(F.col("id2").alias("id")))
+                .distinct()
+            )
+            dup_in_batch = paired.join(kept, "id", "left_anti")
     # The id universe comes from the UNFILTERED batch: a doc too short to
     # shingle (< shingle_len tokens) produces no buckets, collides with
     # nothing, and by this module's contract must be KEPT. Deriving ids

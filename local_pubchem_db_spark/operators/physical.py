@@ -264,20 +264,23 @@ def write_zordered(
     return {"n_files": n_files, "bits": bits, "cols": list(zorder_cols)}
 
 
-def _spark_list_parquet(spark: SparkSession, path: str) -> list[str]:
+def _spark_list_parquet(
+    spark: SparkSession, path: str
+) -> list[tuple[str, int]]:
     """List a table's parquet files THROUGH Spark (binaryFile source,
     recursive, metadata columns only — content is pruned, nothing is
     read) — for layouts the driver has no POSIX view of (object
-    stores). Returns URIs as Spark reports them."""
+    stores). Returns (URI, length) pairs as Spark reports them; the
+    length rides along so non-POSIX schemes never need a stat call."""
     rows = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
         .option("recursiveFileLookup", "true")
         .load(path)
-        .select("path")
+        .select("path", "length")
         .collect()
     )
-    return sorted(r["path"] for r in rows)
+    return sorted((r["path"], r["length"]) for r in rows)
 
 
 def table_health(
@@ -314,10 +317,12 @@ def table_health(
     to listing THROUGH Spark (``binaryFile`` metadata scan) for URIs or
     paths the driver cannot see; ``driver`` / ``spark`` force one side.
     An explicit ``files`` list always wins (the object-store escape
-    hatch when the table layout is known upstream). Footers are opened
-    on executors with pyarrow, which resolves local paths and
-    ``file:``/cloud URIs it has a filesystem for; Hadoop-only schemes
-    (``s3a://``, ``hdfs://``) need ``files`` rewritten to a
+    hatch when the table layout is known upstream) — entries may be
+    plain paths or ``(path, size)`` pairs; sizes from the Spark listing
+    ride along so non-POSIX schemes never pay a driver stat. Footers
+    are opened on executors with pyarrow, which resolves local paths
+    and ``file:``/cloud URIs it has a filesystem for; Hadoop-only
+    schemes (``s3a://``, ``hdfs://``) need ``files`` rewritten to a
     pyarrow-resolvable form.
     """
     import os as _os
@@ -334,18 +339,28 @@ def table_health(
     if listing not in ("auto", "driver", "spark"):
         raise ValueError(f"listing must be auto|driver|spark, got {listing}")
     stats_cols = list(stats_cols or [])
-    if files is None and listing != "spark":
-        files = sorted(
-            _os.path.join(root, fn)
-            for root, _dirs, fns in _os.walk(path)
-            for fn in fns
-            if fn.endswith(".parquet")
-        ) or None
-        if files is None and listing == "driver":
+    sized: list[tuple[str, int | None]] | None = None
+    if files is not None:
+        # caller-supplied list: plain paths or (path, size) pairs
+        sized = [
+            (f, None) if isinstance(f, str) else (f[0], int(f[1]))
+            for f in files
+        ]
+    if sized is None and listing != "spark":
+        sized = [
+            (p, None)
+            for p in sorted(
+                _os.path.join(root, fn)
+                for root, _dirs, fns in _os.walk(path)
+                for fn in fns
+                if fn.endswith(".parquet")
+            )
+        ] or None
+        if sized is None and listing == "driver":
             raise ValueError(f"no parquet files under {path}")
-    if files is None and listing != "driver":
-        files = _spark_list_parquet(spark, path)
-    if not files:
+    if sized is None and listing != "driver":
+        sized = _spark_list_parquet(spark, path)
+    if not sized:
         raise ValueError(f"no parquet files under {path}")
     fields = [
         StructField("file", StringType()),
@@ -382,9 +397,12 @@ def table_health(
 
         for b in batches:
             out = []
-            for f in b["file"]:
+            for f, size in zip(b["file"], b["size"]):
                 # Spark listings hand back file: URIs; pyarrow + getsize
-                # want plain paths for the local scheme
+                # want plain paths for the local scheme. Non-local URIs
+                # pass through to pyarrow's own filesystem resolution,
+                # and their size comes from the listing — never a POSIX
+                # stat call.
                 local = (
                     unquote(urlparse(f).path) if f.startswith("file:") else f
                 )
@@ -404,7 +422,11 @@ def table_health(
                 }
                 row = {
                     "file": _os.path.basename(local),
-                    "bytes": _os.path.getsize(local),
+                    "bytes": (
+                        int(size)
+                        if size is not None and not _pd.isna(size)
+                        else _os.path.getsize(local)
+                    ),
                     "rows": md.num_rows,
                     "n_row_groups": md.num_row_groups,
                 }
@@ -440,8 +462,8 @@ def table_health(
             yield _pd.DataFrame(out, columns=[f.name for f in fields])
 
     paths_df = spark.createDataFrame(
-        [(f,) for f in files], "file string"
-    ).repartition(min(len(files), 64))
+        sized, "file string, size long"
+    ).repartition(min(len(sized), 64))
     return paths_df.mapInPandas(read_footers, schema)
 
 

@@ -429,11 +429,13 @@ def ivf_pq_search(
         .select("query_id", "neighbor_id")
     )
     # exact stage: raw vectors ONLY for the n_queries x R candidate ids;
-    # the candidate relation broadcasts, the corpus side stays a
-    # map-only (partition-pruned) scan
+    # the candidate relation broadcasts, and the corpus side reuses the
+    # probed-cells filter — every candidate came from a probed cell, so
+    # the join scans the same partition-pruned slice the ADC stage read,
+    # never the full table
     bqv = encoded.sparkSession.sparkContext.broadcast((q_ids, Qn))
     with_vec = F.broadcast(candidates).join(
-        encoded.select(
+        encoded.filter(F.col(cluster_col).isin(sorted(cell_to_q))).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
         ),
         "neighbor_id",

@@ -308,6 +308,10 @@ def skew_report(
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
+    if k <= 0 or capacity < k:
+        raise ValueError(
+            f"need capacity >= k >= 1, got k={k}, capacity={capacity}"
+        )
     counts = df.agg(
         F.count(F.lit(1)).alias("__n"),
         *[

@@ -161,3 +161,17 @@ def test_skew_report_counts_null_keys_exactly(spark):
     assert "<null>" in rep
     assert rep["<null>"]["est_count"] == 900  # exact, not sketched
     assert rep["<null>"]["est_share"] == 0.9
+
+
+def test_skew_report_validates_k_capacity(spark):
+    """The per-column path used to inherit misra_gries_topk's check;
+    the fused path must fail loudly too, not silently truncate."""
+    import pytest as _pytest
+
+    from local_pubchem_db_spark.operators.topk import skew_report
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with _pytest.raises(ValueError, match="capacity >= k"):
+        skew_report(df, ["k"], k=50, capacity=10)
+    with _pytest.raises(ValueError, match="capacity >= k"):
+        skew_report(df, ["k"], k=0)

@@ -298,3 +298,27 @@ def test_table_health_stats_by_leaf_path_not_position(spark, tmp_path):
     assert float(h["x_max"].max()) == 56.0
     assert (~h["s_has_stats"]).all()
     assert h["s_min"].isna().all()
+
+
+def test_table_health_accepts_sized_files_without_stat(spark, tmp_path):
+    """(path, size) file entries must be used verbatim — no driver or
+    executor stat call — so object-store listings can feed the audit."""
+    from local_pubchem_db_spark.operators.physical import table_health
+
+    p = str(tmp_path / "tiny")
+    spark.range(10).select("id").coalesce(1).write.parquet(p)
+    import os as _os
+
+    fs = [
+        (_os.path.join(p, fn), _os.path.getsize(_os.path.join(p, fn)))
+        for fn in _os.listdir(p)
+        if fn.endswith(".parquet")
+    ]
+    h = table_health(spark, p, ["id"], files=fs).toPandas()
+    assert h["rows"].sum() == 10
+    assert int(h["bytes"].sum()) == sum(s for _, s in fs)
+    # planted wrong size proves the listing value is used verbatim
+    h2 = table_health(
+        spark, p, ["id"], files=[(f, 12345) for f, _ in fs]
+    ).toPandas()
+    assert (h2["bytes"] == 12345).all()
