@@ -252,6 +252,7 @@ def minhash_lsh_dedup_pairs(
     num_perm: int = 128,
     bands: int = 32,
     max_bucket_size: int | None = 64,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, exact-Jaccard-verified.
 
@@ -269,21 +270,109 @@ def minhash_lsh_dedup_pairs(
     it, oversized buckets contribute a star+chain connectivity subgraph,
     which preserves cluster membership under ``dedup_keep_ids`` while
     bounding candidates to O(n · bands).
+
+    ``collapse_exact`` (default on — the production recipe): EXACT
+    duplicates are collapsed to one representative per distinct text
+    BEFORE shingling, so the expensive tiers (shingle UDF, MinHash
+    signatures, bucket shuffle, Jaccard verification) run over unique
+    texts only; verified rep-level pairs then expand back to member
+    level. In a replica-flood corpus (the r7 sf3 replicas: 150k docs as
+    30-way exact clusters) this divides the heavy compute by the
+    duplication factor while emitting the identical pair relation:
+    identical text means identical shingle sets, so cross-group pairs
+    inherit the rep pair's exact jaccard and intra-group pairs are
+    jaccard 1.0 by construction (docs too short to shingle emit no
+    pairs, matching the brute-force oracle's null-jaccard exclusion).
+    ``max_bucket_size`` governs the expansions the same way it governs
+    buckets: an exact group above the cap contributes star+chain intra
+    edges and caps its cross-expansion membership — connectivity (and
+    so ``dedup_keep_ids`` components) preserved, output bounded.
     """
-    shingled = _with_shingles(df, id_col, text_col, shingle_len)
-    # Signature + banding in one map-side vectorized UDF (no shuffle, no
-    # codegen compile); posexplode yields (id, band, bucket). Candidate
-    # generation is the only shuffle: an equi-join on (band, bucket).
-    buckets = shingled.select(
+    if not collapse_exact:
+        shingled = _with_shingles(df, id_col, text_col, shingle_len)
+        buckets = _minhash_buckets(shingled, num_perm, bands)
+        cand = bounded_bucket_pairs(
+            buckets, ["band", "bucket"], max_bucket_size=max_bucket_size
+        )
+        return _verify_jaccard(cand, shingled, threshold)
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    # one shuffle produces the whole group structure: sorted member ids
+    # (gid = minimum) and one representative text per distinct content
+    groups = shared(
+        base.withColumn("__h", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+        .groupBy("__h")
+        .agg(
+            F.sort_array(F.collect_list("id")).alias("_ids"),
+            F.min_by("text", "id").alias("text"),
+        )
+        .select(F.element_at("_ids", 1).alias("gid"), "_ids", "text")
+    )
+    reps = groups.select(F.col("gid").alias("id"), "text")
+    shingled = _with_shingles(reps, "id", "text", shingle_len)
+    buckets = _minhash_buckets(shingled, num_perm, bands)
+    cand = bounded_bucket_pairs(
+        buckets, ["band", "bucket"], max_bucket_size=max_bucket_size
+    )
+    rep_pairs = _verify_jaccard(cand, shingled, threshold)
+
+    cap = max_bucket_size
+    members = groups.select(
+        "gid",
+        (
+            F.col("_ids") if cap is None else F.slice("_ids", 1, cap)
+        ).alias("_m"),
+    )
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("gid").alias("id1"), F.col("_m").alias("_m1")),
+            "id1",
+        )
+        .join(
+            members.select(F.col("gid").alias("id2"), F.col("_m").alias("_m2")),
+            "id2",
+        )
+        .select(F.explode("_m1").alias("a"), "_m2", "jaccard")
+        .select("a", F.explode("_m2").alias("b"), "jaccard")
+        .select(
+            F.least("a", "b").alias("id1"),
+            F.greatest("a", "b").alias("id2"),
+            "jaccard",
+        )
+    )
+    ids_ = F.col("_ids")
+    intra_expand = (
+        _all_pairs_expr(ids_)
+        if cap is None
+        else F.when(
+            F.size(ids_) <= cap, _all_pairs_expr(ids_)
+        ).otherwise(_star_chain_expr(ids_))
+    )
+    intra = (
+        groups.filter(F.size("_ids") > 1)
+        # left_semi vs the shingled reps: a group of identical too-short
+        # texts has no shingles and must emit no pairs
+        .join(shingled.select(F.col("id").alias("gid")), "gid", "left_semi")
+        .select(F.explode(intra_expand).alias("_p"))
+        .select(
+            F.col("_p.id1").alias("id1"),
+            F.col("_p.id2").alias("id2"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
+
+
+def _minhash_buckets(shingled: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(id, band, bucket) rows: signature + banding in one map-side
+    vectorized UDF (no shuffle, no codegen compile); posexplode yields
+    the band/bucket pairs. Candidate generation downstream is the only
+    shuffle: an equi-join on (band, bucket)."""
+    return shingled.select(
         "id",
         F.posexplode(
             minhash_band_udf(num_perm, bands)(F.col("shingles"))
         ).alias("band", "bucket"),
     )
-    cand = bounded_bucket_pairs(
-        buckets, ["band", "bucket"], max_bucket_size=max_bucket_size
-    )
-    return _verify_jaccard(cand, shingled, threshold)
 
 
 def lsh_bucket_index(

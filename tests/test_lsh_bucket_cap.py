@@ -135,3 +135,68 @@ def test_bounded_bucket_pairs_plan_shape(spark):
     assert "Join" not in plan, plan
     assert plan.count("Exchange") <= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_collapse_exact_pairs_identical_to_direct(spark, sf_dir):
+    """Exact-duplicate pre-collapse must emit the IDENTICAL pair
+    relation (ids and jaccard values) as the direct path on a corpus
+    with planted exact replicas — the heavy tiers just run on uniques."""
+    from pyspark.sql import functions as F
+
+    from local_pubchem_db_spark.operators.dedup import (
+        minhash_lsh_dedup_pairs,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 50)
+        .orderBy("doc_id")
+        .limit(60)
+    )
+    # 3-way exact replicas with distinct ids, like the scale replicas
+    corpus = docs
+    for rep in (1, 2):
+        corpus = corpus.unionByName(
+            docs.select(
+                (F.col("doc_id") + 100000 * rep).alias("doc_id"), "text"
+            )
+        )
+
+    def rows(collapse):
+        return sorted(
+            (r["id1"], r["id2"], round(r["jaccard"], 12))
+            for r in minhash_lsh_dedup_pairs(
+                corpus, "doc_id", "text", threshold=0.8,
+                collapse_exact=collapse,
+            ).collect()
+        )
+
+    direct = rows(False)
+    collapsed = rows(True)
+    assert collapsed == direct
+    assert len(direct) >= 3 * len(
+        docs.collect()
+    ), "replicas must produce intra-cluster pairs"
+
+
+def test_collapse_exact_short_text_groups_emit_no_pairs(spark):
+    """Identical too-short-to-shingle texts: brute force excludes them
+    (null jaccard), so the collapsed intra expansion must too."""
+    from local_pubchem_db_spark.operators.dedup import (
+        minhash_lsh_dedup_pairs,
+    )
+
+    long_text = " ".join(f"tok{i} alpha beta" for i in range(40))
+    corpus = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny"), (3, "tiny"), (10, long_text),
+         (11, long_text)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in minhash_lsh_dedup_pairs(
+            corpus, "doc_id", "text", threshold=0.8
+        ).collect()
+    )
+    assert got == [(10, 11, 1.0)]
