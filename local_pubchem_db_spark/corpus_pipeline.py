@@ -129,9 +129,13 @@ def clean_corpus(
     )
     exact_unique = filtered.join(keep_ids, "doc_id", "left_semi")
 
-    # near-dedup: LSH pairs -> connected components -> representatives
+    # near-dedup: LSH pairs -> connected components -> representatives.
+    # collapse_exact off: the exact_dedup_by_content stage above already
+    # guarantees distinct texts, so the operator's own pre-collapse
+    # groupBy would be a redundant shuffle here.
     pairs = minhash_lsh_dedup_pairs(
-        exact_unique, "doc_id", "text", threshold=lsh_threshold
+        exact_unique, "doc_id", "text", threshold=lsh_threshold,
+        collapse_exact=False,
     )
     if keep_best_quality:
         scored = exact_unique.withColumn(
