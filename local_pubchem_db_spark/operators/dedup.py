@@ -295,10 +295,33 @@ def minhash_lsh_dedup_pairs(
             buckets, ["band", "bucket"], max_bucket_size=max_bucket_size
         )
         return _verify_jaccard(cand, shingled, threshold)
+    groups = _exact_groups(df, id_col, text_col)
+    reps = groups.select(F.col("gid").alias("id"), "text")
+    shingled = _with_shingles(reps, "id", "text", shingle_len)
+    buckets = _minhash_buckets(shingled, num_perm, bands)
+    cand = bounded_bucket_pairs(
+        buckets, ["band", "bucket"], max_bucket_size=max_bucket_size
+    )
+    rep_pairs = _verify_jaccard(cand, shingled, threshold)
+    return _expand_rep_pairs(
+        groups,
+        rep_pairs,
+        val_col="jaccard",
+        intra_val=F.lit(1.0),
+        # a group of identical too-short texts has no shingles and must
+        # emit no pairs (matching the brute-force null-jaccard exclusion)
+        valid_gids=shingled.select(F.col("id").alias("gid")),
+        cap=max_bucket_size,
+    )
+
+
+def _exact_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(gid, _ids, text): one row per DISTINCT text — sorted member ids
+    (gid = minimum) plus one representative text. One shuffle produces
+    the whole group structure; shared() because the collapse consumers
+    reference it from 2-3 plan subtrees (reps + both expansions)."""
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    # one shuffle produces the whole group structure: sorted member ids
-    # (gid = minimum) and one representative text per distinct content
-    groups = shared(
+    return shared(
         base.withColumn("__h", F.md5(F.coalesce(F.col("text"), F.lit(""))))
         .groupBy("__h")
         .agg(
@@ -307,20 +330,30 @@ def minhash_lsh_dedup_pairs(
         )
         .select(F.element_at("_ids", 1).alias("gid"), "_ids", "text")
     )
-    reps = groups.select(F.col("gid").alias("id"), "text")
-    shingled = _with_shingles(reps, "id", "text", shingle_len)
-    buckets = _minhash_buckets(shingled, num_perm, bands)
-    cand = bounded_bucket_pairs(
-        buckets, ["band", "bucket"], max_bucket_size=max_bucket_size
-    )
-    rep_pairs = _verify_jaccard(cand, shingled, threshold)
 
-    cap = max_bucket_size
+
+def _expand_rep_pairs(
+    groups: DataFrame,
+    rep_pairs: DataFrame,
+    val_col: str,
+    intra_val: Column,
+    valid_gids: DataFrame,
+    cap: int | None,
+) -> DataFrame:
+    """Member-level (id1 < id2, val) pairs from representative-level
+    pairs over ``_exact_groups``: cross-group pairs inherit the rep
+    pair's value (identical text = identical features), intra-group
+    pairs get ``intra_val`` (the self-similarity of identical content),
+    gated on ``valid_gids`` (groups whose rep produced features at all).
+    ``cap`` bounds both expansions the way ``bounded_bucket_pairs``
+    bounds buckets: an exact group above it contributes star+chain intra
+    edges and a capped cross-membership — connectivity (so component
+    resolution) preserved, output volume bounded."""
     members = groups.select(
         "gid",
-        (
-            F.col("_ids") if cap is None else F.slice("_ids", 1, cap)
-        ).alias("_m"),
+        (F.col("_ids") if cap is None else F.slice("_ids", 1, cap)).alias(
+            "_m"
+        ),
     )
     cross = (
         rep_pairs.join(
@@ -331,12 +364,12 @@ def minhash_lsh_dedup_pairs(
             members.select(F.col("gid").alias("id2"), F.col("_m").alias("_m2")),
             "id2",
         )
-        .select(F.explode("_m1").alias("a"), "_m2", "jaccard")
-        .select("a", F.explode("_m2").alias("b"), "jaccard")
+        .select(F.explode("_m1").alias("a"), "_m2", val_col)
+        .select("a", F.explode("_m2").alias("b"), val_col)
         .select(
             F.least("a", "b").alias("id1"),
             F.greatest("a", "b").alias("id2"),
-            "jaccard",
+            val_col,
         )
     )
     ids_ = F.col("_ids")
@@ -349,14 +382,12 @@ def minhash_lsh_dedup_pairs(
     )
     intra = (
         groups.filter(F.size("_ids") > 1)
-        # left_semi vs the shingled reps: a group of identical too-short
-        # texts has no shingles and must emit no pairs
-        .join(shingled.select(F.col("id").alias("gid")), "gid", "left_semi")
+        .join(valid_gids, "gid", "left_semi")
         .select(F.explode(intra_expand).alias("_p"))
         .select(
             F.col("_p.id1").alias("id1"),
             F.col("_p.id2").alias("id2"),
-            F.lit(1.0).alias("jaccard"),
+            intra_val.alias(val_col),
         )
     )
     return cross.unionByName(intra)
@@ -741,6 +772,7 @@ def simhash_dedup_pairs(
     text_col: str,
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """SimHash near-dup candidates: pairs with Hamming distance <=
     ``max_hamming`` between 64-bit SimHashes.
@@ -758,7 +790,41 @@ def simhash_dedup_pairs(
     silently break the documented exhaustive-pairs contract. Pass a cap
     only for flood-shaped corpora where the pair output feeds component
     resolution rather than being consumed as the complete pair set.
+
+    ``collapse_exact`` (default on): identical texts collapse to one
+    representative before hashing and blocking, then rep-level pairs
+    expand back to members (cross pairs inherit the rep hamming —
+    identical text means identical SimHash; intra pairs are hamming 0;
+    token-less groups emit nothing, matching the null-SimHash filter).
+    This matters even MORE here than for MinHash: the cap is off by
+    design, so without the collapse a 30-way exact flood pays the full
+    C(30,2) pair join in all four quarter blocks. Note ``cap=None``
+    means the member expansions are exhaustive too.
     """
+    if collapse_exact:
+        groups = _exact_groups(df, id_col, text_col)
+        rep_pairs = simhash_dedup_pairs(
+            groups.select(F.col("gid").alias("id"), "text"),
+            "id",
+            "text",
+            max_hamming=max_hamming,
+            max_bucket_size=max_bucket_size,
+            collapse_exact=False,
+        )
+        # valid gids: reps with >=1 token — exactly the SimHash non-null
+        # condition (hashing.simhash_udf: "null/empty token arrays hash
+        # to NULL"), without re-running the hash UDF
+        rep_ok = groups.filter(
+            F.size(tokens(F.col("text"))) > 0
+        ).select("gid")
+        return _expand_rep_pairs(
+            groups,
+            rep_pairs,
+            val_col="hamming",
+            intra_val=F.lit(0).cast("int"),
+            valid_gids=rep_ok,
+            cap=max_bucket_size,
+        )
     # SimHash as one vectorized map (see hashing.simhash_udf); shared():
     # the blocked self-join references the SimHash relation twice.
     base = shared(

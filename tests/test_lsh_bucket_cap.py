@@ -200,3 +200,38 @@ def test_collapse_exact_short_text_groups_emit_no_pairs(spark):
         ).collect()
     )
     assert got == [(10, 11, 1.0)]
+
+
+def test_simhash_collapse_exact_identical_to_direct(spark, sf_dir):
+    """SimHash pre-collapse must emit the identical (id1, id2, hamming)
+    relation on a replica corpus — and matters MORE here because the
+    coarse quarter blocks keep the cap off by design."""
+    from pyspark.sql import functions as F
+
+    from local_pubchem_db_spark.operators.dedup import simhash_dedup_pairs
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 50)
+        .orderBy("doc_id")
+        .limit(40)
+    )
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+
+    def rows(collapse):
+        return sorted(
+            (r["id1"], r["id2"], r["hamming"])
+            for r in simhash_dedup_pairs(
+                corpus, "doc_id", "text", max_hamming=3,
+                collapse_exact=collapse,
+            ).collect()
+        )
+
+    direct = rows(False)
+    collapsed = rows(True)
+    assert collapsed == direct
+    # the replicas guarantee hamming-0 intra pairs exist
+    assert any(h == 0 for _, _, h in direct)
