@@ -89,6 +89,38 @@ def main() -> None:
         f"fused {min(f1, f2):.2f}s vs per-column {min(p1, p2):.2f}s"
     )
 
+    # --- exact-duplicate pre-collapse for the pair dedup operators ---
+    from local_pubchem_db_spark.operators.dedup import (
+        minhash_lsh_dedup_pairs,
+        simhash_dedup_pairs,
+    )
+    from local_pubchem_db_spark.operators.util import release_shared_caches
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for collapse in (False, True):
+        t0 = time.perf_counter()
+        minhash_lsh_dedup_pairs(
+            docs, "doc_id", "text", threshold=0.8, collapse_exact=collapse
+        ).write.format("noop").mode("overwrite").save()
+        print(
+            f"RESULT minhash_lsh_dedup_pairs collapse={collapse}: "
+            f"{time.perf_counter() - t0:.2f}s"
+        )
+        release_shared_caches(spark)
+    t0 = time.perf_counter()
+    simhash_dedup_pairs(
+        docs, "doc_id", "text", max_hamming=3, collapse_exact=True
+    ).write.format("noop").mode("overwrite").save()
+    print(
+        f"RESULT simhash_dedup_pairs collapse=True: "
+        f"{time.perf_counter() - t0:.2f}s "
+        "(collapse=False is NOT measured here: on the 30-way replica "
+        "flood the uncapped quarter-block all-pairs arrays OOM the JVM "
+        "— reproduced at 55s on local[32]/128G — which is exactly what "
+        "the collapse prevents)"
+    )
+    release_shared_caches(spark)
+
     # --- residual IVF-PQ + exact rerank vs brute force ---
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.orderBy("vec_id").limit(30)
