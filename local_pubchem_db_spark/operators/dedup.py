@@ -128,6 +128,35 @@ def _star_chain_expr(ids_: Column) -> Column:
     )
 
 
+def _exhaustive_pairs(
+    grouped: DataFrame,
+    group_keys: list[str],
+    array_expand_limit: int = 1024,
+) -> DataFrame:
+    """All (id1 < id2) pairs from rows holding sorted ``_ids`` arrays,
+    memory-safe for arbitrarily large groups: groups within
+    ``array_expand_limit`` expand through the in-row C(n,2) array
+    expression (fast, no extra shuffle), groups above it explode back to
+    rows and self-join on the group keys — the pair stream then flows
+    through normal shuffle machinery instead of materializing n^2
+    structs in ONE task's row buffer (the shape that OOMed the JVM at
+    55s on the sf3 30-way simhash flood: quadratic output is a cost,
+    a quadratic single-row allocation is a crash)."""
+    small = grouped.filter(F.size("_ids") <= array_expand_limit)
+    big = grouped.filter(F.size("_ids") > array_expand_limit)
+    p_small = small.select(
+        F.explode(_all_pairs_expr(F.col("_ids"))).alias("_p")
+    ).select(F.col("_p.id1").alias("id1"), F.col("_p.id2").alias("id2"))
+    e = big.select(*group_keys, F.explode("_ids").alias("_id"))
+    p_big = (
+        e.alias("x")
+        .join(e.alias("y"), list(group_keys))
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(F.col("x._id").alias("id1"), F.col("y._id").alias("id2"))
+    )
+    return p_small.unionByName(p_big)
+
+
 def bounded_bucket_pairs(
     buckets: DataFrame,
     key_cols: list[str],
@@ -178,18 +207,18 @@ def bounded_bucket_pairs(
     disabled a pathological flood bucket concentrates in one task — the
     caller has opted into that.
     """
-    ids_ = F.col("_ids")
-    expand = (
-        _all_pairs_expr(ids_)
-        if max_bucket_size is None
-        else F.when(
-            F.size(ids_) <= max_bucket_size, _all_pairs_expr(ids_)
-        ).otherwise(_star_chain_expr(ids_))
+    grouped = buckets.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
     )
+    if max_bucket_size is None:
+        # exhaustive mode: memory-safe hybrid — see _exhaustive_pairs
+        return _exhaustive_pairs(grouped, key_cols).distinct()
+    ids_ = F.col("_ids")
+    expand = F.when(
+        F.size(ids_) <= max_bucket_size, _all_pairs_expr(ids_)
+    ).otherwise(_star_chain_expr(ids_))
     return (
-        buckets.groupBy(*key_cols)
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
-        .select(F.explode(expand).alias("_p"))
+        grouped.select(F.explode(expand).alias("_p"))
         .select(F.col("_p.id1").alias("id1"), F.col("_p.id2").alias("id2"))
         .distinct()
     )
@@ -372,24 +401,28 @@ def _expand_rep_pairs(
             val_col,
         )
     )
-    ids_ = F.col("_ids")
-    intra_expand = (
-        _all_pairs_expr(ids_)
-        if cap is None
-        else F.when(
+    dup_groups = groups.filter(F.size("_ids") > 1).join(
+        valid_gids, "gid", "left_semi"
+    )
+    if cap is None:
+        # exhaustive mode: the same memory-safe hybrid as
+        # bounded_bucket_pairs — a million-member exact group must not
+        # materialize C(n,2) structs in one row buffer
+        intra = _exhaustive_pairs(dup_groups, ["gid"]).select(
+            "id1", "id2", intra_val.alias(val_col)
+        )
+    else:
+        ids_ = F.col("_ids")
+        intra_expand = F.when(
             F.size(ids_) <= cap, _all_pairs_expr(ids_)
         ).otherwise(_star_chain_expr(ids_))
-    )
-    intra = (
-        groups.filter(F.size("_ids") > 1)
-        .join(valid_gids, "gid", "left_semi")
-        .select(F.explode(intra_expand).alias("_p"))
-        .select(
+        intra = dup_groups.select(
+            F.explode(intra_expand).alias("_p")
+        ).select(
             F.col("_p.id1").alias("id1"),
             F.col("_p.id2").alias("id2"),
             intra_val.alias(val_col),
         )
-    )
     return cross.unionByName(intra)
 
 

@@ -235,3 +235,47 @@ def test_simhash_collapse_exact_identical_to_direct(spark, sf_dir):
     assert collapsed == direct
     # the replicas guarantee hamming-0 intra pairs exist
     assert any(h == 0 for _, _, h in direct)
+
+
+def test_exhaustive_pairs_hybrid_matches_array_path(spark):
+    """cap=None exhaustive expansion must produce the identical pair set
+    whether a group goes through the in-row array expression or the
+    streamed self-join (groups above array_expand_limit) — the hybrid
+    that turns the flood OOM into ordinary shuffle traffic."""
+    from pyspark.sql import functions as F
+
+    from local_pubchem_db_spark.operators.dedup import (
+        _exhaustive_pairs,
+        bounded_bucket_pairs,
+    )
+
+    # bucket A: 10 members (array path), bucket B: 50 members — above a
+    # test limit of 16, so it must take the join path
+    rows = [(0, i) for i in range(10)] + [(1, 100 + i) for i in range(50)]
+    buckets = spark.createDataFrame(rows, "blk int, id long")
+    grouped = buckets.groupBy("blk").agg(
+        F.sort_array(F.collect_list("id")).alias("_ids")
+    )
+    hybrid = sorted(
+        (r["id1"], r["id2"])
+        for r in _exhaustive_pairs(
+            grouped, ["blk"], array_expand_limit=16
+        ).collect()
+    )
+    expected = sorted(
+        [(i, j) for i in range(10) for j in range(i + 1, 10)]
+        + [
+            (100 + i, 100 + j)
+            for i in range(50)
+            for j in range(i + 1, 50)
+        ]
+    )
+    assert hybrid == expected
+    # and the public cap=None surface agrees with the capped=off contract
+    got = sorted(
+        (r["id1"], r["id2"])
+        for r in bounded_bucket_pairs(
+            buckets, ["blk"], max_bucket_size=None
+        ).collect()
+    )
+    assert got == expected
