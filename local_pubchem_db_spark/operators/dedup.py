@@ -350,8 +350,16 @@ def _exact_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the whole group structure; shared() because the collapse consumers
     reference it from 2-3 plan subtrees (reps + both expansions)."""
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    # NULL must stay its OWN group, distinct from '': the tokenizer gives
+    # '' a phantom empty token (so two '' docs DO pair under SimHash)
+    # while NULL yields no tokens at all — folding them together would
+    # hand the '' group a NULL representative and silently drop its
+    # pairs. md5(NULL) is NULL; the sentinel can never collide with a
+    # real md5 hex digest.
     return shared(
-        base.withColumn("__h", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+        base.withColumn(
+            "__h", F.coalesce(F.md5(F.col("text")), F.lit("<null>"))
+        )
         .groupBy("__h")
         .agg(
             F.sort_array(F.collect_list("id")).alias("_ids"),

@@ -279,3 +279,63 @@ def test_exhaustive_pairs_hybrid_matches_array_path(spark):
         ).collect()
     )
     assert got == expected
+
+
+def test_collapse_equivalence_on_adversarial_corpus(spark):
+    """Direct vs collapsed must agree on the nasty shapes: NULL texts,
+    empty strings, whitespace-only, mixed dup multiplicities, and
+    near-dup (not exact) clusters — for BOTH pair operators."""
+    from pyspark.sql import functions as F
+
+    from local_pubchem_db_spark.operators.dedup import (
+        minhash_lsh_dedup_pairs,
+        simhash_dedup_pairs,
+    )
+
+    long_a = " ".join(f"alpha{i} beta gamma delta" for i in range(40))
+    long_b = long_a + " extra token tail"  # near-dup of long_a
+    rows = (
+        [(i, None) for i in (1, 2, 3)]
+        + [(i, "") for i in (10, 11)]
+        + [(i, "   \t ") for i in (20, 21)]
+        + [(100 + i, long_a) for i in range(4)]
+        + [(200 + i, long_b) for i in range(2)]
+        + [(i, "tiny") for i in (300, 301, 302)]
+        + [(400, " ".join(f"unique{i} zeta eta" for i in range(40)))]
+    )
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    mh = lambda c: sorted(
+        (r["id1"], r["id2"], round(r["jaccard"], 12))
+        for r in minhash_lsh_dedup_pairs(
+            corpus, "doc_id", "text", threshold=0.8, collapse_exact=c
+        ).collect()
+    )
+    sh = lambda c: sorted(
+        (r["id1"], r["id2"], r["hamming"])
+        for r in simhash_dedup_pairs(
+            corpus, "doc_id", "text", max_hamming=3, collapse_exact=c
+        ).collect()
+    )
+    mh_direct, mh_collapsed = mh(False), mh(True)
+    assert mh_collapsed == mh_direct
+    # the exact long_a cluster and the near-dup cross pairs must appear
+    assert (100, 101, 1.0) in mh_direct
+    assert any(i1 // 100 == 1 and i2 // 100 == 2 for i1, i2, _ in mh_direct)
+    sh_direct, sh_collapsed = sh(False), sh(True)
+    assert sh_collapsed == sh_direct
+    assert (100, 101, 0) in sh_direct
+    # MinHash: null/empty/whitespace/tiny docs shingle to nothing and
+    # never pair
+    bad_mh = {1, 2, 3, 10, 11, 20, 21, 300, 301, 302}
+    assert all(
+        i1 not in bad_mh and i2 not in bad_mh for i1, i2, _ in mh_direct
+    )
+    # SimHash: only NULL docs hash to NULL; ''/whitespace get a phantom
+    # empty token (tokenizer semantics, preserved exactly) and tiny docs
+    # hash their one token — so those DO pair, identically in both paths
+    nulls = {1, 2, 3}
+    assert all(
+        i1 not in nulls and i2 not in nulls for i1, i2, _ in sh_direct
+    )
+    assert (10, 11, 0) in sh_direct and (300, 301, 0) in sh_direct
