@@ -484,9 +484,21 @@ def incremental_minhash_new_ids(
     bands: int = 32,
     max_bucket_size: int | None = None,
     quality_col: str | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Ids in ``batch`` that are near-dups of NOTHING in the history index
     nor of an earlier (lower-id) batch row — the rows safe to append.
+
+    ``collapse_exact`` (default on): identical batch texts collapse to
+    one representative before shingling — the flood-batch defense
+    (everyone re-sending the same document is THE incremental-dedup
+    stress shape). The keep-set is unchanged: identical texts share
+    identical signatures, so a history hit on the representative means
+    every member would have hit (all expand to dropped), and the
+    member-level pair relation expands from rep pairs exactly as in
+    ``minhash_lsh_dedup_pairs`` (pinned equal in tests), so the
+    batch-internal survivor — lowest id or best ``quality_col`` — is
+    elected over the same components either way.
 
     ``quality_col`` changes only the BATCH-INTERNAL survivor: instead of
     the lowest id, each verified near-dup component keeps its
@@ -529,13 +541,13 @@ def incremental_minhash_new_ids(
     ``minhash_lsh_dedup_pairs`` keeps the cap on by default because there
     the keep-set is provably preserved.
     """
-    shingled = _with_shingles(batch, id_col, text_col, shingle_len)
-    buckets = shingled.select(
-        "id",
-        F.posexplode(
-            minhash_band_udf(num_perm, bands)(F.col("shingles"))
-        ).alias("band", "bucket"),
-    )
+    groups = _exact_groups(batch, id_col, text_col) if collapse_exact else None
+    if collapse_exact:
+        reps = groups.select(F.col("gid").alias("id"), "text")
+        shingled = _with_shingles(reps, "id", "text", shingle_len)
+    else:
+        shingled = _with_shingles(batch, id_col, text_col, shingle_len)
+    buckets = _minhash_buckets(shingled, num_perm, bands)
     # batch rows colliding with ANY history bucket → dropped (left_semi is
     # the minimal shuffle: no history payload moves, only matching keys).
     # ``history_index`` may be a LIST of index frames (e.g. a (band,
@@ -557,6 +569,15 @@ def incremental_minhash_new_ids(
         for h in hit_ids[1:]:
             vs_history = vs_history.unionByName(h)
         vs_history = vs_history.distinct()
+        if collapse_exact:
+            # a rep-level hit means every member of its exact group
+            # would have hit (identical signatures -> identical
+            # buckets): expand with the FULL member list, never capped
+            vs_history = (
+                vs_history.withColumnRenamed("id", "gid")
+                .join(groups.select("gid", "_ids"), "gid")
+                .select(F.explode("_ids").alias("id"))
+            )
     else:  # no history at all — type-correct empty hit set
         vs_history = batch.select(F.col(id_col).alias("id")).limit(0)
     # batch-internal near-dups: keep the lowest id of each verified pair.
@@ -566,6 +587,15 @@ def incremental_minhash_new_ids(
         buckets, ["band", "bucket"], max_bucket_size=max_bucket_size
     )
     vpairs = _verify_jaccard(cand, shingled, threshold)
+    if collapse_exact:
+        vpairs = _expand_rep_pairs(
+            groups,
+            vpairs,
+            val_col="jaccard",
+            intra_val=F.lit(1.0),
+            valid_gids=shingled.select(F.col("id").alias("gid")),
+            cap=max_bucket_size,
+        )
     if quality_col is None:
         dup_in_batch = vpairs.select(F.col("id2").alias("id")).distinct()
     else:

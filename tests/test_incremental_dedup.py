@@ -94,3 +94,58 @@ def test_incremental_quality_mode_keeps_best_not_lowest(spark):
         ).collect()
     }
     assert ids_quality == {2, 3}
+
+
+def test_incremental_collapse_exact_keepset_identical(spark, sf_dir):
+    """Flood batch (3-way exact replicas) against a history index: the
+    collapsed path must return the identical keep-set as the direct
+    path, in both id mode and quality mode."""
+    from pyspark.sql import functions as F
+
+    from local_pubchem_db_spark.operators.dedup import (
+        incremental_minhash_new_ids,
+        lsh_bucket_index,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 50)
+        .orderBy("doc_id")
+        .limit(30)
+    )
+    history_docs = docs.limit(10)
+    history = lsh_bucket_index(history_docs, "doc_id", "text")
+    hist_max = history_docs.agg(F.max("doc_id")).first()[0]
+    batch_base = docs.filter(F.col("doc_id") > hist_max).withColumn(
+        "q", (F.col("doc_id") % 7).cast("double")
+    )
+    batch = batch_base
+    for rep in (1, 2):
+        batch = batch.unionByName(
+            batch_base.select(
+                (F.col("doc_id") + 100000 * rep).alias("doc_id"),
+                "text",
+                (F.col("q") + rep).alias("q"),
+            )
+        )
+
+    def keep(collapse, quality=None):
+        return {
+            r["doc_id"]
+            for r in incremental_minhash_new_ids(
+                batch, [history], "doc_id", "text",
+                quality_col=quality, collapse_exact=collapse,
+            ).collect()
+        }
+
+    assert keep(True) == keep(False)
+    assert keep(True, "q") == keep(False, "q")
+    # the flood collapses: at most one survivor per 3-way replica group
+    kept = keep(True)
+    assert kept and all(k > hist_max for k in kept)
+    base_ids = {r["doc_id"] for r in batch_base.collect()}
+    assert len(kept) <= len(base_ids)
+    # quality mode must prefer the rep+2 copies (highest q per group)
+    kept_q = keep(True, "q")
+    assert any(k > 200000 for k in kept_q)
