@@ -121,6 +121,39 @@ def main() -> None:
     )
     release_shared_caches(spark)
 
+    # --- streaming dedup ingest over the flood corpus, one batch ---
+    import tempfile as _tf
+
+    from local_pubchem_db_spark.streaming import (
+        read_corpus,
+        stream_dedup_ingest,
+    )
+
+    work = _tf.mkdtemp()
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    n_docs = docs.count()
+    docs.select("doc_id", "text").repartition(32).write.parquet(
+        os.path.join(work, "staged")
+    )
+    i = 0
+    for fn in os.listdir(os.path.join(work, "staged")):
+        if fn.endswith(".parquet"):
+            os.rename(
+                os.path.join(work, "staged", fn),
+                os.path.join(in_dir, f"shard-{i}.parquet"),
+            )
+            i += 1
+    out = os.path.join(work, "out")
+    t0 = time.perf_counter()
+    stream_dedup_ingest(spark, in_dir, out).awaitTermination()
+    dt = time.perf_counter() - t0
+    kept = read_corpus(spark, out).count()
+    print(
+        f"RESULT stream_dedup_ingest {n_docs} docs 1 batch: {dt:.1f}s = "
+        f"{n_docs / dt:.0f} docs/s, kept {kept}"
+    )
+
     # --- residual IVF-PQ + exact rerank vs brute force ---
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.orderBy("vec_id").limit(30)
