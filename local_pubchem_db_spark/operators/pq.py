@@ -106,18 +106,12 @@ def pq_fit(
     """
     if m <= 0 or k <= 1:
         raise ValueError("m must be positive and k >= 2")
-    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
-    sel = [F.col(vec_col).alias("v"), key.alias("__k")]
-    if centroids is not None:
-        sel.append(F.col(cluster_col).alias("__cell"))
-    rows = df.select(*sel).orderBy("__k").limit(sample_rows).collect()
-    if not rows:
-        raise ValueError("pq_fit: empty input")
-    X = _norm_rows(np.array([list(r["v"]) for r in rows], dtype=np.float64))
-    if centroids is not None:
-        Cn = _norm_rows(np.asarray(centroids, dtype=np.float64))
-        cells = np.array([r["__cell"] for r in rows], dtype=np.int64)
-        X = X - Cn[cells]
+    try:
+        X = _fit_sample(
+            df, id_col, vec_col, sample_rows, seed, centroids, cluster_col
+        )
+    except ValueError as e:
+        raise ValueError(f"pq_fit: {e}") from None
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
@@ -131,6 +125,103 @@ def pq_fit(
     )
 
 
+def opq_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    sample_rows: int = 65536,
+    iters: int = 10,
+    opq_iters: int = 8,
+    seed: int = 7,
+    centroids: np.ndarray | None = None,
+    cluster_col: str = "cluster",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Optimized Product Quantization (Ge et al., CVPR 2013,
+    non-parametric alternation): learn an ORTHOGONAL rotation R that
+    balances variance across the m subspaces, then PQ the rotated
+    vectors — at equal (m, k) this strictly tightens quantization on
+    correlated embeddings, where plain PQ wastes codebook capacity on
+    subspaces that carry little variance. Returns ``(R, codebooks)``;
+    feed both to ``pq_encode(..., rotation=R)`` /
+    ``pq_knn``/``ivf_pq_search(..., rotation=R)``.
+
+    Alternation (driver-side on the same deterministic hash-ordered
+    sample as ``pq_fit`` — the FAISS OPQ contract):
+    1. fit subspace codebooks on ``X @ R``;
+    2. given the reconstructions Y of the rotated sample, solve the
+       orthogonal Procrustes problem ``min_R ||X R - Y||`` via SVD of
+       ``X.T @ Y`` (R = U V^T);
+    repeat. Rotation is orthogonal, so inner products are preserved:
+    ADC over rotated codes ranks identically to cosine in the original
+    space, and the IVF residual offset ``<q, centroid>`` (computed
+    unrotated) composes unchanged — the rotation applies to residuals.
+    """
+    if opq_iters < 1:
+        raise ValueError("opq_iters must be >= 1")
+    X = _fit_sample(df, id_col, vec_col, sample_rows, seed, centroids, cluster_col)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    R = np.eye(dim)
+    C = None
+    for _ in range(opq_iters):
+        Z = X @ R
+        C = np.stack(
+            [
+                _kmeans_1sub(Z[:, j * dsub : (j + 1) * dsub], k, iters, rng)
+                for j in range(m)
+            ]
+        )
+        Y = pq_reconstruct(_np_encode(Z, C), C)
+        U, _s, Vt = np.linalg.svd(X.T @ Y)
+        R = U @ Vt
+    return R, C
+
+
+def _fit_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sample_rows: int,
+    seed: int,
+    centroids: np.ndarray | None,
+    cluster_col: str,
+) -> np.ndarray:
+    """The deterministic hash-ordered training sample shared by pq_fit
+    and opq_fit (normalized; residualized when centroids are given)."""
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    sel = [F.col(vec_col).alias("v"), key.alias("__k")]
+    if centroids is not None:
+        sel.append(F.col(cluster_col).alias("__cell"))
+    rows = df.select(*sel).orderBy("__k").limit(sample_rows).collect()
+    if not rows:
+        raise ValueError("fit: empty input")
+    X = _norm_rows(np.array([list(r["v"]) for r in rows], dtype=np.float64))
+    if centroids is not None:
+        Cn = _norm_rows(np.asarray(centroids, dtype=np.float64))
+        cells = np.array([r["__cell"] for r in rows], dtype=np.int64)
+        X = X - Cn[cells]
+    return X
+
+
+def _np_encode(V: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Driver-side encode of an (n, dim) matrix against (m, k, dsub)
+    codebooks — the same argmin math as the distributed Arrow pass."""
+    m, _k, dsub = codebooks.shape
+    codes = np.empty((len(V), m), dtype=np.int64)
+    for j in range(m):
+        sub = V[:, j * dsub : (j + 1) * dsub]
+        d = (codebooks[j] ** 2).sum(axis=1)[None, :] - 2.0 * (
+            sub @ codebooks[j].T
+        )
+        codes[:, j] = d.argmin(axis=1)
+    return codes
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: np.ndarray,
@@ -138,6 +229,7 @@ def pq_encode(
     out_col: str = "pq_code",
     centroids: np.ndarray | None = None,
     cluster_col: str = "cluster",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Quantize ``vec_col`` to ``out_col: array<int>`` (m codebook
     indices per vector). Map-only Arrow pass; input column retained so
@@ -147,7 +239,8 @@ def pq_encode(
     With ``centroids`` (residual mode, matching a residual ``pq_fit``),
     each vector's normalized cell centroid is subtracted before
     quantization — still map-only, the centroid matrix rides the same
-    broadcast."""
+    broadcast. With ``rotation`` (OPQ mode, from ``opq_fit``), the
+    (residualized) vector is rotated before quantization."""
     C = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, k, dsub = C.shape
     Cn = (
@@ -155,12 +248,19 @@ def pq_encode(
         if centroids is not None
         else None
     )
-    bc = df.sparkSession.sparkContext.broadcast((C, Cn))
+    R = (
+        np.ascontiguousarray(rotation, dtype=np.float64)
+        if rotation is not None
+        else None
+    )
+    bc = df.sparkSession.sparkContext.broadcast((C, Cn, R))
 
     from pyspark.sql.functions import pandas_udf
 
     def _quantize(V: np.ndarray) -> pd.Series:
-        Cb, _ = bc.value
+        Cb, _, Rot = bc.value
+        if Rot is not None:
+            V = V @ Rot
         n = len(V)
         codes = np.empty((n, m), dtype=np.int32)
         for j in range(m):
@@ -182,7 +282,7 @@ def pq_encode(
 
     @pandas_udf("array<int>")
     def encode_res(v: pd.Series, cell: pd.Series) -> pd.Series:
-        _, Cent = bc.value
+        _, Cent, _ = bc.value
         V = _norm_rows(np.array(v.tolist(), dtype=np.float64))
         return _quantize(V - Cent[cell.to_numpy(dtype=np.int64)])
 
@@ -196,14 +296,19 @@ def pq_reconstruct(
     codebooks: np.ndarray,
     centroids: np.ndarray | None = None,
     cells: np.ndarray | None = None,
+    rotation: np.ndarray | None = None,
 ) -> np.ndarray:
     """Decode codes back to (approximate) vectors — test/audit helper.
     For residual-mode codes pass ``centroids`` + per-row ``cells``: the
-    reconstruction is centroid(cell) + decoded residual."""
+    reconstruction is centroid(cell) + decoded residual. For OPQ codes
+    pass ``rotation``: the decode un-rotates (R^T) before the centroid
+    is added — codes live in rotated space, centroids in the original."""
     C = np.asarray(codebooks, dtype=np.float64)
     m, _, dsub = C.shape
     codes = np.asarray(codes, dtype=np.int64)
     out = np.concatenate([C[j][codes[:, j]] for j in range(m)], axis=1)
+    if rotation is not None:
+        out = out @ np.asarray(rotation, dtype=np.float64).T
     if centroids is not None:
         Cn = _norm_rows(np.asarray(centroids, dtype=np.float64))
         out = out + Cn[np.asarray(cells, dtype=np.int64)]
@@ -218,6 +323,7 @@ def pq_knn(
     code_col: str = "pq_code",
     vec_col: str = "embedding",
     k: int = 10,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """ADC top-k: exact (normalized) query vectors against PQ codes.
 
@@ -225,18 +331,21 @@ def pq_knn(
     break on neighbor id — deterministic given the codebooks. The probe
     set is collected/broadcast (the ANN contract: few probes against a
     huge corpus); per corpus partition the cost is a LUT gather-sum over
-    the codes — no decompression, no dim-wide dot products.
+    the codes — no decompression, no dim-wide dot products. For OPQ
+    codes pass ``rotation``: the LUT is built from the ROTATED queries
+    (orthogonality: <q, R^T c> = <R q, c>), same per-code cost.
     """
     C = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, _, dsub = C.shape
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Qn = _norm_rows(np.array([list(r[1]) for r in q_rows], dtype=np.float64))
+    Ql = Qn if rotation is None else Qn @ np.asarray(rotation, dtype=np.float64)
     # LUT[q, j, c] = <query_q subspace_j, codebook_j centroid_c>: ADC
     # scores are then sum_j LUT[q, j, code_j] — inner product == cosine
     # ranking on normalized inputs.
     lut = np.einsum(
-        "qjd,jcd->qjc", Qn.reshape(len(q_ids), m, dsub), C
+        "qjd,jcd->qjc", Ql.reshape(len(q_ids), m, dsub), C
     )
     bq = encoded.sparkSession.sparkContext.broadcast((q_ids, lut))
 
@@ -298,6 +407,7 @@ def ivf_pq_search(
     nprobe: int = 2,
     residual: bool = False,
     rerank: int | None = None,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """The full IVF-PQ composition: coarse-quantizer cell pruning
     (``clustering.kmeans_fit`` + ``assign_clusters`` supply ``centroids``
@@ -347,7 +457,11 @@ def ivf_pq_search(
     for qi, cells in enumerate(probe):
         for c in cells:
             cell_to_q.setdefault(int(c), []).append(qi)
-    lut = np.einsum("qjd,jcd->qjc", Qn.reshape(len(q_ids), m, dsub), C)
+    # OPQ: LUTs come from the ROTATED queries (codes live in rotated
+    # space; orthogonality keeps the ranking and the residual offset
+    # <q, centroid> — computed UNROTATED above — both exact)
+    Ql = Qn if rotation is None else Qn @ np.asarray(rotation, dtype=np.float64)
+    lut = np.einsum("qjd,jcd->qjc", Ql.reshape(len(q_ids), m, dsub), C)
     # residual ADC: score = <q, centroid_cell> + sum_j LUT[q, j, code_j]
     offsets = qc if residual else None
     bq = encoded.sparkSession.sparkContext.broadcast(

@@ -310,3 +310,70 @@ def test_ivf_pq_search_recall_and_partition_pruning(spark, tmp_path):
         1 for r in got if r["neighbor_id"] // 1000 == r["query_id"] // 1000
     )
     assert within / len(got) >= 0.9, within / len(got)
+
+
+def test_opq_rotation_tightens_quantization_on_correlated_data(spark):
+    """OPQ (Ge et al. 2013): on correlated embeddings (decaying spectrum
+    mixed through a random rotation) the learned orthogonal R must cut
+    reconstruction error vs plain PQ at equal (m, k), and OPQ-ADC
+    retrieval must not lose recall."""
+    from local_pubchem_db_spark.operators.pq import opq_fit
+    from local_pubchem_db_spark.operators.similarity import brute_force_knn
+
+    rng = np.random.default_rng(23)
+    dim, n = 32, 1200
+    # decaying spectrum -> a few dominant directions; random orthogonal
+    # mixing spreads them across ALL coordinates, so contiguous PQ
+    # subspaces see unbalanced, correlated energy
+    spectrum = np.exp(-np.arange(dim) / 4.0)
+    Q, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+    V = (rng.standard_normal((n, dim)) * spectrum) @ Q.T
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+    cb_pq = pq_fit(emb, m=8, k=16)
+    R, cb_opq = opq_fit(emb, m=8, k=16)
+    assert np.allclose(R @ R.T, np.eye(dim), atol=1e-8)  # orthogonal
+
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    enc_pq = {
+        r["vec_id"]: list(r["pq_code"]) for r in pq_encode(emb, cb_pq).collect()
+    }
+    enc_opq = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in pq_encode(emb, cb_opq, rotation=R).collect()
+    }
+    ids = list(range(n))
+    R_pq = pq_reconstruct(np.array([enc_pq[i] for i in ids]), cb_pq)
+    R_opq = pq_reconstruct(
+        np.array([enc_opq[i] for i in ids]), cb_opq, rotation=R
+    )
+    mse_pq = float(((R_pq - Vn) ** 2).mean())
+    mse_opq = float(((R_opq - Vn) ** 2).mean())
+    assert mse_opq < mse_pq, (mse_opq, mse_pq)
+
+    # retrieval: OPQ-ADC recall vs exact top-5 must be >= plain PQ's
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_knn(emb, queries, k=5).collect()
+    }
+    got_pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_knn(pq_encode(emb, cb_pq), queries, cb_pq, k=5).collect()
+    }
+    got_opq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_knn(
+            pq_encode(emb, cb_opq, rotation=R), queries, cb_opq, k=5,
+            rotation=R,
+        ).collect()
+    }
+    assert len(got_opq & exact) >= len(got_pq & exact)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="opq_iters"):
+        opq_fit(emb, m=8, k=16, opq_iters=0)
