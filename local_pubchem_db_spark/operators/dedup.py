@@ -210,17 +210,25 @@ def bounded_bucket_pairs(
     grouped = buckets.groupBy(*key_cols).agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
     )
-    if max_bucket_size is None:
-        # exhaustive mode: memory-safe hybrid — see _exhaustive_pairs
-        return _exhaustive_pairs(grouped, key_cols).distinct()
+    return _capped_pairs(grouped, key_cols, max_bucket_size).distinct()
+
+
+def _capped_pairs(
+    grouped: DataFrame, group_keys: list[str], cap: int | None
+) -> DataFrame:
+    """(id1 < id2) pairs from ``_ids`` group rows under ONE cap policy,
+    shared by bucket expansion and the exact-collapse intra expansion
+    (their docstrings promise identical governance): cap=None takes the
+    memory-safe exhaustive hybrid; otherwise groups within the cap emit
+    all pairs, larger ones the star+chain connectivity subgraph."""
+    if cap is None:
+        return _exhaustive_pairs(grouped, group_keys)
     ids_ = F.col("_ids")
     expand = F.when(
-        F.size(ids_) <= max_bucket_size, _all_pairs_expr(ids_)
+        F.size(ids_) <= cap, _all_pairs_expr(ids_)
     ).otherwise(_star_chain_expr(ids_))
-    return (
-        grouped.select(F.explode(expand).alias("_p"))
-        .select(F.col("_p.id1").alias("id1"), F.col("_p.id2").alias("id2"))
-        .distinct()
+    return grouped.select(F.explode(expand).alias("_p")).select(
+        F.col("_p.id1").alias("id1"), F.col("_p.id2").alias("id2")
     )
 
 
@@ -412,25 +420,11 @@ def _expand_rep_pairs(
     dup_groups = groups.filter(F.size("_ids") > 1).join(
         valid_gids, "gid", "left_semi"
     )
-    if cap is None:
-        # exhaustive mode: the same memory-safe hybrid as
-        # bounded_bucket_pairs — a million-member exact group must not
-        # materialize C(n,2) structs in one row buffer
-        intra = _exhaustive_pairs(dup_groups, ["gid"]).select(
-            "id1", "id2", intra_val.alias(val_col)
-        )
-    else:
-        ids_ = F.col("_ids")
-        intra_expand = F.when(
-            F.size(ids_) <= cap, _all_pairs_expr(ids_)
-        ).otherwise(_star_chain_expr(ids_))
-        intra = dup_groups.select(
-            F.explode(intra_expand).alias("_p")
-        ).select(
-            F.col("_p.id1").alias("id1"),
-            F.col("_p.id2").alias("id2"),
-            intra_val.alias(val_col),
-        )
+    # same cap policy (and memory-safe exhaustive hybrid) as the bucket
+    # expansion, via the one shared helper
+    intra = _capped_pairs(dup_groups, ["gid"], cap).select(
+        "id1", "id2", intra_val.alias(val_col)
+    )
     return cross.unionByName(intra)
 
 
@@ -465,12 +459,7 @@ def lsh_bucket_index(
     history side.
     """
     shingled = _with_shingles(df, id_col, text_col, shingle_len)
-    return shingled.select(
-        "id",
-        F.posexplode(
-            minhash_band_udf(num_perm, bands)(F.col("shingles"))
-        ).alias("band", "bucket"),
-    )
+    return _minhash_buckets(shingled, num_perm, bands)
 
 
 def incremental_minhash_new_ids(

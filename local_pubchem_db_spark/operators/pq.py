@@ -54,14 +54,21 @@ def _norm_rows(M: np.ndarray) -> np.ndarray:
     return M / n
 
 
-def _kmeans_1sub(X: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
+def _kmeans_1sub(
+    X: np.ndarray, k: int, iters: int, rng, init: np.ndarray | None = None
+) -> np.ndarray:
     """Plain seeded Lloyd on one subspace sample (driver-side, small).
 
     Assignment uses argmin(||c||^2 - 2 x.c) — one (n,k) matmul — rather
     than the (n,k,dsub) broadcast form, which churns ~GBs of temporaries
-    at a 64k-row sample and dominated fit wall-time."""
+    at a 64k-row sample and dominated fit wall-time. ``init`` warm-starts
+    from given centroids (the OPQ alternation contract: re-seeding each
+    round would discard the previous joint optimum)."""
     k = min(k, len(X))
-    centroids = X[rng.choice(len(X), size=k, replace=False)].copy()
+    if init is not None and len(init) == k:
+        centroids = np.array(init, dtype=np.float64, copy=True)
+    else:
+        centroids = X[rng.choice(len(X), size=k, replace=False)].copy()
     for _ in range(iters):
         d = (centroids**2).sum(axis=1)[None, :] - 2.0 * (X @ centroids.T)
         assign = d.argmin(axis=1)
@@ -160,7 +167,14 @@ def opq_fit(
     """
     if opq_iters < 1:
         raise ValueError("opq_iters must be >= 1")
-    X = _fit_sample(df, id_col, vec_col, sample_rows, seed, centroids, cluster_col)
+    if m <= 0 or k <= 1:
+        raise ValueError("m must be positive and k >= 2")
+    try:
+        X = _fit_sample(
+            df, id_col, vec_col, sample_rows, seed, centroids, cluster_col
+        )
+    except ValueError as e:
+        raise ValueError(f"opq_fit: {e}") from None
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
@@ -172,7 +186,13 @@ def opq_fit(
         Z = X @ R
         C = np.stack(
             [
-                _kmeans_1sub(Z[:, j * dsub : (j + 1) * dsub], k, iters, rng)
+                _kmeans_1sub(
+                    Z[:, j * dsub : (j + 1) * dsub],
+                    k,
+                    iters,
+                    rng,
+                    init=None if C is None else C[j],
+                )
                 for j in range(m)
             ]
         )
@@ -199,7 +219,7 @@ def _fit_sample(
         sel.append(F.col(cluster_col).alias("__cell"))
     rows = df.select(*sel).orderBy("__k").limit(sample_rows).collect()
     if not rows:
-        raise ValueError("fit: empty input")
+        raise ValueError("empty input")
     X = _norm_rows(np.array([list(r["v"]) for r in rows], dtype=np.float64))
     if centroids is not None:
         Cn = _norm_rows(np.asarray(centroids, dtype=np.float64))
@@ -261,14 +281,10 @@ def pq_encode(
         Cb, _, Rot = bc.value
         if Rot is not None:
             V = V @ Rot
-        n = len(V)
-        codes = np.empty((n, m), dtype=np.int32)
-        for j in range(m):
-            sub = V[:, j * dsub : (j + 1) * dsub]
-            # argmin ||x - c||^2 = argmin (||c||^2 - 2 x.c): one matmul
-            d = (Cb[j] ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ Cb[j].T)
-            codes[:, j] = d.argmin(axis=1)
-        return pd.Series(list(codes))
+        # ONE encode implementation (_np_encode) serves the distributed
+        # pass and the driver-side OPQ training loop — they must agree
+        # bit-for-bit or the learned R stops matching the stored codes
+        return pd.Series(list(_np_encode(V, Cb).astype(np.int32)))
 
     if Cn is None:
 

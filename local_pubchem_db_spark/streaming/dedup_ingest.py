@@ -296,6 +296,13 @@ def stream_dedup_ingest(
     each batch semi-joins the bucketed compacted tier exchange-free plus
     only the small un-folded delta.
 
+    Session contract: each micro-batch ends with
+    ``release_shared_caches`` (the dedup operators' persisted scratch —
+    including the batch text — would otherwise accumulate for the
+    stream's lifetime), so run the ingest in its OWN SparkSession if
+    other workloads in the session rely on long-lived ``.persist()``
+    caches.
+
     ``quality_col`` (a double column expected on the incoming shards,
     read alongside id/text and persisted with the corpus): WITHIN a
     micro-batch, each near-dup component keeps its best-quality member
@@ -346,6 +353,20 @@ def stream_dedup_ingest(
         compact_dedup_index(
             spark, out_dir, threshold_rows=compact_threshold_rows
         )
+        # The dedup operators persist() scratch relations (shingle sets,
+        # exact-group structure — the latter includes the batch TEXT).
+        # Their contract says long-lived callers release between
+        # invocations; a continuous stream IS that caller, and without
+        # this the storage tier grows by ~2 cached relations per
+        # micro-batch for the stream's lifetime. Session-wide clear:
+        # this job owns its SparkSession (the corpus rows were
+        # localCheckpoint'ed above, so nothing this batch still needs
+        # lives in the cache).
+        from local_pubchem_db_spark.operators.util import (
+            release_shared_caches,
+        )
+
+        release_shared_caches(spark)
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint

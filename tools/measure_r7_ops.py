@@ -122,14 +122,12 @@ def main() -> None:
     release_shared_caches(spark)
 
     # --- streaming dedup ingest over the flood corpus, one batch ---
-    import tempfile as _tf
-
     from local_pubchem_db_spark.streaming import (
         read_corpus,
         stream_dedup_ingest,
     )
 
-    work = _tf.mkdtemp()
+    work = tempfile.mkdtemp()
     in_dir = os.path.join(work, "in")
     os.makedirs(in_dir)
     n_docs = docs.count()
