@@ -340,6 +340,17 @@ def minhash_lsh_dedup_pairs(
         buckets, ["band", "bucket"], max_bucket_size=max_bucket_size
     )
     rep_pairs = _verify_jaccard(cand, shingled, threshold)
+    # Warm-service fast path (r7 bench regression: the expansion joins ran
+    # every invocation even on corpora with no exact dups): groups is
+    # already cached eager, so ONE tiny agg over it sizes the dup set —
+    # zero dup groups means rep-level pairs ARE member-level pairs (every
+    # _m is the singleton [gid]) and the expansion is an identity we skip
+    # wholesale; a small dup set broadcast-hints the expansion joins so
+    # they run map-only instead of through AQE exchange stages; only a
+    # flood-sized dup set pays the full shuffle shape.
+    n_dup, dup_members = _dup_stats(groups)
+    if n_dup == 0:
+        return rep_pairs
     return _expand_rep_pairs(
         groups,
         rep_pairs,
@@ -349,6 +360,7 @@ def minhash_lsh_dedup_pairs(
         # emit no pairs (matching the brute-force null-jaccard exclusion)
         valid_gids=shingled.select(F.col("id").alias("gid")),
         cap=max_bucket_size,
+        broadcast_dups=dup_members <= _DUP_BROADCAST_LIMIT,
     )
 
 
@@ -377,6 +389,23 @@ def _exact_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+_DUP_BROADCAST_LIMIT = 1_000_000  # dup member ids that fit a broadcast
+
+
+def _dup_stats(groups: DataFrame) -> tuple[int, int]:
+    """(dup group count, total dup member ids) from an ``_exact_groups``
+    relation — one tiny agg over the (cached) groups, driving the
+    expansion fast paths: 0 dup groups lets callers skip the member
+    expansion outright; a small member total lets them broadcast it."""
+    n_dup, dup_members = groups.agg(
+        F.count(F.when(F.size("_ids") > 1, 1)),
+        F.coalesce(
+            F.sum(F.when(F.size("_ids") > 1, F.size("_ids"))), F.lit(0)
+        ),
+    ).first()
+    return n_dup, dup_members
+
+
 def _expand_rep_pairs(
     groups: DataFrame,
     rep_pairs: DataFrame,
@@ -384,6 +413,7 @@ def _expand_rep_pairs(
     intra_val: Column,
     valid_gids: DataFrame,
     cap: int | None,
+    broadcast_dups: bool = False,
 ) -> DataFrame:
     """Member-level (id1 < id2, val) pairs from representative-level
     pairs over ``_exact_groups``: cross-group pairs inherit the rep
@@ -393,33 +423,70 @@ def _expand_rep_pairs(
     ``cap`` bounds both expansions the way ``bounded_bucket_pairs``
     bounds buckets: an exact group above it contributes star+chain intra
     edges and a capped cross-membership — connectivity (so component
-    resolution) preserved, output volume bounded."""
-    members = groups.select(
+    resolution) preserved, output volume bounded.
+
+    Join shape: only DUP groups (size > 1) enter the expansion joins —
+    singleton groups expand to themselves, so a LEFT join + coalesce to
+    the rep's own id covers them without shipping the (corpus-sized)
+    full group relation through two joins. On typical corpora the dup
+    relation is a sliver of the groups; on a replica flood it is the
+    whole corpus and the joins shuffle exactly what they must.
+    ``broadcast_dups`` (caller gates it on the measured dup-member count)
+    hints every dup-side join relation as a broadcast, turning the whole
+    expansion map-only — the warm-service shape, where re-running AQE
+    exchange stages per invocation was the r7 bench regression."""
+    members = groups.filter(F.size("_ids") > 1).select(
         "gid",
         (F.col("_ids") if cap is None else F.slice("_ids", 1, cap)).alias(
             "_m"
         ),
     )
+    bcast = F.broadcast if broadcast_dups else (lambda d: d)
     cross = (
         rep_pairs.join(
-            members.select(F.col("gid").alias("id1"), F.col("_m").alias("_m1")),
+            bcast(
+                members.select(
+                    F.col("gid").alias("id1"), F.col("_m").alias("_m1")
+                )
+            ),
             "id1",
+            "left",
         )
         .join(
-            members.select(F.col("gid").alias("id2"), F.col("_m").alias("_m2")),
+            bcast(
+                members.select(
+                    F.col("gid").alias("id2"), F.col("_m").alias("_m2")
+                )
+            ),
             "id2",
+            "left",
         )
-        .select(F.explode("_m1").alias("a"), "_m2", val_col)
-        .select("a", F.explode("_m2").alias("b"), val_col)
+        .select(
+            "id2",
+            F.explode(F.coalesce("_m1", F.array("id1"))).alias("a"),
+            "_m2",
+            val_col,
+        )
+        .select(
+            "a",
+            F.explode(F.coalesce("_m2", F.array("id2"))).alias("b"),
+            val_col,
+        )
         .select(
             F.least("a", "b").alias("id1"),
             F.greatest("a", "b").alias("id2"),
             val_col,
         )
     )
-    dup_groups = groups.filter(F.size("_ids") > 1).join(
-        valid_gids, "gid", "left_semi"
-    )
+    dups = groups.filter(F.size("_ids") > 1)
+    if broadcast_dups:
+        # same relation as the semi join below, but with the SMALL side
+        # broadcast (Spark cannot broadcast the left of a left_semi):
+        # valid_gids has one row per gid, so the inner join is exactly
+        # "dups whose gid is valid"
+        dup_groups = valid_gids.join(F.broadcast(dups), "gid")
+    else:
+        dup_groups = dups.join(valid_gids, "gid", "left_semi")
     # same cap policy (and memory-safe exhaustive hybrid) as the bucket
     # expansion, via the one shared helper
     intra = _capped_pairs(dup_groups, ["gid"], cap).select(
@@ -877,6 +944,13 @@ def simhash_dedup_pairs(
         rep_ok = groups.filter(
             F.size(tokens(F.col("text"))) > 0
         ).select("gid")
+        # same warm-path gating as minhash_lsh_dedup_pairs: one tiny agg
+        # over the cached groups skips the expansion outright when there
+        # are no exact dups and broadcast-hints it when the dup set is
+        # small
+        n_dup, dup_members = _dup_stats(groups)
+        if n_dup == 0:
+            return rep_pairs
         return _expand_rep_pairs(
             groups,
             rep_pairs,
@@ -884,6 +958,7 @@ def simhash_dedup_pairs(
             intra_val=F.lit(0).cast("int"),
             valid_gids=rep_ok,
             cap=max_bucket_size,
+            broadcast_dups=dup_members <= _DUP_BROADCAST_LIMIT,
         )
     # SimHash as one vectorized map (see hashing.simhash_udf); shared():
     # the blocked self-join references the SimHash relation twice.

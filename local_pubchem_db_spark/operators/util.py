@@ -47,11 +47,35 @@ def shared(df: DataFrame, eager: bool = True) -> DataFrame:
     action). Long-lived sessions running many dedup/similarity operator
     invocations should call ``release_shared_caches(spark)`` (or
     ``spark.catalog.clearCache()``) between invocations — bench.py does.
+
+    Warm-service re-invocations: when an IDENTICAL plan is already in
+    the cache (Spark's CacheManager matches by canonicalized plan, so a
+    re-built operator plan over the same input hits the prior entry),
+    the eager count is skipped — this package's own contract is that
+    whoever cached it counted it, so the fill race the count exists to
+    prevent cannot recur, and MEMORY_AND_DISK entries spill rather than
+    evict, so a prior fill stays filled.
     """
+    if eager and _already_cached(df):
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
     if eager:
         out.count()
     return out
+
+
+def _already_cached(df: DataFrame) -> bool:
+    """True if the plan has a CacheManager entry (canonical-plan match)."""
+    try:
+        jspark = df.sparkSession._jsparkSession
+        return (
+            jspark.sharedState()
+            .cacheManager()
+            .lookupCachedData(df._jdf)
+            .isDefined()
+        )
+    except Exception:  # noqa: BLE001 — internal API probe, fail open
+        return False
 
 
 def release_shared_caches(spark) -> None:

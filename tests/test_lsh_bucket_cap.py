@@ -339,3 +339,36 @@ def test_collapse_equivalence_on_adversarial_corpus(spark):
         i1 not in nulls and i2 not in nulls for i1, i2, _ in sh_direct
     )
     assert (10, 11, 0) in sh_direct and (300, 301, 0) in sh_direct
+
+
+def test_collapse_fast_paths_match_shuffle_path(spark, monkeypatch):
+    """The r8 expansion fast paths must be plan-shape-only: (a) a corpus
+    with NO exact dups short-circuits the expansion and still equals the
+    direct path; (b) forcing the broadcast gate shut (limit=0) routes the
+    same corpus through the shuffle expansion with identical output."""
+    from local_pubchem_db_spark.operators import dedup as D
+
+    long_a = " ".join(f"alpha{i} beta gamma delta" for i in range(40))
+    nodup = spark.createDataFrame(
+        [(i, long_a + f" tail{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    mh = lambda df, c: sorted(
+        (r["id1"], r["id2"], round(r["jaccard"], 12))
+        for r in D.minhash_lsh_dedup_pairs(
+            df, "doc_id", "text", threshold=0.8, collapse_exact=c
+        ).collect()
+    )
+    assert mh(nodup, True) == mh(nodup, False)
+    assert len(mh(nodup, False)) > 0  # near-dups exist, exact dups don't
+
+    withdup = nodup.unionByName(
+        spark.createDataFrame(
+            [(100 + i, long_a + " tail0") for i in range(3)],
+            "doc_id long, text string",
+        )
+    )
+    want = mh(withdup, False)
+    assert mh(withdup, True) == want  # broadcast expansion path
+    monkeypatch.setattr(D, "_DUP_BROADCAST_LIMIT", 0)
+    assert mh(withdup, True) == want  # forced shuffle expansion path
