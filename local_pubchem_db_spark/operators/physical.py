@@ -174,7 +174,7 @@ def write_zordered(
     can only afford one physical sort order (the columnar answer to the
     reference's multiple secondary indexes, utils.py:334-341).
 
-    Mechanics (one pass + one range shuffle, no UDFs):
+    Mechanics (two stat passes + one hash shuffle, no UDFs):
     1. equi-depth cut points per column from ``approxQuantile`` at
        2**bits probabilities (driver-side: ``len(cols) * 2**bits``
        doubles — corpus-size independent);
@@ -182,14 +182,24 @@ def write_zordered(
        cut points (heap-order literal array + ``bits`` element_at
        probes), bits interleaved into a long (``interleave_bits``) —
        map-only codegen;
-    3. ``repartitionByRange`` + ``sortWithinPartitions`` on the z value
-       (the z column itself is dropped from the files).
+    3. DETERMINISTIC file routing: ``n_files - 1`` equi-depth cut
+       points of the z value itself (second ``approxQuantile`` pass),
+       a codegen'd binary search turns z into a file ordinal, and a
+       driver-computed hash-slot bijection maps each ordinal to a
+       value whose murmur3 hash lands in exactly that shuffle
+       partition — so ``repartition(n_files, route)`` places each z
+       range in its own file. ``repartitionByRange`` would plan the
+       same shape but draws its range boundaries from an UNSEEDED
+       per-run sample (RangePartitioner.sketch), so file boundaries —
+       and the footer min/max spans every pruning measurement rests
+       on — wiggled between runs (r7 flake); the quantile sketch is a
+       full-data pass at 0.001 accuracy, stable run to run.
 
     Skew: equi-depth ranks make the z distribution near-uniform even
-    for skewed inputs, so the range partitioner's sampled split points
-    stay balanced. Numeric, timestamp, and date columns are supported
-    (time dims rank by epoch seconds). Returns the sizing decision for
-    observability.
+    for skewed inputs, and the z-quantile routing splits whatever
+    residual mass correlation concentrates. Numeric, timestamp, and
+    date columns are supported (time dims rank by epoch seconds).
+    Returns the sizing decision for observability.
 
     Measured (40k rows, 200x200 decorrelated grid, 16 files, bits=6):
     a 5% x 5% box on both dims overlaps 3/16 row groups z-ordered vs
@@ -253,15 +263,69 @@ def write_zordered(
         for e, qs in zip(rank_exprs, quantiles)
     ]
     z = interleave_bits(buckets, bits)
+    zdf = df.withColumn("__z", z)
+    zcuts = (
+        zdf.approxQuantile(
+            "__z", [i / n_files for i in range(1, n_files)], 0.001
+        )
+        if n_files > 1
+        else []
+    )
+    if zcuts:
+        routed = zdf.withColumn(
+            "__route", _deterministic_route(df.sparkSession, zcuts, n_files)
+        ).repartition(n_files, "__route")
+    else:  # single file, or empty input (approxQuantile returns [])
+        routed = zdf.withColumn("__route", F.lit(0)).repartition(1)
     (
-        df.withColumn("__z", z)
-        .repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
+        routed.sortWithinPartitions("__z")
+        .drop("__z", "__route")
         .write.mode(mode)
         .parquet(path)
     )
     return {"n_files": n_files, "bits": bits, "cols": list(zorder_cols)}
+
+
+def _deterministic_route(spark, zcuts: list[float], n_files: int):
+    """long column routing each z to its equi-depth file: ordinal =
+    #{z-cut <= z} via the codegen'd heap binary search (cuts padded to
+    the next complete tree by repeating the max cut — every z past it
+    counts ALL pads, so ``least(ordinal, n_files - 1)`` folds the
+    padded ordinals back onto the last file), then a hash-slot value
+    per ordinal chosen so ``pmod(murmur3, n_files)`` — what
+    ``repartition(n, col)`` computes — is the IDENTITY on ordinals:
+    each file holds one contiguous z range, deterministically."""
+    r = len(zcuts)  # n_files - 1 real cuts
+    levels = max(1, r.bit_length())  # smallest L with 2^L - 1 >= r
+    padded = sorted(zcuts) + [max(zcuts)] * (2**levels - 1 - r)
+    ordinal = F.least(
+        _equidepth_bucket(F.col("__z"), padded, levels), F.lit(r)
+    )
+    slot_vals = _hash_slot_values(spark, n_files)
+    return F.element_at(
+        F.array(*[F.lit(int(v)).cast("long") for v in slot_vals]),
+        ordinal + F.lit(1),
+    )
+
+
+def _hash_slot_values(spark, n: int) -> list[int]:
+    """One long per shuffle slot i with ``pmod(hash(v), n) == i`` —
+    hash computed by Spark itself (murmur3, seed 42, LONG input: the
+    exact function HashPartitioning applies), so the mapping can never
+    drift from the engine. Tiny driver-side job: 64*n candidate ids
+    virtually always cover all n slots in one batch (miss probability
+    ~ n * e^-64 per batch)."""
+    slots: dict[int, int] = {}
+    start = 0
+    while len(slots) < n:
+        for row in (
+            spark.range(start, start + 64 * n)
+            .select("id", F.pmod(F.hash("id"), F.lit(n)).alias("s"))
+            .collect()
+        ):
+            slots.setdefault(row["s"], row["id"])
+        start += 64 * n
+    return [slots[i] for i in range(n)]
 
 
 def _spark_list_parquet(

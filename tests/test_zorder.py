@@ -225,3 +225,44 @@ def test_zorder_int96_guard_survives_trailing_date_column(spark, tmp_path):
     # with the session default (TIMESTAMP_MICROS) the same call succeeds
     write_zordered(df, str(tmp_path / "zok"), ["ts", "d"], n_files=2, bits=4)
     assert spark.read.parquet(str(tmp_path / "zok")).count() == 100
+
+
+def test_zorder_layout_is_deterministic(spark, tmp_path):
+    """Two writes of the same input must produce byte-stable layout
+    decisions: identical per-file row counts and identical footer-stats
+    overlap for a fixed box (the r7 flake was repartitionByRange's
+    unseeded boundary sampling wiggling file spans between runs)."""
+    df = spark.range(20000).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id", F.lit("dx")), F.lit(300)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit("dy")), F.lit(300)).alias("y"),
+    )
+
+    def layout(path):
+        write_zordered(df, path, ["x", "y"], n_files=8, bits=5)
+        sizes = sorted(
+            papq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(path, "*.parquet"))
+        )
+        frac = _overlap_fraction(path, [("x", 100, 120), ("y", 100, 120)])
+        return sizes, frac
+
+    a = layout(str(tmp_path / "za"))
+    b = layout(str(tmp_path / "zb"))
+    assert a == b
+
+
+def test_hash_slot_values_bijection(spark):
+    """Every shuffle slot gets exactly one routing value."""
+    from local_pubchem_db_spark.operators.physical import _hash_slot_values
+
+    for n in (2, 7, 16, 33):
+        vals = _hash_slot_values(spark, n)
+        assert len(vals) == n == len(set(vals))
+        got = [
+            r["s"]
+            for r in spark.createDataFrame(
+                [(int(v),) for v in vals], "v long"
+            ).select(F.pmod(F.hash("v"), F.lit(n)).alias("s")).collect()
+        ]
+        assert got == list(range(n))
