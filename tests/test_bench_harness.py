@@ -105,3 +105,51 @@ def test_emit_compact_record_is_last_line_and_bounded(tmp_path):
     # a second emit appends seq002, not overwrite
     emit(out, stream=io.StringIO(), record_dir=str(tmp_path / "bench_artifacts"))
     assert (tmp_path / "bench_artifacts" / "BENCH_sf0.1_seq002.json").exists()
+
+
+def test_compute_drift_normalization_arithmetic():
+    """Normalized drift = raw drift / host-drift factor: a query that is
+    1.3x slower on a host whose calibration also ran 1.3x slower has
+    normalized drift 1.0 (pure host noise); an isolated regression keeps
+    its ratio. No calibration on either side -> normalized is None."""
+    from bench import compute_drift
+
+    timings = {"q1": 1.3, "q2": 2.6, "q3": 0.5}
+    prev = {"q1": 1.0, "q2": 1.0, "q4": 9.9}
+    raw, norm = compute_drift(timings, prev, cal=0.26, prev_cal=0.2)
+    assert raw == {"q1": 1.3, "q2": 2.6}  # q3/q4 unmatched -> dropped
+    assert norm == {"q1": 1.0, "q2": 2.0}  # host factor 1.3 divided out
+    raw2, norm2 = compute_drift(timings, prev)
+    assert raw2 == raw and norm2 is None
+    # prev artifact without calibration (pre-r8): raw only
+    assert compute_drift(timings, prev, cal=0.3, prev_cal=None)[1] is None
+
+
+def test_emit_keeps_calibration_in_compact_record(tmp_path):
+    """The compact (driver-parsed) record must carry `calibration` —
+    next round's normalization reads it from the parsed payload — while
+    calibration_runs / host_drift / normalized drift stay diagnostics."""
+    import io
+
+    from bench import emit
+
+    out = {
+        "metric": "headline_total",
+        "value": 9.1,
+        "unit": "sec",
+        "queries": {"q1": 0.5},
+        "calibration": 0.21,
+        "calibration_runs": [0.5, 0.22, 0.21],
+        "host_drift": 1.05,
+        "drift_vs_prev_normalized": {"q1": 1.0},
+        "sf": 0.1,
+    }
+    buf = io.StringIO()
+    emit(out, stream=buf)
+    lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
+    last = json.loads(lines[-1])
+    assert last["calibration"] == 0.21
+    assert "calibration_runs" not in last and "host_drift" not in last
+    diag = json.loads(lines[0])["diagnostics"]
+    assert diag["calibration_runs"] and diag["host_drift"] == 1.05
+    assert diag["drift_vs_prev_normalized"] == {"q1": 1.0}
