@@ -98,10 +98,14 @@ def clean_corpus(
     target corpus, scored on the FINAL cleaned text. Selected rows carry
     ``dsir_logweight`` / ``dsir_score`` through to chunks.
 
-    Laziness caveat: with ``dsir_target`` set, construction runs ONE
-    eager check — featurizing the (small, by contract) TARGET corpus to
-    fail fast on a token-less target. No job ever touches the raw/
-    deduped corpus until a returned stage is acted on.
+    Laziness caveat: CONSTRUCTION RUNS JOBS over the corpus. The
+    near-dedup stage caches its shingle relation eagerly
+    (``shared(eager=True)`` — one serial pass beats the sibling-subtree
+    race that recomputes the shingle UDF up to 3x) and resolves
+    connected components iteratively at call time; with ``dsir_target``
+    set there is additionally one eager featurization of the (small, by
+    contract) target corpus to fail fast on a token-less target. Ask
+    for this function only when you intend to run the pipeline.
     """
     # Fail fast on null ids: a null doc_id would silently vanish in the
     # exact-dedup semi-join (min() skips nulls, the join never matches) —

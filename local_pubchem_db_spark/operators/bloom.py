@@ -56,76 +56,151 @@ def bloom_build(
     key_col: str,
     n_bits: int = 1 << 24,
     k: int = 5,
-    build_partitions: int = 32,
+    build_partitions: int | None = None,
     fold_fanin: int = 8,
+    chunk_bytes: int = 1 << 23,
+    partition_by_chunk: bool = False,
 ) -> bytes:
     """Bitmap (``n_bits/8`` bytes) with every key's k positions set.
 
-    One narrow projection to positions, one shuffle down to
-    ``build_partitions`` tasks, one bitmap partial per task — then an
-    executor-side tree fold (fan-in ``fold_fanin`` per level) ORs the
-    partials down to ONE bitmap before the collect, so driver traffic is
-    a single ``n_bits/8``-byte row regardless of ``build_partitions``
-    (the r6 shape collected every partial: at the 2^32-bit sizing the
-    docstring motivates that was 16 GiB to the driver). Each fold level
-    is a repartition (a real shuffle barrier, so the parallel set_bits
-    stage is NOT serialized the way ``coalesce(1)`` would) followed by
-    a mapInPandas OR. Bytes are identical for any input partitioning or
-    row order (bit-OR is commutative)."""
+    Default shape is MAP-ONLY up to the one-row partials: positions are
+    computed and OR-ed into a per-task bitmap on the key relation's
+    NATURAL partitions — the position stream (n_keys x k longs, the
+    dominant data volume) never shuffles (the r7 shape repartitioned it
+    first: one full Exchange bought nothing the fold doesn't already
+    absorb). Partials are emitted as ``chunk_bytes``-sized chunk rows,
+    then an executor-side tree fold (fan-in ``fold_fanin`` per level,
+    each level a real repartition barrier so set_bits stays parallel)
+    ORs them down to one row per chunk before the collect — driver
+    traffic is ``n_bits/8`` bytes total regardless of how many scan
+    partitions the corpus has. Bytes are identical for any input
+    partitioning or row order (bit-OR is commutative).
+
+    Memory ceiling: each build task allocates the FULL ``n_bits/8``
+    bitmap, so concurrent-tasks x bitmap bytes must fit the executor —
+    fine through ~2^28 bits (32 MiB x 32 tasks = 1 GiB), not at 2^32
+    (512 MiB/task). Past that, ``partition_by_chunk=True`` trades ONE
+    shuffle of the position stream (hash by chunk index) for per-task
+    allocations of only the chunks it owns (~``chunk_bytes``), and
+    needs no fold at all: every chunk's positions land in one task, so
+    the partials ARE the final per-chunk rows. Shuffled rows never
+    exceed ``chunk_bytes`` in either mode (the ADVICE-r7 concern: a
+    2^32-bit fold moved 512 MiB rows through Arrow).
+
+    ``build_partitions`` (optional) repartitions the position stream to
+    exactly that many tasks first — the legacy shape, still useful to
+    raise parallelism when the key relation is a single partition.
+    """
     if n_bits % 8 != 0 or n_bits <= 0:
         raise ValueError("n_bits must be a positive multiple of 8")
     if k < 1:
         raise ValueError("k must be >= 1")
     if fold_fanin < 2:
         raise ValueError("fold_fanin must be >= 2")
-    pos = (
-        keys.select(
-            F.explode(_positions(F.col(key_col), n_bits, k)).alias("pos")
+    if chunk_bytes < 1:
+        raise ValueError("chunk_bytes must be >= 1")
+    n_bytes = n_bits // 8
+    chunk_bytes = min(chunk_bytes, n_bytes)
+    n_chunks = -(-n_bytes // chunk_bytes)
+    pos = keys.select(
+        F.explode(_positions(F.col(key_col), n_bits, k)).alias("pos")
+    )
+    if partition_by_chunk and n_chunks > 1:
+        chunk_col = F.floor(
+            F.shiftright(F.col("pos"), 3) / F.lit(chunk_bytes)
+        ).cast("int")
+        pos = pos.withColumn("chunk", chunk_col).repartition(
+            n_chunks, "chunk"
         )
-        .repartition(build_partitions)
-    )
 
-    def set_bits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bitmap = np.zeros(n_bits // 8, dtype=np.uint8)
-        for b in batches:
-            p = b["pos"].to_numpy(dtype=np.int64)
-            np.bitwise_or.at(bitmap, p >> 3, (1 << (p & 7)).astype(np.uint8))
-        yield pd.DataFrame({"partial": [bitmap.tobytes()]})
+        def set_chunk_bits(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            accs: dict[int, np.ndarray] = {}
+            for b in batches:
+                p = b["pos"].to_numpy(dtype=np.int64)
+                for c in np.unique(b["chunk"].to_numpy(dtype=np.int64)):
+                    size = min(chunk_bytes, n_bytes - c * chunk_bytes)
+                    acc = accs.setdefault(
+                        int(c), np.zeros(size, dtype=np.uint8)
+                    )
+                    sel = p[(b["chunk"] == c).to_numpy()]
+                    off = sel - c * chunk_bytes * 8
+                    np.bitwise_or.at(
+                        acc, off >> 3, (1 << (off & 7)).astype(np.uint8)
+                    )
+            for c, acc in accs.items():
+                yield pd.DataFrame({"chunk": [c], "partial": [acc.tobytes()]})
 
-    partials = pos.mapInPandas(set_bits, "partial binary")
-    folded = _tree_or_fold(
-        partials, n_bits // 8, build_partitions, fold_fanin
-    )
-    rows = folded.collect()
-    out = np.zeros(n_bits // 8, dtype=np.uint8)
-    for r in rows:  # exactly one row after the fold; loop kept for safety
-        out |= np.frombuffer(r["partial"], dtype=np.uint8)
+        # all positions of a chunk share one task: partials are final
+        folded = pos.mapInPandas(set_chunk_bits, "chunk int, partial binary")
+    else:
+        if build_partitions is not None:
+            pos = pos.repartition(build_partitions)
+
+        def set_bits(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            bitmap = np.zeros(n_bytes, dtype=np.uint8)
+            seen = False
+            for b in batches:
+                if not len(b):
+                    continue
+                seen = True
+                p = b["pos"].to_numpy(dtype=np.int64)
+                np.bitwise_or.at(
+                    bitmap, p >> 3, (1 << (p & 7)).astype(np.uint8)
+                )
+            if not seen:
+                return  # empty partition: contribute nothing
+            for c in range(n_chunks):
+                chunk = bitmap[c * chunk_bytes : (c + 1) * chunk_bytes]
+                if chunk.any():
+                    yield pd.DataFrame(
+                        {"chunk": [c], "partial": [chunk.tobytes()]}
+                    )
+
+        partials = pos.mapInPandas(set_bits, "chunk int, partial binary")
+        width = max(1, pos.rdd.getNumPartitions())
+        folded = _tree_or_fold(partials, width, fold_fanin, n_chunks)
+    out = np.zeros(n_bytes, dtype=np.uint8)
+    for r in folded.collect():  # <= n_chunks rows, n_bytes total
+        c = r["chunk"]
+        part = np.frombuffer(r["partial"], dtype=np.uint8)
+        out[c * chunk_bytes : c * chunk_bytes + len(part)] |= part
     return out.tobytes()
 
 
 def _tree_or_fold(
-    partials: DataFrame, n_bytes: int, width: int, fanin: int
+    partials: DataFrame, width: int, fanin: int, n_chunks: int = 1
 ) -> DataFrame:
-    """OR ``width`` one-row bitmap partials down to a single row with
-    log_fanin(width) repartition+mapInPandas levels. All traffic stays
-    executor-side; the final relation holds one bitmap row."""
+    """OR chunk-keyed bitmap partials — at most ``width`` rows per
+    chunk — down to ONE row per chunk, executor-side. Intermediate
+    levels are round-robin repartitions to the next width (per-chunk
+    row count is bounded by the partition count, so each level divides
+    it by ~``fanin``); the last level hashes by chunk so every chunk's
+    surviving rows merge in a single task. Per-task memory is the
+    chunks it sees times the chunk size."""
 
     def or_fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc = None
+        accs: dict[int, np.ndarray] = {}
         for b in batches:
-            for buf in b["partial"]:
+            for c, buf in zip(b["chunk"], b["partial"]):
                 arr = np.frombuffer(buf, dtype=np.uint8)
-                acc = arr.copy() if acc is None else acc | arr
-        if acc is None:  # round-robin can leave a partition empty
-            acc = np.zeros(n_bytes, dtype=np.uint8)
-        yield pd.DataFrame({"partial": [acc.tobytes()]})
+                if int(c) in accs:
+                    accs[int(c)] |= arr
+                else:
+                    accs[int(c)] = arr.copy()
+        for c, acc in accs.items():
+            yield pd.DataFrame({"chunk": [c], "partial": [acc.tobytes()]})
 
-    while width > 1:
+    schema = "chunk int, partial binary"
+    while width > fanin:
         width = -(-width // fanin)
-        partials = partials.repartition(width).mapInPandas(
-            or_fold, "partial binary"
-        )
-    return partials
+        partials = partials.repartition(width).mapInPandas(or_fold, schema)
+    return partials.repartition(n_chunks, "chunk").mapInPandas(
+        or_fold, schema
+    )
 
 
 def bloom_broadcast(df: DataFrame, bitmap: bytes):

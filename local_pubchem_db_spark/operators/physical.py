@@ -351,7 +351,7 @@ def table_health(
     spark: SparkSession,
     path: str,
     stats_cols: list[str] | None = None,
-    files: list[str] | None = None,
+    files: list[str | tuple[str, int]] | None = None,
     listing: str = "auto",
 ) -> DataFrame:
     """One row per parquet file: physical-layout health of a table the

@@ -39,11 +39,11 @@ def test_bitmap_bytes_partition_invariant(spark):
 
 
 def test_tree_fold_collects_exactly_one_partial(spark):
-    """Driver traffic must be ONE bitmap row regardless of
-    build_partitions: the tree fold reduces the partials executor-side
-    through real shuffle barriers (repartition levels, so the parallel
-    set_bits stage is not serialized), and the folded bytes match a
-    single-partition build exactly."""
+    """Driver traffic must be ONE bitmap's worth of rows regardless of
+    how many partials the build produced: the tree fold reduces them
+    executor-side through real shuffle barriers (repartition levels, so
+    the parallel set_bits stage is not serialized), and the folded bytes
+    match a single-partition build exactly."""
     import numpy as np
     import pandas as pd
 
@@ -51,7 +51,6 @@ def test_tree_fold_collects_exactly_one_partial(spark):
 
     keys = spark.range(0, 3000).select(F.col("id").alias("key"))
     # byte-identity across fold shapes, including a multi-level tree
-    # (32 partials at fanin 4 -> 8 -> 2 -> 1: three levels)
     b_flat = bloom_build(keys, "key", n_bits=N_BITS, k=K, build_partitions=1)
     b_tree = bloom_build(
         keys, "key", n_bits=N_BITS, k=K, build_partitions=32, fold_fanin=4
@@ -61,9 +60,14 @@ def test_tree_fold_collects_exactly_one_partial(spark):
     # the folded relation itself: one row, and the plan shows the
     # executor-side fold levels (repartition Exchanges + MapInPandas)
     partials = spark.createDataFrame(
-        pd.DataFrame({"partial": [bytes([1 << i] + [0] * 7) for i in range(8)]})
+        pd.DataFrame(
+            {
+                "chunk": [0] * 8,
+                "partial": [bytes([1 << i] + [0] * 7) for i in range(8)],
+            }
+        )
     )
-    folded = _tree_or_fold(partials, 8, width=8, fanin=2)
+    folded = _tree_or_fold(partials, width=8, fanin=2)
     rows = folded.collect()
     assert len(rows) == 1
     assert np.frombuffer(rows[0]["partial"], dtype=np.uint8)[0] == 0xFF
@@ -74,9 +78,58 @@ def test_tree_fold_collects_exactly_one_partial(spark):
         .toString()
         .split("== Initial Plan ==")[0]
     )
-    assert plan.count("MapInPandas") == 3  # 8 -> 4 -> 2 -> 1
+    assert plan.count("MapInPandas") == 3  # 8 -> 4 -> 2 -> by-chunk 1
     with pytest.raises(ValueError):
         bloom_build(keys, "key", n_bits=N_BITS, fold_fanin=1)
+
+
+def test_map_only_build_no_exchange_before_partials(spark):
+    """The default build must NOT shuffle the position stream: partials
+    are computed on the key relation's natural partitions, so the only
+    Exchanges in the whole build plan are the one-row fold levels ABOVE
+    the first MapInPandas (r8: the r7 shape repartitioned n_keys x k
+    longs first)."""
+    from local_pubchem_db_spark.operators.bloom import _positions
+
+    keys = spark.range(0, 3000, 1, 7).select(F.col("id").alias("key"))
+    pos = keys.select(
+        F.explode(_positions(F.col("key"), N_BITS, K)).alias("pos")
+    )
+    plan = pos._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # position stream is map-only
+    # end-to-end: natural-partition build == legacy repartitioned build
+    assert bloom_build(keys, "key", n_bits=N_BITS, k=K) == bloom_build(
+        keys, "key", n_bits=N_BITS, k=K, build_partitions=5
+    )
+
+
+def test_chunked_and_partition_by_chunk_builds_identical(spark):
+    """Chunked partial rows (chunk_bytes < n_bytes) and the
+    partition-by-chunk shuffle mode must produce byte-identical bitmaps
+    to the single-chunk build — and a probe over them sees no false
+    negatives."""
+    keys = spark.range(0, 4000, 1, 9).select(F.col("id").alias("key"))
+    whole = bloom_build(keys, "key", n_bits=N_BITS, k=K)
+    chunked = bloom_build(
+        keys, "key", n_bits=N_BITS, k=K, chunk_bytes=N_BITS // 8 // 5
+    )
+    sharded = bloom_build(
+        keys,
+        "key",
+        n_bits=N_BITS,
+        k=K,
+        chunk_bytes=N_BITS // 8 // 5,
+        partition_by_chunk=True,
+    )
+    assert whole == chunked == sharded
+    probe = spark.range(0, 4000).select(F.col("id").alias("key"))
+    got = {
+        r["key"]
+        for r in probe.filter(
+            bloom_contains(probe, "key", sharded, k=K)
+        ).collect()
+    }
+    assert got == set(range(4000))
 
 
 def test_bloom_contains_accepts_broadcast_handle(spark):
