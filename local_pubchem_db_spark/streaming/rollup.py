@@ -110,32 +110,78 @@ def _checkpoint_watermark_ms(checkpoint_dir: str) -> int | None:
         return None
 
 
-_FRONTIER_FILE = "_frontier.json"  # "_"-prefixed: invisible to data scans
+_FRONTIER_FILE = "_frontier.json"  # legacy (r7) sidecar, still readable
+# Marker protocol: the watermark rides in the FILENAME, so the write is
+# atomic wherever file CREATION is atomic — POSIX and object stores
+# alike — with no rename semantics required (the r7 tmp + os.replace
+# silently degraded the "exact cutoff by default" claim off-POSIX).
+# "_"-prefixed: invisible to Spark data scans. Zero-padded so the files
+# also sort numerically for humans.
+_MARKER_RE = None  # compiled lazily below
+
+
+def _marker_wm(name: str) -> int | None:
+    global _MARKER_RE
+    if _MARKER_RE is None:
+        import re
+
+        _MARKER_RE = re.compile(r"_frontier-(\d{1,20})\.json")
+    m = _MARKER_RE.fullmatch(name)
+    return int(m.group(1)) if m else None
 
 
 def _write_frontier(rollup_dir: str, wm_ms: int) -> None:
-    """Atomically record the committed watermark beside the rollup data
-    (tmp + rename, so readers never see a torn file). Best-effort: on a
-    store without POSIX rename semantics callers should pass the
-    checkpoint dir to ``hourly_rollup_with_realtime`` instead."""
+    """Record the committed watermark beside the rollup as a marker
+    file ``_frontier-<wm_ms>.json``; readers take the max over markers,
+    so a torn CONTENT write can never corrupt the value and concurrent
+    retries only leave superseded markers (cleaned best-effort here).
+
+    Raises RuntimeError on failure — LOUDLY, because a silently missing
+    sidecar would demote every default-mode realtime reader to the
+    legacy last-bucket cutoff, where beyond-watermark stragglers can
+    transiently surface. The rollup data itself is already committed
+    when this runs; on stores the driver cannot write through ``os``
+    (e.g. ``s3a://`` URIs), pass ``checkpoint_dir`` to
+    ``hourly_rollup_with_realtime`` and ignore the sidecar entirely."""
     import json
     import os
-    import tempfile
 
+    path = os.path.join(rollup_dir, f"_frontier-{wm_ms:020d}.json")
     try:
         os.makedirs(rollup_dir, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=rollup_dir, prefix="._frontier-")
-        with os.fdopen(fd, "w") as fh:
-            json.dump({"batchWatermarkMs": wm_ms}, fh)
-        os.replace(tmp, os.path.join(rollup_dir, _FRONTIER_FILE))
-    except OSError:
-        pass
+        if not os.path.exists(path):
+            with open(path, "w") as fh:
+                json.dump({"batchWatermarkMs": wm_ms}, fh)
+    except OSError as e:
+        raise RuntimeError(
+            f"could not write the rollup frontier marker {path!r}: {e}. "
+            "The rollup data IS committed; only the exact-cutoff sidecar "
+            "failed. Real-time readers on this rollup must pass "
+            "checkpoint_dir to hourly_rollup_with_realtime (or fix the "
+            "rollup dir so the driver can create files in it)."
+        ) from e
+    for fn in os.listdir(rollup_dir):  # drop superseded markers
+        wm = _marker_wm(fn)
+        if wm is not None and wm < wm_ms:
+            try:
+                os.unlink(os.path.join(rollup_dir, fn))
+            except OSError:
+                pass
 
 
 def _read_frontier(rollup_dir: str) -> int | None:
+    """Max watermark over the marker files; falls back to the legacy
+    r7 ``_frontier.json`` content for rollups written by older code."""
     import json
     import os
 
+    try:
+        names = os.listdir(rollup_dir)
+    except OSError:
+        return None
+    marks = [wm for fn in names if (wm := _marker_wm(fn)) is not None]
+    if marks:
+        return max(marks) or None
     try:
         with open(os.path.join(rollup_dir, _FRONTIER_FILE)) as fh:
             return int(json.load(fh)["batchWatermarkMs"]) or None

@@ -220,7 +220,10 @@ def test_checkpoint_watermark_cutoff_excludes_dropped_stragglers(
     # legacy fallback (foreign rollup, no sidecar): cutoff = last bucket
     # end = 02:00, so the dropped straggler transiently surfaces — the
     # documented gap now requires opting INTO
-    os.remove(os.path.join(rollup_dir, "_frontier.json"))
+    import glob as _glob
+
+    for f in _glob.glob(os.path.join(rollup_dir, "_frontier*")):
+        os.remove(f)
     fallback = hourly_rollup_with_realtime(spark, rollup_dir, raw).collect()
     assert sorted((r["hour_start"].hour, r["n"]) for r in fallback) == [
         (1, 1),
@@ -266,3 +269,59 @@ def test_watermark_ignores_uncommitted_offsets(spark, tmp_path):
         fh.write(json.dumps({"batchWatermarkMs": 2_000_000_000_000}) + "\n")
         fh.write("{}\n")
     assert _checkpoint_watermark(ckpt) == wm_before
+
+
+def test_frontier_marker_protocol_needs_no_rename(tmp_path, monkeypatch):
+    """The sidecar must work where os.replace semantics don't exist
+    (object stores): the marker protocol creates files only — prove it
+    by making rename explode — the value rides the NAME so torn content
+    can't corrupt it, superseded markers are cleaned, and the legacy r7
+    _frontier.json is still readable."""
+    import os as _os
+
+    from local_pubchem_db_spark.streaming.rollup import (
+        _read_frontier,
+        _write_frontier,
+    )
+
+    def boom(*a, **k):  # any rename-family call = protocol violation
+        raise AssertionError("frontier protocol must not rename")
+
+    monkeypatch.setattr(_os, "replace", boom)
+    monkeypatch.setattr(_os, "rename", boom)
+
+    d = str(tmp_path / "rollup")
+    _write_frontier(d, 1_700_000_000_000)
+    assert _read_frontier(d) == 1_700_000_000_000
+    _write_frontier(d, 1_700_003_600_000)  # advance: old marker cleaned
+    assert _read_frontier(d) == 1_700_003_600_000
+    markers = [f for f in _os.listdir(d) if f.startswith("_frontier-")]
+    assert len(markers) == 1
+    # torn-content marker: value still resolves from the filename
+    with open(_os.path.join(d, "_frontier-00001700007200000.json"), "w") as fh:
+        fh.write('{"batchWater')  # torn mid-write
+    assert _read_frontier(d) == 1_700_007_200_000
+
+    # legacy r7 sidecar (no markers): content read as before
+    legacy = str(tmp_path / "old")
+    _os.makedirs(legacy)
+    with open(_os.path.join(legacy, "_frontier.json"), "w") as fh:
+        fh.write('{"batchWatermarkMs": 42000}')
+    assert _read_frontier(legacy) == 42000
+
+
+def test_frontier_write_failure_is_loud(tmp_path):
+    """A rollup dir the driver cannot create files in must raise with
+    guidance (pass checkpoint_dir), never silently demote default-mode
+    readers to the legacy last-bucket cutoff."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from local_pubchem_db_spark.streaming.rollup import _write_frontier
+
+    blocker = tmp_path / "blocker"
+    blocker.write_text("not a directory")
+    d = str(blocker / "rollup")  # creating files here must fail
+    with _pytest.raises(RuntimeError, match="checkpoint_dir"):
+        _write_frontier(d, 1_700_000_000_000)
