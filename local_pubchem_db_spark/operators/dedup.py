@@ -598,7 +598,14 @@ def incremental_minhash_new_ids(
     the keep-set is provably preserved.
     """
     groups = _exact_groups(batch, id_col, text_col) if collapse_exact else None
+    n_dup = dup_members = 0
     if collapse_exact:
+        # one tiny agg over the (cached) groups relation gates both
+        # expansions below: a batch with no exact dups skips them
+        # entirely (rep ids ARE the member ids), a small dup set
+        # broadcast-hints the member expansion — same policy as
+        # minhash_lsh_dedup_pairs
+        n_dup, dup_members = _dup_stats(groups)
         reps = groups.select(F.col("gid").alias("id"), "text")
         shingled = _with_shingles(reps, "id", "text", shingle_len)
     else:
@@ -625,14 +632,22 @@ def incremental_minhash_new_ids(
         for h in hit_ids[1:]:
             vs_history = vs_history.unionByName(h)
         vs_history = vs_history.distinct()
-        if collapse_exact:
+        if collapse_exact and n_dup:
             # a rep-level hit means every member of its exact group
             # would have hit (identical signatures -> identical
-            # buckets): expand with the FULL member list, never capped
+            # buckets): expand with the FULL member list, never capped.
+            # With zero dup groups the join is the identity — skipped.
+            dups = groups.filter(F.size("_ids") > 1).select("gid", "_ids")
+            if dup_members <= _DUP_BROADCAST_LIMIT:
+                dups = F.broadcast(dups)
             vs_history = (
                 vs_history.withColumnRenamed("id", "gid")
-                .join(groups.select("gid", "_ids"), "gid")
-                .select(F.explode("_ids").alias("id"))
+                .join(dups, "gid", "left")
+                .select(
+                    F.explode(
+                        F.coalesce("_ids", F.array("gid"))
+                    ).alias("id")
+                )
             )
     else:  # no history at all — type-correct empty hit set
         vs_history = batch.select(F.col(id_col).alias("id")).limit(0)
@@ -643,7 +658,7 @@ def incremental_minhash_new_ids(
         buckets, ["band", "bucket"], max_bucket_size=max_bucket_size
     )
     vpairs = _verify_jaccard(cand, shingled, threshold)
-    if collapse_exact:
+    if collapse_exact and n_dup:
         vpairs = _expand_rep_pairs(
             groups,
             vpairs,
@@ -651,6 +666,7 @@ def incremental_minhash_new_ids(
             intra_val=F.lit(1.0),
             valid_gids=shingled.select(F.col("id").alias("gid")),
             cap=max_bucket_size,
+            broadcast_dups=dup_members <= _DUP_BROADCAST_LIMIT,
         )
     if quality_col is None:
         dup_in_batch = vpairs.select(F.col("id2").alias("id")).distinct()
