@@ -353,6 +353,7 @@ def table_health(
     stats_cols: list[str] | None = None,
     files: list[str | tuple[str, int]] | None = None,
     listing: str = "auto",
+    open_file=None,
 ) -> DataFrame:
     """One row per parquet file: physical-layout health of a table the
     engine wrote — the observability side of ``write_compacted`` /
@@ -385,9 +386,14 @@ def table_health(
     plain paths or ``(path, size)`` pairs; sizes from the Spark listing
     ride along so non-POSIX schemes never pay a driver stat. Footers
     are opened on executors with pyarrow, which resolves local paths
-    and ``file:``/cloud URIs it has a filesystem for; Hadoop-only
-    schemes (``s3a://``, ``hdfs://``) need ``files`` rewritten to a
-    pyarrow-resolvable form.
+    and ``file:``/cloud URIs it has a filesystem for. For schemes
+    pyarrow cannot resolve (``s3a://``, ``hdfs://``), pass
+    ``open_file``: a picklable callable ``(path) -> seekable binary
+    file-like`` (e.g. an s3fs/boto3 opener closed over credentials),
+    invoked ON EXECUTORS with each listed path — the footer read then
+    goes through the caller's filesystem while the listing still comes
+    from Spark. With ``open_file`` set, byte sizes come from the
+    listing or the handle itself, never a POSIX stat.
     """
     import os as _os
 
@@ -470,7 +476,15 @@ def table_health(
                 local = (
                     unquote(urlparse(f).path) if f.startswith("file:") else f
                 )
-                pf = _papq.ParquetFile(local)
+                if open_file is not None:
+                    fh = open_file(f)
+                    if size is None or _pd.isna(size):
+                        fh.seek(0, 2)
+                        size = fh.tell()
+                        fh.seek(0)
+                    pf = _papq.ParquetFile(fh)
+                else:
+                    pf = _papq.ParquetFile(local)
                 md = pf.metadata
                 # Map stats columns by parquet LEAF path, not arrow
                 # top-level position: row-group column indices run over

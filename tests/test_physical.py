@@ -322,3 +322,44 @@ def test_table_health_accepts_sized_files_without_stat(spark, tmp_path):
         spark, p, ["id"], files=[(f, 12345) for f, _ in fs]
     ).toPandas()
     assert (h2["bytes"] == 12345).all()
+
+
+def test_table_health_custom_open_file_for_foreign_schemes(spark, tmp_path):
+    """Schemes pyarrow cannot resolve (s3a://, hdfs://) route footer
+    reads through a caller-supplied opener, invoked on executors with
+    the listed path; sizes come from the listing or the handle, never a
+    POSIX stat. Proven with a fake scheme only the opener understands."""
+    import os as _os
+
+    from local_pubchem_db_spark.operators.physical import table_health
+
+    p = str(tmp_path / "t")
+    spark.range(100).select("id").coalesce(2).write.parquet(p)
+    real = sorted(
+        _os.path.join(p, fn)
+        for fn in _os.listdir(p)
+        if fn.endswith(".parquet")
+    )
+
+    def opener(path):  # executors call this with the fake-scheme path
+        assert path.startswith("fake://"), path
+        return open(path[len("fake://"):], "rb")
+
+    fake = [f"fake://{f}" for f in real]
+    h = table_health(spark, p, ["id"], files=fake, open_file=opener)
+    rows = h.toPandas().sort_values("file").reset_index(drop=True)
+    assert rows["rows"].sum() == 100
+    # sizes came from the handles (no listing sizes were given)
+    assert list(rows["bytes"]) == [
+        _os.path.getsize(f) for f in sorted(real, key=_os.path.basename)
+    ]
+    assert rows["id_has_stats"].all()
+    # baseline equality: same stats as the default pyarrow path
+    base = (
+        table_health(spark, p, ["id"])
+        .toPandas()
+        .sort_values("file")
+        .reset_index(drop=True)
+    )
+    for col in ("rows", "n_row_groups", "id_min", "id_max", "bytes"):
+        assert list(rows[col]) == list(base[col]), col
