@@ -16,16 +16,19 @@ Division of labor (keep the hash JVM-side, Python only touches bits):
 - bit positions are ``pmod(xxhash64(key, seed_i), n_bits)`` — computed
   by codegen'd expressions in BOTH build and probe, so the two sides
   can never disagree on the hash;
-- the build sets bits in a per-partition numpy bitmap inside
-  ``mapInPandas`` and emits ONE bitmap row per partition; the driver
-  ORs the partials (commutative — partitioning-invariant bytes);
+- the build sets bits in a per-task numpy bitmap inside
+  ``mapInPandas`` on the key relation's NATURAL partitions (map-only:
+  the position stream never shuffles), emitting chunk-bounded partial
+  rows that an executor-side tree fold ORs down to one row per chunk
+  (commutative — partitioning-invariant bytes);
 - the probe tests k positions per key against the broadcast bitmap in
   an Arrow-batched pandas UDF (a vectorized gather, no Python loop).
 
 Sizing: false-positive rate ~= (1 - e^{-k*n/m})^k for n keys, m bits,
-k probes; k=5, m=10n gives ~0.9%. Build driver traffic is one
-``n_bits/8``-byte partial per build partition — the build coalesces to
-``build_partitions`` (default 32) to bound it.
+k probes; k=5, m=10n gives ~0.9%. Driver traffic is ``n_bits/8``
+bytes total however many partitions the build ran on; see
+``bloom_build`` for the per-task memory ceiling and the
+``partition_by_chunk`` huge-bitmap mode.
 """
 
 from __future__ import annotations
@@ -99,6 +102,12 @@ def bloom_build(
         raise ValueError("fold_fanin must be >= 2")
     if chunk_bytes < 1:
         raise ValueError("chunk_bytes must be >= 1")
+    if partition_by_chunk and build_partitions is not None:
+        raise ValueError(
+            "build_partitions and partition_by_chunk are mutually "
+            "exclusive: the chunk mode partitions the position stream "
+            "by chunk index, so a row-count repartition cannot apply"
+        )
     n_bytes = n_bits // 8
     chunk_bytes = min(chunk_bytes, n_bytes)
     n_chunks = -(-n_bytes // chunk_bytes)
@@ -142,17 +151,13 @@ def bloom_build(
             batches: Iterator[pd.DataFrame],
         ) -> Iterator[pd.DataFrame]:
             bitmap = np.zeros(n_bytes, dtype=np.uint8)
-            seen = False
             for b in batches:
-                if not len(b):
-                    continue
-                seen = True
                 p = b["pos"].to_numpy(dtype=np.int64)
                 np.bitwise_or.at(
                     bitmap, p >> 3, (1 << (p & 7)).astype(np.uint8)
                 )
-            if not seen:
-                return  # empty partition: contribute nothing
+            # an empty partition sets no bits, so the any() guard below
+            # already makes it contribute nothing
             for c in range(n_chunks):
                 chunk = bitmap[c * chunk_bytes : (c + 1) * chunk_bytes]
                 if chunk.any():

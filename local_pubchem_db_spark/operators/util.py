@@ -2,8 +2,17 @@
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
+
+# plans (by semanticHash) this module eagerly filled, per session — the
+# gate that lets shared() skip its count ONLY for its own prior fills.
+# A hash collision is possible (32-bit) but requires the colliding plan
+# to ALSO be cache-resident, and the consequence is perf-only (a
+# skipped count = the pre-r8 fill race), never wrong data.
+_EAGER_FILLED: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
@@ -48,19 +57,24 @@ def shared(df: DataFrame, eager: bool = True) -> DataFrame:
     invocations should call ``release_shared_caches(spark)`` (or
     ``spark.catalog.clearCache()``) between invocations — bench.py does.
 
-    Warm-service re-invocations: when an IDENTICAL plan is already in
-    the cache (Spark's CacheManager matches by canonicalized plan, so a
-    re-built operator plan over the same input hits the prior entry),
-    the eager count is skipped — this package's own contract is that
-    whoever cached it counted it, so the fill race the count exists to
-    prevent cannot recur, and MEMORY_AND_DISK entries spill rather than
-    evict, so a prior fill stays filled.
+    Warm-service re-invocations: the eager count is skipped only when
+    THIS function already eagerly filled the identical plan in this
+    session (tracked by ``semanticHash``) AND the CacheManager still
+    holds it — then the fill race the count exists to prevent cannot
+    recur (our entries are MEMORY_AND_DISK: they spill rather than
+    evict, so a prior fill stays filled). A cache entry someone ELSE
+    created (``shared(eager=False)``, a caller's own ``persist()`` at
+    any storage level) is NOT proof of a fill, so it does not skip the
+    count — the hash gate is what keeps the lazy path honest.
     """
-    if eager and _already_cached(df):
+    session_filled = _EAGER_FILLED.setdefault(df.sparkSession, set())
+    h = df.semanticHash() if eager else None
+    if eager and h in session_filled and _already_cached(df):
         return df.persist(StorageLevel.MEMORY_AND_DISK)
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
     if eager:
         out.count()
+        session_filled.add(h)
     return out
 
 
@@ -81,5 +95,8 @@ def _already_cached(df: DataFrame) -> bool:
 def release_shared_caches(spark) -> None:
     """Drop every cached relation in the session — the release half of
     ``shared()``'s contract for long-lived sessions. Storage-only: does
-    not touch persisted tables or checkpoints."""
+    not touch persisted tables or checkpoints. Also forgets the
+    eager-fill ledger (the cache presence check would invalidate the
+    skip anyway; dropping the set keeps it from growing unboundedly)."""
     spark.catalog.clearCache()
+    _EAGER_FILLED.pop(spark, None)

@@ -136,6 +136,16 @@ def _write_frontier(rollup_dir: str, wm_ms: int) -> None:
     so a torn CONTENT write can never corrupt the value and concurrent
     retries only leave superseded markers (cleaned best-effort here).
 
+    The marker for THIS run's watermark is authoritative: every other
+    marker — lower (superseded) or HIGHER (stale, e.g. left behind by
+    a previous stream lifetime after an operator reset the checkpoint
+    and rebuilt the rollup) — is removed. A surviving stale high
+    marker would make the realtime view's raw-side cutoff overshoot
+    the true watermark, silently hiding live events from dashboards
+    until the new watermark caught up; the lower-bound markers are
+    merely redundant. Removal failure of a HIGHER marker is therefore
+    LOUD, like a write failure.
+
     Raises RuntimeError on failure — LOUDLY, because a silently missing
     sidecar would demote every default-mode realtime reader to the
     legacy last-bucket cutoff, where beyond-watermark stragglers can
@@ -160,13 +170,23 @@ def _write_frontier(rollup_dir: str, wm_ms: int) -> None:
             "checkpoint_dir to hourly_rollup_with_realtime (or fix the "
             "rollup dir so the driver can create files in it)."
         ) from e
-    for fn in os.listdir(rollup_dir):  # drop superseded markers
+    for fn in os.listdir(rollup_dir):
         wm = _marker_wm(fn)
-        if wm is not None and wm < wm_ms:
-            try:
-                os.unlink(os.path.join(rollup_dir, fn))
-            except OSError:
-                pass
+        if wm is None or wm == wm_ms:
+            continue
+        try:
+            os.unlink(os.path.join(rollup_dir, fn))
+        except OSError as e:
+            if wm > wm_ms:
+                raise RuntimeError(
+                    f"could not remove the STALE frontier marker {fn!r} "
+                    f"(watermark {wm} > current {wm_ms}): {e}. Readers "
+                    "take the max over markers, so leaving it would make "
+                    "the realtime view silently hide events newer than "
+                    "the true watermark; remove it manually or pass "
+                    "checkpoint_dir to hourly_rollup_with_realtime."
+                ) from e
+            # a lower (superseded) marker is harmless — best-effort
 
 
 def _read_frontier(rollup_dir: str) -> int | None:

@@ -256,3 +256,45 @@ def test_dsir_args_must_pair(spark):
     docs = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
     with _pytest.raises(ValueError, match="dsir_target and dsir_keep"):
         clean_corpus(docs, dsir_keep=5)
+
+
+def test_shared_skips_count_only_for_own_eager_fills(spark):
+    """shared(eager=True) may skip its fill-count ONLY when shared
+    itself eagerly filled the identical plan: a lazy shared() or a
+    caller's bare persist() creates a cache entry WITHOUT a fill, and
+    treating that as filled would resurrect the sibling-subtree
+    recompute race the count exists to prevent."""
+    from pyspark.sql import functions as F
+
+    from local_pubchem_db_spark.operators.util import (
+        release_shared_caches,
+        shared,
+    )
+
+    release_shared_caches(spark)
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("long")
+    def probe(x):
+        acc.add(1)
+        return x
+
+    def plan():
+        return spark.range(8, numPartitions=1).select(
+            probe(F.col("id")).alias("v")
+        )
+
+    # lazy entry exists -> eager shared() must STILL count (fill)
+    lazy = shared(plan(), eager=False)
+    assert acc.value == 0  # construction ran nothing
+    shared(plan(), eager=True)
+    assert acc.value == 8  # the fill actually ran
+    # now a genuine own-fill exists: the second eager call skips
+    shared(plan(), eager=True)
+    assert acc.value == 8
+    # releasing caches invalidates the skip: next eager call refills
+    release_shared_caches(spark)
+    shared(plan(), eager=True)
+    assert acc.value == 16
+    lazy.unpersist()
+    release_shared_caches(spark)

@@ -325,3 +325,24 @@ def test_frontier_write_failure_is_loud(tmp_path):
     d = str(blocker / "rollup")  # creating files here must fail
     with _pytest.raises(RuntimeError, match="checkpoint_dir"):
         _write_frontier(d, 1_700_000_000_000)
+
+
+def test_frontier_reset_supersedes_stale_high_marker(tmp_path):
+    """A checkpoint reset + rebuild produces a LOWER watermark than a
+    previous stream lifetime's marker. The current run's marker is
+    authoritative: stale HIGHER markers are removed on write, so the
+    realtime cutoff can never overshoot the true watermark and hide
+    live events."""
+    import os as _os
+
+    from local_pubchem_db_spark.streaming.rollup import (
+        _read_frontier,
+        _write_frontier,
+    )
+
+    d = str(tmp_path / "rollup")
+    _write_frontier(d, 5_000_000)  # old lifetime, far-ahead watermark
+    _write_frontier(d, 2_000_000)  # rebuilt stream, earlier watermark
+    assert _read_frontier(d) == 2_000_000
+    markers = [f for f in _os.listdir(d) if f.startswith("_frontier-")]
+    assert len(markers) == 1
