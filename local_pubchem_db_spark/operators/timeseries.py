@@ -1,0 +1,189 @@
+"""Time-series regularization: gap-fill an irregular event stream onto
+a fixed time grid per key, with LOCF / linear-interpolation fills — the
+TimescaleDB ``time_bucket_gapfill`` + ``locf()`` / ``interpolate()``
+family, the query-side complement of the continuous aggregate in
+``streaming/rollup.py`` (SURVEY.md §2 C11 extension: the reference's
+closest surface is the manifest's time-stamped incremental state,
+utils.py:292-334; dashboards over rollups need the EMPTY buckets too).
+
+Spark-first shape (no UDFs anywhere):
+
+1. observations bucket to the grid with epoch-millis arithmetic
+   (``floor(ts_millis / step) * step`` — unix-epoch-aligned exactly like
+   ``F.window``, immune to session timezone);
+2. each key generates its dense grid with ``sequence()`` + ``explode``
+   (bounded by its own [min, max] bucket, or a caller-pinned global
+   [start, end]) — rows out = keys x grid length, the inherent output
+   size;
+3. one left join plants observations on the grid (both sides share the
+   (key, bucket) shuffle key);
+4. fills are codegen'd windows per key ordered by bucket:
+   LOCF = ``last(value, ignorenulls)`` over the preceding frame;
+   linear = LOCF's prev (value, ts) + the mirrored ``first`` over the
+   following frame, combined with the fractional-position formula.
+
+Cost at scale: one shuffle for the join + one window sort per key —
+both partitioned by the key columns, so a 100 TB metric store fans out
+by series exactly like the sessionization operators. The grid explode
+is an array expression (codegen), never a driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _step_millis(step: str | int) -> int:
+    """Accept an integer millisecond step or a '5 minutes'-style
+    interval string (seconds/minutes/hours/days)."""
+    if isinstance(step, int):
+        if step <= 0:
+            raise ValueError("step must be positive")
+        return step
+    parts = step.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"step must be '<n> <unit>' or millis, got {step!r}")
+    n = int(parts[0])
+    unit = parts[1].rstrip("s").lower()
+    scale = {"second": 1000, "minute": 60_000, "hour": 3_600_000,
+             "day": 86_400_000}.get(unit)
+    if scale is None or n <= 0:
+        raise ValueError(f"unsupported step {step!r}")
+    return n * scale
+
+
+def gap_fill(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_cols: list[str],
+    step: str | int = "1 hour",
+    fill: str = "locf",
+    start=None,
+    end=None,
+) -> DataFrame:
+    """One row per (key, grid bucket) over a dense, fixed-step time
+    grid; buckets with no observation are filled per ``fill``:
+
+    - ``"null"``: planted as null (the honest gap marker);
+    - ``"locf"``: last observation carried forward (leading gaps stay
+      null — there is nothing to carry);
+    - ``"linear"``: linear interpolation between the surrounding
+      observations' TRUE event times (not bucket midpoints); leading /
+      trailing gaps fall back to the one-sided neighbor (= locf /
+      next-observation-carried-backward), matching TimescaleDB's
+      ``interpolate`` at the series edges.
+
+    Multiple observations in one bucket reduce to their mean (the
+    conventional downsample; feed pre-aggregated rollups to make this
+    moot). ``start`` / ``end`` (timestamps or epoch millis) pin a
+    GLOBAL grid for every key — a dashboard's x-axis — otherwise each
+    key spans its own [min, max]. Output: key columns,
+    ``bucket_start`` (timestamp), one column per value col, and
+    ``is_gap`` (true where no observation landed in the bucket).
+
+    Nulls: rows with a null timestamp or null key are dropped (a grid
+    position cannot be assigned); a null VALUE inside an observed
+    bucket behaves like a gap for filling purposes but keeps
+    ``is_gap`` false.
+    """
+    if fill not in ("null", "locf", "linear"):
+        raise ValueError(f"fill must be null|locf|linear, got {fill!r}")
+    if not key_cols or not value_cols:
+        raise ValueError("key_cols and value_cols must be non-empty")
+    ms = _step_millis(step)
+    t = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    bucket = (F.floor(t / F.lit(ms)) * F.lit(ms)).cast("long")
+    keys = [F.col(k) for k in key_cols]
+
+    obs = (
+        df.filter(F.col(ts_col).isNotNull())
+        .na.drop(subset=key_cols)
+        .select(
+            *keys,
+            bucket.alias("__b"),
+            t.alias("__t"),
+            *[F.col(v) for v in value_cols],
+        )
+        .groupBy(*key_cols, "__b")
+        .agg(
+            F.avg("__t").alias("__t"),
+            *[F.avg(v).alias(v) for v in value_cols],
+        )
+    )
+
+    lo = F.lit(_to_millis(start)) if start is not None else F.min("__b")
+    hi = F.lit(_to_millis(end)) if end is not None else F.max("__b")
+    grid = (
+        obs.groupBy(*key_cols)
+        .agg(
+            (F.floor(lo / F.lit(ms)) * F.lit(ms)).cast("long").alias("__lo"),
+            (F.floor(hi / F.lit(ms)) * F.lit(ms)).cast("long").alias("__hi"),
+        )
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence("__lo", "__hi", F.lit(ms).cast("long"))
+            ).alias("__b"),
+        )
+    )
+
+    joined = grid.join(obs, [*key_cols, "__b"], "left").withColumn(
+        "__gap", F.col("__t").isNull()
+    )
+
+    out_vals: list[Column] = []
+    if fill == "null":
+        out_vals = [F.col(v) for v in value_cols]
+    else:
+        w = Window.partitionBy(*key_cols).orderBy("__b")
+        prev_f = w.rowsBetween(Window.unboundedPreceding, 0)
+        next_f = w.rowsBetween(0, Window.unboundedFollowing)
+        for v in value_cols:
+            if fill == "locf":
+                out_vals.append(
+                    F.last(v, ignorenulls=True).over(prev_f).alias(v)
+                )
+                continue
+            # anchor (event time, value) as ONE struct so a bucket whose
+            # observation carried a null value can never contribute a
+            # time without a value (the pairs must move together)
+            pair = F.when(
+                F.col(v).isNotNull(),
+                F.struct(F.col("__t").alias("t"), F.col(v).alias("x")),
+            )
+            prev_s = F.last(pair, ignorenulls=True).over(prev_f)
+            next_s = F.first(pair, ignorenulls=True).over(next_f)
+            # grid midpoint of the bucket anchors the interpolation
+            mid = (F.col("__b") + F.lit(ms / 2.0)).cast("double")
+            same = prev_s["t"] == next_s["t"]  # at an observation
+            frac = (mid - prev_s["t"]) / (next_s["t"] - prev_s["t"])
+            interp = prev_s["x"] + (next_s["x"] - prev_s["x"]) * frac
+            out_vals.append(
+                F.when(F.col(v).isNotNull(), F.col(v))
+                .when(prev_s.isNull(), next_s["x"])  # leading gap
+                .when(next_s.isNull() | same, prev_s["x"])  # trailing
+                .otherwise(interp)
+                .alias(v)
+            )
+
+    return joined.select(
+        *key_cols,
+        F.timestamp_millis(F.col("__b")).alias("bucket_start"),
+        *out_vals,
+        F.col("__gap").alias("is_gap"),
+    )
+
+
+def _to_millis(v) -> int:
+    """Timestamp-ish -> epoch millis (int millis pass through)."""
+    if isinstance(v, int):
+        return v
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return int(v.timestamp() * 1000)
+    raise ValueError(f"start/end must be epoch millis or datetime, got {v!r}")

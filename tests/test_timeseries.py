@@ -1,0 +1,172 @@
+"""gap_fill: dense grid per key, LOCF / linear fills — pinned against a
+pure-pandas oracle and checked edge-by-edge (leading/trailing gaps,
+null values inside observed buckets, global pinned grids, plan shape).
+"""
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_pubchem_db_spark.operators.timeseries import gap_fill
+
+HOUR = 3_600_000
+
+
+def _ts(h, m=0):
+    return datetime(2024, 1, 1, h, m, tzinfo=timezone.utc)
+
+
+def _naive(h, m=0):
+    # Spark returns session-zone-naive datetimes (session pinned UTC)
+    return datetime(2024, 1, 1, h, m)
+
+
+def _rows(df):
+    return sorted(
+        (
+            r["key"],
+            r["bucket_start"],
+            None if r["v"] is None else round(r["v"], 9),
+            r["is_gap"],
+        )
+        for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def obs(spark):
+    # key a: hours 1, 4 (gap 2-3); key b: single observation
+    data = [
+        ("a", _ts(1, 0), 10.0),
+        ("a", _ts(4, 0), 40.0),
+        ("b", _ts(2, 30), 5.0),
+    ]
+    return spark.createDataFrame(data, "key string, ts timestamp, v double")
+
+
+def test_null_fill_plants_gaps(spark, obs):
+    got = _rows(gap_fill(obs, "ts", ["key"], ["v"], "1 hour", fill="null"))
+    assert got == [
+        ("a", _naive(1), 10.0, False),
+        ("a", _naive(2), None, True),
+        ("a", _naive(3), None, True),
+        ("a", _naive(4), 40.0, False),
+        ("b", _naive(2), 5.0, False),
+    ]
+
+
+def test_locf_carries_forward_only(spark, obs):
+    got = _rows(gap_fill(obs, "ts", ["key"], ["v"], "1 hour", fill="locf"))
+    assert got == [
+        ("a", _naive(1), 10.0, False),
+        ("a", _naive(2), 10.0, True),
+        ("a", _naive(3), 10.0, True),
+        ("a", _naive(4), 40.0, False),
+        ("b", _naive(2), 5.0, False),
+    ]
+
+
+def test_linear_interpolates_on_true_event_times(spark, obs):
+    got = _rows(gap_fill(obs, "ts", ["key"], ["v"], "1 hour", fill="linear"))
+    # anchors at t=01:00 (10.0) and t=04:00 (40.0); bucket midpoints
+    # 02:30 and 03:30 -> 10 + 30 * (1.5/3), 10 + 30 * (2.5/3)
+    assert got == [
+        ("a", _naive(1), 10.0, False),
+        ("a", _naive(2), 25.0, True),
+        ("a", _naive(3), 35.0, True),
+        ("a", _naive(4), 40.0, False),
+        ("b", _naive(2), 5.0, False),
+    ]
+
+
+def test_linear_edges_fall_back_one_sided(spark):
+    df = spark.createDataFrame(
+        [("k", _ts(2), 20.0), ("k", _ts(5), 50.0)],
+        "key string, ts timestamp, v double",
+    )
+    got = _rows(
+        gap_fill(
+            df, "ts", ["key"], ["v"], "1 hour", fill="linear",
+            start=_ts(0), end=_ts(7),
+        )
+    )
+    # leading gaps take the next observation, trailing the previous
+    assert [g for g in got if g[1] < _naive(2)] == [
+        ("k", _naive(0), 20.0, True),
+        ("k", _naive(1), 20.0, True),
+    ]
+    assert [g for g in got if g[1] > _naive(5)] == [
+        ("k", _naive(6), 50.0, True),
+        ("k", _naive(7), 50.0, True),
+    ]
+
+
+def test_null_value_in_observed_bucket_fills_but_not_gap(spark):
+    df = spark.createDataFrame(
+        [("k", _ts(1), 10.0), ("k", _ts(2), None), ("k", _ts(3), 30.0)],
+        "key string, ts timestamp, v double",
+    )
+    locf = _rows(gap_fill(df, "ts", ["key"], ["v"], "1 hour", fill="locf"))
+    assert locf == [
+        ("k", _naive(1), 10.0, False),
+        ("k", _naive(2), 10.0, False),  # filled, but NOT a grid gap
+        ("k", _naive(3), 30.0, False),
+    ]
+    lin = _rows(gap_fill(df, "ts", ["key"], ["v"], "1 hour", fill="linear"))
+    # bucket-2 midpoint is 02:30 between anchors 01:00/03:00 -> 0.75
+    assert lin[1] == ("k", _naive(2), 25.0, False)
+
+
+def test_multiple_obs_per_bucket_average_and_pandas_oracle(spark):
+    """Randomized series vs an independent pandas implementation."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(29)
+    rows = []
+    for key in ("x", "y", "z"):
+        t = 0
+        for _ in range(40):
+            t += int(rng.integers(1, 4 * HOUR))
+            rows.append(
+                (key, datetime.fromtimestamp(t / 1000, tz=timezone.utc),
+                 float(rng.normal()))
+            )
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+    got = {
+        (r["key"], int(r["bucket_start"].replace(
+            tzinfo=timezone.utc).timestamp() * 1000)): (
+            round(r["v"], 9), r["is_gap"])
+        for r in gap_fill(
+            df, "ts", ["key"], ["v"], "1 hour", fill="locf"
+        ).collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["key", "ts", "v"])
+    pdf["ms"] = (pdf["ts"].astype("int64") // 10**6)
+    pdf["b"] = pdf["ms"] // HOUR * HOUR
+    want = {}
+    for key, g in pdf.groupby("key"):
+        per_b = g.groupby("b")["v"].mean()
+        last = None
+        for b in range(int(g["b"].min()), int(g["b"].max()) + HOUR, HOUR):
+            if b in per_b.index:
+                last = per_b[b]
+                want[(key, b)] = (round(last, 9), False)
+            else:
+                want[(key, b)] = (
+                    None if last is None else round(last, 9), True)
+    assert got == want
+
+
+def test_plan_is_codegen_and_validates(spark, obs):
+    out = gap_fill(obs, "ts", ["key"], ["v"], "1 hour", fill="linear")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # no Python in the fill path
+    with pytest.raises(ValueError, match="fill must be"):
+        gap_fill(obs, "ts", ["key"], ["v"], "1 hour", fill="spline")
+    with pytest.raises(ValueError, match="step"):
+        gap_fill(obs, "ts", ["key"], ["v"], "3 fortnights")
+    with pytest.raises(ValueError, match="non-empty"):
+        gap_fill(obs, "ts", [], ["v"])
