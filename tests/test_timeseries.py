@@ -170,3 +170,66 @@ def test_plan_is_codegen_and_validates(spark, obs):
         gap_fill(obs, "ts", ["key"], ["v"], "3 fortnights")
     with pytest.raises(ValueError, match="non-empty"):
         gap_fill(obs, "ts", [], ["v"])
+
+
+def test_locf_matches_duckdb_cross_engine(spark, sf_dir):
+    """Cross-engine pin on real data: the LOCF gap-fill over the events
+    table equals an independent DuckDB formulation (generate_series grid
+    + last_value IGNORE NULLS) bucket-for-bucket."""
+    import duckdb
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "ts", "value"
+    )
+    got = {
+        (
+            r["event_type"],
+            int(
+                r["bucket_start"].replace(tzinfo=timezone.utc).timestamp()
+                * 1000
+            ),
+        ): (None if r["value"] is None else round(r["value"], 9), r["is_gap"])
+        for r in gap_fill(
+            ev, "ts", ["event_type"], ["value"], "1 hour", fill="locf"
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW obs AS SELECT event_type AS key, ts, value AS v "
+        f"FROM '{sf_dir}/events.parquet'"
+    )
+    want = {
+        (r[0], int(r[1])): (
+            None if r[2] is None else round(r[2], 9),
+            bool(r[3]),
+        )
+        for r in con.execute(
+            """
+            SELECT g.key, g.bk,
+                   last_value(b.v IGNORE NULLS) OVER (
+                       PARTITION BY g.key ORDER BY g.bk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS v,
+                   b.bk IS NULL AS is_gap
+            FROM (
+              SELECT s.key,
+                     unnest(range(s.lo, s.hi + 3600000, 3600000::bigint))
+                         AS bk
+              FROM (SELECT key, min(bk) lo, max(bk) hi FROM (
+                      SELECT key,
+                             epoch_ms(ts) // 3600000 * 3600000 AS bk
+                      FROM obs WHERE ts IS NOT NULL AND key IS NOT NULL
+                    ) GROUP BY key) s
+            ) g
+            LEFT JOIN (
+              SELECT key, epoch_ms(ts) // 3600000 * 3600000 AS bk,
+                     avg(v) AS v
+              FROM obs WHERE ts IS NOT NULL AND key IS NOT NULL
+              GROUP BY 1, 2
+            ) b USING (key, bk)
+            """
+        ).fetchall()
+    }
+    assert len(got) > 0
+    assert got == want
