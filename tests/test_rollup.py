@@ -346,3 +346,49 @@ def test_frontier_reset_supersedes_stale_high_marker(tmp_path):
     assert _read_frontier(d) == 2_000_000
     markers = [f for f in _os.listdir(d) if f.startswith("_frontier-")]
     assert len(markers) == 1
+
+
+def test_realtime_rollup_composes_with_gap_fill(spark, tmp_path):
+    """The dashboard composition: the realtime continuous aggregate
+    (which materializes only NON-EMPTY buckets) feeds gap_fill to
+    produce the dense series an x-axis needs — empty hours appear as
+    explicit zero rows."""
+    from datetime import datetime
+
+    from local_pubchem_db_spark.operators.timeseries import gap_fill
+    from local_pubchem_db_spark.streaming.events import EVENT_SCHEMA
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 1, 15), 1, "x", 1.0, "{}"),
+         (2, datetime(2024, 1, 1, 1, 45), 1, "x", 2.0, "{}"),
+         (3, datetime(2024, 1, 1, 10, 0), 1, "x", 1.0, "{}")],
+        EVENT_SCHEMA,
+    ).coalesce(1).write.parquet(str(flat / "p"))
+    import glob as _g
+    import shutil as _sh
+
+    for i, f in enumerate(_g.glob(str(flat / "p" / "*.parquet"))):
+        _sh.copy(f, flat / f"s{i}.parquet")
+    rollup_dir, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    materialize_hourly_rollup(spark, str(flat), rollup_dir, ckpt)
+
+    raw = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 1, 15), 1, "x", 1.0, "{}"),
+         (2, datetime(2024, 1, 1, 1, 45), 1, "x", 2.0, "{}"),
+         (3, datetime(2024, 1, 1, 10, 0), 1, "x", 1.0, "{}")],
+        EVENT_SCHEMA,
+    )
+    view = hourly_rollup_with_realtime(spark, rollup_dir, raw)
+    dense = gap_fill(
+        view, "hour_start", ["event_type"], ["n"], "1 hour", fill="null"
+    ).na.fill({"n": 0})
+    rows = sorted(
+        (r["bucket_start"].hour, int(r["n"]), r["is_gap"])
+        for r in dense.collect()
+    )
+    # hours 1..10 dense: 1 and 10 observed, 2..9 explicit zeros
+    assert rows == [(1, 2, False)] + [
+        (h, 0, True) for h in range(2, 10)
+    ] + [(10, 1, False)]
