@@ -233,3 +233,25 @@ def test_locf_matches_duckdb_cross_engine(spark, sf_dir):
     }
     assert len(got) > 0
     assert got == want
+
+
+def test_pre_epoch_timestamps_floor_toward_minus_inf(spark):
+    """Negative epoch millis must bucket by FLOOR (toward -inf), not
+    truncation — a 23:30 observation on 1969-12-31 belongs to the
+    23:00 bucket, not midnight."""
+    df = spark.createDataFrame(
+        [("k", datetime(1969, 12, 31, 23, 30, tzinfo=timezone.utc), 1.0),
+         ("k", datetime(1970, 1, 1, 1, 30, tzinfo=timezone.utc), 3.0)],
+        "key string, ts timestamp, v double",
+    )
+    got = sorted(
+        (r["bucket_start"], r["v"], r["is_gap"])
+        for r in gap_fill(
+            df, "ts", ["key"], ["v"], "1 hour", fill="locf"
+        ).collect()
+    )
+    assert got == [
+        (datetime(1969, 12, 31, 23), 1.0, False),
+        (datetime(1970, 1, 1, 0), 1.0, True),
+        (datetime(1970, 1, 1, 1), 3.0, False),
+    ]
