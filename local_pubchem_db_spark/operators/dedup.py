@@ -23,6 +23,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 import pandas as pd
 from pyspark.sql import DataFrame, Column, Window
 from pyspark.sql import functions as F
@@ -33,7 +35,11 @@ from local_pubchem_db_spark.functions.hashing import (
     simhash_udf,
 )
 from local_pubchem_db_spark.functions.text import shingle_array_udf, tokens
-from local_pubchem_db_spark.operators.util import fan_out, shared
+from local_pubchem_db_spark.operators.util import (
+    fan_out,
+    register_session_memo,
+    shared,
+)
 
 
 def exact_dedup(df: DataFrame, subset: list[str]) -> DataFrame:
@@ -340,27 +346,21 @@ def minhash_lsh_dedup_pairs(
         buckets, ["band", "bucket"], max_bucket_size=max_bucket_size
     )
     rep_pairs = _verify_jaccard(cand, shingled, threshold)
-    # Warm-service fast path (r7 bench regression: the expansion joins ran
-    # every invocation even on corpora with no exact dups): groups is
-    # already cached eager, so ONE tiny agg over it sizes the dup set —
-    # zero dup groups means rep-level pairs ARE member-level pairs (every
-    # _m is the singleton [gid]) and the expansion is an identity we skip
-    # wholesale; a small dup set broadcast-hints the expansion joins so
-    # they run map-only instead of through AQE exchange stages; only a
-    # flood-sized dup set pays the full shuffle shape.
-    n_dup, dup_members = _dup_stats(groups)
-    if n_dup == 0:
-        return rep_pairs
-    return _expand_rep_pairs(
+    # Warm-service fast path (r7 bench regression: the expansion joins
+    # ran every invocation even on corpora with no exact dups): the
+    # memoized dup-set sizing routes the expansion through the cheapest
+    # admissible shape — identity / plan literals / broadcast / shuffle
+    # (see _expand_collapsed).
+    return _expand_collapsed(
         groups,
         rep_pairs,
         val_col="jaccard",
-        intra_val=F.lit(1.0),
+        intra_column=F.lit(1.0),
+        intra_value=1.0,
         # a group of identical too-short texts has no shingles and must
         # emit no pairs (matching the brute-force null-jaccard exclusion)
         valid_gids=shingled.select(F.col("id").alias("gid")),
         cap=max_bucket_size,
-        broadcast_dups=dup_members <= _DUP_BROADCAST_LIMIT,
     )
 
 
@@ -390,6 +390,43 @@ def _exact_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 _DUP_BROADCAST_LIMIT = 1_000_000  # dup member ids that fit a broadcast
+_DUP_LITERAL_LIMIT = 1_024  # dup member ids that fit plan LITERALS
+_DUP_LITERAL_PAIR_LIMIT = 100_000  # driver-computed intra pairs cap
+
+# (canonical groups plan, canonical valid plan, cap) -> (CacheManager
+# entry, dup info), per session. The plan-string key is only a lookup
+# accelerator — plan strings HIDE LocalRelation data, so two different
+# in-memory corpora can share one (caught in test; the whole-file run
+# reused one corpus's dup set for another). Validity therefore rests on
+# the stored CacheManager ENTRY equaling the relation's current entry:
+# CachedData equality is structural over the analyzed plan INCLUDING
+# LocalRelation rows, so a different corpus can never validate. Dropped
+# by release_shared_caches. This is what makes the warm-service path
+# job-free: the dup set is a pure function of the cached relation.
+_DUP_MEMO: WeakKeyDictionary = WeakKeyDictionary()
+register_session_memo(_DUP_MEMO)
+
+
+def _plan_key(df: DataFrame) -> str | None:
+    try:
+        return (
+            df._jdf.queryExecution().analyzed().canonicalized().toString()
+        )
+    except Exception:  # noqa: BLE001 — internal API probe, fail open
+        return None
+
+
+def _cache_entry(df: DataFrame):
+    """The CacheManager's CachedData entry for this plan, or None."""
+    try:
+        opt = (
+            df.sparkSession._jsparkSession.sharedState()
+            .cacheManager()
+            .lookupCachedData(df._jdf)
+        )
+        return opt.get() if opt.isDefined() else None
+    except Exception:  # noqa: BLE001 — internal API probe, fail open
+        return None
 
 
 def _dup_stats(groups: DataFrame) -> tuple[int, int]:
@@ -404,6 +441,190 @@ def _dup_stats(groups: DataFrame) -> tuple[int, int]:
         ),
     ).first()
     return n_dup, dup_members
+
+
+def _dup_info(
+    groups: DataFrame, valid_gids: DataFrame, cap: int | None
+) -> tuple[int, int, dict | None]:
+    """(n_dup, dup_members, literal) — ``literal`` is the collected dup
+    structure when the dup set fits plan literals (see
+    ``_expand_rep_pairs_literal``), else None. Memoized per session on
+    the canonicalized plans while the groups relation stays cached, so
+    a warm service re-invoking the same dedup pays ZERO jobs here."""
+    memo = _DUP_MEMO.setdefault(groups.sparkSession, {})
+    gk, vk = _plan_key(groups), _plan_key(valid_gids)
+    key = (gk, vk, cap) if gk is not None and vk is not None else None
+    entry = _cache_entry(groups) if key is not None else None
+    if key is not None and entry is not None:
+        hit = memo.get(key)
+        if hit is not None:
+            stored_entry, info = hit
+            try:
+                if stored_entry.equals(entry):
+                    return info
+            except Exception:  # noqa: BLE001 — stale JVM ref: recompute
+                pass
+    n_dup, dup_members = _dup_stats(groups)
+    literal = (
+        _collect_literal_dups(groups, valid_gids, cap)
+        if 0 < dup_members <= _DUP_LITERAL_LIMIT
+        else None
+    )
+    out = (n_dup, dup_members, literal)
+    if key is not None and entry is not None:
+        memo[key] = (entry, out)
+    return out
+
+
+def _collect_literal_dups(
+    groups: DataFrame, valid_gids: DataFrame, cap: int | None
+) -> dict | None:
+    """Collect the (small, caller-gated) dup groups to the driver and
+    precompute both expansion halves: the gid -> capped member list map
+    for the cross expansion, and the intra pair list under the SAME cap
+    policy as ``_capped_pairs`` (all pairs within the cap, star+chain
+    above it; ``cap=None`` exhaustive). Returns None if the intra pair
+    count would exceed the literal budget (e.g. cap=None over a large
+    group — quadratic output belongs on executors)."""
+    rows = groups.filter(F.size("_ids") > 1).select("gid", "_ids").collect()
+    members = {r["gid"]: list(r["_ids"]) for r in rows}
+    valid = {
+        r["gid"]
+        for r in valid_gids.filter(
+            F.col("gid").isin(list(members))
+        ).collect()
+    }
+    intra: list[tuple] = []
+    for g, ids in members.items():
+        if g not in valid:
+            continue
+        if cap is None or len(ids) <= cap:
+            intra.extend(
+                (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
+            )
+        else:  # star + chain, exactly as _star_chain_expr emits
+            root = ids[0]
+            for i in range(1, len(ids)):
+                intra.append((root, ids[i]))
+                if i >= 2 and ids[i - 1] != root:
+                    intra.append((ids[i - 1], ids[i]))
+        if len(intra) > _DUP_LITERAL_PAIR_LIMIT:
+            return None
+    cross = {
+        g: (ids if cap is None else ids[:cap]) for g, ids in members.items()
+    }
+    return {"cross": cross, "intra": intra}
+
+
+def _expand_rep_pairs_literal(
+    rep_pairs: DataFrame, literal: dict, val_col: str, intra_value
+) -> DataFrame:
+    """The warm-service expansion: the dup structure rides the PLAN as
+    literals — cross pairs via a literal gid -> members map (coalesce to
+    the rep's own id for singletons) + explode, intra pairs as a local
+    relation — so re-executing the plan runs no extra jobs and builds
+    no broadcasts (the r8 broadcast-hinted joins still re-collected
+    three broadcast exchanges per action). element_at on a literal map
+    is a linear scan per row, fine because rep_pairs is the verified
+    rep-level pair relation (small by construction) and the map is
+    caller-gated to <= _DUP_LITERAL_LIMIT entries."""
+    from pyspark.sql.types import StructField, StructType
+
+    spark = rep_pairs.sparkSession
+    id_t = rep_pairs.schema["id1"].dataType
+    val_t = rep_pairs.schema[val_col].dataType
+    cross = literal["cross"]
+    keys = sorted(cross)
+    m_map = F.map_from_arrays(
+        F.array(*[F.lit(g).cast(id_t) for g in keys]),
+        F.array(
+            *[
+                F.array(*[F.lit(m).cast(id_t) for m in cross[g]])
+                for g in keys
+            ]
+        ),
+    )
+
+    def expand(side: str):
+        return F.explode(
+            F.coalesce(
+                F.element_at(m_map, F.col(side)), F.array(F.col(side))
+            )
+        )
+
+    out = (
+        rep_pairs.select("id2", expand("id1").alias("a"), F.col(val_col))
+        .select("a", expand("id2").alias("b"), F.col(val_col))
+        .select(
+            F.least("a", "b").alias("id1"),
+            F.greatest("a", "b").alias("id2"),
+            val_col,
+        )
+    )
+    pairs = literal["intra"]
+    if len(pairs) <= 256:
+        # tiny intra sets ride the plan as one literal struct array over
+        # a 1-row range — createDataFrame costs ~0.1s of Arrow/py4j
+        # per call, real money on the warm path this mode exists for
+        if not pairs:
+            return out
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(a).cast(id_t).alias("id1"),
+                    F.lit(b).cast(id_t).alias("id2"),
+                    F.lit(intra_value).cast(val_t).alias(val_col),
+                )
+                for a, b in pairs
+            ]
+        )
+        intra = spark.range(1).select(F.explode(structs).alias("_p")).select(
+            "_p.id1", "_p.id2", f"_p.{val_col}"
+        )
+        return out.unionByName(intra)
+    schema = StructType(
+        [
+            StructField("id1", id_t),
+            StructField("id2", id_t),
+            StructField(val_col, val_t),
+        ]
+    )
+    intra = spark.createDataFrame(
+        [(a, b, intra_value) for a, b in pairs], schema
+    )
+    return out.unionByName(intra)
+
+
+def _expand_collapsed(
+    groups: DataFrame,
+    rep_pairs: DataFrame,
+    val_col: str,
+    intra_column: Column,
+    intra_value,
+    valid_gids: DataFrame,
+    cap: int | None,
+) -> DataFrame:
+    """Route the member expansion through the cheapest shape the dup
+    set admits: identity (no dups), plan literals (small — job-free on
+    warm re-invocation), broadcast joins (medium), shuffle joins
+    (flood). All four pinned output-identical in
+    tests/test_lsh_bucket_cap.py."""
+    n_dup, dup_members, literal = _dup_info(groups, valid_gids, cap)
+    if n_dup == 0:
+        return rep_pairs
+    if literal is not None:
+        return _expand_rep_pairs_literal(
+            rep_pairs, literal, val_col, intra_value
+        )
+    return _expand_rep_pairs(
+        groups,
+        rep_pairs,
+        val_col=val_col,
+        intra_val=intra_column,
+        valid_gids=valid_gids,
+        cap=cap,
+        broadcast_dups=dup_members <= _DUP_BROADCAST_LIMIT,
+    )
 
 
 def _expand_rep_pairs(
@@ -600,14 +821,16 @@ def incremental_minhash_new_ids(
     groups = _exact_groups(batch, id_col, text_col) if collapse_exact else None
     n_dup = dup_members = 0
     if collapse_exact:
-        # one tiny agg over the (cached) groups relation gates both
-        # expansions below: a batch with no exact dups skips them
-        # entirely (rep ids ARE the member ids), a small dup set
-        # broadcast-hints the member expansion — same policy as
-        # minhash_lsh_dedup_pairs
-        n_dup, dup_members = _dup_stats(groups)
+        # the memoized dup-set sizing gates both expansions below: a
+        # batch with no exact dups skips them entirely (rep ids ARE the
+        # member ids), a small dup set rides plan literals or broadcast
+        # hints — same routing as minhash_lsh_dedup_pairs
         reps = groups.select(F.col("gid").alias("id"), "text")
         shingled = _with_shingles(reps, "id", "text", shingle_len)
+        valid_gids = shingled.select(F.col("id").alias("gid"))
+        n_dup, dup_members, _lit = _dup_info(
+            groups, valid_gids, max_bucket_size
+        )
     else:
         shingled = _with_shingles(batch, id_col, text_col, shingle_len)
     buckets = _minhash_buckets(shingled, num_perm, bands)
@@ -659,14 +882,14 @@ def incremental_minhash_new_ids(
     )
     vpairs = _verify_jaccard(cand, shingled, threshold)
     if collapse_exact and n_dup:
-        vpairs = _expand_rep_pairs(
+        vpairs = _expand_collapsed(
             groups,
             vpairs,
             val_col="jaccard",
-            intra_val=F.lit(1.0),
-            valid_gids=shingled.select(F.col("id").alias("gid")),
+            intra_column=F.lit(1.0),
+            intra_value=1.0,
+            valid_gids=valid_gids,
             cap=max_bucket_size,
-            broadcast_dups=dup_members <= _DUP_BROADCAST_LIMIT,
         )
     if quality_col is None:
         dup_in_batch = vpairs.select(F.col("id2").alias("id")).distinct()
@@ -960,21 +1183,16 @@ def simhash_dedup_pairs(
         rep_ok = groups.filter(
             F.size(tokens(F.col("text"))) > 0
         ).select("gid")
-        # same warm-path gating as minhash_lsh_dedup_pairs: one tiny agg
-        # over the cached groups skips the expansion outright when there
-        # are no exact dups and broadcast-hints it when the dup set is
-        # small
-        n_dup, dup_members = _dup_stats(groups)
-        if n_dup == 0:
-            return rep_pairs
-        return _expand_rep_pairs(
+        # same warm-path routing as minhash_lsh_dedup_pairs:
+        # identity / literal / broadcast / shuffle by dup-set size
+        return _expand_collapsed(
             groups,
             rep_pairs,
             val_col="hamming",
-            intra_val=F.lit(0).cast("int"),
+            intra_column=F.lit(0).cast("int"),
+            intra_value=0,
             valid_gids=rep_ok,
             cap=max_bucket_size,
-            broadcast_dups=dup_members <= _DUP_BROADCAST_LIMIT,
         )
     # SimHash as one vectorized map (see hashing.simhash_udf); shared():
     # the blocked self-join references the SimHash relation twice.

@@ -14,6 +14,17 @@ from pyspark.storagelevel import StorageLevel
 # skipped count = the pre-r8 fill race), never wrong data.
 _EAGER_FILLED: WeakKeyDictionary = WeakKeyDictionary()
 
+# every session-keyed memo that must die with the caches: operators
+# register theirs here so release_shared_caches() is the ONE release
+# point for all derived warm-path state.
+_SESSION_MEMOS: list = [_EAGER_FILLED]
+
+
+def register_session_memo(memo) -> None:
+    """Register a WeakKeyDictionary keyed by SparkSession to be dropped
+    by ``release_shared_caches`` alongside the cache itself."""
+    _SESSION_MEMOS.append(memo)
+
 
 def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     """Repartition UP to the cluster's parallelism when the input has fewer
@@ -99,4 +110,5 @@ def release_shared_caches(spark) -> None:
     eager-fill ledger (the cache presence check would invalidate the
     skip anyway; dropping the set keeps it from growing unboundedly)."""
     spark.catalog.clearCache()
-    _EAGER_FILLED.pop(spark, None)
+    for memo in _SESSION_MEMOS:
+        memo.pop(spark, None)

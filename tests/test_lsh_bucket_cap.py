@@ -342,11 +342,14 @@ def test_collapse_equivalence_on_adversarial_corpus(spark):
 
 
 def test_collapse_fast_paths_match_shuffle_path(spark, monkeypatch):
-    """The r8 expansion fast paths must be plan-shape-only: (a) a corpus
-    with NO exact dups short-circuits the expansion and still equals the
-    direct path; (b) forcing the broadcast gate shut (limit=0) routes the
-    same corpus through the shuffle expansion with identical output."""
+    """The r8 expansion routing must be plan-shape-only: a corpus with
+    NO exact dups short-circuits the expansion; with dups, the literal,
+    broadcast, and shuffle shapes (forced by shutting each gate) all
+    equal the direct path."""
     from local_pubchem_db_spark.operators import dedup as D
+    from local_pubchem_db_spark.operators.util import (
+        release_shared_caches,
+    )
 
     long_a = " ".join(f"alpha{i} beta gamma delta" for i in range(40))
     nodup = spark.createDataFrame(
@@ -369,6 +372,44 @@ def test_collapse_fast_paths_match_shuffle_path(spark, monkeypatch):
         )
     )
     want = mh(withdup, False)
+    assert mh(withdup, True) == want  # literal expansion path (default)
+    release_shared_caches(spark)  # memo must not leak across gates
+    monkeypatch.setattr(D, "_DUP_LITERAL_LIMIT", 0)
     assert mh(withdup, True) == want  # broadcast expansion path
+    release_shared_caches(spark)
     monkeypatch.setattr(D, "_DUP_BROADCAST_LIMIT", 0)
     assert mh(withdup, True) == want  # forced shuffle expansion path
+    release_shared_caches(spark)
+
+
+def test_dup_memo_distinguishes_same_schema_corpora(spark):
+    """Two in-memory corpora with IDENTICAL schemas canonicalize to the
+    same plan string (LocalRelation's string hides its rows), so the
+    dup-info memo must validate against the CacheManager ENTRY — which
+    is data-aware — not the plan string alone (regression: the second
+    corpus reused the first's dup structure and emitted its pairs)."""
+    from local_pubchem_db_spark.operators import dedup as D
+    from local_pubchem_db_spark.operators.util import (
+        release_shared_caches,
+    )
+
+    release_shared_caches(spark)
+    long_a = " ".join(f"alpha{i} beta gamma" for i in range(40))
+    long_b = " ".join(f"omega{i} delta eps" for i in range(40))
+    c1 = spark.createDataFrame(
+        [(1, long_a), (2, long_a), (3, long_b)],
+        "doc_id long, text string",
+    )
+    c2 = spark.createDataFrame(
+        [(7, long_b), (8, long_b), (9, long_b)],  # different dup set
+        "doc_id long, text string",
+    )
+    mh = lambda df: sorted(
+        (r["id1"], r["id2"])
+        for r in D.minhash_lsh_dedup_pairs(
+            df, "doc_id", "text", threshold=0.8
+        ).collect()
+    )
+    assert mh(c1) == [(1, 2)]
+    assert mh(c2) == [(7, 8), (7, 9), (8, 9)]  # NOT c1's structure
+    release_shared_caches(spark)
