@@ -187,6 +187,26 @@ def main() -> None:
         errors[name + "_warm"] = f"{type(e).__name__}: {e}"[:500]
     release_shared_caches(spark)
 
+    # Newest-operator drift protection (the r7 lesson: a component with
+    # no bench row can regress silently): gap_fill regularizes the
+    # events stream per type with linear interpolation — one join + one
+    # window sort, the whole time-series surface in one number.
+    try:
+        from local_pubchem_db_spark.operators.timeseries import gap_fill
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        samples = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            gap_fill(
+                ev, "ts", ["event_type"], ["value"], "1 hour", fill="linear"
+            ).write.format("noop").mode("overwrite").save()
+            samples.append(round(time.perf_counter() - t0, 3))
+        timings["gap_fill"] = min(samples)
+        runs["gap_fill"] = samples
+    except Exception as e:  # noqa: BLE001
+        errors["gap_fill"] = f"{type(e).__name__}: {e}"[:500]
+
     # Compressed-tier ANN (IVF-PQ residual + exact re-rank): the index
     # build (k-means fit + residual codebooks + encode) happens ONCE per
     # corpus in a search service, so it is prepared outside the timer
@@ -203,7 +223,8 @@ def main() -> None:
         sum(
             v
             for k, v in timings.items()
-            if not k.endswith("_warm") and k != "ivf_pq_search"
+            if not k.endswith("_warm")
+            and k not in ("ivf_pq_search", "gap_fill")
         ),
         3,
     )
