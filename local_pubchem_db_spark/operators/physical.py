@@ -476,6 +476,13 @@ def table_health(
                 local = (
                     unquote(urlparse(f).path) if f.startswith("file:") else f
                 )
+                # Only the footer METADATA is consumed, and FileMetaData
+                # is fully materialized in memory — so every handle is
+                # closed before the row is built. Leaving them to task
+                # end leaks one fd/connection per listed file (ADVICE
+                # r8), which on partitions scanning thousands of files
+                # can exhaust executor fds.
+                fh = None
                 if open_file is not None:
                     fh = open_file(f)
                     if size is None or _pd.isna(size):
@@ -485,7 +492,15 @@ def table_health(
                     pf = _papq.ParquetFile(fh)
                 else:
                     pf = _papq.ParquetFile(local)
-                md = pf.metadata
+                try:
+                    md = pf.metadata
+                finally:
+                    pf.close()
+                    if fh is not None and hasattr(fh, "close"):
+                        try:
+                            fh.close()
+                        except Exception:
+                            pass
                 # Map stats columns by parquet LEAF path, not arrow
                 # top-level position: row-group column indices run over
                 # flattened leaves, so with a struct/map column ahead of

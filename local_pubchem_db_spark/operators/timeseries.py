@@ -113,6 +113,10 @@ def gap_fill(
         )
     )
 
+    if start is not None and end is not None and _to_millis(end) < _to_millis(start):
+        raise ValueError(
+            f"end ({end!r}) precedes start ({start!r}): the grid is empty"
+        )
     lo = F.lit(_to_millis(start)) if start is not None else F.min("__b")
     hi = F.lit(_to_millis(end)) if end is not None else F.max("__b")
     grid = (
@@ -121,6 +125,13 @@ def gap_fill(
             (F.floor(lo / F.lit(ms)) * F.lit(ms)).cast("long").alias("__lo"),
             (F.floor(hi / F.lit(ms)) * F.lit(ms)).cast("long").alias("__hi"),
         )
+        # One-sided pinning can leave a key with an EMPTY grid window —
+        # start pinned but every observation older than it (__hi < __lo),
+        # or end pinned but every observation newer. sequence() rejects
+        # lo > hi with a positive step, so one stale key would kill the
+        # whole query (ADVICE r8); an empty window means the key has no
+        # buckets to show, so it is dropped, not clamped.
+        .filter(F.col("__hi") >= F.col("__lo"))
         .select(
             *key_cols,
             F.explode(

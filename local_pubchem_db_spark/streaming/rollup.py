@@ -50,11 +50,20 @@ def materialize_hourly_rollup(
     checkpoint_dir: str,
     watermark: str = "2 hours",
     max_files_per_trigger: int | None = None,
+    write_frontier: bool = True,
 ) -> None:
     """Drain available event shards and append newly-finalized hourly
     buckets to ``rollup_dir``. Safe to run on any cadence (cron or a
     long-lived stream): the checkpoint resumes the watermark, replays
-    are exactly-once, and each bucket is written at most once."""
+    are exactly-once, and each bucket is written at most once.
+
+    ``write_frontier=False`` skips the exact-cutoff sidecar entirely —
+    for deployments whose rollup dir is not driver-``os``-writable
+    (e.g. ``s3a://`` URIs) and whose realtime readers consciously pass
+    ``checkpoint_dir`` instead. With the default ``True``, a sidecar
+    write FAILURE raises loudly (the rollup batch itself is already
+    committed at that point) rather than silently demoting readers to
+    the legacy last-bucket cutoff."""
     stream = read_event_stream(spark, events_dir, max_files_per_trigger)
     q = (
         hourly_event_counts(stream, watermark)
@@ -70,9 +79,10 @@ def materialize_hourly_rollup(
     # readers get the EXACT cutoff by default, without needing access to
     # the checkpoint dir (which in production often lives with the writer,
     # not the dashboards).
-    wm_ms = _checkpoint_watermark_ms(checkpoint_dir)
-    if wm_ms is not None:
-        _write_frontier(rollup_dir, wm_ms)
+    if write_frontier:
+        wm_ms = _checkpoint_watermark_ms(checkpoint_dir)
+        if wm_ms is not None:
+            _write_frontier(rollup_dir, wm_ms)
 
 
 def _checkpoint_watermark_ms(checkpoint_dir: str) -> int | None:

@@ -392,3 +392,36 @@ def test_realtime_rollup_composes_with_gap_fill(spark, tmp_path):
     assert rows == [(1, 2, False)] + [
         (h, 0, True) for h in range(2, 10)
     ] + [(10, 1, False)]
+
+
+def test_write_frontier_opt_out_skips_sidecar(
+    spark, stream_setup, tmp_path, monkeypatch
+):
+    """write_frontier=False (ADVICE r8): deployments whose rollup dir
+    the driver cannot write through ``os`` — and whose readers pass
+    checkpoint_dir — must not fail every cron run on the sidecar. The
+    marker writer is patched to explode, proving it is never invoked;
+    realtime reads still resolve the exact cutoff via checkpoint_dir."""
+    import local_pubchem_db_spark.streaming.rollup as _r
+
+    ev, early, staged = stream_setup
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    rollup_dir, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    _flat_copy([staged / "a"], stream_dir)
+
+    def boom(*a, **k):
+        raise AssertionError("sidecar write attempted with opt-out")
+
+    monkeypatch.setattr(_r, "_write_frontier", boom)
+    materialize_hourly_rollup(
+        spark, str(stream_dir), rollup_dir, ckpt, write_frontier=False
+    )
+    assert not [
+        fn for fn in os.listdir(rollup_dir) if fn.startswith("_frontier")
+    ]
+    # checkpoint-based cutoff still serves realtime readers
+    got = hourly_rollup_with_realtime(
+        spark, rollup_dir, early, checkpoint_dir=ckpt
+    )
+    assert _rows(got) == _rows(hourly_event_counts(early))

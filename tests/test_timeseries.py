@@ -255,3 +255,44 @@ def test_pre_epoch_timestamps_floor_toward_minus_inf(spark):
         (datetime(1970, 1, 1, 0), 1.0, True),
         (datetime(1970, 1, 1, 1), 3.0, False),
     ]
+
+
+def test_one_sided_start_drops_keys_entirely_before_window(spark):
+    """start pinned, end open (the live-dashboard shape): a key whose
+    observations all PRECEDE start has an empty grid window and must be
+    dropped — not crash the job with sequence(lo > hi) (ADVICE r8)."""
+    df = spark.createDataFrame(
+        [("stale", _ts(1), 1.0),       # entirely before the window
+         ("live", _ts(3), 3.0),
+         ("live", _ts(5), 5.0)],
+        "key string, ts timestamp, v double",
+    )
+    start = int(_ts(4).timestamp() * 1000)
+    got = _rows(gap_fill(df, "ts", ["key"], ["v"], "1 hour",
+                         fill="locf", start=start))
+    # stale key gone; live key's grid clipped to [start, max]; the
+    # hour-3 observation precedes the window, so bucket 4 is a LEADING
+    # gap (out-of-window observations never feed fills)
+    assert got == [("live", _naive(4), None, True),
+                   ("live", _naive(5), 5.0, False)]
+
+
+def test_one_sided_end_drops_keys_entirely_after_window(spark):
+    df = spark.createDataFrame(
+        [("future", _ts(9), 9.0),      # entirely after the window
+         ("live", _ts(1), 1.0),
+         ("live", _ts(3), 3.0)],
+        "key string, ts timestamp, v double",
+    )
+    end = int(_ts(2).timestamp() * 1000)
+    got = _rows(gap_fill(df, "ts", ["key"], ["v"], "1 hour",
+                         fill="locf", end=end))
+    assert got == [("live", _naive(1), 1.0, False),
+                   ("live", _naive(2), 1.0, True)]
+
+
+def test_inverted_pinned_window_raises(spark, obs):
+    with pytest.raises(ValueError, match="precedes"):
+        gap_fill(obs, "ts", ["key"], ["v"], "1 hour",
+                 start=int(_ts(5).timestamp() * 1000),
+                 end=int(_ts(2).timestamp() * 1000))
