@@ -219,12 +219,33 @@ def main() -> None:
         errors["ivf_pq_search"] = f"{type(e).__name__}: {e}"[:500]
     release_shared_caches(spark)
 
+    # r9 operators under the same drift protection, as AUX rows
+    # (excluded from headline_total so round-over-round totals stay
+    # comparable): retrieval = index build + coordination query;
+    # ts_outliers = two grouped exact medians + joins over events;
+    # token_drift = two token histograms + vocab-sized outer join.
+    for aux in ("retrieval_topk", "ts_outliers", "token_drift"):
+        try:
+            fn = QUERIES[aux]
+            samples = []
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(round(time.perf_counter() - t0, 3))
+            timings[aux] = min(samples)
+            runs[aux] = samples
+        except Exception as e:  # noqa: BLE001
+            errors[aux] = f"{type(e).__name__}: {e}"[:500]
+
+    AUX = ("ivf_pq_search", "gap_fill", "retrieval_topk",
+           "ts_outliers", "token_drift")
     total = round(
         sum(
             v
             for k, v in timings.items()
-            if not k.endswith("_warm")
-            and k not in ("ivf_pq_search", "gap_fill")
+            if not k.endswith("_warm") and k not in AUX
         ),
         3,
     )

@@ -1,0 +1,153 @@
+"""Distributed text retrieval: inverted-index build + ranked search over
+a document corpus — BM25 (Robertson/Sparck Jones; the Lucene variant) and
+an integer-exact coordination ranking.
+
+The reference's query surface is exact-predicate SQL over indexed columns
+(pubchem2sqlite/tests/unittests_utils.py:253-334); a training-data
+pipeline additionally needs *content* retrieval at corpus scale — mining
+documents near a probe query for decontamination review, dataset audits,
+and targeted sampling. This family is the Spark-first version of that:
+the index is a DataFrame you build once and persist/bucketBy on ``term``,
+and a query is two broadcast joins plus one aggregation.
+
+Scale shape (the part that must survive 100 TB):
+
+- ``build_postings``: tokenize → explode → one map-side-combinable
+  ``groupBy(term, doc)`` shuffle. Output is the classic postings relation
+  (term, doc_id, tf) plus per-doc lengths — both partitioned by their
+  group keys. Persist with ``.write.bucketBy(n, "term")`` and every
+  query's postings probe becomes a bucket-pruned scan.
+- query time: the query-term relation is tiny (|q| rows) and broadcast;
+  term stats (df) reduce to |q| rows; the only corpus-sized work is the
+  postings rows of the matched terms, which AQE sizes at runtime (a
+  selective query broadcasts its matches into the doc-length join; a
+  stop-word query degrades to one shuffle join on doc_id — the inherent
+  cost).
+- nothing here is a Python UDF; scoring is whole-stage-codegen
+  arithmetic, top-k is a global ``TakeOrderedAndProject`` (no full sort).
+
+Determinism: BM25 scores are float expressions (ln + divisions), so the
+oracle-facing registry query uses ``coordination_topk`` — ranked purely
+by exact integers (matched query terms, then total tf, then doc_id) — and
+BM25 itself is pinned by a pure-pandas oracle in
+``tests/test_retrieval.py`` with float tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from local_pubchem_db_spark.functions.text import normalize_text, tokens
+
+
+def build_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Inverted index over ``docs``: returns ``(postings, doc_stats)``
+    where ``postings`` is (term, <id_col>, tf) and ``doc_stats`` is
+    (<id_col>, dl) with ``dl`` the document token count. Tokens are the
+    normalized whitespace tokens of ``functions.text`` (lowercase,
+    [.,!?;:] stripped) so the SQL twin is exact. Null/empty documents
+    contribute no postings and a ``dl`` of 0 row is omitted (a document
+    with no tokens is unretrievable by construction)."""
+    toks = tokens(normalize_text(F.col(text_col)))
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode(F.filter(toks, lambda x: x != F.lit(""))).alias("term"),
+    )
+    postings = exploded.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    doc_stats = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    return postings, doc_stats
+
+
+def _query_relation(spark, query_terms: list[str]) -> DataFrame:
+    terms = sorted({t.strip().lower() for t in query_terms if t.strip()})
+    if not terms:
+        raise ValueError("query_terms must contain at least one token")
+    return spark.createDataFrame([(t,) for t in terms], "term string")
+
+
+def coordination_topk(
+    postings: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Integer-exact ranked retrieval: documents ordered by (number of
+    distinct matched query terms DESC, total matched term frequency
+    DESC, <id_col> ASC), limit ``k``. Every ranking key is an exact
+    integer, so the result hash-matches any ANSI engine — this is the
+    correctness-gate twin of ``bm25_topk``. Columns: <id_col>,
+    ``n_terms``, ``total_tf``, ``rank``."""
+    spark = postings.sparkSession
+    q = _query_relation(spark, query_terms)
+    matched = postings.join(F.broadcast(q), "term")
+    per_doc = matched.groupBy(id_col).agg(
+        F.count_distinct("term").cast("long").alias("n_terms"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+    w = Window.orderBy(
+        F.desc("n_terms"), F.desc("total_tf"), F.asc(id_col)
+    )
+    # row_number over an un-partitioned window would funnel everything
+    # through one task; orderBy+limit is a TakeOrderedAndProject (per-
+    # partition top-k, then a k-sized merge on the driver side of the
+    # exchange), after which ranking k rows is free.
+    topk = per_doc.orderBy(
+        F.desc("n_terms"), F.desc("total_tf"), F.asc(id_col)
+    ).limit(k)
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def bm25_topk(
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k: ``score(d) = Σ_t idf(t) · tf·(k1+1) /
+    (tf + k1·(1 − b + b·dl/avgdl))`` with the Lucene idf
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))`` (never negative). Ties break
+    on <id_col> ASC so the row SET is deterministic even when scores
+    collide. Columns: <id_col>, ``score``.
+
+    ``N`` and ``avgdl`` are scalar aggregates collected to the driver —
+    two numbers, computed in one job; a query service computes them once
+    per index build, not per query."""
+    spark = postings.sparkSession
+    row = doc_stats.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+    if n_docs == 0:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    q = _query_relation(spark, query_terms)
+    matched = postings.join(F.broadcast(q), "term")
+    df_t = matched.groupBy("term").agg(
+        F.count_distinct(id_col).alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    scored = (
+        matched.join(F.broadcast(df_t.withColumn("idf", idf)), "term")
+        .join(doc_stats, id_col)
+        .groupBy(id_col)
+        .agg(F.sum(F.col("idf") * tf_norm).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

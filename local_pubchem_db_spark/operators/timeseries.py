@@ -187,6 +187,49 @@ def gap_fill(
     )
 
 
+def robust_outliers(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: float = 3.5,
+) -> DataFrame:
+    """Per-key robust outlier detection: flag rows where
+    ``|x − median| > k · MAD`` (MAD = median absolute deviation) — the
+    Hampel / modified-z-score filter, the standard robust alternative to
+    mean±3σ for telemetry with heavy tails. Returns ONLY the flagged
+    rows, with every input column preserved plus ``med`` and ``mad``.
+
+    Two grouped exact-median aggregations (Spark's ``median`` is the
+    exact interpolated percentile, not a sketch) and two joins, all
+    partitioned by the key columns — per-key medians shuffle key-sized
+    relations only, so a 100 TB metric store fans out by series. Keys
+    whose MAD is 0 (constant series) flag every deviating row, which is
+    the conventional degenerate-case behavior. Null values are ignored
+    for the statistics and never flagged.
+
+    Determinism note: medians interpolate on doubles identically across
+    engines for the even-count midpoint; the registry twin
+    (``ts_outliers``) is verified value-exact against DuckDB."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    x = F.col(value_col)
+    med = (
+        df.filter(x.isNotNull())
+        .groupBy(*key_cols)
+        .agg(F.median(value_col).alias("med"))
+    )
+    with_med = df.join(med, key_cols)
+    mad = (
+        with_med.filter(x.isNotNull())
+        .groupBy(*key_cols)
+        .agg(F.median(F.abs(x - F.col("med"))).alias("mad"))
+    )
+    return (
+        with_med.join(mad, key_cols)
+        .filter(x.isNotNull() & (F.abs(x - F.col("med")) > F.lit(k) * F.col("mad")))
+    )
+
+
 def _to_millis(v) -> int:
     """Timestamp-ish -> epoch millis (int millis pass through)."""
     if isinstance(v, int):

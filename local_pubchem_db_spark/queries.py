@@ -941,14 +941,84 @@ def q_skew_salted_count(spark, sf_dir):
     )
 
 
+def q_retrieval_topk(spark, sf_dir):
+    """Text retrieval over the inverted index (operators/retrieval.py):
+    build postings, then rank documents for a fixed 4-term query by the
+    integer-exact coordination key (matched terms, total tf, doc_id) —
+    the hash-matchable twin of BM25 (which is float-scored and pinned by
+    the pytest oracle in test_retrieval.py instead)."""
+    from local_pubchem_db_spark.operators.retrieval import (
+        build_postings,
+        coordination_topk,
+    )
+
+    postings, _ = build_postings(t(spark, sf_dir, "documents"))
+    return coordination_topk(
+        postings, ["hash", "spark", "stream", "vector"], k=10
+    )
+
+
+def q_token_drift(spark, sf_dir):
+    """Corpus drift between two snapshots (operators/drift.py): even
+    doc_ids vs odd doc_ids, ranked by the exact cross-multiplied
+    statistic |c_a*N_b - c_b*N_a| (no floats anywhere)."""
+    from local_pubchem_db_spark.operators.drift import token_drift
+
+    d = t(spark, sf_dir, "documents")
+    return token_drift(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        top_n=20,
+    )
+
+
+def q_ts_outliers(spark, sf_dir):
+    """Robust per-series outlier detection (operators/timeseries.py):
+    Hampel filter |x - median| > 3.5 * MAD per event_type over the
+    events stream; exact interpolated medians on both engines."""
+    from local_pubchem_db_spark.operators.timeseries import robust_outliers
+
+    ev = events_table(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    return robust_outliers(ev, ["event_type"], "value", k=3.5).select(
+        "event_id", "event_type", "value", "med", "mad"
+    )
+
+
+def q_gap_fill_locf(spark, sf_dir):
+    """Time-series regularization (operators/timeseries.py): the hourly
+    per-type rollup (decimal-exact sums) regularized onto a dense 1h
+    grid with LOCF fills — empty hours surface as is_gap rows carrying
+    the last observed value, the dashboard contract of
+    time_bucket_gapfill + locf."""
+    from local_pubchem_db_spark.operators.timeseries import gap_fill
+
+    hourly = (
+        events_table(spark, sf_dir)
+        .groupBy(
+            F.window("ts", "1 hour").getField("start").alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.sum(_dec("value", 12, 4)).cast("double").alias("hour_value"))
+    )
+    return gap_fill(
+        hourly, "hour_start", ["event_type"], ["hour_value"], "1 hour",
+        fill="locf",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
-# Exactly 50 entries: the driver records correctness rows for the first 50
-# registry entries, so every declared operator is folded into this budget —
-# near-duplicate surfaces share one query (see the r1→r2 merges in each
-# docstring) rather than spilling past the cap unchecked.
+# The driver records correctness rows for the FIRST 50 registry entries,
+# so the 50 slots all carry fully-oracled queries (rows+schema+value-hash
+# checked) and the four by-design no-oracle entries (iterative fits,
+# sketch internals — each pinned by an independent pytest oracle instead)
+# sit past the cap, where tools/oracle_check.py still runs them every
+# time. Near-duplicate surfaces share one query (see the r1→r2 merges in
+# each docstring) rather than spilling past the cap unchecked.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Tier B — reference SQL surface
     "count_star": q_count_star,
@@ -985,7 +1055,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_variant_props": q_json_variant_props,
     # C10 — distinct / percentiles
     "exact_stats": q_exact_stats,
-    "approx_sketches": q_approx_sketches,
     # C11 — event time
     "events_hourly": q_events_hourly,
     "session_window": q_session_window,
@@ -996,12 +1065,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
-    "incremental_dedup": q_incremental_dedup,
     # Similarity search
     "knn_cosine": q_knn_cosine,
     "ann_ivf": q_ann_ivf,
-    "ann_ivf_probe": q_ann_ivf_probe,
     "cosine_neardup": q_cosine_neardup,
     # Text-analysis pipeline
     "text_signals": q_text_signals,
@@ -1014,6 +1080,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_splits": q_sample_splits,
     "skew_salted_count": q_skew_salted_count,
     "multimodal_meta": q_multimodal_meta,
+    # Retrieval / drift / time-series regularization
+    "retrieval_topk": q_retrieval_topk,
+    "token_drift": q_token_drift,
+    "ts_outliers": q_ts_outliers,
+    "gap_fill_locf": q_gap_fill_locf,
+    # --- past the driver's 50-row cap: no-oracle-by-design entries,
+    # each pinned by an independent pytest oracle; tools/oracle_check.py
+    # runs them on every invocation ---
+    "approx_sketches": q_approx_sketches,
+    "dedup_simhash": q_dedup_simhash,
+    "incremental_dedup": q_incremental_dedup,
+    "ann_ivf_probe": q_ann_ivf_probe,
 }
 
 # Shared SQL fragments for the oracles ------------------------------------
@@ -1486,5 +1564,107 @@ ORACLES: dict[str, str] = {
                      substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 4) AS b
               FROM samp)
         GROUP BY 1, 2
+    """,
+    "retrieval_topk": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex({_NORM_TEXT}, '\\s+')) AS term
+          FROM documents
+        ),
+        postings AS (
+          SELECT term, doc_id, count(*) AS tf
+          FROM toks WHERE term <> '' GROUP BY 1, 2
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+                 CAST(sum(tf) AS BIGINT) AS total_tf
+          FROM postings
+          WHERE term IN ('hash', 'spark', 'stream', 'vector')
+          GROUP BY doc_id
+        )
+        SELECT doc_id, n_terms, total_tf,
+               CAST(row_number() OVER (
+                 ORDER BY n_terms DESC, total_tf DESC, doc_id) AS BIGINT)
+                 AS rank
+        FROM per_doc
+        ORDER BY n_terms DESC, total_tf DESC, doc_id
+        LIMIT 10
+    """,
+    "token_drift": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex({_NORM_TEXT}, '\\s+')) AS token
+          FROM documents
+        ),
+        ha AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS cnt_a
+          FROM toks WHERE token <> '' AND doc_id % 2 = 0 GROUP BY token
+        ),
+        hb AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS cnt_b
+          FROM toks WHERE token <> '' AND doc_id % 2 = 1 GROUP BY token
+        ),
+        tot AS (
+          SELECT CAST((SELECT coalesce(sum(cnt_a), 0) FROM ha) AS BIGINT)
+                   AS na,
+                 CAST((SELECT coalesce(sum(cnt_b), 0) FROM hb) AS BIGINT)
+                   AS nb
+        ),
+        j AS (
+          SELECT coalesce(ha.token, hb.token) AS token,
+                 CAST(coalesce(cnt_a, 0) AS BIGINT) AS cnt_a,
+                 CAST(coalesce(cnt_b, 0) AS BIGINT) AS cnt_b
+          FROM ha FULL OUTER JOIN hb ON ha.token = hb.token
+        )
+        SELECT token, cnt_a, cnt_b,
+               CAST(abs(cnt_a * nb - cnt_b * na) AS BIGINT) AS drift
+        FROM j, tot
+        ORDER BY drift DESC, token
+        LIMIT 20
+    """,
+    "ts_outliers": """
+        WITH med AS (
+          SELECT event_type, median(value) AS med
+          FROM events WHERE value IS NOT NULL GROUP BY event_type
+        ),
+        wm AS (
+          SELECT e.event_id, e.event_type, e.value, m.med
+          FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+          SELECT event_type, median(abs(value - med)) AS mad
+          FROM wm WHERE value IS NOT NULL GROUP BY event_type
+        )
+        SELECT w.event_id, w.event_type, w.value, w.med, d.mad
+        FROM wm w JOIN mad d USING (event_type)
+        WHERE w.value IS NOT NULL
+          AND abs(w.value - w.med) > 3.5 * d.mad
+    """,
+    "gap_fill_locf": """
+        WITH hourly AS (
+          SELECT event_type,
+                 epoch_ms(ts) // 3600000 * 3600000 AS bk,
+                 CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE)
+                   AS hour_value
+          FROM events
+          WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        grid AS (
+          SELECT s.event_type,
+                 unnest(range(s.lo, s.hi + 3600000, 3600000::BIGINT)) AS bk
+          FROM (SELECT event_type, min(bk) AS lo, max(bk) AS hi
+                FROM hourly GROUP BY event_type) s
+        )
+        SELECT g.event_type,
+               epoch_ms(g.bk) AS bucket_start,
+               last_value(h.hour_value IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.bk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS hour_value,
+               h.bk IS NULL AS is_gap
+        FROM grid g
+        LEFT JOIN hourly h USING (event_type, bk)
     """,
 }

@@ -1,0 +1,109 @@
+"""Drift family: exact integer drift ranking vs a pure-Python oracle,
+JS divergence vs a pure-Python oracle (bounds + symmetry), and the
+vocabulary-churn edge cases."""
+
+import math
+import re
+from collections import Counter
+
+import pytest
+
+from local_pubchem_db_spark.operators.drift import (
+    js_divergence,
+    token_drift,
+    token_histogram,
+)
+
+A = [
+    (0, "spark spark data Shuffle join."),
+    (1, "data quality filter; spark"),
+    (2, None),
+]
+B = [
+    (0, "vector vector vector index"),
+    (1, "data join spark"),
+    (2, "   "),
+]
+
+
+def _toks(text):
+    if text is None:
+        return []
+    t = re.sub(r"[.,!?;:]", "", text.lower())
+    return [w for w in re.split(r"\s+", t.strip()) if w]
+
+
+def _hist(rows):
+    c = Counter()
+    for _, t in rows:
+        c.update(_toks(t))
+    return c
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    return mk(A), mk(B)
+
+
+def test_histogram_matches_counter(spark, frames):
+    da, _ = frames
+    got = {r["token"]: r["cnt"] for r in token_histogram(da).collect()}
+    assert got == dict(_hist(A))
+
+
+def test_token_drift_exact(spark, frames):
+    da, db = frames
+    ha, hb = _hist(A), _hist(B)
+    na, nb = sum(ha.values()), sum(hb.values())
+    want = sorted(
+        (
+            (tok, ha.get(tok, 0), hb.get(tok, 0),
+             abs(ha.get(tok, 0) * nb - hb.get(tok, 0) * na))
+            for tok in set(ha) | set(hb)
+        ),
+        key=lambda r: (-r[3], r[0]),
+    )
+    got = [
+        (r["token"], r["cnt_a"], r["cnt_b"], r["drift"])
+        for r in token_drift(da, db, top_n=100).collect()
+    ]
+    assert got == want
+    # vocabulary churn is visible: 'vector' exists only in B
+    assert ("vector", 0, 3, 3 * na) in got
+
+
+def test_js_divergence_matches_pure_python(spark, frames):
+    da, db = frames
+    ha, hb = _hist(A), _hist(B)
+    vocab = sorted(set(ha) | set(hb))
+    s = 0.5
+    na = sum(ha.values()) + s * len(vocab)
+    nb = sum(hb.values()) + s * len(vocab)
+    want = 0.0
+    for tok in vocab:
+        pa = (ha.get(tok, 0) + s) / na
+        pb = (hb.get(tok, 0) + s) / nb
+        m = 0.5 * (pa + pb)
+        want += 0.5 * pa * math.log(pa / m) + 0.5 * pb * math.log(pb / m)
+    got = js_divergence(da, db)
+    assert got == pytest.approx(want, rel=1e-12)
+    assert 0.0 <= got <= math.log(2) + 1e-12
+    # symmetric by construction
+    assert js_divergence(db, da) == pytest.approx(got, rel=1e-12)
+    # identical snapshots -> ~0
+    assert js_divergence(da, da) == pytest.approx(0.0, abs=1e-15)
+
+
+def test_empty_snapshots(spark, frames):
+    da, _ = frames
+    empty = da.sparkSession.createDataFrame([], "doc_id long, text string")
+    assert js_divergence(empty, empty) == 0.0
+    # one empty side: every A token drifts by cnt_a * 0 - 0 * na = 0...
+    # with nb=0 the exact statistic is cnt_a*0 - 0*na = 0 for all tokens;
+    # the ranking is then pure token order — still well-defined
+    rows = token_drift(da, empty, top_n=5).collect()
+    assert [r["token"] for r in rows] == sorted(
+        set(_hist(A))
+    )[:5]
+    assert all(r["drift"] == 0 and r["cnt_b"] == 0 for r in rows)

@@ -1,0 +1,136 @@
+"""Retrieval family: inverted index, coordination ranking, and BM25 —
+pinned against pure-pandas oracles (BM25 with float tolerance, since its
+scores are log/division expressions) and plan-audited for the broadcast
+query-side joins."""
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_pubchem_db_spark.operators.retrieval import (
+    bm25_topk,
+    build_postings,
+    coordination_topk,
+)
+
+DOCS = [
+    (0, "the quick brown fox JUMPS over the lazy dog."),
+    (1, "spark streams batch data; spark shuffles spark partitions"),
+    (2, "a vector index for dense vector search, vector by vector!"),
+    (3, "   "),
+    (4, None),
+    (5, "dog dog dog fox"),
+    (6, "quick search over spark data"),
+]
+
+
+def _norm_tokens(text):
+    if text is None:
+        return []
+    t = re.sub(r"[.,!?;:]", "", text.lower())
+    return [w for w in re.split(r"\s+", t.strip()) if w]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_postings_match_pure_python(spark, corpus):
+    postings, doc_stats = build_postings(corpus)
+    got = {
+        (r["term"], r["doc_id"]): r["tf"] for r in postings.collect()
+    }
+    want = {}
+    lens = {}
+    for doc_id, text in DOCS:
+        toks = _norm_tokens(text)
+        if toks:
+            lens[doc_id] = len(toks)
+        for w in toks:
+            want[(w, doc_id)] = want.get((w, doc_id), 0) + 1
+    assert got == want
+    assert {
+        (r["doc_id"], r["dl"]) for r in doc_stats.collect()
+    } == set(lens.items())
+
+
+def test_coordination_ranking_is_exact(spark, corpus):
+    postings, _ = build_postings(corpus)
+    got = [
+        (r["doc_id"], r["n_terms"], r["total_tf"], r["rank"])
+        for r in coordination_topk(
+            postings, ["spark", "vector", "dog"], k=3
+        ).collect()
+    ]
+    # doc 2: vector x4 -> (1, 4); doc 1: spark x3 -> (1, 3);
+    # doc 5: dog x3 -> (1, 3) but doc_id tiebreak puts 1 first
+    assert got == [(2, 1, 4, 1), (1, 1, 3, 2), (5, 1, 3, 3)]
+
+
+def _bm25_oracle(query_terms, k1=1.2, b=0.75):
+    docs = {d: _norm_tokens(t) for d, t in DOCS if _norm_tokens(t)}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = {
+        q: sum(1 for t in docs.values() if q in t)
+        for q in set(query_terms)
+    }
+    scores = {}
+    for d, toks in docs.items():
+        s = 0.0
+        for q in set(query_terms):
+            tf = toks.count(q)
+            if tf == 0 or df[q] == 0:
+                continue
+            idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(toks) / avgdl)
+            )
+        if s > 0:
+            scores[d] = s
+    return scores
+
+
+def test_bm25_matches_pure_python_oracle(spark, corpus):
+    postings, doc_stats = build_postings(corpus)
+    q = ["spark", "dog", "quick"]
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(postings, doc_stats, q, k=10).collect()
+    }
+    want = _bm25_oracle(q)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12), d
+    # ordering by score desc
+    ordered = [
+        r["doc_id"]
+        for r in bm25_topk(postings, doc_stats, q, k=10).collect()
+    ]
+    assert ordered == sorted(want, key=lambda d: (-want[d], d))
+
+
+def test_bm25_empty_and_unknown_terms(spark, corpus):
+    postings, doc_stats = build_postings(corpus)
+    assert (
+        bm25_topk(postings, doc_stats, ["zzz_nowhere"], k=5).count() == 0
+    )
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_topk(postings, doc_stats, ["  "], k=5)
+
+
+def test_query_plan_broadcasts_query_side(spark, corpus):
+    """The query-term relation and the |q|-row df stats must broadcast —
+    a shuffle join keyed on 3 terms would be the 100 TB mistake."""
+    postings, doc_stats = build_postings(corpus)
+    plan = (
+        bm25_topk(postings, doc_stats, ["spark", "dog"], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan  # all codegen, no Python

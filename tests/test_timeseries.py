@@ -296,3 +296,57 @@ def test_inverted_pinned_window_raises(spark, obs):
         gap_fill(obs, "ts", ["key"], ["v"], "1 hour",
                  start=int(_ts(5).timestamp() * 1000),
                  end=int(_ts(2).timestamp() * 1000))
+
+
+# ---------------------------------------------------------------------------
+# robust_outliers (Hampel / modified z-score filter)
+# ---------------------------------------------------------------------------
+
+def test_robust_outliers_flags_only_true_outliers(spark):
+    from local_pubchem_db_spark.operators.timeseries import robust_outliers
+
+    # key a: tight series around 10 with one spike; key b: all constant
+    # (MAD 0 -> any deviation flags); nulls ignored everywhere
+    rows = [("a", i, v) for i, v in enumerate(
+        [9.0, 10.0, 10.0, 10.0, 11.0, 10.0, 500.0, 10.0, None]
+    )] + [("b", i, 7.0) for i in range(5)] + [("b", 99, 7.5)]
+    df = spark.createDataFrame(rows, "key string, i long, x double")
+    got = robust_outliers(df, ["key"], "x", k=3.5)
+    flagged = sorted((r["key"], r["i"]) for r in got.collect())
+    # a: median 10; deviations sorted [0,0,0,0,0,1,1,490] -> MAD 0, so
+    # every deviating row flags (9.0, 11.0, 500.0) — the documented
+    # degenerate behavior when over half the series sits ON the median
+    # b: median 7, MAD 0 -> the 7.5 row deviates and flags
+    assert flagged == [("a", 0), ("a", 4), ("a", 6), ("b", 99)]
+    row_a = next(r for r in got.collect() if r["i"] == 6)
+    assert (row_a["med"], row_a["mad"]) == (10.0, 0.0)
+
+
+def test_robust_outliers_preserves_columns_and_validates(spark):
+    from local_pubchem_db_spark.operators.timeseries import robust_outliers
+
+    df = spark.createDataFrame(
+        [("a", "t1", 1.0), ("a", "t2", 100.0), ("a", "t3", 1.0),
+         ("a", "t4", 1.2), ("a", "t5", 0.8)],
+        "key string, tag string, x double",
+    )
+    out = robust_outliers(df, ["key"], "x")
+    assert set(out.columns) == {"key", "tag", "x", "med", "mad"}
+    assert [r["tag"] for r in out.collect()] == ["t2"]
+    with pytest.raises(ValueError, match="non-empty"):
+        robust_outliers(df, [], "x")
+
+
+def test_robust_outliers_even_count_interpolated_median(spark):
+    from local_pubchem_db_spark.operators.timeseries import robust_outliers
+
+    # even count: median interpolates (2.0+4.0)/2 = 3.0; deviations
+    # |x-3| sorted [1,1,1,2,2,97] -> MAD (1+2)/2 = 1.5 -> cut 5.25
+    # flags only the 100
+    df = spark.createDataFrame(
+        [("k", float(v)) for v in [1, 2, 4, 5, 100, 2]],
+        "key string, x double",
+    )
+    got = [(r["x"], r["med"], r["mad"]) for r in
+           robust_outliers(df, ["key"], "x", k=3.5).collect()]
+    assert got == [(100.0, 3.0, 1.5)]
