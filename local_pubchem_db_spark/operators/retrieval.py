@@ -35,10 +35,13 @@ BM25 itself is pinned by a pure-pandas oracle in
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from local_pubchem_db_spark.functions.text import normalize_text, tokens
+from local_pubchem_db_spark.operators.util import parallelize_scan
 
 
 def build_postings(
@@ -54,7 +57,9 @@ def build_postings(
     contribute no postings and a ``dl`` of 0 row is omitted (a document
     with no tokens is unretrievable by construction)."""
     toks = tokens(normalize_text(F.col(text_col)))
-    exploded = docs.select(
+    # the tokenize+explode runs INSIDE the scan stage: rebalance when
+    # the (compressed-byte-sized) scan under-splits, else no-op
+    exploded = parallelize_scan(docs).select(
         F.col(id_col),
         F.explode(F.filter(toks, lambda x: x != F.lit(""))).alias("term"),
     )
@@ -102,6 +107,149 @@ def coordination_topk(
         F.desc("n_terms"), F.desc("total_tf"), F.asc(id_col)
     ).limit(k)
     return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def _term_eq(term: str):
+    """Single-arg element predicate for ``F.filter`` (a two-arg lambda
+    would be read as the (element, index) form — the index, a bigint,
+    would then be compared against string tokens and ANSI-cast-fail)."""
+    return lambda x: x == F.lit(term)
+
+
+def coordination_topk_direct(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``coordination_topk`` without the index: per-term tf computed as
+    array expressions over each document's own token array — zero
+    shuffles (the only exchange is TakeOrderedAndProject's k-row
+    merge). THE shape for an ad-hoc query against a corpus with no
+    prebuilt index: at sf30 (1.5M docs) the postings route costs the
+    full index build (~100 s — 45M exploded rows through a shuffle)
+    while this is one map-only scan (~8 s); the postings route wins
+    only when the index is built once and persisted/bucketed for MANY
+    queries. Output identical to ``coordination_topk`` (pinned by
+    test)."""
+    terms = sorted({t.strip().lower() for t in query_terms if t.strip()})
+    if not terms:
+        raise ValueError("query_terms must contain at least one token")
+    toks = tokens(normalize_text(F.col(text_col)))
+    docs = parallelize_scan(docs)  # map-only: parallelism == scan splits
+    # STACKED projections, not one expression tree: each stage's alias
+    # is non-cheap and referenced more than once downstream, so
+    # CollapseProject keeps the stage boundary and the regex tokenize
+    # runs ONCE per row and each per-term tf ONCE — inlining them
+    # (n_terms + total_tf + the filter each re-expanding every tf, each
+    # tf re-expanding the tokenize) measured 106 s vs 8 s at sf30.
+    with_tk = docs.select(F.col(id_col), toks.alias("__tk"))
+    with_tfs = with_tk.select(
+        F.col(id_col),
+        *[
+            F.size(F.filter(F.col("__tk"), _term_eq(t)))
+            .cast("long")
+            .alias(f"__tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    tf_cols = [F.col(f"__tf_{i}") for i in range(len(terms))]
+    per_doc = with_tfs.select(
+        F.col(id_col),
+        sum((tf > 0).cast("long") for tf in tf_cols).alias("n_terms"),
+        sum(tf_cols).alias("total_tf"),
+    )
+    # the matched-only filter runs AFTER the k-row top-k, not before:
+    # equivalent (an unmatched doc has the strictly minimal sort key, so
+    # it can enter the top k only when fewer than k docs match — and is
+    # then dropped here), and it keeps the predicate OUT of the scan —
+    # pushed down, Catalyst re-expands n_terms>0 into four full
+    # tokenize trees evaluated in the (possibly 4-task) scan stage:
+    # measured 101 s vs 8 s at sf30.
+    w = Window.orderBy(F.desc("n_terms"), F.desc("total_tf"), F.asc(id_col))
+    topk = (
+        per_doc.orderBy(
+            F.desc("n_terms"), F.desc("total_tf"), F.asc(id_col)
+        )
+        .limit(k)
+        .filter(F.col("n_terms") > 0)
+    )
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def bm25_topk_direct(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``bm25_topk`` without the index: one map-only stats pass (N,
+    avgdl, and df per query term as ``array_contains`` sums — a single
+    combinable aggregation to ONE row) followed by one map-only scoring
+    scan + TakeOrdered. Two corpus scans, zero data shuffles — the
+    ad-hoc-query twin of ``coordination_topk_direct``. Scores equal the
+    postings route to float round-off (pinned by test at rel 1e-12)."""
+    terms = sorted({t.strip().lower() for t in query_terms if t.strip()})
+    if not terms:
+        raise ValueError("query_terms must contain at least one token")
+    toks = tokens(normalize_text(F.col(text_col)))
+    docs = parallelize_scan(docs)  # map-only: parallelism == scan splits
+    with_toks = docs.select(F.col(id_col), toks.alias("__toks")).withColumn(
+        "__dl",
+        F.size(F.filter(F.col("__toks"), lambda x: x != F.lit(""))),
+    ).filter(F.col("__dl") > 0)
+    stats = with_toks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__dl").alias("avgdl"),
+        *[
+            F.sum(
+                F.array_contains("__toks", t).cast("long")
+            ).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).first()
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+    if n_docs == 0:
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} long, score double"
+        )
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        df_t = int(stats[f"df_{i}"])
+        if df_t == 0:
+            continue
+        idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        tf = F.size(
+            F.filter(F.col("__toks"), _term_eq(t))
+        ).cast("double")
+        score = score + F.when(
+            tf > 0,
+            F.lit(idf)
+            * tf
+            * F.lit(k1 + 1.0)
+            / (
+                tf
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("__dl") / F.lit(avgdl)
+                )
+            ),
+        ).otherwise(F.lit(0.0))
+    scored = with_toks.select(F.col(id_col), score.alias("score"))
+    # matched-only filter post-limit for the same pushdown reason as
+    # coordination_topk_direct: zero-score docs sort strictly last, so
+    # filtering after the k-row merge is equivalent and keeps the score
+    # tree out of the scan-stage predicate
+    return (
+        scored.orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+        .filter(F.col("score") > 0)
+    )
 
 
 def bm25_topk(

@@ -192,6 +192,8 @@ def robust_outliers(
     key_cols: list[str],
     value_col: str,
     k: float = 3.5,
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Per-key robust outlier detection: flag rows where
     ``|x − median| > k · MAD`` (MAD = median absolute deviation) — the
@@ -209,20 +211,35 @@ def robust_outliers(
 
     Determinism note: medians interpolate on doubles identically across
     engines for the even-count midpoint; the registry twin
-    (``ts_outliers``) is verified value-exact against DuckDB."""
+    (``ts_outliers``) is verified value-exact against DuckDB.
+
+    Memory shape: Spark's exact ``median`` buffers EVERY group value in
+    the aggregation buffer — exact and oracle-matchable, but a group's
+    values must fit one task (fine to ~10M rows/series). At true 100 TB
+    per-key volumes pass ``approx=True``: ``percentile_approx`` runs a
+    bounded-memory mergeable KLL-style sketch (map-side combinable, no
+    per-group buffering) whose rank error is ~1/``accuracy`` — the
+    flag decision moves where it should, to a sketch-tier cut on a
+    statistic that is itself robust."""
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     x = F.col(value_col)
+
+    def _median(c):
+        if approx:
+            return F.percentile_approx(c, 0.5, accuracy)
+        return F.median(c)
+
     med = (
         df.filter(x.isNotNull())
         .groupBy(*key_cols)
-        .agg(F.median(value_col).alias("med"))
+        .agg(_median(x).alias("med"))
     )
     with_med = df.join(med, key_cols)
     mad = (
         with_med.filter(x.isNotNull())
         .groupBy(*key_cols)
-        .agg(F.median(F.abs(x - F.col("med"))).alias("mad"))
+        .agg(_median(F.abs(x - F.col("med"))).alias("mad"))
     )
     return (
         with_med.join(mad, key_cols)

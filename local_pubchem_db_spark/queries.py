@@ -948,13 +948,17 @@ def q_retrieval_topk(spark, sf_dir):
     the hash-matchable twin of BM25 (which is float-scored and pinned by
     the pytest oracle in test_retrieval.py instead)."""
     from local_pubchem_db_spark.operators.retrieval import (
-        build_postings,
-        coordination_topk,
+        coordination_topk_direct,
     )
 
-    postings, _ = build_postings(t(spark, sf_dir, "documents"))
-    return coordination_topk(
-        postings, ["hash", "spark", "stream", "vector"], k=10
+    # direct (index-free) route: one map-only scan + TakeOrdered — the
+    # ad-hoc-query shape (the postings route pays the full index-build
+    # shuffle, amortized only across many queries; equality of the two
+    # routes is pinned in test_retrieval.py)
+    return coordination_topk_direct(
+        t(spark, sf_dir, "documents"),
+        ["hash", "spark", "stream", "vector"],
+        k=10,
     )
 
 
@@ -962,12 +966,14 @@ def q_token_drift(spark, sf_dir):
     """Corpus drift between two snapshots (operators/drift.py): even
     doc_ids vs odd doc_ids, ranked by the exact cross-multiplied
     statistic |c_a*N_b - c_b*N_a| (no floats anywhere)."""
-    from local_pubchem_db_spark.operators.drift import token_drift
+    from local_pubchem_db_spark.operators.drift import token_drift_split
 
-    d = t(spark, sf_dir, "documents")
-    return token_drift(
-        d.filter(F.col("doc_id") % 2 == 0),
-        d.filter(F.col("doc_id") % 2 == 1),
+    # fused one-scan form (both snapshots are slices of one relation):
+    # one combinable shuffle to the paired vocab histogram, no join;
+    # equality with the two-frame form is pinned in test_drift.py
+    return token_drift_split(
+        t(spark, sf_dir, "documents"),
+        F.col("doc_id") % 2 == 0,
         top_n=20,
     )
 

@@ -107,3 +107,28 @@ def test_empty_snapshots(spark, frames):
         set(_hist(A))
     )[:5]
     assert all(r["drift"] == 0 and r["cnt_b"] == 0 for r in rows)
+
+
+def test_split_form_equals_two_frame_form(spark, frames):
+    """token_drift_split(docs, side) must equal
+    token_drift(docs.filter(side), docs.filter(~side)) row-for-row —
+    one scan and no join instead of two scans + full outer join."""
+    from pyspark.sql import functions as F
+
+    from local_pubchem_db_spark.operators.drift import token_drift_split
+
+    da, db = frames
+    tagged = da.withColumn("side", F.lit(True)).unionByName(
+        db.withColumn("side", F.lit(False))
+    )
+    split_rows = [
+        (r["token"], r["cnt_a"], r["cnt_b"], r["drift"])
+        for r in token_drift_split(
+            tagged, F.col("side"), top_n=100
+        ).collect()
+    ]
+    two_frame = [
+        (r["token"], r["cnt_a"], r["cnt_b"], r["drift"])
+        for r in token_drift(da, db, top_n=100).collect()
+    ]
+    assert split_rows == two_frame

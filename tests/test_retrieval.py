@@ -134,3 +134,50 @@ def test_query_plan_broadcasts_query_side(spark, corpus):
     )
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan  # all codegen, no Python
+
+
+def test_direct_routes_equal_postings_routes(spark, corpus):
+    """The index-free direct paths (map-only array expressions) must
+    return exactly what the postings paths return — coordination
+    bit-for-bit, BM25 to float round-off (the two routes sum the same
+    per-term contributions in different orders)."""
+    from local_pubchem_db_spark.operators.retrieval import (
+        bm25_topk_direct,
+        coordination_topk_direct,
+    )
+
+    postings, doc_stats = build_postings(corpus)
+    q = ["spark", "vector", "dog", "quick"]
+    via_index = [tuple(r) for r in coordination_topk(postings, q, k=5).collect()]
+    direct = [tuple(r) for r in coordination_topk_direct(corpus, q, k=5).collect()]
+    assert direct == via_index
+
+    bi = {r["doc_id"]: r["score"] for r in
+          bm25_topk(postings, doc_stats, q, k=10).collect()}
+    bd = {r["doc_id"]: r["score"] for r in
+          bm25_topk_direct(corpus, q, k=10).collect()}
+    assert set(bi) == set(bd)
+    for d in bi:
+        assert bd[d] == pytest.approx(bi[d], rel=1e-12), d
+
+
+def test_direct_route_plan_is_shuffle_free(spark, corpus):
+    """coordination_topk_direct must plan as scan -> project -> filter
+    -> TakeOrdered: no Exchange of corpus data (the whole point of the
+    direct route; the only movement is the k-row top-k merge)."""
+    from local_pubchem_db_spark.operators.retrieval import (
+        coordination_topk_direct,
+    )
+
+    plan = (
+        coordination_topk_direct(corpus, ["spark", "dog"], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    # the per-doc scoring stage must not shuffle: no ShuffleExchange
+    # below TakeOrdered other than the rank window's trivial k-row one
+    stage = plan.split("TakeOrderedAndProject")[-1]
+    assert "Exchange hashpartitioning" not in stage
+    assert "EvalPython" not in plan

@@ -350,3 +350,26 @@ def test_robust_outliers_even_count_interpolated_median(spark):
     got = [(r["x"], r["med"], r["mad"]) for r in
            robust_outliers(df, ["key"], "x", k=3.5).collect()]
     assert got == [(100.0, 3.0, 1.5)]
+
+
+def test_robust_outliers_approx_mode_flags_gross_outliers(spark):
+    """approx=True (the bounded-memory 100TB path: percentile_approx
+    sketch instead of the value-buffering exact median) must agree with
+    exact mode away from the threshold boundary."""
+    import numpy as np
+
+    from local_pubchem_db_spark.operators.timeseries import robust_outliers
+
+    rng = np.random.default_rng(7)
+    base = [("k", float(v)) for v in rng.normal(50, 2, 2000)]
+    spikes = [("k", 1e6), ("k", -1e6)]
+    df = spark.createDataFrame(base + spikes, "key string, x double")
+    for approx in (False, True):
+        got = sorted(
+            r["x"] for r in
+            robust_outliers(df, ["key"], "x", k=6.0, approx=approx).collect()
+        )
+        assert got[0] == -1e6 and got[-1] == 1e6, approx
+        # a 6-sigma-equivalent cut on N(50,2) flags essentially nothing
+        # else at n=2000
+        assert len(got) <= 4, (approx, len(got))
