@@ -234,10 +234,15 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 samples.append(round(time.perf_counter() - t0, 3))
-            timings[aux] = min(samples)
-            runs[aux] = samples
+                # cold samples, like the headline loop: token_drift's
+                # shared() histogram must not serve rep 2 from cache
+                release_shared_caches(spark)
         except Exception as e:  # noqa: BLE001
             errors[aux] = f"{type(e).__name__}: {e}"[:500]
+            release_shared_caches(spark)
+        if samples:
+            timings[aux] = min(samples)
+            runs[aux] = samples
 
     AUX = ("ivf_pq_search", "gap_fill", "retrieval_topk",
            "ts_outliers", "token_drift")

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from local_pubchem_db_spark.functions.text import normalize_text, tokens
-from local_pubchem_db_spark.operators.util import parallelize_scan, shared
+from local_pubchem_db_spark.operators.util import fan_out, shared
 
 
 def token_histogram(
@@ -40,7 +40,7 @@ def token_histogram(
     ``text_col`` — one explode + one combinable shuffle."""
     toks = tokens(normalize_text(F.col(text_col)))
     return (
-        parallelize_scan(docs).select(
+        fan_out(docs).select(
             F.explode(F.filter(toks, lambda x: x != F.lit(""))).alias(
                 "token"
             )
@@ -105,7 +105,7 @@ def token_drift_split(
     test and by the registry oracle)."""
     toks = tokens(normalize_text(F.col(text_col)))
     hist = shared(
-        parallelize_scan(docs).select(
+        fan_out(docs).select(
             side.cast("boolean").alias("__a"),
             F.explode(F.filter(toks, lambda x: x != F.lit(""))).alias(
                 "token"

@@ -113,29 +113,3 @@ def release_shared_caches(spark) -> None:
     for memo in _SESSION_MEMOS:
         memo.pop(spark, None)
 
-
-def parallelize_scan(df: DataFrame, factor: float = 1.0) -> DataFrame:
-    """Rebalance ``df`` before CPU-heavy per-row work when its scan
-    yields fewer partitions than the session can use; NO-OP otherwise.
-
-    Why: Spark splits file scans by COMPRESSED bytes
-    (``spark.sql.files.maxPartitionBytes``), so a highly compressible
-    relation — replicated text compresses ~25:1 in the scale-flood
-    corpora — can arrive as 1-4 splits while the downstream map work
-    (regex tokenize, shingling) is priced on DECOMPRESSED volume.
-    Measured at sf30: the map-only retrieval query ran 183 s on a
-    4-row-group single-file documents table and 8 s after this
-    rebalance. On a well-laid-out table (splits >= cores — any real
-    100 TB layout) this returns ``df`` unchanged, so the extra exchange
-    is paid exactly when it buys a cores-wide speedup.
-
-    ``factor`` scales the trigger/target (e.g. 0.5: rebalance only
-    below half the default parallelism)."""
-    target = max(1, int(df.sparkSession.sparkContext.defaultParallelism * factor))
-    try:
-        n = df.rdd.getNumPartitions()
-    except Exception:  # noqa: BLE001 — planning probe; never fail the query
-        return df
-    if n >= target:
-        return df
-    return df.repartition(target)

@@ -823,7 +823,11 @@ def q_text_signals(spark, sf_dir):
 
 def q_lang_id(spark, sf_dir):
     """Stopword-vote language ID distribution vs the labeled lang column."""
-    d = t(spark, sf_dir, "documents")
+    from local_pubchem_db_spark.operators.util import fan_out
+
+    # CPU-bound per-row array ops ride the scan stage; fan_out rebalances
+    # under-split (highly compressed) inputs and no-ops on real layouts
+    d = fan_out(t(spark, sf_dir, "documents"))
     return (
         d.select("lang", lang_id(F.col("text")).alias("pred_lang"))
         .groupBy("lang", "pred_lang")
@@ -833,7 +837,10 @@ def q_lang_id(spark, sf_dir):
 
 def q_token_topk(spark, sf_dir):
     """Corpus token histogram: top 20 tokens."""
-    d = t(spark, sf_dir, "documents")
+    from local_pubchem_db_spark.operators.util import fan_out
+
+    # the tokenize+explode rides the scan stage (see q_lang_id note)
+    d = fan_out(t(spark, sf_dir, "documents"))
     return (
         d.select(F.explode(tokens(F.col("text"))).alias("token"))
         .filter(F.col("token") != "")
@@ -849,7 +856,9 @@ def q_multimodal_meta(spark, sf_dir):
     Arrow-batched mapInPandas (the decode-UDF shape for image/audio
     columns; here payload = utf-8 bytes so the oracle can verify size and
     digest exactly)."""
-    d = t(spark, sf_dir, "documents").select(
+    from local_pubchem_db_spark.operators.util import fan_out
+
+    d = fan_out(t(spark, sf_dir, "documents")).select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
 
@@ -873,14 +882,18 @@ def q_multimodal_meta(spark, sf_dir):
 def q_doc_chunks(spark, sf_dir):
     """Training-pipeline chunking: 32-token windows, stride 24 (overlap 8),
     per document (operators/chunking.py)."""
+    from local_pubchem_db_spark.operators.util import fan_out
+
     return chunk_documents(
-        t(spark, sf_dir, "documents"), chunk_size=32, stride=24
+        fan_out(t(spark, sf_dir, "documents")), chunk_size=32, stride=24
     )
 
 
 def q_pii_scrub(spark, sf_dir):
     """PII masking pass; digest keeps the oracle row narrow."""
-    d = t(spark, sf_dir, "documents")
+    from local_pubchem_db_spark.operators.util import fan_out
+
+    d = fan_out(t(spark, sf_dir, "documents"))  # regex-heavy scan stage
     return d.select(
         "doc_id", F.md5(scrub_pii(F.col("text"))).alias("clean_digest")
     )
@@ -889,7 +902,11 @@ def q_pii_scrub(spark, sf_dir):
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition quality signals: integer counts + the
     duplicate-3gram fraction as one IEEE division."""
-    d = t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    from local_pubchem_db_spark.operators.util import fan_out
+
+    d = fan_out(
+        t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    )  # Arrow-batched UDF rides the scan stage
     sig = d.select("doc_id", repetition_signals_udf()(F.col("text")).alias("s"))
     n3 = F.col("s.n_3grams")
     return sig.select(
