@@ -59,7 +59,7 @@ def build_postings(
     toks = tokens(normalize_text(F.col(text_col)))
     # the tokenize+explode runs INSIDE the scan stage: rebalance when
     # the (compressed-byte-sized) scan under-splits, else no-op
-    exploded = fan_out(docs).select(
+    exploded = fan_out(docs, min_bytes_per_task=1 << 16).select(
         F.col(id_col),
         F.explode(F.filter(toks, lambda x: x != F.lit(""))).alias("term"),
     )
@@ -137,7 +137,7 @@ def coordination_topk_direct(
     if not terms:
         raise ValueError("query_terms must contain at least one token")
     toks = tokens(normalize_text(F.col(text_col)))
-    docs = fan_out(docs)  # map-only: parallelism == scan splits
+    docs = fan_out(docs, min_bytes_per_task=1 << 16)  # map-only: parallelism == scan splits
     # STACKED projections, not one expression tree: each stage's alias
     # is non-cheap and referenced more than once downstream, so
     # CollapseProject keeps the stage boundary and the regex tokenize
@@ -197,7 +197,7 @@ def bm25_topk_direct(
     if not terms:
         raise ValueError("query_terms must contain at least one token")
     toks = tokens(normalize_text(F.col(text_col)))
-    docs = fan_out(docs)  # map-only: parallelism == scan splits
+    docs = fan_out(docs, min_bytes_per_task=1 << 16)  # map-only: parallelism == scan splits
     with_toks = docs.select(F.col(id_col), toks.alias("__toks")).withColumn(
         "__dl",
         F.size(F.filter(F.col("__toks"), lambda x: x != F.lit(""))),

@@ -26,7 +26,11 @@ def register_session_memo(memo) -> None:
     _SESSION_MEMOS.append(memo)
 
 
-def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+def fan_out(
+    df: DataFrame,
+    target: int | None = None,
+    min_bytes_per_task: int | None = None,
+) -> DataFrame:
     """Repartition UP to the cluster's parallelism when the input has fewer
     partitions — and only then.
 
@@ -34,7 +38,19 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     the scan's partition count: one small parquet file = one task = one
     core, regardless of cluster size. A 100 TB input already has thousands
     of splits, so this is a no-op there; for few-file inputs it buys full
-    parallelism for the price of shuffling the (small) input once.
+    parallelism for the price of shuffling the (small) input once. Spark
+    sizes scans by COMPRESSED bytes, so a highly compressible text corpus
+    (25:1 on the replicated scale floods) under-splits long before the
+    decompressed CPU work stops mattering — measured at sf30, the
+    map-only retrieval query ran 100+ s on a 4-split scan and ~7 s fanned.
+
+    ``min_bytes_per_task``: optional size gate for call sites where the
+    input may be SMALL enough that 2-stage scheduling overhead exceeds
+    the parallelism win (~0.2 s per query on a 32-core local session) —
+    skip the fan-out when the plan-stats estimate gives each new task
+    less than this many (compressed) bytes. Sites whose downstream cost
+    is superlinear in per-task input (the LSH/shingle pipelines) should
+    NOT gate: they were tuned with the unconditional rebalance.
 
     Uses an explicit-N round-robin repartition: AQE does not coalesce
     user-specified REPARTITION_BY_NUM shuffles, so the fan-out survives
@@ -44,6 +60,19 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     target = target or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
+    if min_bytes_per_task is not None:
+        try:
+            size = int(
+                df._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+                .toString()
+            )
+        except Exception:  # noqa: BLE001 — stats probe; fan out on doubt
+            size = None
+        if size is not None and size < min_bytes_per_task * target:
+            return df
     return df.repartition(target)
 
 

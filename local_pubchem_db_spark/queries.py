@@ -808,7 +808,7 @@ def q_text_signals(spark, sf_dir):
     # fan_out: ~8 regex/array passes per row are CPU-bound, and the
     # testdata table is one row group = one scan task; real multi-split
     # inputs make this a no-op.
-    d = fan_out(t(spark, sf_dir, "documents"))
+    d = fan_out(t(spark, sf_dir, "documents"), min_bytes_per_task=1 << 16)
     n_tok = token_count(F.col("text"))
     return d.select(
         "doc_id",
@@ -827,7 +827,7 @@ def q_lang_id(spark, sf_dir):
 
     # CPU-bound per-row array ops ride the scan stage; fan_out rebalances
     # under-split (highly compressed) inputs and no-ops on real layouts
-    d = fan_out(t(spark, sf_dir, "documents"))
+    d = fan_out(t(spark, sf_dir, "documents"), min_bytes_per_task=1 << 16)
     return (
         d.select("lang", lang_id(F.col("text")).alias("pred_lang"))
         .groupBy("lang", "pred_lang")
@@ -840,7 +840,7 @@ def q_token_topk(spark, sf_dir):
     from local_pubchem_db_spark.operators.util import fan_out
 
     # the tokenize+explode rides the scan stage (see q_lang_id note)
-    d = fan_out(t(spark, sf_dir, "documents"))
+    d = fan_out(t(spark, sf_dir, "documents"), min_bytes_per_task=1 << 16)
     return (
         d.select(F.explode(tokens(F.col("text"))).alias("token"))
         .filter(F.col("token") != "")
@@ -858,7 +858,7 @@ def q_multimodal_meta(spark, sf_dir):
     digest exactly)."""
     from local_pubchem_db_spark.operators.util import fan_out
 
-    d = fan_out(t(spark, sf_dir, "documents")).select(
+    d = fan_out(t(spark, sf_dir, "documents"), min_bytes_per_task=1 << 16).select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
 
@@ -885,7 +885,8 @@ def q_doc_chunks(spark, sf_dir):
     from local_pubchem_db_spark.operators.util import fan_out
 
     return chunk_documents(
-        fan_out(t(spark, sf_dir, "documents")), chunk_size=32, stride=24
+        fan_out(t(spark, sf_dir, "documents"), min_bytes_per_task=1 << 16),
+        chunk_size=32, stride=24,
     )
 
 
@@ -893,7 +894,7 @@ def q_pii_scrub(spark, sf_dir):
     """PII masking pass; digest keeps the oracle row narrow."""
     from local_pubchem_db_spark.operators.util import fan_out
 
-    d = fan_out(t(spark, sf_dir, "documents"))  # regex-heavy scan stage
+    d = fan_out(t(spark, sf_dir, "documents"), min_bytes_per_task=1 << 16)  # regex-heavy scan stage
     return d.select(
         "doc_id", F.md5(scrub_pii(F.col("text"))).alias("clean_digest")
     )
@@ -905,7 +906,8 @@ def q_repetition_signals(spark, sf_dir):
     from local_pubchem_db_spark.operators.util import fan_out
 
     d = fan_out(
-        t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+        t(spark, sf_dir, "documents").filter(F.trim("text") != ""),
+        min_bytes_per_task=1 << 16,
     )  # Arrow-batched UDF rides the scan stage
     sig = d.select("doc_id", repetition_signals_udf()(F.col("text")).alias("s"))
     n3 = F.col("s.n_3grams")
