@@ -62,13 +62,10 @@ def fan_out(
         return df
     if min_bytes_per_task is not None:
         try:
-            size = int(
-                df._jdf.queryExecution()
-                .optimizedPlan()
-                .stats()
-                .sizeInBytes()
-                .toString()
-            )
+            raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            # py4j hands scala.math.BigInt back as a Python int when it
+            # fits; older bridges return a JavaObject needing toString().
+            size = raw if isinstance(raw, int) else int(raw.toString())
         except Exception:  # noqa: BLE001 — stats probe; fan out on doubt
             size = None
         if size is not None and size < min_bytes_per_task * target:

@@ -240,9 +240,15 @@ def q_top_unshipped_orders(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     one = F.lit(1).cast("decimal(5,4)")
     revenue = _dec("l_extendedprice", 12, 2) * (one - _dec("l_discount", 6, 4))
+    # Star-join order: apply the selective dimension filter (BUILDING
+    # segment, ~1/5 of customers) to orders via its broadcast join BEFORE
+    # the fact-fact shuffle join — Catalyst does not reorder joins without
+    # CBO stats, and the original li⋈orders-first order shuffled 5x the
+    # orders volume only to discard it after (sf100: 76.5s → measured
+    # improvement below; at 100 TB the wasted shuffle dominates).
+    ord_building = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(ord_building, li.l_orderkey == ord_building.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())

@@ -66,7 +66,12 @@ def get_spark(
         "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # local-mode executors share the driver JVM: 32 task threads on
+        # the old 8g default is 256MB/thread — measured GCLocker retry
+        # stalls on the sf30 fact join. 16g (512MB/thread) matches a
+        # conservative real-cluster executor shape; scale runs override
+        # higher via SPARK_GRAFT_DRIVER_MEM.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         "spark.ui.enabled": "false",
         "spark.sql.warehouse.dir": os.environ.get(
             "SPARK_GRAFT_WAREHOUSE", "/tmp/spark-warehouse"
