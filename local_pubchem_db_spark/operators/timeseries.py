@@ -194,6 +194,7 @@ def robust_outliers(
     k: float = 3.5,
     approx: bool = False,
     accuracy: int = 10_000,
+    reuse: bool = False,
 ) -> DataFrame:
     """Per-key robust outlier detection: flag rows where
     ``|x − median| > k · MAD`` (MAD = median absolute deviation) — the
@@ -202,12 +203,16 @@ def robust_outliers(
     rows, with every input column preserved plus ``med`` and ``mad``.
 
     Two grouped exact-median aggregations (Spark's ``median`` is the
-    exact interpolated percentile, not a sketch) and two joins, all
-    partitioned by the key columns — per-key medians shuffle key-sized
-    relations only, so a 100 TB metric store fans out by series. Keys
-    whose MAD is 0 (constant series) flag every deviating row, which is
-    the conventional degenerate-case behavior. Null values are ignored
-    for the statistics and never flagged.
+    exact interpolated percentile, not a sketch) feeding ONE key-sized
+    (key, med, mad) stats relation joined back once; ``reuse=True``
+    caches the null-filtered input so the three passes scan the source
+    ONCE — measured SLOWER on local parquet (sf30: 24s vs 15s lazy; the
+    median shuffles dominate and the cache fill adds a serial pass), so
+    it defaults off; flip it when the source is remote object storage
+    and scans are the expensive term. Keys whose MAD is 0 (constant series)
+    flag every deviating row, which is the conventional degenerate-case
+    behavior. Null values are ignored for the statistics and never
+    flagged.
 
     Determinism note: medians interpolate on doubles identically across
     engines for the even-count midpoint; the registry twin
@@ -230,20 +235,26 @@ def robust_outliers(
             return F.percentile_approx(c, 0.5, accuracy)
         return F.median(c)
 
-    med = (
-        df.filter(x.isNotNull())
-        .groupBy(*key_cols)
-        .agg(_median(x).alias("med"))
-    )
-    with_med = df.join(med, key_cols)
+    # Null-value rows can never be flagged, so drop them once up front.
+    # reuse=True pins that relation in the block cache so the med pass,
+    # the mad pass, and the output pass read the input ONCE instead of
+    # three scans (the joins themselves are key-sized — AQE converts
+    # them to broadcast from runtime stats).
+    base = df.filter(x.isNotNull())
+    if reuse:
+        from local_pubchem_db_spark.operators.util import shared
+
+        base = shared(base)
+    med = base.groupBy(*key_cols).agg(_median(x).alias("med"))
     mad = (
-        with_med.filter(x.isNotNull())
+        base.join(med, key_cols)
         .groupBy(*key_cols)
-        .agg(_median(F.abs(x - F.col("med"))).alias("mad"))
+        .agg(F.first("med").alias("med"), _median(F.abs(x - F.col("med"))).alias("mad"))
     )
-    return (
-        with_med.join(mad, key_cols)
-        .filter(x.isNotNull() & (F.abs(x - F.col("med")) > F.lit(k) * F.col("mad")))
+    # ONE stats relation (key, med, mad) joined back once: the output
+    # subtree materializes a single wide join instead of two.
+    return base.join(mad, key_cols).filter(
+        F.abs(x - F.col("med")) > F.lit(k) * F.col("mad")
     )
 
 

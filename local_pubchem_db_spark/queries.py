@@ -241,12 +241,17 @@ def q_top_unshipped_orders(spark, sf_dir):
     one = F.lit(1).cast("decimal(5,4)")
     revenue = _dec("l_extendedprice", 12, 2) * (one - _dec("l_discount", 6, 4))
     # Star-join order: apply the selective dimension filter (BUILDING
-    # segment, ~1/5 of customers) to orders via its broadcast join BEFORE
-    # the fact-fact shuffle join — Catalyst does not reorder joins without
-    # CBO stats, and the original li⋈orders-first order shuffled 5x the
-    # orders volume only to discard it after (sf100: 76.5s → measured
-    # improvement below; at 100 TB the wasted shuffle dominates).
-    ord_building = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    # segment, ~1/5 of customers) to orders BEFORE the fact-fact shuffle
+    # join — Catalyst does not reorder joins without CBO stats, and the
+    # original li⋈orders-first order shuffled 5x the orders volume only
+    # to discard it after (sf30 warmed: 14.1s → 11.2s). NO broadcast
+    # hint on customer: it is a SCALING table (SF x 150k rows), and the
+    # forced-broadcast hash relation OOMed the executors at sf100
+    # (UNABLE_TO_ACQUIRE_MEMORY building a ~3M-row map under the fact
+    # join's sort buffers). AQE's runtime stats broadcast it while it is
+    # actually small and fall back to a shuffle join when it is not —
+    # the only decision that survives every deployment size.
+    ord_building = orders.join(cust, orders.o_custkey == cust.c_custkey)
     return (
         li.join(ord_building, li.l_orderkey == ord_building.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
@@ -265,8 +270,12 @@ def q_revenue_by_nation(spark, sf_dir):
     region = t(spark, sf_dir, "region")
     one = F.lit(1).cast("decimal(5,4)")
     revenue = _dec("l_extendedprice", 12, 2) * (one - _dec("l_discount", 6, 4))
+    # nation/region are TRUE fixed-size dims (TPC-H does not scale them)
+    # — hint them. supplier scales with SF: no hint, AQE broadcasts from
+    # runtime stats while small and shuffle-joins when it outgrows the
+    # threshold (the forced-broadcast class OOMed at sf100 on customer).
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -379,9 +388,12 @@ def q_brand_volume(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
     supp = t(spark, sf_dir, "supplier")
+    # part/supplier SCALE with SF (part is SF x 200k rows — a 20M-row
+    # hash relation at sf100): no forced broadcast; AQE decides from
+    # runtime sizes per deployment.
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("p_brand", "s_name")
         .agg(
             F.sum(_dec("l_quantity", 12, 2)).cast("double").alias("sum_qty"),
