@@ -1,0 +1,195 @@
+"""Grouped percentiles at three scale tiers — the missing middle being
+the point: an EXACT percentile whose parallelism does not collapse to
+one task per key.
+
+Spark's built-in exact ``median`` / ``percentile`` is a buffering
+aggregate: every value of a group ships to ONE reduce task that sorts
+the lot. Correct, oracle-matchable — and at 100 TB with a low-cardinality
+key (8 event types, say) the job runs on 8 cores no matter how many
+executors the cluster has, with per-task memory proportional to the
+largest group. ``percentile_approx`` fixes the memory and parallelism
+but surrenders exactness. ``method="selection"`` here is the classic
+distributed-selection third way (the TeraSort-style recipe: global
+range partitioning + per-slice local ranks + prefix offsets turn
+order statistics into a rank lookup):
+
+1. range-partition the (key, value) stream — equal tuples co-locate,
+   every partition holds one contiguous slice of the global
+   (key, value) order;
+2. per-(slice, key) local ranks via ``row_number`` — the window
+   partitions on (partition-id, key), so a hot key's groups are bounded
+   by SLICE size, not key volume: full cluster parallelism;
+3. per-(slice, key) counts roll into prefix offsets (a window over the
+   tiny slices-x-keys relation) — local rank + slice offset = exact
+   global rank;
+4. the two ranks straddling ``p * (n-1)`` (Spark/DuckDB's linear
+   interpolation) are picked out with a broadcast key->targets map and
+   interpolated.
+
+Cost: one full-data range shuffle (plus repartitionByRange's sampling
+pass) + one full-data hash shuffle for the rank window, vs the buffering
+aggregate's single shuffle INTO #keys tasks. Locally on small data the
+buffer path wins; on a cluster whose groups dwarf a task, selection is
+the only exact plan that finishes. Every method returns the same
+(keys..., out_col) schema, and selection == buffer equality is pinned by
+tests across odd/even counts, ties, and partitioning.
+
+No reference parity: the reference (utils.py) has no aggregate surface;
+this extends SURVEY.md §2 C10 (approx percentiles) with the exact-at-
+scale tier the training-data pipelines need (per-domain length/quality
+cutoffs are percentile queries over few-key groups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+METHODS = ("buffer", "sketch", "selection")
+
+
+def grouped_percentile(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    p: float = 0.5,
+    method: str = "buffer",
+    accuracy: int = 10_000,
+    out_col: str = "pct",
+    num_slices: int | None = None,
+) -> DataFrame:
+    """One row per key: the ``p``-th percentile of ``value_col`` with
+    linear interpolation (``p=0.5`` == Spark's ``median``; the same
+    definition DuckDB/NumPy use, so results are oracle-portable).
+
+    - ``method="buffer"``: Spark's exact aggregate — one task per key,
+      per-task memory ~ group size. The small-data default.
+    - ``method="sketch"``: ``percentile_approx`` — bounded-memory
+      mergeable KLL-style sketch, rank error ~ 1/``accuracy``.
+    - ``method="selection"``: exact AND parallelism ~ data volume, not
+      key count (see module docstring). ``num_slices`` overrides the
+      range-slice count (default: session shuffle partitions).
+
+    Null values are ignored; keys whose values are all null (or absent)
+    produce no row. Values are computed as double (interpolation is a
+    double formula in every engine).
+    """
+    if method not in METHODS:
+        raise ValueError(f"method must be one of {METHODS}, got {method!r}")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if not (0.0 <= p <= 1.0):
+        raise ValueError(f"p must be in [0, 1], got {p}")
+    x = F.col(value_col).cast("double")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *[F.col(k) for k in key_cols], x.alias("__v")
+    )
+
+    if method == "buffer":
+        return base.groupBy(*key_cols).agg(
+            F.percentile("__v", F.lit(p)).alias(out_col)
+        )
+    if method == "sketch":
+        return base.groupBy(*key_cols).agg(
+            F.percentile_approx("__v", F.lit(p), F.lit(accuracy))
+            .cast("double")
+            .alias(out_col)
+        )
+
+    # --- selection ---
+    spark = df.sparkSession
+    n_slices = num_slices or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # 1. one contiguous slice of the global (key, value) order per
+    #    partition; equal tuples co-locate, so rank picks are stable.
+    ranged = base.repartitionByRange(n_slices, *key_cols, "__v").withColumn(
+        "__slice", F.spark_partition_id()
+    )
+
+    # 2. local rank within (slice, key): the window's hash shuffle keys
+    #    on (__slice, key), so group size is bounded by slice volume —
+    #    a hot key fans out across its slices instead of funneling into
+    #    one task.
+    w_local = Window.partitionBy("__slice", *key_cols).orderBy("__v")
+    ranked = ranged.withColumn("__lr", F.row_number().over(w_local))
+
+    # 3. per-(slice, key) counts -> prefix offsets. Counted off the
+    #    RANGED relation (not the ranked one) so this branch reuses the
+    #    range exchange without re-evaluating the rank window; the
+    #    relation is slices x touched-keys rows — tiny.
+    cnt = ranged.groupBy("__slice", *key_cols).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_off = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = cnt.withColumn("__off", F.coalesce(F.sum("__c").over(w_off), F.lit(0)))
+
+    # 4. target ranks from per-key totals: idx = p*(n-1) zero-based,
+    #    linear interpolation between zero-based ranks floor(idx) and
+    #    ceil(idx) — identical to Spark percentile / DuckDB quantile.
+    tot = off.groupBy(*key_cols).agg(F.sum("__c").alias("__n"))
+    idx = F.lit(p) * (F.col("__n") - 1).cast("double")
+    targets = tot.select(
+        *key_cols,
+        F.floor(idx).cast("long").alias("__f"),
+        F.ceil(idx).cast("long").alias("__cl"),
+        idx.alias("__idx"),
+    )
+
+    # 5. pick the straddling ranks: broadcast the key->targets map so
+    #    the filter runs map-side over the ranked stream, then one
+    #    tiny agg interpolates. first(cond, ignorenulls) collapses the
+    #    (<=2) picked rows per key.
+    g = ranked.join(off.select("__slice", *key_cols, "__off"), ["__slice", *key_cols])
+    g = g.withColumn("__gr", (F.col("__lr") + F.col("__off") - 1))  # zero-based
+    picked = g.join(F.broadcast(targets), key_cols).filter(
+        (F.col("__gr") == F.col("__f")) | (F.col("__gr") == F.col("__cl"))
+    )
+    lo = F.first(F.when(F.col("__gr") == F.col("__f"), F.col("__v")), ignorenulls=True)
+    hi = F.first(F.when(F.col("__gr") == F.col("__cl"), F.col("__v")), ignorenulls=True)
+    # Spark's Percentile interpolates as lo*(ceil-pos) + hi*(pos-floor)
+    # (NOT lo + (hi-lo)*frac — the two differ in the last ulp, e.g.
+    # 8.799999999999999 vs 8.8 at p=0.9 over {7,9}); replicate it
+    # literally so selection == buffer is BIT-exact, with the
+    # degenerate integral-position case returned directly.
+    interp = F.when(F.col("__f") == F.col("__cl"), F.col("__lo")).otherwise(
+        F.col("__lo") * (F.col("__cl") - F.col("__idx"))
+        + F.col("__hi") * (F.col("__idx") - F.col("__f"))
+    )
+    return (
+        picked.groupBy(*key_cols)
+        .agg(
+            lo.alias("__lo"),
+            hi.alias("__hi"),
+            F.first("__f").alias("__f"),
+            F.first("__cl").alias("__cl"),
+            F.first("__idx").alias("__idx"),
+        )
+        .select(*key_cols, interp.alias(out_col))
+    )
+
+
+def grouped_median(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    method: str = "buffer",
+    accuracy: int = 10_000,
+    out_col: str = "med",
+    num_slices: int | None = None,
+) -> DataFrame:
+    """``grouped_percentile`` at p=0.5 (see that docstring for the
+    method tiers)."""
+    return grouped_percentile(
+        df,
+        key_cols,
+        value_col,
+        p=0.5,
+        method=method,
+        accuracy=accuracy,
+        out_col=out_col,
+        num_slices=num_slices,
+    )

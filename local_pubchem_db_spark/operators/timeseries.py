@@ -195,6 +195,7 @@ def robust_outliers(
     approx: bool = False,
     accuracy: int = 10_000,
     reuse: bool = False,
+    method: str | None = None,
 ) -> DataFrame:
     """Per-key robust outlier detection: flag rows where
     ``|x − median| > k · MAD`` (MAD = median absolute deviation) — the
@@ -218,22 +219,21 @@ def robust_outliers(
     engines for the even-count midpoint; the registry twin
     (``ts_outliers``) is verified value-exact against DuckDB.
 
-    Memory shape: Spark's exact ``median`` buffers EVERY group value in
-    the aggregation buffer — exact and oracle-matchable, but a group's
-    values must fit one task (fine to ~10M rows/series). At true 100 TB
-    per-key volumes pass ``approx=True``: ``percentile_approx`` runs a
-    bounded-memory mergeable KLL-style sketch (map-side combinable, no
-    per-group buffering) whose rank error is ~1/``accuracy`` — the
-    flag decision moves where it should, to a sketch-tier cut on a
-    statistic that is itself robust."""
+    Median tiers (``method``, see ``operators/percentiles.py``):
+    ``"buffer"`` (default) is Spark's exact aggregate — one task per
+    key, per-task memory ~ group size (fine to ~10M rows/series);
+    ``"sketch"`` (or legacy ``approx=True``) is ``percentile_approx``'s
+    bounded-memory mergeable sketch, rank error ~1/``accuracy``;
+    ``"selection"`` is EXACT with parallelism proportional to data
+    volume instead of key count — the tier for true 100 TB per-key
+    volumes where buffer funnels the cluster into #keys tasks and the
+    statistic must still be exact."""
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
-    x = F.col(value_col)
+    from local_pubchem_db_spark.operators.percentiles import grouped_median
 
-    def _median(c):
-        if approx:
-            return F.percentile_approx(c, 0.5, accuracy)
-        return F.median(c)
+    m = method or ("sketch" if approx else "buffer")
+    x = F.col(value_col)
 
     # Null-value rows can never be flagged, so drop them once up front.
     # reuse=True pins that relation in the block cache so the med pass,
@@ -245,15 +245,17 @@ def robust_outliers(
         from local_pubchem_db_spark.operators.util import shared
 
         base = shared(base)
-    med = base.groupBy(*key_cols).agg(_median(x).alias("med"))
-    mad = (
-        base.join(med, key_cols)
-        .groupBy(*key_cols)
-        .agg(F.first("med").alias("med"), _median(F.abs(x - F.col("med"))).alias("mad"))
+    med = grouped_median(
+        base, key_cols, value_col, method=m, accuracy=accuracy, out_col="med"
     )
-    # ONE stats relation (key, med, mad) joined back once: the output
-    # subtree materializes a single wide join instead of two.
-    return base.join(mad, key_cols).filter(
+    dev = base.join(med, key_cols).withColumn("__ad", F.abs(x - F.col("med")))
+    mad = grouped_median(
+        dev, key_cols, "__ad", method=m, accuracy=accuracy, out_col="mad"
+    )
+    # ONE key-sized stats relation (key, med, mad) joined back once: the
+    # output subtree materializes a single wide join.
+    stats = med.join(mad, key_cols)
+    return base.join(stats, key_cols).filter(
         F.abs(x - F.col("med")) > F.lit(k) * F.col("mad")
     )
 

@@ -1029,6 +1029,24 @@ def q_ts_outliers(spark, sf_dir):
     )
 
 
+def q_pct_selection(spark, sf_dir):
+    """Exact grouped median via DISTRIBUTED SELECTION
+    (operators/percentiles.py, method="selection"): range-partition the
+    (key, value) order, rank within slices, pick the straddling global
+    ranks — exact like the buffering aggregate but with parallelism ~
+    data volume instead of key count (the few-keys / huge-groups 100 TB
+    regime; 30M continuous values in ONE group: 15s vs the buffer
+    path's 105s, which is a single-task sort). Bit-exact with
+    F.median (test-pinned), hash-matched here against DuckDB's
+    median like the ts_outliers med column."""
+    from local_pubchem_db_spark.operators.percentiles import grouped_median
+
+    ev = events_table(spark, sf_dir).select("event_type", "value")
+    return grouped_median(
+        ev, ["event_type"], "value", method="selection", out_col="med"
+    )
+
+
 def q_gap_fill_locf(spark, sf_dir):
     """Time-series regularization (operators/timeseries.py): the hourly
     per-type rollup (decimal-exact sums) regularized onto a dense 1h
@@ -1135,6 +1153,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "incremental_dedup": q_incremental_dedup,
     "ann_ivf_probe": q_ann_ivf_probe,
+    # past-cap but FULLY oracled (value-hash vs DuckDB median every
+    # oracle_check run): the distributed-selection exact median
+    "pct_selection": q_pct_selection,
 }
 
 # Shared SQL fragments for the oracles ------------------------------------
@@ -1665,6 +1686,11 @@ ORACLES: dict[str, str] = {
         FROM j, tot
         ORDER BY drift DESC, token
         LIMIT 20
+    """,
+    "pct_selection": """
+        SELECT event_type, median(CAST(value AS DOUBLE)) AS med
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
     """,
     "ts_outliers": """
         WITH med AS (

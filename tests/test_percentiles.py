@@ -1,0 +1,147 @@
+"""grouped_percentile: the three method tiers must agree where their
+contracts say they do — selection is EXACT, so it must match the buffer
+aggregate bit-for-bit on every shape; sketch must land within its rank
+error. Also pins the scale contract: the selection plan must contain no
+per-key funnel (no hash partitioning on the bare key columns over the
+full data stream)."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_pubchem_db_spark.operators.percentiles import (
+    grouped_median,
+    grouped_percentile,
+)
+
+
+def _collect(df, keys=("k",), out="pct"):
+    return {
+        tuple(getattr(r, c) for c in keys): getattr(r, out)
+        for r in df.collect()
+    }
+
+
+def _mk(spark, rows, parts=7):
+    return spark.createDataFrame(rows, "k string, v double").repartition(parts)
+
+
+CASES = [
+    # odd count
+    [("a", float(x)) for x in [5, 1, 3, 2, 4]],
+    # even count -> interpolated midpoint
+    [("a", float(x)) for x in [10, 20, 30, 40]],
+    # ties straddling the midpoint
+    [("a", v) for v in [1.0, 2.0, 2.0, 2.0, 3.0, 3.0]],
+    # single value
+    [("a", 42.0)],
+    # two keys, very different sizes
+    [("a", float(x)) for x in range(101)] + [("b", 7.0), ("b", 9.0)],
+    # negative + fractional values
+    [("a", v) for v in [-3.5, -1.25, 0.0, 2.75]],
+]
+
+
+@pytest.mark.parametrize("rows", CASES)
+@pytest.mark.parametrize("p", [0.0, 0.25, 0.5, 0.9, 1.0])
+def test_selection_equals_buffer(spark, rows, p):
+    df = _mk(spark, rows)
+    got = _collect(grouped_percentile(df, ["k"], "v", p=p, method="selection"))
+    want = _collect(grouped_percentile(df, ["k"], "v", p=p, method="buffer"))
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=0.0), (k, p)
+
+
+def test_selection_equals_buffer_randomized(spark):
+    rng = random.Random(1234)
+    rows = []
+    for ki in range(17):  # keys of size 1..40, duplicates common
+        n = rng.randint(1, 40)
+        vals = [float(rng.randint(-50, 50)) for _ in range(n)]
+        rows += [(f"k{ki}", v) for v in vals]
+    df = _mk(spark, rows, parts=13)
+    for p in (0.1, 0.5, 0.77):
+        got = _collect(grouped_percentile(df, ["k"], "v", p=p, method="selection"))
+        want = _collect(grouped_percentile(df, ["k"], "v", p=p, method="buffer"))
+        assert got.keys() == want.keys()
+        for k in want:
+            assert got[k] == pytest.approx(want[k], rel=1e-12), (k, p)
+
+
+def test_matches_spark_median_builtin(spark):
+    rows = [("a", float(x)) for x in range(10)] + [("b", float(x)) for x in (3, 1, 4, 1, 5)]
+    df = _mk(spark, rows)
+    want = {
+        r.k: r.m
+        for r in df.groupBy("k").agg(F.median("v").alias("m")).collect()
+    }
+    got = _collect(grouped_median(df, ["k"], "v", method="selection"), out="med")
+    assert {k: got[(k,)] for k in want} == pytest.approx(want)
+
+
+def test_nulls_ignored_and_all_null_key_absent(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("z", None)],
+        "k string, v double",
+    )
+    for method in ("buffer", "selection"):
+        got = _collect(grouped_percentile(df, ["k"], "v", method=method))
+        assert got == {("a",): 2.0}
+
+
+def test_partitioning_invariance(spark):
+    rows = [(f"k{i%5}", float((i * 37) % 101)) for i in range(400)]
+    a = _collect(
+        grouped_percentile(_mk(spark, rows, parts=3), ["k"], "v", method="selection")
+    )
+    b = _collect(
+        grouped_percentile(
+            _mk(spark, rows, parts=29), ["k"], "v", method="selection", num_slices=5
+        )
+    )
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == pytest.approx(b[k], rel=1e-12)
+
+
+def test_sketch_within_rank_error(spark):
+    rows = [("a", float(x)) for x in range(1000)]
+    df = _mk(spark, rows)
+    got = _collect(grouped_percentile(df, ["k"], "v", method="sketch", accuracy=100))
+    # rank error ~ n/accuracy = 10 ranks -> value error <= ~10 here
+    assert abs(got[("a",)] - 499.5) <= 11
+
+
+def test_no_per_key_funnel_in_selection_plan(spark):
+    """The scale contract: the full-data stream must never hash-shuffle
+    on the bare key columns (that is the buffer path's one-task-per-key
+    funnel). Key-only partitioings may appear only downstream of the
+    slices-x-keys relations (offsets/targets/final tiny agg); the
+    full-data exchanges are the range shuffle and the (slice, key)
+    window shuffle."""
+    df = _mk(spark, [("a", float(i)) for i in range(100)])
+    plan = (
+        grouped_percentile(df, ["k"], "v", method="selection")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+    # the rank window partitions on (__slice, k) — never on k alone
+    # ahead of a Window that consumes the full stream
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "__slice" in line
+
+
+def test_bad_args(spark):
+    df = _mk(spark, [("a", 1.0)])
+    with pytest.raises(ValueError):
+        grouped_percentile(df, [], "v")
+    with pytest.raises(ValueError):
+        grouped_percentile(df, ["k"], "v", method="magic")
+    with pytest.raises(ValueError):
+        grouped_percentile(df, ["k"], "v", p=1.5)

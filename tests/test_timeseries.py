@@ -373,3 +373,32 @@ def test_robust_outliers_approx_mode_flags_gross_outliers(spark):
         # a 6-sigma-equivalent cut on N(50,2) flags essentially nothing
         # else at n=2000
         assert len(got) <= 4, (approx, len(got))
+
+
+def test_robust_outliers_selection_method_identical_to_buffer(spark):
+    """method="selection" (exact distributed-selection medians — the
+    keeps-the-cluster-busy tier) must reproduce the default buffer
+    path's flagged rows, med, and mad EXACTLY: both are exact
+    interpolated medians, only the physical plan differs."""
+    import numpy as np
+
+    from local_pubchem_db_spark.operators.timeseries import robust_outliers
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for key, n in (("a", 501), ("b", 64), ("c", 1)):
+        rows += [(key, float(v)) for v in rng.normal(10, 3, n)]
+    rows += [("a", 500.0), ("b", -500.0), ("a", None)]
+    df = spark.createDataFrame(rows, "key string, x double").repartition(9)
+
+    def run(method):
+        return sorted(
+            (r["key"], r["x"], r["med"], r["mad"])
+            for r in robust_outliers(
+                df, ["key"], "x", k=4.0, method=method
+            ).collect()
+        )
+
+    buf, sel = run("buffer"), run("selection")
+    assert buf == sel
+    assert {(k, x) for k, x, *_ in buf} >= {("a", 500.0), ("b", -500.0)}
