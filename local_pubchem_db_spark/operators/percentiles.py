@@ -3,14 +3,15 @@ the point: an EXACT percentile whose parallelism does not collapse to
 one task per key.
 
 Spark's built-in exact ``median`` / ``percentile`` is a buffering
-aggregate: every value of a group ships to ONE reduce task that sorts
-the lot. Correct, oracle-matchable — and at 100 TB with a low-cardinality
-key (8 event types, say) the job runs on 8 cores no matter how many
-executors the cluster has, with per-task memory proportional to the
-largest group. ``percentile_approx`` fixes the memory and parallelism
-but surrenders exactness. ``method="selection"`` here is the classic
-distributed-selection third way (the TeraSort-style recipe: global
-range partitioning + per-slice local ranks + prefix offsets turn
+aggregate: every value of a group ships to ONE reduce task that holds a
+value->count map of the group (so its memory grows with the group's
+VALUE CARDINALITY, and a high-cardinality group sorts single-threaded).
+Correct, oracle-matchable — and at 100 TB with a low-cardinality key
+(8 event types, say) the job runs on 8 cores no matter how many
+executors the cluster has. ``percentile_approx`` fixes the memory and
+parallelism but surrenders exactness. ``method="selection"`` here is
+the classic distributed-selection third way (the TeraSort-style recipe:
+global range partitioning + per-slice local ranks + prefix offsets turn
 order statistics into a rank lookup):
 
 1. range-partition the (key, value) stream — equal tuples co-locate,
@@ -22,17 +23,21 @@ order statistics into a rank lookup):
 3. per-(slice, key) counts roll into prefix offsets (a window over the
    tiny slices-x-keys relation) — local rank + slice offset = exact
    global rank;
-4. the two ranks straddling ``p * (n-1)`` (Spark/DuckDB's linear
+4. the two ranks straddling each ``p * (n-1)`` (Spark/DuckDB's linear
    interpolation) are picked out with a broadcast key->targets map and
-   interpolated.
+   interpolated — EVERY requested percentile rides the same two
+   shuffles, so quartiles/deciles cost one pass.
 
 Cost: one full-data range shuffle (plus repartitionByRange's sampling
 pass) + one full-data hash shuffle for the rank window, vs the buffering
-aggregate's single shuffle INTO #keys tasks. Locally on small data the
-buffer path wins; on a cluster whose groups dwarf a task, selection is
-the only exact plan that finishes. Every method returns the same
-(keys..., out_col) schema, and selection == buffer equality is pinned by
-tests across odd/even counts, ties, and partitioning.
+aggregate's single shuffle INTO #keys tasks. Measured at sf30 (30M rows,
+`tools/measure_percentiles.py`): with repeating values or many keys the
+buffer tier wins (its count-map buffer stays tiny); ONE group of 30M
+continuous values runs 15.4s under selection vs 105-120s under buffer —
+and the buffer gap grows without bound in group cardinality. The tier
+choice is about value cardinality per group and key count, not volume.
+selection == buffer equality is pinned by tests across odd/even counts,
+ties, and partitionings, including Spark's exact interpolation formula.
 
 No reference parity: the reference (utils.py) has no aggregate surface;
 this extends SURVEY.md §2 C10 (approx percentiles) with the exact-at-
@@ -48,27 +53,30 @@ from pyspark.sql import functions as F
 METHODS = ("buffer", "sketch", "selection")
 
 
-def grouped_percentile(
+def grouped_percentiles(
     df: DataFrame,
     key_cols: list[str],
     value_col: str,
-    p: float = 0.5,
+    ps: list[float],
     method: str = "buffer",
     accuracy: int = 10_000,
-    out_col: str = "pct",
+    out_col: str = "pcts",
     num_slices: int | None = None,
 ) -> DataFrame:
-    """One row per key: the ``p``-th percentile of ``value_col`` with
-    linear interpolation (``p=0.5`` == Spark's ``median``; the same
-    definition DuckDB/NumPy use, so results are oracle-portable).
+    """One row per key with ``out_col`` an ``array<double>`` of the
+    ``ps``-th percentiles (aligned with ``ps``), linear interpolation —
+    the same definition Spark's ``percentile``/DuckDB's
+    ``quantile_cont`` use, so results are oracle-portable.
 
     - ``method="buffer"``: Spark's exact aggregate — one task per key,
-      per-task memory ~ group size. The small-data default.
+      per-task memory ~ the group's value cardinality. The small-data
+      default.
     - ``method="sketch"``: ``percentile_approx`` — bounded-memory
       mergeable KLL-style sketch, rank error ~ 1/``accuracy``.
     - ``method="selection"``: exact AND parallelism ~ data volume, not
-      key count (see module docstring). ``num_slices`` overrides the
-      range-slice count (default: session shuffle partitions).
+      key count (see module docstring); all of ``ps`` share one pass.
+      ``num_slices`` overrides the range-slice count (default: session
+      shuffle partitions).
 
     Null values are ignored; keys whose values are all null (or absent)
     produce no row. Values are computed as double (interpolation is a
@@ -78,21 +86,25 @@ def grouped_percentile(
         raise ValueError(f"method must be one of {METHODS}, got {method!r}")
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
-    if not (0.0 <= p <= 1.0):
-        raise ValueError(f"p must be in [0, 1], got {p}")
+    if not ps:
+        raise ValueError("ps must be non-empty")
+    for p in ps:
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"every p must be in [0, 1], got {p}")
     x = F.col(value_col).cast("double")
     base = df.filter(F.col(value_col).isNotNull()).select(
         *[F.col(k) for k in key_cols], x.alias("__v")
     )
+    p_arr = F.array(*[F.lit(float(p)) for p in ps])
 
     if method == "buffer":
         return base.groupBy(*key_cols).agg(
-            F.percentile("__v", F.lit(p)).alias(out_col)
+            F.percentile("__v", p_arr).alias(out_col)
         )
     if method == "sketch":
         return base.groupBy(*key_cols).agg(
-            F.percentile_approx("__v", F.lit(p), F.lit(accuracy))
-            .cast("double")
+            F.percentile_approx("__v", p_arr, F.lit(accuracy))
+            .cast("array<double>")
             .alias(out_col)
         )
 
@@ -127,22 +139,32 @@ def grouped_percentile(
     )
     off = cnt.withColumn("__off", F.coalesce(F.sum("__c").over(w_off), F.lit(0)))
 
-    # 4. target ranks from per-key totals: idx = p*(n-1) zero-based,
-    #    linear interpolation between zero-based ranks floor(idx) and
-    #    ceil(idx) — identical to Spark percentile / DuckDB quantile.
+    # 4. target ranks per requested percentile: idx_i = p_i*(n-1)
+    #    zero-based, straddled by floor/ceil — long-form (key, pi, f,
+    #    cl, idx) rows, |ps| per key, exploded from one array so the
+    #    totals aggregate runs once.
     tot = off.groupBy(*key_cols).agg(F.sum("__c").alias("__n"))
-    idx = F.lit(p) * (F.col("__n") - 1).cast("double")
-    targets = tot.select(
-        *key_cols,
-        F.floor(idx).cast("long").alias("__f"),
-        F.ceil(idx).cast("long").alias("__cl"),
-        idx.alias("__idx"),
+    nm1 = (F.col("__n") - 1).cast("double")
+    target_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("__pi"),
+                F.floor(F.lit(float(p)) * nm1).cast("long").alias("__f"),
+                F.ceil(F.lit(float(p)) * nm1).cast("long").alias("__cl"),
+                (F.lit(float(p)) * nm1).alias("__idx"),
+            )
+            for i, p in enumerate(ps)
+        ]
+    )
+    targets = tot.select(*key_cols, F.explode(target_structs).alias("__t")).select(
+        *key_cols, "__t.__pi", "__t.__f", "__t.__cl", "__t.__idx"
     )
 
     # 5. pick the straddling ranks: broadcast the key->targets map so
-    #    the filter runs map-side over the ranked stream, then one
-    #    tiny agg interpolates. first(cond, ignorenulls) collapses the
-    #    (<=2) picked rows per key.
+    #    the filter runs map-side over the ranked stream (a row joins
+    #    once per requested percentile and survives only if it is one
+    #    of that percentile's two ranks), then a tiny two-level agg
+    #    interpolates and assembles the ps-aligned array.
     g = ranked.join(off.select("__slice", *key_cols, "__off"), ["__slice", *key_cols])
     g = g.withColumn("__gr", (F.col("__lr") + F.col("__off") - 1))  # zero-based
     picked = g.join(F.broadcast(targets), key_cols).filter(
@@ -159,8 +181,8 @@ def grouped_percentile(
         F.col("__lo") * (F.col("__cl") - F.col("__idx"))
         + F.col("__hi") * (F.col("__idx") - F.col("__f"))
     )
-    return (
-        picked.groupBy(*key_cols)
+    per_p = (
+        picked.groupBy(*key_cols, "__pi")
         .agg(
             lo.alias("__lo"),
             hi.alias("__hi"),
@@ -168,7 +190,48 @@ def grouped_percentile(
             F.first("__cl").alias("__cl"),
             F.first("__idx").alias("__idx"),
         )
-        .select(*key_cols, interp.alias(out_col))
+        .select(*key_cols, "__pi", interp.alias("__pct"))
+    )
+    # assemble ps order: array_sort on (pi, pct) structs sorts by pi
+    # (ints, distinct), then strip to the values
+    return (
+        per_p.groupBy(*key_cols)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pi"), F.col("__pct")))
+                ),
+                lambda s: s.getField("__pct"),
+            ).alias(out_col)
+        )
+    )
+
+
+def grouped_percentile(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    p: float = 0.5,
+    method: str = "buffer",
+    accuracy: int = 10_000,
+    out_col: str = "pct",
+    num_slices: int | None = None,
+) -> DataFrame:
+    """Single-percentile convenience over ``grouped_percentiles`` (see
+    that docstring for the method tiers): one row per key, ``out_col``
+    a double."""
+    multi = grouped_percentiles(
+        df,
+        key_cols,
+        value_col,
+        ps=[p],
+        method=method,
+        accuracy=accuracy,
+        out_col="__ps",
+        num_slices=num_slices,
+    )
+    return multi.select(
+        *key_cols, F.element_at("__ps", 1).alias(out_col)
     )
 
 
@@ -181,8 +244,8 @@ def grouped_median(
     out_col: str = "med",
     num_slices: int | None = None,
 ) -> DataFrame:
-    """``grouped_percentile`` at p=0.5 (see that docstring for the
-    method tiers)."""
+    """``grouped_percentile`` at p=0.5 (see ``grouped_percentiles`` for
+    the method tiers)."""
     return grouped_percentile(
         df,
         key_cols,

@@ -145,3 +145,62 @@ def test_bad_args(spark):
         grouped_percentile(df, ["k"], "v", method="magic")
     with pytest.raises(ValueError):
         grouped_percentile(df, ["k"], "v", p=1.5)
+
+
+def test_multi_percentiles_selection_equals_buffer(spark):
+    """grouped_percentiles: the ps-aligned array (deliberately UNSORTED
+    ps) must agree element-wise between the exact tiers, and all ps must
+    ride one pass in selection."""
+    from local_pubchem_db_spark.operators.percentiles import grouped_percentiles
+
+    rows = [("a", float((i * 17) % 29)) for i in range(57)] + [
+        ("b", float(v)) for v in (5, 1, 9, 7)
+    ]
+    df = _mk(spark, rows, parts=11)
+    ps = [0.9, 0.1, 0.5, 1.0, 0.0]
+    got = _collect(grouped_percentiles(df, ["k"], "v", ps, method="selection"), out="pcts")
+    want = _collect(grouped_percentiles(df, ["k"], "v", ps, method="buffer"), out="pcts")
+    assert got.keys() == want.keys()
+    for k in want:
+        assert len(got[k]) == len(ps)
+        for g, w in zip(got[k], want[k]):
+            assert g == pytest.approx(w, abs=0.0), k
+
+
+def test_multi_percentiles_matches_singles(spark):
+    """Each element of the multi-p array equals the single-p call."""
+    from local_pubchem_db_spark.operators.percentiles import (
+        grouped_percentile,
+        grouped_percentiles,
+    )
+
+    rows = [("a", float(v)) for v in (3, 1, 4, 1, 5, 9, 2, 6)]
+    df = _mk(spark, rows)
+    ps = [0.25, 0.5, 0.75]
+    multi = _collect(grouped_percentiles(df, ["k"], "v", ps, method="selection"), out="pcts")
+    for i, p in enumerate(ps):
+        single = _collect(grouped_percentile(df, ["k"], "v", p=p, method="selection"))
+        for k in multi:
+            assert multi[k][i] == pytest.approx(single[k], abs=0.0), (k, p)
+
+
+def test_multi_percentiles_sketch_shape(spark):
+    from local_pubchem_db_spark.operators.percentiles import grouped_percentiles
+
+    rows = [("a", float(x)) for x in range(100)]
+    got = _collect(
+        grouped_percentiles(_mk(spark, rows), ["k"], "v", [0.1, 0.9], method="sketch"),
+        out="pcts",
+    )
+    v = got[("a",)]
+    assert len(v) == 2 and v[0] < v[1]
+
+
+def test_multi_percentiles_bad_ps(spark):
+    from local_pubchem_db_spark.operators.percentiles import grouped_percentiles
+
+    df = _mk(spark, [("a", 1.0)])
+    with pytest.raises(ValueError):
+        grouped_percentiles(df, ["k"], "v", [])
+    with pytest.raises(ValueError):
+        grouped_percentiles(df, ["k"], "v", [0.5, 2.0])
