@@ -39,6 +39,13 @@ choice is about value cardinality per group and key count, not volume.
 selection == buffer equality is pinned by tests across odd/even counts,
 ties, and partitionings, including Spark's exact interpolation formula.
 
+Degenerate-tie caveat: the range partitioner cannot split rows with
+IDENTICAL (key, value) tuples across slices, so a massive tie group
+concentrates in one slice's rank window (correct, but that slice is a
+straggler). That shape — few distinct values repeated enormously — is
+exactly where the buffer tier excels (its value->count buffer collapses
+the ties); pick tiers by value cardinality, as above.
+
 No reference parity: the reference (utils.py) has no aggregate surface;
 this extends SURVEY.md §2 C10 (approx percentiles) with the exact-at-
 scale tier the training-data pipelines need (per-domain length/quality
