@@ -223,11 +223,16 @@ def main() -> None:
     # (excluded from headline_total so round-over-round totals stay
     # comparable): retrieval = index build + coordination query;
     # ts_outliers = two grouped exact medians + joins over events;
-    # token_drift = two token histograms + vocab-sized outer join.
-    for aux in ("retrieval_topk", "ts_outliers", "token_drift"):
+    # token_drift = two token histograms + vocab-sized outer join;
+    # pct_selection = the distributed-selection exact median (range
+    # shuffle + rank window + broadcast rank pick).
+    for aux in ("retrieval_topk", "ts_outliers", "token_drift",
+                "pct_selection"):
+        # reset BEFORE the try: a failed registry lookup must not let
+        # the previous aux's samples be re-recorded under this name
+        samples = []
         try:
             fn = QUERIES[aux]
-            samples = []
             for _ in range(REPS):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode(
@@ -245,7 +250,7 @@ def main() -> None:
             runs[aux] = samples
 
     AUX = ("ivf_pq_search", "gap_fill", "retrieval_topk",
-           "ts_outliers", "token_drift")
+           "ts_outliers", "token_drift", "pct_selection")
     total = round(
         sum(
             v
