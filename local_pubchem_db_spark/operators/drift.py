@@ -40,7 +40,7 @@ def token_histogram(
     ``text_col`` — one explode + one combinable shuffle."""
     toks = tokens(normalize_text(F.col(text_col)))
     return (
-        fan_out(docs, min_bytes_per_task=1 << 16).select(
+        fan_out(docs).select(
             F.explode(F.filter(toks, lambda x: x != F.lit(""))).alias(
                 "token"
             )
@@ -105,7 +105,7 @@ def token_drift_split(
     test and by the registry oracle)."""
     toks = tokens(normalize_text(F.col(text_col)))
     hist = shared(
-        fan_out(docs, min_bytes_per_task=1 << 16).select(
+        fan_out(docs).select(
             side.cast("boolean").alias("__a"),
             F.explode(F.filter(toks, lambda x: x != F.lit(""))).alias(
                 "token"

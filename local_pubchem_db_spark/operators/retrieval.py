@@ -58,8 +58,9 @@ def build_postings(
     with no tokens is unretrievable by construction)."""
     toks = tokens(normalize_text(F.col(text_col)))
     # the tokenize+explode runs INSIDE the scan stage: rebalance when
-    # the (compressed-byte-sized) scan under-splits, else no-op
-    exploded = fan_out(docs, min_bytes_per_task=1 << 16).select(
+    # the scan under-splits, else no-op. Ungated: the byte gate reads
+    # COMPRESSED plan stats while tokenize cost is decompressed CPU.
+    exploded = fan_out(docs).select(
         F.col(id_col),
         F.explode(F.filter(toks, lambda x: x != F.lit(""))).alias("term"),
     )
@@ -137,7 +138,7 @@ def coordination_topk_direct(
     if not terms:
         raise ValueError("query_terms must contain at least one token")
     toks = tokens(normalize_text(F.col(text_col)))
-    docs = fan_out(docs, min_bytes_per_task=1 << 16)  # map-only: parallelism == scan splits
+    docs = fan_out(docs)  # map-only: parallelism == scan splits; never byte-gate
     # STACKED projections, not one expression tree: each stage's alias
     # is non-cheap and referenced more than once downstream, so
     # CollapseProject keeps the stage boundary and the regex tokenize
@@ -197,7 +198,7 @@ def bm25_topk_direct(
     if not terms:
         raise ValueError("query_terms must contain at least one token")
     toks = tokens(normalize_text(F.col(text_col)))
-    docs = fan_out(docs, min_bytes_per_task=1 << 16)  # map-only: parallelism == scan splits
+    docs = fan_out(docs)  # map-only: parallelism == scan splits; never byte-gate
     with_toks = docs.select(F.col(id_col), toks.alias("__toks")).withColumn(
         "__dl",
         F.size(F.filter(F.col("__toks"), lambda x: x != F.lit(""))),

@@ -58,6 +58,7 @@ from local_pubchem_db_spark.operators.similarity import (
     ivf_within_partition_pairs,
 )
 from local_pubchem_db_spark.operators.topk import distributed_ntile, top_k_per_group
+from local_pubchem_db_spark.operators.util import broadcast_if_small
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -244,14 +245,16 @@ def q_top_unshipped_orders(spark, sf_dir):
     # segment, ~1/5 of customers) to orders BEFORE the fact-fact shuffle
     # join — Catalyst does not reorder joins without CBO stats, and the
     # original li⋈orders-first order shuffled 5x the orders volume only
-    # to discard it after (sf30 warmed: 14.1s → 11.2s). NO broadcast
-    # hint on customer: it is a SCALING table (SF x 150k rows), and the
-    # forced-broadcast hash relation OOMed the executors at sf100
-    # (UNABLE_TO_ACQUIRE_MEMORY building a ~3M-row map under the fact
-    # join's sort buffers). AQE's runtime stats broadcast it while it is
-    # actually small and fall back to a shuffle join when it is not —
-    # the only decision that survives every deployment size.
-    ord_building = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    # to discard it after (sf30 warmed: 14.1s → 11.2s). customer is a
+    # SCALING table (SF x 150k rows): a static broadcast hint OOMed at
+    # sf100 (~3M-row hash map under the fact join's sort buffers), while
+    # leaving AQE to decide paid the dimension's shuffle-write tax at
+    # small scale (~25-30%, the r9 record regression). broadcast_if_small
+    # hints ONLY when the plan-stats estimate proves the relation tiny —
+    # both deployment ends get the right plan (r10, verdict Next #2).
+    ord_building = orders.join(
+        broadcast_if_small(cust), orders.o_custkey == cust.c_custkey
+    )
     return (
         li.join(ord_building, li.l_orderkey == ord_building.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
@@ -271,11 +274,12 @@ def q_revenue_by_nation(spark, sf_dir):
     one = F.lit(1).cast("decimal(5,4)")
     revenue = _dec("l_extendedprice", 12, 2) * (one - _dec("l_discount", 6, 4))
     # nation/region are TRUE fixed-size dims (TPC-H does not scale them)
-    # — hint them. supplier scales with SF: no hint, AQE broadcasts from
-    # runtime stats while small and shuffle-joins when it outgrows the
-    # threshold (the forced-broadcast class OOMed at sf100 on customer).
+    # — hint them statically. supplier scales with SF: hint only when
+    # plan stats prove it small (skips the AQE shuffle-write tax at
+    # small scale); above the ceiling AQE decides — the forced-broadcast
+    # class OOMed at sf100 on customer.
     return (
-        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        li.join(broadcast_if_small(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -389,11 +393,11 @@ def q_brand_volume(spark, sf_dir):
     part = t(spark, sf_dir, "part")
     supp = t(spark, sf_dir, "supplier")
     # part/supplier SCALE with SF (part is SF x 200k rows — a 20M-row
-    # hash relation at sf100): no forced broadcast; AQE decides from
-    # runtime sizes per deployment.
+    # hash relation at sf100): hint only when plan stats prove them
+    # small; otherwise unhinted and AQE decides from runtime sizes.
     return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
+        li.join(broadcast_if_small(part), li.l_partkey == part.p_partkey)
+        .join(broadcast_if_small(supp), li.l_suppkey == supp.s_suppkey)
         .groupBy("p_brand", "s_name")
         .agg(
             F.sum(_dec("l_quantity", 12, 2)).cast("double").alias("sum_qty"),
@@ -823,10 +827,11 @@ def q_text_signals(spark, sf_dir):
     from local_pubchem_db_spark.functions.text import quality_score
     from local_pubchem_db_spark.operators.util import fan_out
 
-    # fan_out: ~8 regex/array passes per row are CPU-bound, and the
-    # testdata table is one row group = one scan task; real multi-split
-    # inputs make this a no-op.
-    d = fan_out(t(spark, sf_dir, "documents"), min_bytes_per_task=1 << 16)
+    # fan_out UNCONDITIONALLY: ~8 regex/array passes per row are
+    # CPU-bound on DECOMPRESSED text, and the byte gate reads COMPRESSED
+    # plan stats — gating this site cost 3.5-5.8x at sf1/sf3 (r9 verdict,
+    # What's wrong #1). Real multi-split inputs make this a no-op.
+    d = fan_out(t(spark, sf_dir, "documents"))
     n_tok = token_count(F.col("text"))
     return d.select(
         "doc_id",
@@ -844,8 +849,9 @@ def q_lang_id(spark, sf_dir):
     from local_pubchem_db_spark.operators.util import fan_out
 
     # CPU-bound per-row array ops ride the scan stage; fan_out rebalances
-    # under-split (highly compressed) inputs and no-ops on real layouts
-    d = fan_out(t(spark, sf_dir, "documents"), min_bytes_per_task=1 << 16)
+    # under-split (highly compressed) inputs and no-ops on real layouts.
+    # Ungated: the byte gate reads compressed plan stats (r9 lesson).
+    d = fan_out(t(spark, sf_dir, "documents"))
     return (
         d.select("lang", lang_id(F.col("text")).alias("pred_lang"))
         .groupBy("lang", "pred_lang")
@@ -858,7 +864,7 @@ def q_token_topk(spark, sf_dir):
     from local_pubchem_db_spark.operators.util import fan_out
 
     # the tokenize+explode rides the scan stage (see q_lang_id note)
-    d = fan_out(t(spark, sf_dir, "documents"), min_bytes_per_task=1 << 16)
+    d = fan_out(t(spark, sf_dir, "documents"))
     return (
         d.select(F.explode(tokens(F.col("text"))).alias("token"))
         .filter(F.col("token") != "")
@@ -876,7 +882,7 @@ def q_multimodal_meta(spark, sf_dir):
     digest exactly)."""
     from local_pubchem_db_spark.operators.util import fan_out
 
-    d = fan_out(t(spark, sf_dir, "documents"), min_bytes_per_task=1 << 16).select(
+    d = fan_out(t(spark, sf_dir, "documents")).select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
 
@@ -903,8 +909,7 @@ def q_doc_chunks(spark, sf_dir):
     from local_pubchem_db_spark.operators.util import fan_out
 
     return chunk_documents(
-        fan_out(t(spark, sf_dir, "documents"), min_bytes_per_task=1 << 16),
-        chunk_size=32, stride=24,
+        fan_out(t(spark, sf_dir, "documents")), chunk_size=32, stride=24,
     )
 
 
@@ -912,7 +917,7 @@ def q_pii_scrub(spark, sf_dir):
     """PII masking pass; digest keeps the oracle row narrow."""
     from local_pubchem_db_spark.operators.util import fan_out
 
-    d = fan_out(t(spark, sf_dir, "documents"), min_bytes_per_task=1 << 16)  # regex-heavy scan stage
+    d = fan_out(t(spark, sf_dir, "documents"))  # regex-heavy scan stage: never byte-gate
     return d.select(
         "doc_id", F.md5(scrub_pii(F.col("text"))).alias("clean_digest")
     )
@@ -924,9 +929,8 @@ def q_repetition_signals(spark, sf_dir):
     from local_pubchem_db_spark.operators.util import fan_out
 
     d = fan_out(
-        t(spark, sf_dir, "documents").filter(F.trim("text") != ""),
-        min_bytes_per_task=1 << 16,
-    )  # Arrow-batched UDF rides the scan stage
+        t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    )  # Arrow-batched UDF rides the scan stage: never byte-gate
     sig = d.select("doc_id", repetition_signals_udf()(F.col("text")).alias("s"))
     n3 = F.col("s.n_3grams")
     return sig.select(
