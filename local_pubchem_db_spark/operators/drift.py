@@ -15,19 +15,22 @@ join on token. Totals are single-row aggregates. Nothing is a Python
 UDF; at 100 TB the cost is two corpus scans + two token shuffles, and
 the join side is |vocab|, which AQE will broadcast.
 
-Determinism: the ranking statistic is cross-multiplied exact-integer
-arithmetic — ``|c_a·N_b − c_b·N_a|`` is ``N_a·N_b·|p_a − p_b|`` with no
-division — so the registry query hash-matches DuckDB bit-for-bit.
-KL/JS divergences are float reductions and are pinned by a pure-Python
-oracle in ``tests/test_drift.py`` instead.
+Determinism: the ranking statistic is cross-multiplied exact arithmetic
+— ``|c_a·N_b − c_b·N_a|`` is ``N_a·N_b·|p_a − p_b|`` with no division —
+computed in ``decimal(38,0)`` so it stays EXACT past int64 (at the
+100 TB scale this module targets, token totals reach ~1e13 and c·N
+overflows a long; with c ≤ N ≤ 9.2e18 the product is < 8.5e37, inside
+decimal(38,0)). The registry query casts the tiny sf0.01 values back to
+long for the BIGINT oracle hash. KL/JS divergences are float reductions
+and are pinned by a pure-Python oracle in ``tests/test_drift.py``
+instead.
 """
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from local_pubchem_db_spark.functions.text import normalize_text, tokens
 from local_pubchem_db_spark.operators.util import fan_out, shared
@@ -50,6 +53,20 @@ def token_histogram(
     )
 
 
+def _cross_drift(cnt_a: Column, cnt_b: Column, na: int, nb: int) -> Column:
+    """``|c_a·N_b − c_b·N_a|`` in decimal(38,0): exact at any corpus
+    size (c·N exceeds int64 once token totals pass ~3e9; under Spark 4's
+    default ANSI mode the long form would FAIL, with ANSI off it would
+    silently wrap — ADVICE r9). Long counts fit decimal(19,0) exactly,
+    the products stay < 8.5e37, and with c ≤ N the difference never
+    exceeds the larger product, so nothing overflows the 38-digit cap."""
+    d19 = "decimal(19,0)"
+    return F.abs(
+        cnt_a.cast(d19) * F.lit(int(nb)).cast(d19)
+        - cnt_b.cast(d19) * F.lit(int(na)).cast(d19)
+    ).cast("decimal(38,0)")
+
+
 def token_drift(
     docs_a: DataFrame,
     docs_b: DataFrame,
@@ -57,11 +74,12 @@ def token_drift(
     top_n: int = 20,
 ) -> DataFrame:
     """Top-``top_n`` tokens by exact drift statistic
-    ``|c_a·N_b − c_b·N_a|`` (∝ |p_a − p_b|, integer-exact; c = token
-    count, N = snapshot token total). A token absent from one snapshot
-    counts 0 there — the full outer join keeps it, which is exactly the
-    vocabulary-churn signal a drift monitor wants. Ties break on token
-    ASC. Columns: ``token``, ``cnt_a``, ``cnt_b``, ``drift``."""
+    ``|c_a·N_b − c_b·N_a|`` (∝ |p_a − p_b|, exact decimal arithmetic;
+    c = token count, N = snapshot token total). A token absent from one
+    snapshot counts 0 there — the full outer join keeps it, which is
+    exactly the vocabulary-churn signal a drift monitor wants. Ties
+    break on token ASC. Columns: ``token``, ``cnt_a``, ``cnt_b``,
+    ``drift`` (decimal(38,0) — exact past int64, see ``_cross_drift``)."""
     # shared(): the vocabulary-sized histograms are referenced by BOTH
     # the total-count scalar jobs and the final join — without the cache
     # each reference re-scans and re-explodes its full corpus (measured
@@ -78,11 +96,7 @@ def token_drift(
         ha.join(hb, "token", "full_outer")
         .na.fill({"cnt_a": 0, "cnt_b": 0})
         .withColumn(
-            "drift",
-            F.abs(
-                F.col("cnt_a") * F.lit(int(nb))
-                - F.col("cnt_b") * F.lit(int(na))
-            ).cast("long"),
+            "drift", _cross_drift(F.col("cnt_a"), F.col("cnt_b"), na, nb)
         )
     )
     return joined.orderBy(F.desc("drift"), F.asc("token")).limit(top_n)
@@ -102,11 +116,16 @@ def token_drift_split(
     row carries both counts) — vs two scans + a join for the two-frame
     form. Output is identical to
     ``token_drift(docs.filter(side), docs.filter(~side))`` (pinned by
-    test and by the registry oracle)."""
+    test and by the registry oracle) — including for rows where ``side``
+    is NULL: the two-frame form drops them on both sides (NULL passes
+    neither ``side`` nor ``~side``), so they are pre-filtered here too;
+    keeping them would leave tokens that appear only in null-side rows
+    with NULL counts and NULL drift (ADVICE r9)."""
     toks = tokens(normalize_text(F.col(text_col)))
+    flag = side.cast("boolean")
     hist = shared(
-        fan_out(docs).select(
-            side.cast("boolean").alias("__a"),
+        fan_out(docs.filter(flag.isNotNull())).select(
+            flag.alias("__a"),
             F.explode(F.filter(toks, lambda x: x != F.lit(""))).alias(
                 "token"
             ),
@@ -122,10 +141,7 @@ def token_drift_split(
     ).first()
     na, nb = int(tot["na"] or 0), int(tot["nb"] or 0)
     out = hist.withColumn(
-        "drift",
-        F.abs(
-            F.col("cnt_a") * F.lit(nb) - F.col("cnt_b") * F.lit(na)
-        ).cast("long"),
+        "drift", _cross_drift(F.col("cnt_a"), F.col("cnt_b"), na, nb)
     )
     # the two-frame form omits tokens absent from BOTH sides by
     # construction; here every token has a count, so no filter is needed
@@ -142,27 +158,45 @@ def js_divergence(
     token distributions — the symmetric, bounded ([0, ln 2]) drift
     scalar for monitoring dashboards. Additive (Laplace) ``smoothing``
     is applied over the UNION vocabulary so unseen tokens have finite
-    mass. Distributed: histograms + one join reduce to a single
-    driver-side scalar; the float reduction happens on |vocab| rows
-    via a deterministic sorted sum on the driver (vocabularies are
-    bounded — token histograms, not raw corpora)."""
+    mass.
+
+    Fully distributed (r10, closing the one data-sized ``collect()`` of
+    the r9 additions): the joined histogram is persisted once, a first
+    aggregation reduces it to three scalars (|vocab|, ΣA, ΣB), and the
+    per-token JS terms are whole-stage-codegen double expressions summed
+    by a second aggregation — nothing vocabulary-sized ever reaches the
+    driver, so web-scale vocabularies (URLs, typos, |V| ~ 1e8+) cost two
+    combinable shuffles and two scalar jobs. The float sum's partial
+    order is partition-dependent; reassociation error on |V| doubles is
+    ~1e-15 relative, inside the pure-Python pytest oracle's tolerance
+    (JS is a monitoring scalar, not a hash-matched column)."""
     ha = token_histogram(docs_a, text_col).withColumnRenamed("cnt", "cnt_a")
     hb = token_histogram(docs_b, text_col).withColumnRenamed("cnt", "cnt_b")
-    rows = (
+    joined = (
         ha.join(hb, "token", "full_outer")
         .na.fill({"cnt_a": 0, "cnt_b": 0})
-        .select("token", "cnt_a", "cnt_b")
-        .collect()
+        .select("cnt_a", "cnt_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if not rows:
-        return 0.0
-    v = len(rows)
-    na = sum(r["cnt_a"] for r in rows) + smoothing * v
-    nb = sum(r["cnt_b"] for r in rows) + smoothing * v
-    total = 0.0
-    for r in sorted(rows, key=lambda r: r["token"]):
-        pa = (r["cnt_a"] + smoothing) / na
-        pb = (r["cnt_b"] + smoothing) / nb
-        m = 0.5 * (pa + pb)
-        total += 0.5 * pa * math.log(pa / m) + 0.5 * pb * math.log(pb / m)
-    return total
+    try:
+        tot = joined.agg(
+            F.count(F.lit(1)).alias("v"),
+            F.sum("cnt_a").alias("sa"),
+            F.sum("cnt_b").alias("sb"),
+        ).first()
+        v = int(tot["v"])
+        if v == 0:
+            return 0.0
+        na = float(tot["sa"] or 0) + smoothing * v
+        nb = float(tot["sb"] or 0) + smoothing * v
+        s = F.lit(float(smoothing))
+        pa = (F.col("cnt_a").cast("double") + s) / F.lit(na)
+        pb = (F.col("cnt_b").cast("double") + s) / F.lit(nb)
+        m = F.lit(0.5) * (pa + pb)
+        term = F.lit(0.5) * pa * F.log(pa / m) + F.lit(0.5) * pb * F.log(
+            pb / m
+        )
+        out = joined.agg(F.sum(term)).first()[0]
+        return float(out or 0.0)
+    finally:
+        joined.unpersist()

@@ -109,6 +109,66 @@ def test_empty_snapshots(spark, frames):
     assert all(r["drift"] == 0 and r["cnt_b"] == 0 for r in rows)
 
 
+def test_split_form_drops_null_side_rows(spark, frames):
+    """Rows whose side expression is NULL belong to NEITHER snapshot —
+    the two-frame form drops them (NULL passes neither filter), so the
+    split form must too; before the r10 fix a token appearing only in
+    null-side rows surfaced with NULL counts and NULL drift (ADVICE r9)."""
+    from pyspark.sql import functions as F
+
+    from local_pubchem_db_spark.operators.drift import token_drift_split
+
+    da, db = frames
+    tagged = (
+        da.withColumn("side", F.lit(True))
+        .unionByName(db.withColumn("side", F.lit(False)))
+        .unionByName(
+            da.sparkSession.createDataFrame(
+                [(99, "nullonly nullonly phantom")],
+                "doc_id long, text string",
+            ).withColumn("side", F.lit(None).cast("boolean"))
+        )
+    )
+    rows = token_drift_split(tagged, F.col("side"), top_n=100).collect()
+    toks = {r["token"] for r in rows}
+    assert "nullonly" not in toks and "phantom" not in toks
+    assert all(
+        r["cnt_a"] is not None
+        and r["cnt_b"] is not None
+        and r["drift"] is not None
+        for r in rows
+    )
+    # and the identity with the two-frame form still holds exactly
+    want = [
+        (r["token"], r["cnt_a"], r["cnt_b"], r["drift"])
+        for r in token_drift(da, db, top_n=100).collect()
+    ]
+    got = [(r["token"], r["cnt_a"], r["cnt_b"], r["drift"]) for r in rows]
+    assert got == want
+
+
+def test_drift_statistic_exact_past_int64(spark):
+    """The cross products are decimal(38,0): counts near long-max must
+    produce the exact integer drift, where int64 arithmetic would fail
+    under ANSI (or silently wrap without it) — ADVICE r9."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from local_pubchem_db_spark.operators.drift import _cross_drift
+
+    c_a, c_b = 4_000_000_000, 1
+    na, nb = 9_000_000_000, 8_000_000_000
+    df = spark.createDataFrame([(c_a, c_b)], "cnt_a long, cnt_b long")
+    out = df.select(
+        _cross_drift(F.col("cnt_a"), F.col("cnt_b"), na, nb).alias("d")
+    ).first()["d"]
+    assert out == Decimal(abs(c_a * nb - c_b * na))  # 3.2e19 > 2^63-1
+    assert str(df.select(
+        _cross_drift(F.col("cnt_a"), F.col("cnt_b"), na, nb).alias("d")
+    ).schema["d"].dataType) == "DecimalType(38,0)"
+
+
 def test_split_form_equals_two_frame_form(spark, frames):
     """token_drift_split(docs, side) must equal
     token_drift(docs.filter(side), docs.filter(~side)) row-for-row —
