@@ -57,7 +57,61 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-METHODS = ("buffer", "sketch", "selection")
+METHODS = ("buffer", "sketch", "selection", "auto")
+
+# Per-group distinct-value count past which the selection tier wins:
+# buffer's per-key task holds (and sorts) a value->count map of the
+# group's DISTINCT values, so its cost curve bends at value cardinality,
+# not row count. Measured on one 30M-row all-distinct group
+# (tools/measure_percentiles.py): selection 15.4s vs buffer 105-120s;
+# at ~1M distinct the buffer map (~tens of MB) still sorts in seconds —
+# the crossover sits between, and 1M errs toward buffer (mis-picking
+# buffer costs time; mis-picking selection costs two extra shuffles on
+# data too small to care).
+AUTO_SELECTION_MIN_DISTINCT_PER_GROUP = 1_000_000
+
+
+def choose_percentile_method(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    min_distinct_per_group: int = AUTO_SELECTION_MIN_DISTINCT_PER_GROUP,
+) -> str:
+    """Encode the tier decision rule the module docstring states: the
+    choice is about PER-GROUP VALUE CARDINALITY and KEY COUNT, not data
+    volume. One cheap map-side-combinable probe (two HLL sketches over
+    one scan) measures both:
+
+    - enough keys to saturate the cluster -> ``buffer`` (the #keys
+      funnel never binds, and buffer pays one shuffle vs selection's
+      two);
+    - few keys but small distinct-value groups -> ``buffer`` (its
+      value->count map collapses repeats — the degenerate massive-tie
+      shape that stragglers the selection rank window);
+    - few keys carrying huge high-cardinality groups -> ``selection``
+      (the exact-at-scale regime: parallelism ~ volume, bounded task
+      memory).
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    st = (
+        df.filter(F.col(value_col).isNotNull())
+        .agg(
+            F.approx_count_distinct(F.struct(*key_cols)).alias("nk"),
+            F.approx_count_distinct(
+                F.struct(*key_cols, value_col)
+            ).alias("nkv"),
+        )
+        .first()
+    )
+    nk, nkv = int(st["nk"] or 0), int(st["nkv"] or 0)
+    if nk == 0 or nk >= par:
+        return "buffer"
+    return (
+        "selection"
+        if nkv / nk >= min_distinct_per_group
+        else "buffer"
+    )
 
 
 def grouped_percentiles(
@@ -84,6 +138,10 @@ def grouped_percentiles(
       key count (see module docstring); all of ``ps`` share one pass.
       ``num_slices`` overrides the range-slice count (default: session
       shuffle partitions).
+    - ``method="auto"``: one cheap cardinality probe (an extra scan,
+      map-side combined to one row) picks buffer vs selection by the
+      decision rule in ``choose_percentile_method`` — both tiers are
+      exact, so auto never changes results, only the plan.
 
     Null values are ignored; keys whose values are all null (or absent)
     produce no row. Values are computed as double (interpolation is a
@@ -98,6 +156,8 @@ def grouped_percentiles(
     for p in ps:
         if not (0.0 <= p <= 1.0):
             raise ValueError(f"every p must be in [0, 1], got {p}")
+    if method == "auto":
+        method = choose_percentile_method(df, key_cols, value_col)
     x = F.col(value_col).cast("double")
     base = df.filter(F.col(value_col).isNotNull()).select(
         *[F.col(k) for k in key_cols], x.alias("__v")
@@ -121,9 +181,29 @@ def grouped_percentiles(
 
     # 1. one contiguous slice of the global (key, value) order per
     #    partition; equal tuples co-locate, so rank picks are stable.
+    #
+    #    INVARIANT (ADVICE r9): the `ranked` and `cnt` branches below
+    #    must read the SAME materialization of this range exchange —
+    #    repartitionByRange samples its boundaries non-deterministically,
+    #    so two independent materializations can place identical rows in
+    #    different slices, making `__off` inconsistent with `__lr` and
+    #    the result silently wrong. With exchange reuse on (Spark's
+    #    default; AQE's stage cache honors the same conf) the two
+    #    subtrees canonicalize to ONE exchange — pinned by a plan-level
+    #    test (test_percentiles.py). If this session disabled reuse, pin
+    #    the slice assignment explicitly instead: shared() persists the
+    #    ranged relation and eagerly fills it in one materialization
+    #    (the eager count matters — a lazy persist lets the two branches
+    #    race-fill from DIFFERENT boundary samples).
     ranged = base.repartitionByRange(n_slices, *key_cols, "__v").withColumn(
         "__slice", F.spark_partition_id()
     )
+    if str(
+        spark.conf.get("spark.sql.exchange.reuse", "true")
+    ).lower() != "true":
+        from local_pubchem_db_spark.operators.util import shared
+
+        ranged = shared(ranged)
 
     # 2. local rank within (slice, key): the window's hash shuffle keys
     #    on (__slice, key), so group size is bounded by slice volume —

@@ -44,6 +44,21 @@ from local_pubchem_db_spark.functions.text import normalize_text, tokens
 from local_pubchem_db_spark.operators.util import fan_out
 
 
+def _empty_scored(src: DataFrame, id_col: str) -> DataFrame:
+    """Empty (id, score) frame whose id field TYPE matches the input's —
+    a hardcoded `long` diverged from string/other doc ids and broke
+    downstream unions/joins on the empty-corpus path (ADVICE r9)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(id_col, src.schema[id_col].dataType),
+            StructField("score", DoubleType()),
+        ]
+    )
+    return src.sparkSession.createDataFrame([], schema)
+
+
 def build_postings(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -215,9 +230,7 @@ def bm25_topk_direct(
     ).first()
     n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
     if n_docs == 0:
-        return docs.sparkSession.createDataFrame(
-            [], f"{id_col} long, score double"
-        )
+        return _empty_scored(docs, id_col)
     score = F.lit(0.0)
     for i, t in enumerate(terms):
         df_t = int(stats[f"df_{i}"])
@@ -277,7 +290,7 @@ def bm25_topk(
     ).first()
     n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
     if n_docs == 0:
-        return spark.createDataFrame([], f"{id_col} long, score double")
+        return _empty_scored(postings, id_col)
     q = _query_relation(spark, query_terms)
     matched = postings.join(F.broadcast(q), "term")
     df_t = matched.groupBy("term").agg(

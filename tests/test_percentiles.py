@@ -137,6 +137,97 @@ def test_no_per_key_funnel_in_selection_plan(spark):
             assert "__slice" in line
 
 
+def test_selection_reuses_one_range_exchange(spark):
+    """Slice-id consistency invariant (ADVICE r9): the ranked and cnt
+    branches must read ONE materialization of the range exchange —
+    repartitionByRange samples boundaries non-deterministically, so two
+    independent materializations could put identical rows in different
+    slices and silently corrupt the exact result. Pinned here: the
+    post-execution adaptive plan must show the range exchange REUSED by
+    the second branch, never re-executed."""
+    df = _mk(
+        spark,
+        [("a", float(i)) for i in range(500)]
+        + [("b", float(i % 3)) for i in range(100)],
+    )
+    out = grouped_percentile(df, ["k"], "v", method="selection")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    reused = [
+        ln
+        for ln in plan.splitlines()
+        if "ReusedExchange" in ln and "rangepartitioning" in ln
+    ]
+    assert reused, f"range exchange not reused:\n{plan}"
+
+
+def test_selection_correct_with_exchange_reuse_disabled(spark):
+    """A session with spark.sql.exchange.reuse=false loses the implicit
+    dedup, so selection must pin the slice assignment explicitly (the
+    eagerly-filled persist fallback) and still match buffer exactly."""
+    from local_pubchem_db_spark.operators.util import release_shared_caches
+
+    rows = [("a", float(i)) for i in range(501)] + [
+        ("b", float(i * 2)) for i in range(40)
+    ]
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        df = _mk(spark, rows, parts=13)
+        sel_df = grouped_percentile(df, ["k"], "v", method="selection")
+        sel = _collect(sel_df)
+        buf = _collect(grouped_percentile(df, ["k"], "v", method="buffer"))
+        assert sel.keys() == buf.keys()
+        for k in buf:
+            assert sel[k] == buf[k], k
+        # the fallback actually engaged: the branches read the cache
+        plan = sel_df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+    finally:
+        spark.conf.unset("spark.sql.exchange.reuse")
+        release_shared_caches(spark)
+
+
+def test_auto_method_decision_rule(spark):
+    """choose_percentile_method encodes the documented rule: many keys
+    -> buffer; few keys with small distinct-value groups -> buffer; few
+    keys with huge-cardinality groups -> selection."""
+    from local_pubchem_db_spark.operators.percentiles import (
+        choose_percentile_method,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    many_keys = _mk(
+        spark, [(f"k{i % (par * 2)}", float(i)) for i in range(par * 20)]
+    )
+    assert choose_percentile_method(many_keys, ["k"], "v") == "buffer"
+    few_small = _mk(spark, [("a", float(i % 5)) for i in range(200)])
+    assert choose_percentile_method(few_small, ["k"], "v") == "buffer"
+    few_huge = _mk(spark, [("a", float(i)) for i in range(3000)])
+    # the probe measures cardinality, the threshold scales it: at the
+    # test's 3k distinct rows a 2k threshold plays the 1M role
+    assert (
+        choose_percentile_method(
+            few_huge, ["k"], "v", min_distinct_per_group=2000
+        )
+        == "selection"
+    )
+    empty = _mk(spark, [], parts=1) if False else spark.createDataFrame(
+        [], "k string, v double"
+    )
+    assert choose_percentile_method(empty, ["k"], "v") == "buffer"
+
+
+def test_auto_equals_buffer(spark):
+    """method='auto' only changes the plan, never the values."""
+    rows = [("a", float(i % 11)) for i in range(300)] + [
+        ("b", float(i)) for i in range(77)
+    ]
+    df = _mk(spark, rows)
+    auto = _collect(grouped_percentile(df, ["k"], "v", method="auto"))
+    buf = _collect(grouped_percentile(df, ["k"], "v", method="buffer"))
+    assert auto == buf
+
+
 def test_bad_args(spark):
     df = _mk(spark, [("a", 1.0)])
     with pytest.raises(ValueError):

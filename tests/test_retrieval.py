@@ -122,6 +122,34 @@ def test_bm25_empty_and_unknown_terms(spark, corpus):
         bm25_topk(postings, doc_stats, ["  "], k=5)
 
 
+def test_bm25_empty_corpus_schema_matches_id_type(spark):
+    """The empty-corpus early return must carry the INPUT's id type —
+    a hardcoded long diverged from string doc ids and broke downstream
+    unions on the empty path (ADVICE r9)."""
+    from local_pubchem_db_spark.operators.retrieval import bm25_topk_direct
+
+    empty_str = spark.createDataFrame([], "url string, text string")
+    out = bm25_topk_direct(empty_str, ["spark"], id_col="url", text_col="text")
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "string",
+        "double",
+    ]
+    assert out.columns == ["url", "score"]
+    # non-empty string-id path unions cleanly with the empty path
+    nonempty = spark.createDataFrame(
+        [("a://1", "spark joins data")], "url string, text string"
+    )
+    both = bm25_topk_direct(nonempty, ["spark"], id_col="url").unionByName(out)
+    assert both.count() == 1
+    # postings route: empty postings/doc_stats with string ids
+    postings, doc_stats = build_postings(
+        empty_str, id_col="url", text_col="text"
+    )
+    out2 = bm25_topk(postings, doc_stats, ["spark"], id_col="url")
+    assert out2.schema["url"].dataType.simpleString() == "string"
+    assert out2.count() == 0
+
+
 def test_query_plan_broadcasts_query_side(spark, corpus):
     """The query-term relation and the |q|-row df stats must broadcast —
     a shuffle join keyed on 3 terms would be the 100 TB mistake."""

@@ -1,8 +1,8 @@
 """Reproduce the grouped-percentile tier measurements (README rows).
 
-Usage: python tools/measure_percentiles.py [sf_dir]
+Usage: python tools/measure_percentiles.py [sf_dir] [--record]
 
-Three regimes over the events table, each timed warm (min of 2):
+Four regimes over the events table, each timed warm (min of 2):
 
 1. natural keys (~5 event types), raw values — the buffer aggregate's
    home turf: values repeat heavily, so its value->count hash buffer
@@ -13,9 +13,22 @@ Three regimes over the events table, each timed warm (min of 2):
    distinct): the regime selection exists for. The buffer path funnels
    every distinct value into one task's hash map + sort; selection
    range-partitions the order and keeps every core busy.
+4. ONE group, MASSIVE TIES (value mod 3 — three distinct values): the
+   selection tier's documented degenerate shape. The range partitioner
+   cannot split identical (key, value) tuples across slices, so one
+   slice's rank window holds ~a third of the data (correct, but a
+   straggler); buffer's value->count map collapses the ties to 3
+   entries and wins.
+
+Each regime also times ``method="auto"``: the probe + whichever tier
+the decision rule picks — auto should track the winning tier's time
+plus the one-scan probe cost in every regime.
 
 The point the numbers make: picking a percentile tier is about VALUE
 CARDINALITY PER GROUP and KEY COUNT, not data volume.
+
+``--record`` appends the timings to
+bench_artifacts/PCT_TIERS_sf{sf}.json for the round record.
 """
 
 from __future__ import annotations
@@ -45,22 +58,31 @@ def timed(df, label):
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if a != "--record"]
+    record = "--record" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     spark = get_spark(app_name="measure_percentiles")
     spark.sparkContext.setLogLevel("ERROR")
 
     ev = events_table(spark, sf_dir).select("event_type", "value")
     n = ev.count()
     print(f"events rows: {n}")
+    out: dict[str, dict[str, float]] = {}
 
-    print("regime 1: natural keys, repeating values")
-    for m in ("buffer", "selection"):
-        timed(grouped_median(ev, ["event_type"], "value", method=m), m)
+    def regime(label, df, keys, val, methods=("buffer", "selection", "auto")):
+        print(label)
+        out[label] = {}
+        for m in methods:
+            out[label][m] = round(
+                timed(grouped_median(df, keys, val, method=m), m), 3
+            )
+
+    regime(
+        "regime1_natural_keys_repeating", ev, ["event_type"], "value"
+    )
 
     one = ev.select(F.lit("all").alias("g"), "value")
-    print("regime 2: one group, repeating values")
-    for m in ("buffer", "selection"):
-        timed(grouped_median(one, ["g"], "value", method=m), m)
+    regime("regime2_one_group_repeating", one, ["g"], "value")
 
     cont = events_table(spark, sf_dir).select(
         F.lit("all").alias("g"),
@@ -69,9 +91,24 @@ def main() -> None:
             + F.col("event_id").cast("double") / 1e12
         ).alias("v"),
     )
-    print("regime 3: one group, continuous (all-distinct) values")
-    for m in ("selection", "buffer"):
-        timed(grouped_median(cont, ["g"], "v", method=m), m)
+    regime("regime3_one_group_all_distinct", cont, ["g"], "v")
+
+    ties = events_table(spark, sf_dir).select(
+        F.lit("all").alias("g"),
+        (F.col("event_id") % 3).cast("double").alias("v"),
+    )
+    regime("regime4_one_group_massive_ties", ties, ["g"], "v")
+
+    if record:
+        import json
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        path = os.path.join(root, "bench_artifacts", f"PCT_TIERS_sf{sf}.json")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "rows": n, "timings": out}, f, indent=1)
+        print(f"recorded {path}")
 
 
 if __name__ == "__main__":
