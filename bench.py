@@ -164,7 +164,11 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — survey harness, not control flow
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             release_shared_caches(spark)
-        if samples:
+        # a rep that failed after earlier successful reps must not leave
+        # a clean-looking min-of-REPS row next to its errors entry — a
+        # partial row is indistinguishable from a real measurement
+        # (ADVICE r9); the error entry alone tells the story.
+        if samples and name not in errors:
             timings[name] = min(samples)
             runs[name] = samples
 
@@ -219,6 +223,18 @@ def main() -> None:
         errors["ivf_pq_search"] = f"{type(e).__name__}: {e}"[:500]
     release_shared_caches(spark)
 
+    # Warm-postings retrieval (r10, verdict Next #3): the retrieval_topk
+    # aux row times the direct (index-free) route only — the amortized
+    # postings path, the shape a query service actually runs (index
+    # built once, persisted/bucketed; each request pays only the
+    # query-side joins), had no bench presence and could drift silently.
+    # The index build is prepared OUTSIDE the timer like ivf_pq_search.
+    try:
+        _bench_retrieval_warm(spark, sf_dir, REPS, timings, runs)
+    except Exception as e:  # noqa: BLE001
+        errors["retrieval_warm"] = f"{type(e).__name__}: {e}"[:500]
+    release_shared_caches(spark)
+
     # r9 operators under the same drift protection, as AUX rows
     # (excluded from headline_total so round-over-round totals stay
     # comparable): retrieval = index build + coordination query;
@@ -245,12 +261,14 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             errors[aux] = f"{type(e).__name__}: {e}"[:500]
             release_shared_caches(spark)
-        if samples:
+        # never record partial timings next to an errors entry (ADVICE r9)
+        if samples and aux not in errors:
             timings[aux] = min(samples)
             runs[aux] = samples
 
     AUX = ("ivf_pq_search", "gap_fill", "retrieval_topk",
-           "ts_outliers", "token_drift", "pct_selection")
+           "ts_outliers", "token_drift", "pct_selection",
+           "retrieval_warm")
     total = round(
         sum(
             v
@@ -259,6 +277,34 @@ def main() -> None:
         ),
         3,
     )
+    # Full-surface correctness record (r10, verdict Next #7): the
+    # driver's gate caps at the first 50 registry entries, so the
+    # past-cap queries sat outside the official record by construction.
+    # Run the local full-surface oracle (tools/oracle_check.py — every
+    # registry entry vs its DuckDB twin at sf0.01, ~75s) and embed the
+    # summary in the artifact the driver parses. Opt out with
+    # SPARK_GRAFT_BENCH_ORACLE=0; skipped automatically when the oracle
+    # sf dir is absent (scale-replica hosts).
+    past_cap = None
+    if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0":
+        oracle_sf = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
+        if os.path.isdir(oracle_sf):
+            try:
+                sys.path.insert(
+                    0,
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)), "tools"
+                    ),
+                )
+                from oracle_check import run_check
+
+                past_cap = run_check(spark, oracle_sf, verbose=False)
+            except Exception as e:  # noqa: BLE001 — record, never kill bench
+                past_cap = {"error": f"{type(e).__name__}: {e}"[:300]}
+            release_shared_caches(spark)
+
     out = {
         "metric": "headline_total",
         "value": total,
@@ -269,6 +315,8 @@ def main() -> None:
         "calibration_runs": cal_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if past_cap is not None:
+        out["past_cap_oracle"] = past_cap
     # Self-verification against the previous round's artifact: the r5
     # artifact drifted 1.2-1.4x on byte-identical queries and nothing in
     # the artifact itself could separate host noise from a real
@@ -307,6 +355,36 @@ def main() -> None:
             os.path.dirname(os.path.abspath(__file__)), "bench_artifacts"
         )
     emit(out, record_dir=record_dir)
+
+
+def _bench_retrieval_warm(spark, sf_dir: str, reps: int, timings, runs) -> None:
+    """Build the inverted index once (persisted + eagerly filled,
+    untimed — a service pays this per corpus version, not per query),
+    then time the postings-route BM25 query min-of-reps."""
+    import time as _time
+
+    from local_pubchem_db_spark.operators.retrieval import (
+        bm25_topk,
+        build_postings,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    postings, doc_stats = build_postings(docs)
+    postings = postings.persist()
+    doc_stats = doc_stats.persist()
+    postings.count()
+    doc_stats.count()
+    samples = []
+    for _ in range(reps):
+        t0 = _time.perf_counter()
+        bm25_topk(
+            postings, doc_stats, ["hash", "spark", "stream", "vector"], k=10
+        ).write.format("noop").mode("overwrite").save()
+        samples.append(round(_time.perf_counter() - t0, 3))
+    postings.unpersist()
+    doc_stats.unpersist()
+    timings["retrieval_warm"] = min(samples)
+    runs["retrieval_warm"] = samples
 
 
 def _bench_ivf_pq(spark, sf_dir: str, reps: int, timings, runs) -> None:

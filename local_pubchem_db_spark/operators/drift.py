@@ -33,7 +33,11 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from local_pubchem_db_spark.functions.text import normalize_text, tokens
-from local_pubchem_db_spark.operators.util import fan_out, shared
+from local_pubchem_db_spark.operators.util import (
+    LIGHT_TEXT_GATE,
+    fan_out,
+    shared,
+)
 
 
 def token_histogram(
@@ -42,8 +46,10 @@ def token_histogram(
     """(token, cnt) histogram of the normalized whitespace tokens of
     ``text_col`` — one explode + one combinable shuffle."""
     toks = tokens(normalize_text(F.col(text_col)))
+    # one tokenize+explode pass: LIGHT decompressed-bytes floor (the
+    # gate estimate scales plan stats by the footers' compression ratio)
     return (
-        fan_out(docs).select(
+        fan_out(docs, **LIGHT_TEXT_GATE).select(
             F.explode(F.filter(toks, lambda x: x != F.lit(""))).alias(
                 "token"
             )
@@ -124,7 +130,10 @@ def token_drift_split(
     toks = tokens(normalize_text(F.col(text_col)))
     flag = side.cast("boolean")
     hist = shared(
-        fan_out(docs.filter(flag.isNotNull())).select(
+        fan_out(
+            docs.filter(flag.isNotNull()),
+            **LIGHT_TEXT_GATE,
+        ).select(
             flag.alias("__a"),
             F.explode(F.filter(toks, lambda x: x != F.lit(""))).alias(
                 "token"

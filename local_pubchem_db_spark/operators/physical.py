@@ -328,6 +328,51 @@ def _hash_slot_values(spark, n: int) -> list[int]:
     return [slots[i] for i in range(n)]
 
 
+# Hadoop-ecosystem URI schemes that name the SAME object store under a
+# scheme pyarrow's filesystem layer does understand: rewrite instead of
+# failing (s3a/s3n are Hadoop's S3 connectors; the objects are plain S3).
+_SCHEME_REWRITES = {"s3a": "s3", "s3n": "s3"}
+
+
+def _pyarrow_uri(path: str) -> str:
+    """Rewrite Hadoop-only URI schemes to their pyarrow-resolvable twin
+    (``s3a://`` / ``s3n://`` -> ``s3://``); everything else unchanged."""
+    scheme, sep, rest = path.partition("://")
+    if sep and scheme.lower() in _SCHEME_REWRITES:
+        return f"{_SCHEME_REWRITES[scheme.lower()]}://{rest}"
+    return path
+
+
+def _check_footer_scheme(path: str) -> None:
+    """Fail LOUDLY at plan time when the footer reads would die on every
+    executor: pyarrow (not the JVM) opens the footers, so a URI scheme
+    only Hadoop understands needs either the s3a->s3 rewrite (applied
+    automatically) or a caller-supplied ``open_file``. Probing
+    ``pyarrow.fs.FileSystem.from_uri`` on the driver uses the exact
+    resolution the executors will use (same pyarrow build)."""
+    probe = _pyarrow_uri(path)
+    scheme, sep, _ = probe.partition("://")
+    if not sep or scheme.lower() == "file":
+        return  # plain/driver-local path: pyarrow opens it directly
+    try:
+        import pyarrow.fs as _pafs
+
+        _pafs.FileSystem.from_uri(probe)
+    except Exception as err:
+        raise ValueError(
+            f"table_health cannot open footers under {scheme}:// — the "
+            "footer reads run through pyarrow on executors, which has no "
+            f"filesystem for this scheme ({err}). Options: (a) pass "
+            "open_file=<picklable (path) -> seekable binary handle> built "
+            "on a reachable client (s3fs/fsspec/boto3) — it runs on "
+            "executors with each listed URI; (b) for S3-compatible "
+            "stores, s3a://(s3n://) is rewritten to s3:// automatically — "
+            "ensure pyarrow's S3 support + credentials are present on "
+            "executors; (c) for hdfs://, install pyarrow's libhdfs "
+            "(HadoopFileSystem) on executors or mount the paths."
+        ) from err
+
+
 def _spark_list_parquet(
     spark: SparkSession, path: str
 ) -> list[tuple[str, int]]:
@@ -386,14 +431,19 @@ def table_health(
     plain paths or ``(path, size)`` pairs; sizes from the Spark listing
     ride along so non-POSIX schemes never pay a driver stat. Footers
     are opened on executors with pyarrow, which resolves local paths
-    and ``file:``/cloud URIs it has a filesystem for. For schemes
-    pyarrow cannot resolve (``s3a://``, ``hdfs://``), pass
-    ``open_file``: a picklable callable ``(path) -> seekable binary
-    file-like`` (e.g. an s3fs/boto3 opener closed over credentials),
-    invoked ON EXECUTORS with each listed path — the footer read then
-    goes through the caller's filesystem while the listing still comes
-    from Spark. With ``open_file`` set, byte sizes come from the
-    listing or the handle itself, never a POSIX stat.
+    and ``file:``/cloud URIs it has a filesystem for. Hadoop's S3
+    connector schemes are rewritten automatically (``s3a://`` /
+    ``s3n://`` -> ``s3://`` — same objects, pyarrow's scheme). For
+    schemes pyarrow genuinely cannot resolve (``hdfs://`` without
+    libhdfs, ``wasbs://``, ...), the call FAILS AT PLAN TIME with
+    guidance (r10 — previously each executor task died with pyarrow's
+    opaque resolver error): pass ``open_file``, a picklable callable
+    ``(path) -> seekable binary file-like`` (e.g. an s3fs/boto3 opener
+    closed over credentials), invoked ON EXECUTORS with each listed
+    path — the footer read then goes through the caller's filesystem
+    while the listing still comes from Spark. With ``open_file`` set,
+    byte sizes come from the listing or the handle itself, never a
+    POSIX stat.
     """
     import os as _os
 
@@ -432,6 +482,10 @@ def table_health(
         sized = _spark_list_parquet(spark, path)
     if not sized:
         raise ValueError(f"no parquet files under {path}")
+    if open_file is None:
+        # plan-time scheme validation: one actionable driver-side error
+        # instead of per-task pyarrow resolver failures on executors
+        _check_footer_scheme(sized[0][0])
     fields = [
         StructField("file", StringType()),
         StructField("bytes", LongType()),
@@ -474,7 +528,9 @@ def table_health(
                 # and their size comes from the listing — never a POSIX
                 # stat call.
                 local = (
-                    unquote(urlparse(f).path) if f.startswith("file:") else f
+                    unquote(urlparse(f).path)
+                    if f.startswith("file:")
+                    else _pyarrow_uri(f)
                 )
                 # Only the footer METADATA is consumed, and FileMetaData
                 # is fully materialized in memory — so every handle is

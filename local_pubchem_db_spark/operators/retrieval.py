@@ -41,7 +41,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from local_pubchem_db_spark.functions.text import normalize_text, tokens
-from local_pubchem_db_spark.operators.util import fan_out
+from local_pubchem_db_spark.operators.util import (
+    HEAVY_TEXT_GATE,
+    LIGHT_TEXT_GATE,
+    fan_out,
+)
 
 
 def _empty_scored(src: DataFrame, id_col: str) -> DataFrame:
@@ -73,9 +77,9 @@ def build_postings(
     with no tokens is unretrievable by construction)."""
     toks = tokens(normalize_text(F.col(text_col)))
     # the tokenize+explode runs INSIDE the scan stage: rebalance when
-    # the scan under-splits, else no-op. Ungated: the byte gate reads
-    # COMPRESSED plan stats while tokenize cost is decompressed CPU.
-    exploded = fan_out(docs).select(
+    # the scan under-splits, else no-op. LIGHT decompressed-bytes floor:
+    # one tokenize pass, and the groupBy shuffle follows regardless.
+    exploded = fan_out(docs, **LIGHT_TEXT_GATE).select(
         F.col(id_col),
         F.explode(F.filter(toks, lambda x: x != F.lit(""))).alias("term"),
     )
@@ -153,7 +157,9 @@ def coordination_topk_direct(
     if not terms:
         raise ValueError("query_terms must contain at least one token")
     toks = tokens(normalize_text(F.col(text_col)))
-    docs = fan_out(docs)  # map-only: parallelism == scan splits; never byte-gate
+    # map-only: parallelism == scan splits. HEAVY floor: one tokenize +
+    # |q| per-term filter passes per row (decompressed-bytes estimate)
+    docs = fan_out(docs, **HEAVY_TEXT_GATE)
     # STACKED projections, not one expression tree: each stage's alias
     # is non-cheap and referenced more than once downstream, so
     # CollapseProject keeps the stage boundary and the regex tokenize
@@ -213,7 +219,8 @@ def bm25_topk_direct(
     if not terms:
         raise ValueError("query_terms must contain at least one token")
     toks = tokens(normalize_text(F.col(text_col)))
-    docs = fan_out(docs)  # map-only: parallelism == scan splits; never byte-gate
+    # map-only; HEAVY floor (see coordination_topk_direct)
+    docs = fan_out(docs, **HEAVY_TEXT_GATE)
     with_toks = docs.select(F.col(id_col), toks.alias("__toks")).withColumn(
         "__dl",
         F.size(F.filter(F.col("__toks"), lambda x: x != F.lit(""))),

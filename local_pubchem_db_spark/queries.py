@@ -825,13 +825,13 @@ def q_text_signals(spark, sf_dir):
     text) — the per-document column block a curation pipeline projects
     before filtering."""
     from local_pubchem_db_spark.functions.text import quality_score
-    from local_pubchem_db_spark.operators.util import fan_out
+    from local_pubchem_db_spark.operators.util import HEAVY_TEXT_GATE, fan_out
 
-    # fan_out UNCONDITIONALLY: ~8 regex/array passes per row are
-    # CPU-bound on DECOMPRESSED text, and the byte gate reads COMPRESSED
-    # plan stats — gating this site cost 3.5-5.8x at sf1/sf3 (r9 verdict,
-    # What's wrong #1). Real multi-split inputs make this a no-op.
-    d = fan_out(t(spark, sf_dir, "documents"))
+    # ~8 regex/array passes per row: a HEAVY site — the r9 compressed-
+    # bytes gate disabled its own fix here (3.5-5.8x at sf1/sf3, judged
+    # weak); the r10 gate measures DECOMPRESSED bytes, and this floor
+    # fans out at ~50KB/task already. No-op on real multi-split inputs.
+    d = fan_out(t(spark, sf_dir, "documents"), **HEAVY_TEXT_GATE)
     n_tok = token_count(F.col("text"))
     return d.select(
         "doc_id",
@@ -846,12 +846,12 @@ def q_text_signals(spark, sf_dir):
 
 def q_lang_id(spark, sf_dir):
     """Stopword-vote language ID distribution vs the labeled lang column."""
-    from local_pubchem_db_spark.operators.util import fan_out
+    from local_pubchem_db_spark.operators.util import LIGHT_TEXT_GATE, fan_out
 
-    # CPU-bound per-row array ops ride the scan stage; fan_out rebalances
-    # under-split (highly compressed) inputs and no-ops on real layouts.
-    # Ungated: the byte gate reads compressed plan stats (r9 lesson).
-    d = fan_out(t(spark, sf_dir, "documents"))
+    # one-pass array ops ride the scan stage: a LIGHT site — fan only
+    # when each task gets ~0.5MB of DECOMPRESSED text (measured floor);
+    # no-ops on real multi-split layouts.
+    d = fan_out(t(spark, sf_dir, "documents"), **LIGHT_TEXT_GATE)
     return (
         d.select("lang", lang_id(F.col("text")).alias("pred_lang"))
         .groupBy("lang", "pred_lang")
@@ -861,10 +861,11 @@ def q_lang_id(spark, sf_dir):
 
 def q_token_topk(spark, sf_dir):
     """Corpus token histogram: top 20 tokens."""
-    from local_pubchem_db_spark.operators.util import fan_out
+    from local_pubchem_db_spark.operators.util import LIGHT_TEXT_GATE, fan_out
 
-    # the tokenize+explode rides the scan stage (see q_lang_id note)
-    d = fan_out(t(spark, sf_dir, "documents"))
+    # one tokenize+explode pass rides the scan stage: LIGHT floor
+    # (see q_lang_id note)
+    d = fan_out(t(spark, sf_dir, "documents"), **LIGHT_TEXT_GATE)
     return (
         d.select(F.explode(tokens(F.col("text"))).alias("token"))
         .filter(F.col("token") != "")
@@ -880,9 +881,12 @@ def q_multimodal_meta(spark, sf_dir):
     Arrow-batched mapInPandas (the decode-UDF shape for image/audio
     columns; here payload = utf-8 bytes so the oracle can verify size and
     digest exactly)."""
-    from local_pubchem_db_spark.operators.util import fan_out
+    from local_pubchem_db_spark.operators.util import LIGHT_TEXT_GATE, fan_out
 
-    d = fan_out(t(spark, sf_dir, "documents")).select(
+    # one digest pass per row: LIGHT floor (see q_lang_id note)
+    d = fan_out(
+        t(spark, sf_dir, "documents"), **LIGHT_TEXT_GATE
+    ).select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
 
@@ -906,18 +910,20 @@ def q_multimodal_meta(spark, sf_dir):
 def q_doc_chunks(spark, sf_dir):
     """Training-pipeline chunking: 32-token windows, stride 24 (overlap 8),
     per document (operators/chunking.py)."""
-    from local_pubchem_db_spark.operators.util import fan_out
+    from local_pubchem_db_spark.operators.util import LIGHT_TEXT_GATE, fan_out
 
     return chunk_documents(
-        fan_out(t(spark, sf_dir, "documents")), chunk_size=32, stride=24,
+        fan_out(t(spark, sf_dir, "documents"), **LIGHT_TEXT_GATE),
+        chunk_size=32, stride=24,
     )
 
 
 def q_pii_scrub(spark, sf_dir):
     """PII masking pass; digest keeps the oracle row narrow."""
-    from local_pubchem_db_spark.operators.util import fan_out
+    from local_pubchem_db_spark.operators.util import HEAVY_TEXT_GATE, fan_out
 
-    d = fan_out(t(spark, sf_dir, "documents"))  # regex-heavy scan stage: never byte-gate
+    # regex-replace chains per row: HEAVY floor (fans at ~50KB/task)
+    d = fan_out(t(spark, sf_dir, "documents"), **HEAVY_TEXT_GATE)
     return d.select(
         "doc_id", F.md5(scrub_pii(F.col("text"))).alias("clean_digest")
     )
@@ -926,11 +932,13 @@ def q_pii_scrub(spark, sf_dir):
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition quality signals: integer counts + the
     duplicate-3gram fraction as one IEEE division."""
-    from local_pubchem_db_spark.operators.util import fan_out
+    from local_pubchem_db_spark.operators.util import HEAVY_TEXT_GATE, fan_out
 
+    # Arrow-batched n-gram UDF rides the scan stage: HEAVY floor
     d = fan_out(
-        t(spark, sf_dir, "documents").filter(F.trim("text") != "")
-    )  # Arrow-batched UDF rides the scan stage: never byte-gate
+        t(spark, sf_dir, "documents").filter(F.trim("text") != ""),
+        **HEAVY_TEXT_GATE,
+    )
     sig = d.select("doc_id", repetition_signals_udf()(F.col("text")).alias("s"))
     n3 = F.col("s.n_3grams")
     return sig.select(

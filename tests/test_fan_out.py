@@ -65,6 +65,109 @@ def test_already_parallel_input_is_untouched(spark):
     assert out.rdd.getNumPartitions() == n + 4
 
 
+def test_gate_measures_decompressed_bytes_on_compressible_corpus(
+    spark, tmp_path
+):
+    """THE r9 `weak` defect, pinned: a compressible text corpus sits
+    under any COMPRESSED-bytes floor long after the decompressed CPU
+    work dominates. The r10 gate scales plan stats by the parquet
+    footers' uncompressed/compressed ratio, so a snappy-compressed
+    corpus of distinct documents must clear a floor its raw file bytes
+    alone would not."""
+    import pandas as pd
+
+    from local_pubchem_db_spark.operators.util import (
+        estimated_decompressed_bytes,
+    )
+
+    p = str(tmp_path / "corpus.parquet")
+    # distinct strings (no dictionary collapse) built from repeated
+    # words: snappy compresses the pages, the byte-ratio is real
+    pd.DataFrame(
+        {
+            "doc_id": range(5_000),
+            "text": [
+                f"spark shuffle join filter {i} " * 40 for i in range(5_000)
+            ],
+        }
+    ).to_parquet(p)
+    df = spark.read.parquet(p)
+    compressed = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    compressed = (
+        compressed if isinstance(compressed, int) else int(compressed.toString())
+    )
+    est = estimated_decompressed_bytes(df)
+    assert est is not None and est > compressed * 2, (est, compressed)
+    target = spark.sparkContext.defaultParallelism
+    # a floor between compressed and decompressed: the r9 gate would
+    # skip (compressed < floor), the r10 gate fans (decompressed >=)
+    floor = (compressed + (est - compressed) // 2) // target
+    assert compressed < floor * target <= est
+    out = fan_out(df, min_bytes_per_task=floor)
+    assert out.rdd.getNumPartitions() == target
+    # and a floor even the decompressed estimate cannot clear skips
+    out2 = fan_out(df, min_bytes_per_task=est * 2)
+    assert (
+        out2.rdd.getNumPartitions()
+        == df._jdf.queryExecution().toRdd().getNumPartitions()
+    )
+
+
+def test_gate_row_signal_catches_dictionary_collapsed_flood(
+    spark, tmp_path
+):
+    """Parquet dictionary encoding makes a flood of IDENTICAL documents
+    report tiny encoded bytes — the byte estimate cannot see the per-row
+    CPU cost. The row signal (exact footer num_rows) must fan such a
+    corpus even when the byte floor is impossibly high, and a corpus
+    with few rows AND few bytes must still skip."""
+    import pandas as pd
+
+    from local_pubchem_db_spark.operators.util import estimated_rows
+
+    p = str(tmp_path / "dictflood.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": range(20_000),
+            "text": ["spark shuffle join filter " * 100] * 20_000,
+        }
+    ).to_parquet(p)
+    df = spark.read.parquet(p)
+    target = spark.sparkContext.defaultParallelism
+    assert estimated_rows(df) == 20_000
+    out = fan_out(
+        df, min_bytes_per_task=1 << 40, min_rows_per_task=20_000 // target
+    )
+    assert out.rdd.getNumPartitions() == target
+    # both signals under their floors -> skip
+    out2 = fan_out(
+        df, min_bytes_per_task=1 << 40, min_rows_per_task=100_000
+    )
+    assert (
+        out2.rdd.getNumPartitions()
+        == df._jdf.queryExecution().toRdd().getNumPartitions()
+    )
+
+
+def test_gate_fails_open_without_footers(spark):
+    """An in-memory relation has no input files: the estimate falls back
+    to plan stats (already row bytes) — and any estimate failure must
+    fan out, never skip (the CPU-safe side)."""
+    from pyspark.sql import functions as F
+
+    from local_pubchem_db_spark.operators.util import (
+        estimated_decompressed_bytes,
+    )
+
+    df = spark.range(0, 1000, 1, 2).select(F.col("id"))
+    est = estimated_decompressed_bytes(df)
+    assert est is not None and est > 0
+    assert (
+        fan_out(df, min_bytes_per_task=1).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+
 def test_gate_result_identical_rows(spark, sf_dir):
     """Gated-skip and fanned plans agree on content (ordering aside)."""
     df = _scan(spark, sf_dir, "documents").select("doc_id")

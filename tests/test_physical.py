@@ -242,6 +242,58 @@ def test_table_health_partition_column_and_empty_file(spark, tmp_path):
     assert he["id_min"].isna().all()
 
 
+def test_table_health_hadoop_scheme_rewrite_and_loud_failure(spark):
+    """Hadoop-only URI schemes (r10): s3a/s3n rewrite to pyarrow's s3
+    scheme; schemes pyarrow has no filesystem for fail AT PLAN TIME with
+    actionable guidance naming open_file — not task-by-task on
+    executors with pyarrow's opaque resolver error."""
+    import pytest
+
+    from local_pubchem_db_spark.operators.physical import (
+        _pyarrow_uri,
+        table_health,
+    )
+
+    assert _pyarrow_uri("s3a://bkt/t/p.parquet") == "s3://bkt/t/p.parquet"
+    assert _pyarrow_uri("S3N://bkt/p.parquet") == "s3://bkt/p.parquet"
+    assert _pyarrow_uri("/plain/local.parquet") == "/plain/local.parquet"
+    assert _pyarrow_uri("hdfs://nn/p.parquet") == "hdfs://nn/p.parquet"
+    with pytest.raises(ValueError, match="open_file"):
+        table_health(
+            spark,
+            "weirdfs://cluster/table",
+            files=[("weirdfs://cluster/table/a.parquet", 123)],
+        )
+
+
+def test_table_health_open_file_bypasses_scheme_check(spark, tmp_path):
+    """With open_file supplied, any scheme is the caller's business —
+    the footer reads go through their handle, so an otherwise
+    unresolvable URI must still work end-to-end."""
+    import pandas as pd
+
+    from local_pubchem_db_spark.operators.physical import table_health
+
+    real = str(tmp_path / "d.parquet")
+    pd.DataFrame({"id": [1, 2, 3]}).to_parquet(real)
+    size = __import__("os").path.getsize(real)
+
+    def opener(path, _real=real):
+        assert path.startswith("weirdfs://")
+        return open(_real, "rb")
+
+    h = table_health(
+        spark,
+        "weirdfs://cluster/table",
+        stats_cols=["id"],
+        files=[("weirdfs://cluster/table/d.parquet", size)],
+        open_file=opener,
+    ).toPandas()
+    assert len(h) == 1
+    assert int(h["rows"][0]) == 3
+    assert bool(h["id_has_stats"][0])
+
+
 def test_table_health_spark_listing_matches_driver(spark, tmp_path, monkeypatch):
     """listing='spark' lists the table THROUGH Spark (binaryFile
     metadata scan) and must match the driver os.walk result; 'auto'
