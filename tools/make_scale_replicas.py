@@ -89,12 +89,36 @@ def main() -> None:
             scaled = scaled.withColumn(
                 col, F.col(col) + F.col("__rep") * F.lit(strides[fam])
             )
+        # Deterministic output layout (r10): the crossJoin inherits
+        # whichever side AQE broadcasts — with a 1-file base that can be
+        # ONE output partition, i.e. one parquet ROW GROUP holding the
+        # whole table, and parquet readers cannot split a row group, so
+        # every scan of the replica ran single-task (sf10 events: 10M
+        # rows, 1 row group — event_windows 10.9s vs 6.1s). Size the
+        # write like a real table instead: ~96 MB of base-compressed
+        # bytes per file, floor of one file per core.
+        src = f"{base}/{tbl}.parquet"
+        base_bytes = (
+            os.path.getsize(src)
+            if os.path.isfile(src)
+            else sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(src)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+        ) or (96 << 20)
+        n_out = max(
+            spark.sparkContext.defaultParallelism,
+            int(base_bytes * copies // (96 << 20)) + 1,
+        )
         (
             scaled.drop("__rep")
+            .repartition(n_out)
             .write.mode("overwrite")
             .parquet(f"{out}/{tbl}.parquet")
         )
-        print(f"{tbl}: x{copies}")
+        print(f"{tbl}: x{copies} -> {n_out} files")
     print(f"done -> {out}")
 
 
