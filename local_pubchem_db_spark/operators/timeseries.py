@@ -227,7 +227,10 @@ def robust_outliers(
     ``"selection"`` is EXACT with parallelism proportional to data
     volume instead of key count — the tier for true 100 TB per-key
     volumes where buffer funnels the cluster into #keys tasks and the
-    statistic must still be exact."""
+    statistic must still be exact; ``"auto"`` (r10) probes key count
+    and per-group value cardinality once and picks buffer vs selection
+    by the measured decision rule (both exact, so the choice never
+    changes values — see ``choose_percentile_method``)."""
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     from local_pubchem_db_spark.operators.percentiles import grouped_median

@@ -84,19 +84,20 @@ def main() -> None:
         if not keys:  # unscaled dimension
             df.write.mode("overwrite").parquet(f"{out}/{tbl}.parquet")
             continue
-        scaled = df.crossJoin(reps)
-        for col, fam in keys.items():
-            scaled = scaled.withColumn(
-                col, F.col(col) + F.col("__rep") * F.lit(strides[fam])
-            )
-        # Deterministic output layout (r10): the crossJoin inherits
+        # Deterministic output layout (r10): the bare crossJoin inherits
         # whichever side AQE broadcasts — with a 1-file base that can be
         # ONE output partition, i.e. one parquet ROW GROUP holding the
         # whole table, and parquet readers cannot split a row group, so
         # every scan of the replica ran single-task (sf10 events: 10M
-        # rows, 1 row group — event_windows 10.9s vs 6.1s). Size the
-        # write like a real table instead: ~96 MB of base-compressed
-        # bytes per file, floor of one file per core.
+        # rows, 1 row group — event_windows 10.9s vs 6.1s; the r9 sf100
+        # events shipped 100M rows in 8 row groups = 8-way scans on 32
+        # cores). Size the write like a real table: ~96 MB of
+        # base-compressed bytes per output file, floor one per core —
+        # by repartitioning the small BASE before the multiply and
+        # broadcasting the replica index, so the only shuffle moves
+        # base_bytes, never base_bytes*copies (the naive post-multiply
+        # repartition spilled ~17 GB of shuffle at sf100 and filled the
+        # disk).
         src = f"{base}/{tbl}.parquet"
         base_bytes = (
             os.path.getsize(src)
@@ -112,9 +113,13 @@ def main() -> None:
             spark.sparkContext.defaultParallelism,
             int(base_bytes * copies // (96 << 20)) + 1,
         )
+        scaled = df.repartition(n_out).crossJoin(F.broadcast(reps))
+        for col, fam in keys.items():
+            scaled = scaled.withColumn(
+                col, F.col(col) + F.col("__rep") * F.lit(strides[fam])
+            )
         (
             scaled.drop("__rep")
-            .repartition(n_out)
             .write.mode("overwrite")
             .parquet(f"{out}/{tbl}.parquet")
         )
