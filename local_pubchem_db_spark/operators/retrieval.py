@@ -7,8 +7,9 @@ The reference's query surface is exact-predicate SQL over indexed columns
 pipeline additionally needs *content* retrieval at corpus scale — mining
 documents near a probe query for decontamination review, dataset audits,
 and targeted sampling. This family is the Spark-first version of that:
-the index is a DataFrame you build once and persist/bucketBy on ``term``,
-and a query is two broadcast joins plus one aggregation.
+the index is a DataFrame you build once and persist/bucketBy on ``term``
+(``save_postings``/``load_postings``), and a query is one pushed-down
+``IN`` scan plus a broadcast stats join and one aggregation.
 
 Scale shape (the part that must survive 100 TB):
 
@@ -17,10 +18,13 @@ Scale shape (the part that must survive 100 TB):
   (term, doc_id, tf) plus per-doc lengths — both partitioned by their
   group keys. Persist with ``.write.bucketBy(n, "term")`` and every
   query's postings probe becomes a bucket-pruned scan.
-- query time: the query-term relation is tiny (|q| rows) and broadcast;
-  term stats (df) reduce to |q| rows; the only corpus-sized work is the
-  postings rows of the matched terms, which AQE sizes at runtime (a
-  selective query broadcasts its matches into the doc-length join; a
+- query time: the query terms become a literal ``IN`` predicate PUSHED
+  TO THE SCAN (r10 — previously a broadcast join that still read every
+  postings row): a parquet index skips non-matching row groups via
+  min/max/dictionary stats, a bucketBy(term) table prunes whole
+  buckets. Term stats (df) reduce to |q| rows and broadcast; the only
+  corpus-sized work is the matched postings, which AQE sizes at runtime
+  (a selective query broadcasts its matches into the doc-length join; a
   stop-word query degrades to one shuffle join on doc_id — the inherent
   cost).
 - nothing here is a Python UDF; scoring is whole-stage-codegen
@@ -90,11 +94,58 @@ def build_postings(
     return postings, doc_stats
 
 
-def _query_relation(spark, query_terms: list[str]) -> DataFrame:
+def save_postings(
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    name: str,
+    buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an inverted index as BUCKETED tables — the amortized
+    deployment shape for a query service: ``<name>_postings`` bucketed
+    and sorted by ``term`` (a query's ``IN (terms...)`` probe prunes
+    whole buckets and binary-searches sorted row groups), plus
+    ``<name>_docstats`` as a plain table. ``bucketBy`` requires
+    ``saveAsTable`` (the bucket metadata lives in the catalog); tables
+    land in the session's warehouse. Size ``buckets`` to the cluster —
+    one bucket is the probe-time unit of parallelism per term."""
+    (
+        postings.write.mode(mode)
+        .bucketBy(buckets, "term")
+        .sortBy("term")
+        .format("parquet")
+        .saveAsTable(f"{name}_postings")
+    )
+    doc_stats.write.mode(mode).format("parquet").saveAsTable(
+        f"{name}_docstats"
+    )
+
+
+def load_postings(spark, name: str) -> tuple[DataFrame, DataFrame]:
+    """The (postings, doc_stats) pair saved by ``save_postings`` —
+    bucket metadata rides along from the catalog, so term probes prune."""
+    return spark.table(f"{name}_postings"), spark.table(f"{name}_docstats")
+
+
+def _norm_terms(query_terms: list[str]) -> list[str]:
     terms = sorted({t.strip().lower() for t in query_terms if t.strip()})
     if not terms:
         raise ValueError("query_terms must contain at least one token")
-    return spark.createDataFrame([(t,) for t in terms], "term string")
+    return terms
+
+
+def _matched(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """The postings rows of the query terms — as a PUSHED-DOWN ``IN``
+    predicate, not a join (r10). The previous broadcast join against a
+    |q|-row term relation read the ENTIRE postings relation into the
+    probe side; a literal ``isin`` reaches the scan instead, so a
+    parquet-backed index skips non-matching row groups via
+    min/max//dictionary stats, a ``bucketBy(term)`` table prunes whole
+    buckets, and the downstream per-doc aggregation sees only matching
+    rows either way. At 100 TB that is the difference between scanning
+    billions of postings and touching the few row groups that hold the
+    query's terms."""
+    return postings.filter(F.col("term").isin(terms))
 
 
 def coordination_topk(
@@ -109,9 +160,7 @@ def coordination_topk(
     integer, so the result hash-matches any ANSI engine — this is the
     correctness-gate twin of ``bm25_topk``. Columns: <id_col>,
     ``n_terms``, ``total_tf``, ``rank``."""
-    spark = postings.sparkSession
-    q = _query_relation(spark, query_terms)
-    matched = postings.join(F.broadcast(q), "term")
+    matched = _matched(postings, _norm_terms(query_terms))
     per_doc = matched.groupBy(id_col).agg(
         F.count_distinct("term").cast("long").alias("n_terms"),
         F.sum("tf").cast("long").alias("total_tf"),
@@ -291,15 +340,13 @@ def bm25_topk(
     ``N`` and ``avgdl`` are scalar aggregates collected to the driver —
     two numbers, computed in one job; a query service computes them once
     per index build, not per query."""
-    spark = postings.sparkSession
     row = doc_stats.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     ).first()
     n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
     if n_docs == 0:
         return _empty_scored(postings, id_col)
-    q = _query_relation(spark, query_terms)
-    matched = postings.join(F.broadcast(q), "term")
+    matched = _matched(postings, _norm_terms(query_terms))
     df_t = matched.groupBy("term").agg(
         F.count_distinct(id_col).alias("df")
     )

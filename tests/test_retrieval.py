@@ -151,8 +151,9 @@ def test_bm25_empty_corpus_schema_matches_id_type(spark):
 
 
 def test_query_plan_broadcasts_query_side(spark, corpus):
-    """The query-term relation and the |q|-row df stats must broadcast —
-    a shuffle join keyed on 3 terms would be the 100 TB mistake."""
+    """The |q|-row df/idf stats must broadcast, the term match must be a
+    filter (not a join), and nothing crosses into Python — a shuffle
+    join keyed on 3 terms would be the 100 TB mistake."""
     postings, doc_stats = build_postings(corpus)
     plan = (
         bm25_topk(postings, doc_stats, ["spark", "dog"], k=5)
@@ -160,8 +161,70 @@ def test_query_plan_broadcasts_query_side(spark, corpus):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" in plan  # the idf stats join
     assert "BatchEvalPython" not in plan  # all codegen, no Python
+
+
+def test_term_match_pushes_down_to_parquet_scan(spark, corpus, tmp_path):
+    """r10: the term match is a literal IN predicate, not a broadcast
+    join — against a parquet-backed index it must reach the scan
+    (PushedFilters), so non-matching row groups are skipped instead of
+    the whole postings relation feeding a join probe."""
+    from local_pubchem_db_spark.operators.retrieval import coordination_topk
+
+    postings, _ = build_postings(corpus)
+    p = str(tmp_path / "postings.parquet")
+    postings.write.parquet(p)
+    on_disk = spark.read.parquet(p)
+    out = coordination_topk(on_disk, ["spark", "dog"], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(term" in plan, plan
+    # and the filtered route returns what the in-memory route returns
+    want = [
+        (r["doc_id"], r["n_terms"], r["total_tf"], r["rank"])
+        for r in coordination_topk(postings, ["spark", "dog"], k=5).collect()
+    ]
+    got = [
+        (r["doc_id"], r["n_terms"], r["total_tf"], r["rank"])
+        for r in out.collect()
+    ]
+    assert got == want
+
+
+def test_bucketed_postings_round_trip_and_pruning(spark, corpus, tmp_path):
+    """save_postings/load_postings: the bucketBy(term) deployment shape.
+    The reloaded index must score identically, and a term probe must
+    read a strict subset of buckets (SelectedBucketsCount in the scan)."""
+    from local_pubchem_db_spark.operators.retrieval import (
+        load_postings,
+        save_postings,
+    )
+
+    postings, doc_stats = build_postings(corpus)
+    save_postings(postings, doc_stats, "t_ret_idx", buckets=8)
+    try:
+        bp, bd = load_postings(spark, "t_ret_idx")
+        a = bm25_topk(postings, doc_stats, ["spark", "dog"], k=5).collect()
+        b = bm25_topk(bp, bd, ["spark", "dog"], k=5).collect()
+        assert [(r[0], round(r[1], 9)) for r in a] == [
+            (r[0], round(r[1], 9)) for r in b
+        ]
+        plan = (
+            bm25_topk(bp, bd, ["spark", "dog"], k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        m = [ln for ln in plan.splitlines() if "SelectedBucketsCount" in ln]
+        assert m, plan
+        # 2 terms -> at most 2 of the 8 buckets scanned
+        import re
+
+        sel = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", m[0])
+        assert sel and int(sel.group(1)) <= 2 and int(sel.group(2)) == 8
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ret_idx_postings")
+        spark.sql("DROP TABLE IF EXISTS t_ret_idx_docstats")
 
 
 def test_direct_routes_equal_postings_routes(spark, corpus):
