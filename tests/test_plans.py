@@ -202,3 +202,43 @@ def test_distributed_rank_matches_global_row_number(spark):
     assert all(r["tot"] == 777 for r in rows)
     got = {r["k"]: r["rank"] for r in rows}
     assert got == want
+
+
+def test_broadcast_if_small_gate(spark, sf_dir):
+    """broadcast_if_small (r10): hint only when plan stats PROVE the
+    relation small — a provably-tiny dim gets the hint (skipping the
+    AQE shuffle-write), anything above the ceiling or with broadcast
+    disabled stays unhinted (the never-OOM AQE path; a forced broadcast
+    of a scaling dim OOMed the sf100 run)."""
+    from pyspark.sql import functions as F
+
+    from local_pubchem_db_spark.operators.util import broadcast_if_small
+
+    small = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    fact = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def joined_plan(dim):
+        return (
+            fact.join(dim, fact.o_custkey == dim.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    # tiny relation under the default ceiling: hinted
+    assert "BroadcastHashJoin" in joined_plan(broadcast_if_small(small))
+    # explicit 1-byte ceiling: provably NOT small -> unhinted plan
+    # (initial plan shows the un-broadcast join; AQE may still convert
+    # at runtime — that is exactly the intended fallback)
+    unhinted = broadcast_if_small(small, max_bytes=1)
+    assert unhinted is small  # no hint node added at all
+    # broadcast disabled in-session: never hint regardless of size
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert broadcast_if_small(small) is small
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024)
+        )
