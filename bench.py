@@ -85,6 +85,35 @@ def calibration_run(spark) -> float:
     return round(_time.perf_counter() - t0, 4)
 
 
+def calibration_py_run(spark) -> float:
+    """Second calibration axis (r10): the PYTHON-WORKER path. The r10
+    session showed untouched pandas-UDF/multi-stage queries drifting
+    1.15-1.5x at EQUAL JVM calibration — the pure-JVM rangescan
+    (calibration_run) cannot see Arrow transfer + Python worker cost,
+    so host drift in that dimension was unattributable. This pins it:
+    a fixed 256k-row Arrow round trip through a pandas UDF + one
+    aggregation, byte-identical every round."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _cal(s: pd.Series) -> pd.Series:
+        return (s * 2654435761) % 1048576
+
+    t0 = _time.perf_counter()
+    (
+        spark.range(0, 256_000, 1, 32)
+        .select(_cal("id").alias("k"))
+        .agg(F.sum("k"), F.count(F.lit(1)))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return round(_time.perf_counter() - t0, 4)
+
+
 def compute_drift(
     timings: dict,
     prev_queries: dict,
@@ -146,6 +175,8 @@ def main() -> None:
     # pays the agg's one-time codegen compile; the min is the host).
     cal_runs = [calibration_run(spark) for _ in range(max(REPS, 3))]
     calibration = min(cal_runs)
+    cal_py_runs = [calibration_py_run(spark) for _ in range(max(REPS, 3))]
+    calibration_py = min(cal_py_runs)
     for name in HEADLINE:
         fn = QUERIES[name]
         samples = []
@@ -311,8 +342,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "calibration": calibration,
+        "calibration_py": calibration_py,
         "runs": runs,
         "calibration_runs": cal_runs,
+        "calibration_py_runs": cal_py_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if past_cap is not None:
@@ -435,6 +468,7 @@ def _bench_ivf_pq(spark, sf_dir: str, reps: int, timings, runs) -> None:
 _DIAG_KEYS = (
     "runs",
     "calibration_runs",
+    "calibration_py_runs",
     "spread",
     "prev_artifact",
     "prev_total",
