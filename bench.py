@@ -119,13 +119,23 @@ def compute_drift(
     prev_queries: dict,
     cal: float | None = None,
     prev_cal: float | None = None,
+    cal_py: float | None = None,
+    prev_cal_py: float | None = None,
+    axes: dict | None = None,
 ) -> tuple[dict, dict | None]:
     """(raw drift, calibration-normalized drift) vs the previous
     artifact. Raw: t_now / t_prev per query. Normalized: raw divided by
     the host-drift factor (cal_now / cal_prev) — a query whose
     normalized drift is ~1.0 ran the same ENGINE cost on a
     differently-loaded host. Normalized is None unless both artifacts
-    carry a calibration."""
+    carry a calibration.
+
+    ``axes`` (r11, verdict Next #2): per-query calibration axis —
+    queries whose plan crosses the Python worker (``axes[q] == "py"``)
+    normalize by the PYTHON-axis factor (cal_py / prev_cal_py) when
+    both artifacts carry it; pure-JVM rows keep the JVM axis. The r10
+    session showed pandas-UDF rows drifting 1.15-1.5x at EQUAL JVM
+    calibration — one axis cannot attribute drift in the other path."""
     raw = {
         q: round(timings[q] / prev_queries[q], 3)
         for q in timings
@@ -134,8 +144,35 @@ def compute_drift(
     if not cal or not prev_cal:
         return raw, None
     host_factor = cal / prev_cal
-    norm = {q: round(v / host_factor, 3) for q, v in raw.items()}
+    py_factor = (
+        cal_py / prev_cal_py if cal_py and prev_cal_py else None
+    )
+    norm = {
+        q: round(
+            v
+            / (
+                py_factor
+                if py_factor and axes and axes.get(q) == "py"
+                else host_factor
+            ),
+            3,
+        )
+        for q, v in raw.items()
+    }
     return raw, norm
+
+
+def _plan_axis(df) -> str:
+    """Which calibration axis a query's EXECUTED plan belongs to:
+    "py" when it crosses the Python worker (ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas / python UDAF nodes), else
+    "jvm". Empirical, not a hand-kept list — refactors that move a
+    query across the boundary re-classify it automatically."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:  # noqa: BLE001 — classification is best-effort
+        return "jvm"
+    return "py" if ("Python" in plan or "Pandas" in plan) else "jvm"
 
 
 def main() -> None:
@@ -170,6 +207,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    axes: dict[str, str] = {}  # per-row calibration axis (jvm | py)
 
     # Host calibration, min-of-REPS like every other row (first sample
     # pays the agg's one-time codegen compile; the min is the host).
@@ -186,8 +224,12 @@ def main() -> None:
         try:
             for _ in range(REPS):
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
                 samples.append(round(time.perf_counter() - t0, 3))
+                # axis probe AFTER the save (the executed adaptive plan),
+                # BEFORE the cache release (plan nodes survive either way)
+                axes[name] = _plan_axis(df)
                 # shared() relations are per-invocation scratch; dropping them
                 # between repetitions keeps every sample a COLD run and keeps
                 # storage memory flat across the sweep.
@@ -212,10 +254,10 @@ def main() -> None:
         warm_samples = []
         for _ in range(2):  # min-of-2: one warm sample is hostage to a
             t0 = time.perf_counter()  # GC pause (the sf1 26s-vs-7s case)
-            QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
             warm_samples.append(round(time.perf_counter() - t0, 3))
+        axes[name + "_warm"] = _plan_axis(df)
         timings[name + "_warm"] = min(warm_samples)
         runs[name + "_warm"] = warm_samples
     except Exception as e:  # noqa: BLE001
@@ -233,10 +275,12 @@ def main() -> None:
         samples = []
         for _ in range(REPS):
             t0 = time.perf_counter()
-            gap_fill(
+            df = gap_fill(
                 ev, "ts", ["event_type"], ["value"], "1 hour", fill="linear"
-            ).write.format("noop").mode("overwrite").save()
+            )
+            df.write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 3))
+        axes["gap_fill"] = _plan_axis(df)
         timings["gap_fill"] = min(samples)
         runs["gap_fill"] = samples
     except Exception as e:  # noqa: BLE001
@@ -249,7 +293,7 @@ def main() -> None:
     # dedup_minhash_lsh_warm. Keeps the newest large component under the
     # same drift protection as everything else (r7 What's missing #1).
     try:
-        _bench_ivf_pq(spark, sf_dir, REPS, timings, runs)
+        _bench_ivf_pq(spark, sf_dir, REPS, timings, runs, axes)
     except Exception as e:  # noqa: BLE001
         errors["ivf_pq_search"] = f"{type(e).__name__}: {e}"[:500]
     release_shared_caches(spark)
@@ -261,7 +305,7 @@ def main() -> None:
     # query-side joins), had no bench presence and could drift silently.
     # The index build is prepared OUTSIDE the timer like ivf_pq_search.
     try:
-        _bench_retrieval_warm(spark, sf_dir, REPS, timings, runs)
+        _bench_retrieval_warm(spark, sf_dir, REPS, timings, runs, axes)
     except Exception as e:  # noqa: BLE001
         errors["retrieval_warm"] = f"{type(e).__name__}: {e}"[:500]
     release_shared_caches(spark)
@@ -279,13 +323,18 @@ def main() -> None:
         # the previous aux's samples be re-recorded under this name
         samples = []
         try:
-            fn = QUERIES[aux]
+            # token_drift: time the decimal(38,0)-exact OPERATOR, not
+            # the registry query — its trailing long cast exists only
+            # for the sf0.01 oracle's BIGINT hash parity and would
+            # overflow at large-sf token totals (ADVICE r10); the bench
+            # runs at every sf, so it times the deployment arithmetic.
+            fn = _token_drift_uncast if aux == "token_drift" else QUERIES[aux]
             for _ in range(REPS):
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
                 samples.append(round(time.perf_counter() - t0, 3))
+                axes[aux] = _plan_axis(df)
                 # cold samples, like the headline loop: token_drift's
                 # shared() histogram must not serve rep 2 from cache
                 release_shared_caches(spark)
@@ -297,9 +346,20 @@ def main() -> None:
             timings[aux] = min(samples)
             runs[aux] = samples
 
+    # Bucketed-catalog retrieval (r11, verdict Next #3): the service
+    # deployment shape — index persisted via save_postings (bucketed,
+    # stats table alongside), queried through load_index with the
+    # persisted scalars, so bucket-pruning or stats regressions at any
+    # sf surface as timing drift, not only as a test failure.
+    try:
+        _bench_retrieval_bucketed(spark, sf_dir, REPS, timings, runs, axes)
+    except Exception as e:  # noqa: BLE001
+        errors["retrieval_bucketed"] = f"{type(e).__name__}: {e}"[:500]
+    release_shared_caches(spark)
+
     AUX = ("ivf_pq_search", "gap_fill", "retrieval_topk",
            "ts_outliers", "token_drift", "pct_selection",
-           "retrieval_warm")
+           "retrieval_warm", "retrieval_bucketed")
     total = round(
         sum(
             v
@@ -367,6 +427,9 @@ def main() -> None:
             prev.get("queries", {}),
             cal=calibration,
             prev_cal=prev.get("calibration"),
+            cal_py=calibration_py,
+            prev_cal_py=prev.get("calibration_py"),
+            axes=axes,
         )
         out["prev_artifact"] = prev_name
         out["prev_total"] = prev.get("value")
@@ -375,7 +438,12 @@ def main() -> None:
             out["host_drift"] = round(
                 calibration / prev["calibration"], 3
             )
+            if prev.get("calibration_py"):
+                out["host_drift_py"] = round(
+                    calibration_py / prev["calibration_py"], 3
+                )
             out["drift_vs_prev_normalized"] = norm
+    out["drift_axis"] = axes
     out["spread"] = {
         q: round(max(s) / min(s), 3) for q, s in runs.items() if min(s) > 0
     }
@@ -390,7 +458,62 @@ def main() -> None:
     emit(out, record_dir=record_dir)
 
 
-def _bench_retrieval_warm(spark, sf_dir: str, reps: int, timings, runs) -> None:
+def _token_drift_uncast(spark, sf_dir: str):
+    """The token_drift OPERATOR without the registry query's trailing
+    long cast — decimal(38,0)-exact at every sf (the cast is safe only
+    at the sf0.01 oracle gate; ADVICE r10)."""
+    from pyspark.sql import functions as F
+
+    from local_pubchem_db_spark.operators.drift import token_drift_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_drift_split(docs, F.col("doc_id") % 2 == 0, top_n=20)
+
+
+def _bench_retrieval_bucketed(
+    spark, sf_dir: str, reps: int, timings, runs, axes
+) -> None:
+    """The bucketed-catalog service path, timed per sf (r11): build the
+    index once and PERSIST it through save_postings (bucketed+sorted
+    postings, stats table), then time bm25_topk reading via load_index
+    with the persisted (N, avgdl) — the query issues zero jobs before
+    its scoring job and the ``IN`` probe prunes buckets. Tables are
+    dropped afterwards (warehouse scratch)."""
+    import time as _time
+
+    from local_pubchem_db_spark.operators.retrieval import (
+        bm25_topk,
+        build_postings,
+        load_index,
+        save_postings,
+    )
+
+    name = "bench_retrieval_idx"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    postings, doc_stats = build_postings(docs)
+    try:
+        save_postings(postings, doc_stats, name, buckets=8)
+        p, ds, (n_docs, avgdl) = load_index(spark, name)
+        samples = []
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            df = bm25_topk(
+                p, ds, ["hash", "spark", "stream", "vector"], k=10,
+                n_docs=n_docs, avgdl=avgdl,
+            )
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(round(_time.perf_counter() - t0, 3))
+        axes["retrieval_bucketed"] = _plan_axis(df)
+        timings["retrieval_bucketed"] = min(samples)
+        runs["retrieval_bucketed"] = samples
+    finally:
+        for suffix in ("postings", "docstats", "stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
+
+
+def _bench_retrieval_warm(
+    spark, sf_dir: str, reps: int, timings, runs, axes
+) -> None:
     """Build the inverted index once (persisted + eagerly filled,
     untimed — a service pays this per corpus version, not per query),
     then time the postings-route BM25 query min-of-reps."""
@@ -410,17 +533,19 @@ def _bench_retrieval_warm(spark, sf_dir: str, reps: int, timings, runs) -> None:
     samples = []
     for _ in range(reps):
         t0 = _time.perf_counter()
-        bm25_topk(
+        df = bm25_topk(
             postings, doc_stats, ["hash", "spark", "stream", "vector"], k=10
-        ).write.format("noop").mode("overwrite").save()
+        )
+        df.write.format("noop").mode("overwrite").save()
         samples.append(round(_time.perf_counter() - t0, 3))
+    axes["retrieval_warm"] = _plan_axis(df)
     postings.unpersist()
     doc_stats.unpersist()
     timings["retrieval_warm"] = min(samples)
     runs["retrieval_warm"] = samples
 
 
-def _bench_ivf_pq(spark, sf_dir: str, reps: int, timings, runs) -> None:
+def _bench_ivf_pq(spark, sf_dir: str, reps: int, timings, runs, axes) -> None:
     """Build the IVF-PQ index (untimed), persist the encoded corpus,
     time the residual+rerank search min-of-reps."""
     import time as _time
@@ -448,7 +573,7 @@ def _bench_ivf_pq(spark, sf_dir: str, reps: int, timings, runs) -> None:
     samples = []
     for _ in range(reps):
         t0 = _time.perf_counter()
-        ivf_pq_search(
+        df = ivf_pq_search(
             encoded,
             probes,
             centroids,
@@ -457,8 +582,10 @@ def _bench_ivf_pq(spark, sf_dir: str, reps: int, timings, runs) -> None:
             nprobe=4,
             residual=True,
             rerank=50,
-        ).write.format("noop").mode("overwrite").save()
+        )
+        df.write.format("noop").mode("overwrite").save()
         samples.append(round(_time.perf_counter() - t0, 3))
+    axes["ivf_pq_search"] = _plan_axis(df)
     encoded.unpersist()
     timings["ivf_pq_search"] = min(samples)
     runs["ivf_pq_search"] = samples
@@ -475,6 +602,8 @@ _DIAG_KEYS = (
     "drift_vs_prev",
     "drift_vs_prev_normalized",
     "host_drift",
+    "host_drift_py",
+    "drift_axis",
     "errors",
 )
 

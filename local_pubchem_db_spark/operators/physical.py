@@ -343,34 +343,126 @@ def _pyarrow_uri(path: str) -> str:
     return path
 
 
-def _check_footer_scheme(path: str) -> None:
-    """Fail LOUDLY at plan time when the footer reads would die on every
-    executor: pyarrow (not the JVM) opens the footers, so a URI scheme
-    only Hadoop understands needs either the s3a->s3 rewrite (applied
-    automatically) or a caller-supplied ``open_file``. Probing
-    ``pyarrow.fs.FileSystem.from_uri`` on the driver uses the exact
-    resolution the executors will use (same pyarrow build)."""
+def _classify_footer_scheme(path: str) -> tuple[str, str] | None:
+    """Plan-time probe of pyarrow's filesystem resolution for the
+    footer reads (r10; softened + classified r11, ADVICE r10):
+    ``None`` when pyarrow resolves the scheme (or the path is local);
+    ``("categorical", err)`` when pyarrow HAS NO filesystem for the
+    scheme (ArrowInvalid — wasbs://, abfss://, ...: every executor
+    would fail identically); ``("environmental", err)`` when resolution
+    failed for a reason that can be driver-local — missing credentials
+    or network reach for s3://, libhdfs absent on the DRIVER but maybe
+    present on executors. Callers escalate categorical failures (after
+    trying the JVM fallback) and merely warn on environmental ones —
+    the r10 hard error here failed table_health calls whose
+    executor-side reads would have succeeded."""
     probe = _pyarrow_uri(path)
     scheme, sep, _ = probe.partition("://")
     if not sep or scheme.lower() == "file":
-        return  # plain/driver-local path: pyarrow opens it directly
+        return None  # plain/driver-local path: pyarrow opens it directly
     try:
         import pyarrow.fs as _pafs
+        from pyarrow.lib import ArrowInvalid as _ArrowInvalid
 
         _pafs.FileSystem.from_uri(probe)
-    except Exception as err:
-        raise ValueError(
-            f"table_health cannot open footers under {scheme}:// — the "
-            "footer reads run through pyarrow on executors, which has no "
-            f"filesystem for this scheme ({err}). Options: (a) pass "
-            "open_file=<picklable (path) -> seekable binary handle> built "
-            "on a reachable client (s3fs/fsspec/boto3) — it runs on "
-            "executors with each listed URI; (b) for S3-compatible "
-            "stores, s3a://(s3n://) is rewritten to s3:// automatically — "
-            "ensure pyarrow's S3 support + credentials are present on "
-            "executors; (c) for hdfs://, install pyarrow's libhdfs "
-            "(HadoopFileSystem) on executors or mount the paths."
-        ) from err
+        return None
+    except _ArrowInvalid as err:
+        return ("categorical", str(err))
+    except Exception as err:  # noqa: BLE001 — creds/network/libhdfs
+        return ("environmental", str(err))
+
+
+class _JvmSeekableReader:
+    """Seekable binary file-like over a Hadoop ``FSDataInputStream`` —
+    byte transfers ride commons-io's ``toByteArray`` so py4j hands back
+    real ``bytes`` (element-wise java array access would be O(n) py4j
+    round trips). Driver-only: holds py4j handles."""
+
+    def __init__(self, jvm, stream, size: int):
+        self._jvm = jvm
+        self._stream = stream
+        self._size = int(size)
+        self._pos = 0
+        self.closed = False
+
+    def seekable(self) -> bool:
+        return True
+
+    def readable(self) -> bool:
+        return True
+
+    def writable(self) -> bool:
+        return False
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 0:
+            self._pos = offset
+        elif whence == 1:
+            self._pos += offset
+        else:
+            self._pos = self._size + offset
+        self._pos = max(0, min(self._pos, self._size))
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def size(self) -> int:
+        return self._size
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self._size - self._pos
+        n = min(n, self._size - self._pos)
+        if n <= 0:
+            return b""
+        self._stream.seek(self._pos)
+        data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(
+            self._stream, n
+        )
+        self._pos += len(data)
+        return bytes(data)
+
+    def flush(self) -> None:
+        pass
+
+    def close(self) -> None:
+        if not self.closed:
+            self._stream.close()
+            self.closed = True
+
+
+class _JvmOpenFile:
+    """``open_file`` built on the JVM's own Hadoop ``FileSystem`` — the
+    default fallback for schemes Spark resolves natively but pyarrow
+    cannot (``hdfs://`` without libhdfs; r11, verdict Next #6). NOT
+    picklable (py4j handles), so it is tagged ``_driver_only`` and
+    ``table_health`` parses footers ON THE DRIVER when it's in play —
+    serial KB-scale footer fetches, the honest fallback shape (fine for
+    thousands of files; for 100k-file tables install libhdfs on
+    executors or pass a picklable fsspec opener instead)."""
+
+    _driver_only = True
+
+    def __init__(self, spark: SparkSession):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    def __call__(self, path: str):
+        jvm = self._jvm
+        juri = jvm.java.net.URI(path)
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(juri, self._conf)
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        size = fs.getFileStatus(jpath).getLen()
+        return _JvmSeekableReader(jvm, fs.open(jpath), size)
+
+
+def make_jvm_open_file(spark: SparkSession) -> _JvmOpenFile:
+    """A driver-side ``open_file`` over the JVM Hadoop FileSystem — for
+    any scheme the Spark session itself can read (``hdfs://``, mounted
+    ``viewfs://``, ...). ``table_health`` also reaches for this
+    automatically when pyarrow cannot resolve a scheme the JVM can."""
+    return _JvmOpenFile(spark)
 
 
 def _spark_list_parquet(
@@ -434,10 +526,18 @@ def table_health(
     and ``file:``/cloud URIs it has a filesystem for. Hadoop's S3
     connector schemes are rewritten automatically (``s3a://`` /
     ``s3n://`` -> ``s3://`` — same objects, pyarrow's scheme). For
-    schemes pyarrow genuinely cannot resolve (``hdfs://`` without
-    libhdfs, ``wasbs://``, ...), the call FAILS AT PLAN TIME with
-    guidance (r10 — previously each executor task died with pyarrow's
-    opaque resolver error): pass ``open_file``, a picklable callable
+    schemes pyarrow cannot resolve on the driver, the plan-time probe
+    TRIAGES (r11; the r10 hard error also failed calls whose executor
+    reads would have succeeded — ADVICE r10): if the JVM's own Hadoop
+    FileSystem can open the files (``hdfs://`` without libhdfs — Spark
+    reads it natively), footers are parsed ON THE DRIVER through
+    ``make_jvm_open_file`` automatically, with a warning; if the
+    failure looks environmental (missing driver credentials/network
+    for ``s3://``) and the JVM has no route either, the call warns and
+    proceeds — executors may hold what the driver lacks; only a scheme
+    pyarrow categorically lacks AND the JVM cannot resolve fails at
+    plan time with guidance. To route footer reads yourself (and keep
+    them distributed), pass ``open_file``, a picklable callable
     ``(path) -> seekable binary file-like`` (e.g. an s3fs/boto3 opener
     closed over credentials), invoked ON EXECUTORS with each listed
     path — the footer read then goes through the caller's filesystem
@@ -446,6 +546,7 @@ def table_health(
     POSIX stat.
     """
     import os as _os
+    import warnings as _warnings
 
     from pyspark.sql.types import (
         BooleanType,
@@ -483,9 +584,53 @@ def table_health(
     if not sized:
         raise ValueError(f"no parquet files under {path}")
     if open_file is None:
-        # plan-time scheme validation: one actionable driver-side error
-        # instead of per-task pyarrow resolver failures on executors
-        _check_footer_scheme(sized[0][0])
+        # plan-time scheme triage (r11): pyarrow-resolvable -> the
+        # distributed executor path below; pyarrow-unresolvable but
+        # JVM-resolvable (hdfs:// without libhdfs) -> the built-in JVM
+        # opener, footers parsed driver-side; categorically-unknown
+        # scheme everywhere -> one actionable error; environmental
+        # driver failure (no creds/network HERE) with no JVM route ->
+        # warn and proceed, executors may well succeed (ADVICE r10).
+        issue = _classify_footer_scheme(sized[0][0])
+        if issue is not None:
+            kind, perr = issue
+            try:
+                jvm_opener = _JvmOpenFile(spark)
+                jvm_opener(sized[0][0]).close()  # resolve+open probe
+                open_file = jvm_opener
+                _warnings.warn(
+                    "table_health: pyarrow cannot resolve this URI "
+                    f"scheme on the driver ({perr}); falling back to the "
+                    "JVM Hadoop FileSystem with DRIVER-side footer "
+                    "parsing. For large listings, install pyarrow's "
+                    "filesystem for this scheme on executors or pass a "
+                    "picklable open_file.",
+                    stacklevel=2,
+                )
+            except Exception as jerr:  # noqa: BLE001 — no JVM route
+                if kind == "categorical":
+                    scheme = sized[0][0].partition("://")[0]
+                    raise ValueError(
+                        f"table_health cannot open footers under "
+                        f"{scheme}:// — pyarrow has no filesystem for "
+                        f"this scheme ({perr}) and the JVM Hadoop "
+                        f"fallback failed too ({jerr}). Options: (a) "
+                        "pass open_file=<picklable (path) -> seekable "
+                        "binary handle> built on a reachable client "
+                        "(s3fs/fsspec/boto3) — it runs on executors "
+                        "with each listed URI; (b) for S3-compatible "
+                        "stores, s3a://(s3n://) is rewritten to s3:// "
+                        "automatically — ensure pyarrow's S3 support + "
+                        "credentials are present on executors."
+                    ) from None
+                _warnings.warn(
+                    "table_health: driver-side filesystem resolution "
+                    f"failed ({perr}) — proceeding anyway; executors "
+                    "may hold the credentials/network this probe "
+                    "lacks. If tasks fail with the same error, pass "
+                    "open_file= or fix executor-side pyarrow setup.",
+                    stacklevel=2,
+                )
     fields = [
         StructField("file", StringType()),
         StructField("bytes", LongType()),
@@ -498,122 +643,134 @@ def table_health(
         fields.append(StructField(f"{c}_max", DoubleType()))
     schema = StructType(fields)
 
+    col_names = [f.name for f in fields]
+
     def read_footers(batches):
-        import datetime as _dt
-
         import pandas as _pd
-        import pyarrow.parquet as _papq
-
-        def as_double(v):
-            # timestamp/date stats -> epoch seconds; strings/bytes have
-            # no meaningful numeric span
-            if isinstance(v, _dt.datetime):
-                return v.replace(tzinfo=v.tzinfo or _dt.timezone.utc).timestamp()
-            if isinstance(v, _dt.date):
-                return float(
-                    _dt.datetime(v.year, v.month, v.day, tzinfo=_dt.timezone.utc).timestamp()
-                )
-            if isinstance(v, (int, float)):
-                return float(v)
-            return None
-
-        from urllib.parse import unquote, urlparse
 
         for b in batches:
-            out = []
-            for f, size in zip(b["file"], b["size"]):
-                # Spark listings hand back file: URIs; pyarrow + getsize
-                # want plain paths for the local scheme. Non-local URIs
-                # pass through to pyarrow's own filesystem resolution,
-                # and their size comes from the listing — never a POSIX
-                # stat call.
-                local = (
-                    unquote(urlparse(f).path)
-                    if f.startswith("file:")
-                    else _pyarrow_uri(f)
-                )
-                # Only the footer METADATA is consumed, and FileMetaData
-                # is fully materialized in memory — so every handle is
-                # closed before the row is built. Leaving them to task
-                # end leaks one fd/connection per listed file (ADVICE
-                # r8), which on partitions scanning thousands of files
-                # can exhaust executor fds.
-                fh = None
-                if open_file is not None:
-                    fh = open_file(f)
-                    if size is None or _pd.isna(size):
-                        fh.seek(0, 2)
-                        size = fh.tell()
-                        fh.seek(0)
-                    pf = _papq.ParquetFile(fh)
-                else:
-                    pf = _papq.ParquetFile(local)
-                try:
-                    md = pf.metadata
-                finally:
-                    pf.close()
-                    if fh is not None and hasattr(fh, "close"):
-                        try:
-                            fh.close()
-                        except Exception:
-                            pass
-                # Map stats columns by parquet LEAF path, not arrow
-                # top-level position: row-group column indices run over
-                # flattened leaves, so with a struct/map column ahead of
-                # a stats column the positional map silently reads the
-                # wrong physical column (ADVICE r6). Top-level primitive
-                # columns have path == name; struct leaves are dotted
-                # paths and correctly report no single-column stats.
-                pq_schema = md.schema
-                leaves = {
-                    pq_schema.column(j).path: j
-                    for j in range(len(pq_schema))
-                }
-                row = {
-                    "file": _os.path.basename(local),
-                    "bytes": (
-                        int(size)
-                        if size is not None and not _pd.isna(size)
-                        else _os.path.getsize(local)
-                    ),
-                    "rows": md.num_rows,
-                    "n_row_groups": md.num_row_groups,
-                }
-                for c in stats_cols:
-                    spans = []
-                    # partition columns live in directory names, not the
-                    # data files: no per-file stats to report
-                    ok = c in leaves
-                    for rg in range(md.num_row_groups) if ok else ():
-                        st = md.row_group(rg).column(leaves[c]).statistics
-                        if st is None or not st.has_min_max:
-                            ok = False
-                            break
-                        spans.append((as_double(st.min), as_double(st.max)))
-                    # bool(spans): a schema-only file (0 row groups, an
-                    # empty write) has nothing to aggregate
-                    ok_num = (
-                        ok
-                        and bool(spans)
-                        and all(
-                            lo is not None and hi is not None
-                            for lo, hi in spans
-                        )
-                    )
-                    row[f"{c}_has_stats"] = ok
-                    row[f"{c}_min"] = (
-                        min(s[0] for s in spans) if ok_num else None
-                    )
-                    row[f"{c}_max"] = (
-                        max(s[1] for s in spans) if ok_num else None
-                    )
-                out.append(row)
-            yield _pd.DataFrame(out, columns=[f.name for f in fields])
+            out = [
+                _footer_row(f, size, stats_cols, open_file)
+                for f, size in zip(b["file"], b["size"])
+            ]
+            yield _pd.DataFrame(out, columns=col_names)
+
+    if getattr(open_file, "_driver_only", False):
+        # driver-parse path: the opener holds py4j handles and cannot
+        # ship to Python workers — serial KB-scale footer fetches on
+        # the driver, then one small local relation (see _JvmOpenFile)
+        import pandas as _pd
+
+        rows = [_footer_row(f, size, stats_cols, open_file) for f, size in sized]
+        return spark.createDataFrame(
+            _pd.DataFrame(rows, columns=col_names), schema
+        )
 
     paths_df = spark.createDataFrame(
         sized, "file string, size long"
     ).repartition(min(len(sized), 64))
     return paths_df.mapInPandas(read_footers, schema)
+
+
+def _footer_row(f: str, size, stats_cols: list[str], open_file) -> dict:
+    """One ``table_health`` output row from one parquet footer —
+    shared by the distributed (mapInPandas) and driver-parse paths."""
+    import datetime as _dt
+    import os as _os
+    from urllib.parse import unquote, urlparse
+
+    import pandas as _pd
+    import pyarrow.parquet as _papq
+
+    def as_double(v):
+        # timestamp/date stats -> epoch seconds; strings/bytes have
+        # no meaningful numeric span
+        if isinstance(v, _dt.datetime):
+            return v.replace(tzinfo=v.tzinfo or _dt.timezone.utc).timestamp()
+        if isinstance(v, _dt.date):
+            return float(
+                _dt.datetime(
+                    v.year, v.month, v.day, tzinfo=_dt.timezone.utc
+                ).timestamp()
+            )
+        if isinstance(v, (int, float)):
+            return float(v)
+        return None
+
+    # Spark listings hand back file: URIs; pyarrow + getsize
+    # want plain paths for the local scheme. Non-local URIs
+    # pass through to pyarrow's own filesystem resolution,
+    # and their size comes from the listing — never a POSIX
+    # stat call.
+    local = (
+        unquote(urlparse(f).path) if f.startswith("file:") else _pyarrow_uri(f)
+    )
+    # Only the footer METADATA is consumed, and FileMetaData
+    # is fully materialized in memory — so every handle is
+    # closed before the row is built. Leaving them to task
+    # end leaks one fd/connection per listed file (ADVICE
+    # r8), which on partitions scanning thousands of files
+    # can exhaust executor fds.
+    fh = None
+    if open_file is not None:
+        fh = open_file(f)
+        if size is None or _pd.isna(size):
+            fh.seek(0, 2)
+            size = fh.tell()
+            fh.seek(0)
+        pf = _papq.ParquetFile(fh)
+    else:
+        pf = _papq.ParquetFile(local)
+    try:
+        md = pf.metadata
+    finally:
+        pf.close()
+        if fh is not None and hasattr(fh, "close"):
+            try:
+                fh.close()
+            except Exception:
+                pass
+    # Map stats columns by parquet LEAF path, not arrow
+    # top-level position: row-group column indices run over
+    # flattened leaves, so with a struct/map column ahead of
+    # a stats column the positional map silently reads the
+    # wrong physical column (ADVICE r6). Top-level primitive
+    # columns have path == name; struct leaves are dotted
+    # paths and correctly report no single-column stats.
+    pq_schema = md.schema
+    leaves = {pq_schema.column(j).path: j for j in range(len(pq_schema))}
+    row = {
+        "file": _os.path.basename(local),
+        "bytes": (
+            int(size)
+            if size is not None and not _pd.isna(size)
+            else _os.path.getsize(local)
+        ),
+        "rows": md.num_rows,
+        "n_row_groups": md.num_row_groups,
+    }
+    for c in stats_cols:
+        spans = []
+        # partition columns live in directory names, not the
+        # data files: no per-file stats to report
+        ok = c in leaves
+        for rg in range(md.num_row_groups) if ok else ():
+            st = md.row_group(rg).column(leaves[c]).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            spans.append((as_double(st.min), as_double(st.max)))
+        # bool(spans): a schema-only file (0 row groups, an
+        # empty write) has nothing to aggregate
+        ok_num = (
+            ok
+            and bool(spans)
+            and all(lo is not None and hi is not None for lo, hi in spans)
+        )
+        row[f"{c}_has_stats"] = ok
+        row[f"{c}_min"] = min(s[0] for s in spans) if ok_num else None
+        row[f"{c}_max"] = max(s[1] for s in spans) if ok_num else None
+    return row
 
 
 def span_amplification(health: DataFrame, col: str) -> float:

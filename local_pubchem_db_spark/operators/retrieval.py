@@ -105,10 +105,14 @@ def save_postings(
     deployment shape for a query service: ``<name>_postings`` bucketed
     and sorted by ``term`` (a query's ``IN (terms...)`` probe prunes
     whole buckets and binary-searches sorted row groups), plus
-    ``<name>_docstats`` as a plain table. ``bucketBy`` requires
-    ``saveAsTable`` (the bucket metadata lives in the catalog); tables
-    land in the session's warehouse. Size ``buckets`` to the cluster —
-    one bucket is the probe-time unit of parallelism per term."""
+    ``<name>_docstats`` as a plain table and ``<name>_stats`` — the
+    corpus scalars (N, avgdl) BM25 needs per query, computed once here
+    at index-build time (r11, verdict Next #4: recomputing two scalars
+    from doc_stats on every call made each warm query pay an extra
+    aggregation job). ``bucketBy`` requires ``saveAsTable`` (the bucket
+    metadata lives in the catalog); tables land in the session's
+    warehouse. Size ``buckets`` to the cluster — one bucket is the
+    probe-time unit of parallelism per term."""
     (
         postings.write.mode(mode)
         .bucketBy(buckets, "term")
@@ -119,12 +123,42 @@ def save_postings(
     doc_stats.write.mode(mode).format("parquet").saveAsTable(
         f"{name}_docstats"
     )
+    (
+        doc_stats.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg("dl").cast("double").alias("avgdl"),
+        )
+        .write.mode(mode)
+        .format("parquet")
+        .saveAsTable(f"{name}_stats")
+    )
 
 
 def load_postings(spark, name: str) -> tuple[DataFrame, DataFrame]:
     """The (postings, doc_stats) pair saved by ``save_postings`` —
     bucket metadata rides along from the catalog, so term probes prune."""
     return spark.table(f"{name}_postings"), spark.table(f"{name}_docstats")
+
+
+def load_index(
+    spark, name: str
+) -> tuple[DataFrame, DataFrame, tuple[int, float]]:
+    """``load_postings`` plus the persisted corpus scalars:
+    ``(postings, doc_stats, (n_docs, avgdl))``. The one-row stats read
+    is a single tiny job paid at SERVICE START; pass the scalars to
+    ``bm25_topk(..., n_docs=..., avgdl=...)`` and every query issues
+    zero jobs before its scoring job (test-pinned). Falls back to
+    scanning doc_stats when the stats table predates r11."""
+    postings, doc_stats = load_postings(spark, name)
+    try:
+        row = spark.table(f"{name}_stats").first()
+        n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+    except Exception:  # noqa: BLE001 — pre-r11 index: derive the scalars
+        row = doc_stats.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        ).first()
+        n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+    return postings, doc_stats, (n_docs, avgdl)
 
 
 def _norm_terms(query_terms: list[str]) -> list[str]:
@@ -330,6 +364,8 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
+    n_docs: int | None = None,
+    avgdl: float | None = None,
 ) -> DataFrame:
     """BM25 top-k: ``score(d) = Σ_t idf(t) · tf·(k1+1) /
     (tf + k1·(1 − b + b·dl/avgdl))`` with the Lucene idf
@@ -337,13 +373,16 @@ def bm25_topk(
     on <id_col> ASC so the row SET is deterministic even when scores
     collide. Columns: <id_col>, ``score``.
 
-    ``N`` and ``avgdl`` are scalar aggregates collected to the driver —
-    two numbers, computed in one job; a query service computes them once
-    per index build, not per query."""
-    row = doc_stats.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).first()
-    n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+    ``n_docs`` / ``avgdl``: the corpus scalars, persisted with the index
+    by ``save_postings`` and handed back by ``load_index`` — pass both
+    and query CONSTRUCTION issues no job at all (r11; previously every
+    call re-aggregated doc_stats for two numbers). When omitted they are
+    derived here in one tiny aggregation job — the ad-hoc path."""
+    if n_docs is None or avgdl is None:
+        row = doc_stats.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        ).first()
+        n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
     if n_docs == 0:
         return _empty_scored(postings, id_col)
     matched = _matched(postings, _norm_terms(query_terms))

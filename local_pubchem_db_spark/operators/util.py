@@ -14,10 +14,24 @@ from pyspark.storagelevel import StorageLevel
 # skipped count = the pre-r8 fill race), never wrong data.
 _EAGER_FILLED: WeakKeyDictionary = WeakKeyDictionary()
 
+# per-session probe memo: (semanticHash, probe-kind) -> estimate. The
+# gate/broadcast probes (plan stats + up-to-4 parquet footer reads) are
+# milliseconds each, which matters only when a registry serves the SAME
+# query at high QPS — exactly the case where the plan (and therefore its
+# files) is stable, so the memo is keyed by the plan's semanticHash and
+# dropped with the caches (release_shared_caches). Staleness window: a
+# table REWRITTEN in place mid-session serves the old estimate until the
+# caches are released — perf-only (a mis-sized gate), never wrong data.
+_PROBE_MEMO: WeakKeyDictionary = WeakKeyDictionary()
+
+# observable footer-read counter (tests pin the memo with it): bumped
+# once per parquet footer actually opened by the probes below.
+_FOOTER_READS = {"n": 0}
+
 # every session-keyed memo that must die with the caches: operators
 # register theirs here so release_shared_caches() is the ONE release
 # point for all derived warm-path state.
-_SESSION_MEMOS: list = [_EAGER_FILLED]
+_SESSION_MEMOS: list = [_EAGER_FILLED, _PROBE_MEMO]
 
 
 def register_session_memo(memo) -> None:
@@ -40,15 +54,40 @@ HEAVY_TEXT_GATE = {"min_bytes_per_task": 32 << 10, "min_rows_per_task": 64}
 LIGHT_TEXT_GATE = {"min_bytes_per_task": 96 << 10, "min_rows_per_task": 256}
 
 
-def _plan_stats_bytes(df: DataFrame) -> int | None:
-    """The optimizer's sizeInBytes estimate, or None when unprobeable."""
+_MISS = object()  # memo sentinel: None is a legitimate cached estimate
+
+
+def _memo_probe(df: DataFrame, kind: str, compute):
+    """Per-(session, plan) memo around a probe: the semanticHash call is
+    one cheap JVM round-trip; everything costlier (plan-stats probe,
+    footer reads) runs once per plan per session. Fails open to the raw
+    compute when the hash itself is unprobeable."""
     try:
-        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        # py4j hands scala.math.BigInt back as a Python int when it
-        # fits; older bridges return a JavaObject needing toString().
-        return raw if isinstance(raw, int) else int(raw.toString())
-    except Exception:  # noqa: BLE001 — stats probe; caller fails open
-        return None
+        key = (df.semanticHash(), kind)
+        memo = _PROBE_MEMO.setdefault(df.sparkSession, {})
+    except Exception:  # noqa: BLE001 — hash probe; memo is optional
+        return compute(df)
+    val = memo.get(key, _MISS)
+    if val is _MISS:
+        val = compute(df)
+        memo[key] = val
+    return val
+
+
+def _plan_stats_bytes(df: DataFrame) -> int | None:
+    """The optimizer's sizeInBytes estimate, or None when unprobeable.
+    Memoized per (session, plan semanticHash)."""
+
+    def compute(d):
+        try:
+            raw = d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            # py4j hands scala.math.BigInt back as a Python int when it
+            # fits; older bridges return a JavaObject needing toString().
+            return raw if isinstance(raw, int) else int(raw.toString())
+        except Exception:  # noqa: BLE001 — stats probe; caller fails open
+            return None
+
+    return _memo_probe(df, "plan_bytes", compute)
 
 
 def estimated_decompressed_bytes(df: DataFrame) -> int | None:
@@ -64,32 +103,38 @@ def estimated_decompressed_bytes(df: DataFrame) -> int | None:
     memory, post-shuffle) keep ratio 1 — their plan-stats size already
     measures row bytes. Returns None when nothing can be estimated —
     callers gating CPU work should then fan out, the CPU-safe side.
+    Memoized per (session, plan semanticHash).
     """
-    size = _plan_stats_bytes(df)
-    if size is None:
-        return None
-    ratio = 1.0
-    try:
-        files = df.inputFiles()[:4]
-    except Exception:  # noqa: BLE001 — non-file plans have no listing
-        files = []
-    if files:
-        try:
-            import pyarrow.parquet as _papq
 
-            comp = unc = 0
-            for f in files:
-                md = _papq.ParquetFile(_local_path(f)).metadata
-                for i in range(md.num_row_groups):
-                    rg = md.row_group(i)
-                    unc += rg.total_byte_size
-                    for j in range(rg.num_columns):
-                        comp += rg.column(j).total_compressed_size
-            if comp > 0 and unc > 0:
-                ratio = max(1.0, unc / comp)
-        except Exception:  # noqa: BLE001 — unreadable footers: no proof
-            return None  # of smallness; caller fans out
-    return int(size * ratio)
+    def compute(d):
+        size = _plan_stats_bytes(d)
+        if size is None:
+            return None
+        ratio = 1.0
+        try:
+            files = d.inputFiles()[:4]
+        except Exception:  # noqa: BLE001 — non-file plans have no listing
+            files = []
+        if files:
+            try:
+                import pyarrow.parquet as _papq
+
+                comp = unc = 0
+                for f in files:
+                    _FOOTER_READS["n"] += 1
+                    md = _papq.ParquetFile(_local_path(f)).metadata
+                    for i in range(md.num_row_groups):
+                        rg = md.row_group(i)
+                        unc += rg.total_byte_size
+                        for j in range(rg.num_columns):
+                            comp += rg.column(j).total_compressed_size
+                if comp > 0 and unc > 0:
+                    ratio = max(1.0, unc / comp)
+            except Exception:  # noqa: BLE001 — unreadable footers: no proof
+                return None  # of smallness; caller fans out
+        return int(size * ratio)
+
+    return _memo_probe(df, "decompressed_bytes", compute)
 
 
 def _local_path(uri: str) -> str:
@@ -102,30 +147,69 @@ def _local_path(uri: str) -> str:
 
 def estimated_rows(df: DataFrame) -> int | None:
     """Best-effort row-count estimate from parquet footers: exact
-    ``num_rows`` of up to 4 input files, scaled by the file count. The
+    ``num_rows`` of sampled input files, extrapolated BY BYTES. The
     second fan_out gate signal — immune to the encodings that make byte
     estimates lie (a dictionary-encoded flood of repeated documents
     reports tiny encoded bytes but its per-row CPU cost is undiminished).
+
+    Extrapolation is size-weighted (r11; ADVICE r10): the sampled files
+    are the LARGEST ones, and the scale factor is total listed bytes /
+    sampled bytes — a uniform first-4-files × file-count extrapolation
+    under-estimates rows on skew-sized layouts (a few tiny files sampled
+    first), which skips the fan-out in the CPU-UNSAFE direction. File
+    sizes come from driver stat calls, bounded: the gate only runs on
+    scans with fewer partitions than the cluster's parallelism, so the
+    listing is small by construction; layouts past the stat cap fall
+    back to uniform extrapolation over a spread of the listing.
+
     Upstream filters are not discounted (footer rows >= scan rows), so
     the error direction is MORE parallelism — the CPU-safe side. None
-    when the relation has no input files or footers are unreadable."""
-    try:
-        files = df.inputFiles()
-    except Exception:  # noqa: BLE001 — non-file plan
-        return None
-    if not files:
-        return None
-    try:
-        import pyarrow.parquet as _papq
+    when the relation has no input files or footers are unreadable.
+    Memoized per (session, plan semanticHash)."""
 
-        sample = files[:4]
-        n = sum(
-            _papq.ParquetFile(_local_path(f)).metadata.num_rows
-            for f in sample
-        )
-        return int(n * len(files) / len(sample))
-    except Exception:  # noqa: BLE001 — no proof of smallness
-        return None
+    def compute(d):
+        try:
+            files = d.inputFiles()
+        except Exception:  # noqa: BLE001 — non-file plan
+            return None
+        if not files:
+            return None
+        try:
+            import os as _os
+
+            import pyarrow.parquet as _papq
+
+            paths = [_local_path(f) for f in files]
+            sized: list[tuple[int, str]] | None = None
+            if len(paths) <= 256:
+                try:
+                    sized = [(_os.path.getsize(p), p) for p in paths]
+                except OSError:  # non-POSIX scheme: no driver stat view
+                    sized = None
+            if sized:
+                sized.sort(reverse=True)
+                sample = sized[:4]
+                rows = 0
+                for _sz, p in sample:
+                    _FOOTER_READS["n"] += 1
+                    rows += _papq.ParquetFile(p).metadata.num_rows
+                sampled_bytes = sum(sz for sz, _p in sample)
+                if sampled_bytes <= 0:
+                    return rows  # all-empty sample: exact (tiny) anyway
+                total_bytes = sum(sz for sz, _p in sized)
+                return int(rows * total_bytes / sampled_bytes)
+            # no byte view: uniform extrapolation over an evenly-spread
+            # sample (first/last/middles) — less skewable than first-4
+            idx = sorted({0, len(paths) - 1, len(paths) // 3, (2 * len(paths)) // 3})
+            rows = 0
+            for i in idx:
+                _FOOTER_READS["n"] += 1
+                rows += _papq.ParquetFile(paths[i]).metadata.num_rows
+            return int(rows * len(paths) / len(idx))
+        except Exception:  # noqa: BLE001 — no proof of smallness
+            return None
+
+    return _memo_probe(df, "rows", compute)
 
 
 def fan_out(
@@ -174,7 +258,14 @@ def fan_out(
     # queryExecution().toRdd(): the JVM-side physical RDD — same
     # partition count as df.rdd without the per-call Python-row
     # conversion pipeline df.rdd builds (r9 verdict, What's wrong #4).
-    if df._jdf.queryExecution().toRdd().getNumPartitions() >= target:
+    # Memoized per (session, plan): same plan + same files => same split
+    # count, and a high-QPS registry re-probes the identical plan.
+    n_parts = _memo_probe(
+        df,
+        "num_parts",
+        lambda d: d._jdf.queryExecution().toRdd().getNumPartitions(),
+    )
+    if n_parts >= target:
         return df
     if min_bytes_per_task is not None or min_rows_per_task is not None:
         fan = False
@@ -205,18 +296,24 @@ def broadcast_if_small(df: DataFrame, max_bytes: int | None = None) -> DataFrame
     never-OOM AQE path.
 
     Plan-stats bytes for a parquet scan are COMPRESSED file bytes while
-    a broadcast hash relation holds decompressed rows, so the default
-    ceiling is the session's ``autoBroadcastJoinThreshold`` divided by a
-    4x expansion factor — the hint engages only when the relation is
-    small with margin, which is the conservative direction (a skipped
-    hint costs one AQE shuffle-write; a wrong hint can OOM).
+    a broadcast hash relation holds decompressed rows, so the size is
+    estimated DECOMPRESSED (plan stats scaled by the parquet footers'
+    uncompressed/compressed ratio — ``estimated_decompressed_bytes``;
+    r11, ADVICE r10: the previous fixed /4 margin could prove a 25:1
+    compressible dimension "small" while it expanded far past the
+    ceiling in memory). The remaining default ceiling is the session's
+    ``autoBroadcastJoinThreshold`` divided by 2: the footer ratio covers
+    codec compression but NOT the encoded->in-memory expansion (the
+    footer "uncompressed" size is the ENCODED size — dictionary/RLE
+    survive decompression), so a residual margin stays. The hint engages
+    only when the relation is small with margin — the conservative
+    direction (a skipped hint costs one AQE shuffle-write; a wrong hint
+    can OOM).
     """
     from pyspark.sql import functions as F
 
-    try:
-        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        size = raw if isinstance(raw, int) else int(raw.toString())
-    except Exception:  # noqa: BLE001 — stats probe; unhinted on doubt
+    size = estimated_decompressed_bytes(df)
+    if size is None:  # nothing provable: unhinted, AQE decides
         return df
     if max_bytes is None:
         try:
@@ -229,10 +326,85 @@ def broadcast_if_small(df: DataFrame, max_bytes: int | None = None) -> DataFrame
             thr = 10 << 20
         if thr <= 0:  # broadcast disabled in this session: never hint
             return df
-        max_bytes = thr // 4
+        max_bytes = thr // 2
     if 0 < size < max_bytes:
         return F.broadcast(df)
     return df
+
+
+def scale_shuffle(
+    df: DataFrame,
+    *keys: str,
+    bytes_per_task: int = 128 << 20,
+    cap: int = 4096,
+    dim: DataFrame | None = None,
+) -> DataFrame:
+    """Size a FACT relation's join/group shuffle to its own volume —
+    the per-query replacement for the session-wide
+    ``adaptive.coalescePartitions.initialPartitionNum`` that was
+    measured and rejected (ROUND10_NOTES §6: 15-25% tax at small SF).
+
+    When the relation's DECOMPRESSED estimate exceeds the session's
+    shuffle-partition count × ``bytes_per_task``, repartition it by
+    ``keys`` to ``ceil(bytes / bytes_per_task)`` partitions (capped).
+    The explicit hash repartition REPLACES the exchange the downstream
+    sort-merge join/aggregation on the same keys would insert (the
+    child's HashPartitioning satisfies the join's required
+    distribution, and a subset of grouping keys satisfies the
+    aggregation's), so the plan gains no exchange — the one shuffle is
+    just sized to the data instead of the session default. AQE does not
+    coalesce user-numbered repartitions, so the count survives
+    re-planning. Below the threshold the relation is returned untouched:
+    small-SF plans keep their AQE freedom (including broadcast-join
+    conversion), which is why this must never engage where the fact is
+    modest — the sf30 memory-margin flake this exists to kill
+    (UNABLE_TO_ACQUIRE_MEMORY: 180M rows sorting across 32 shuffle
+    partitions at ~512 MB/thread) only occurs when the per-partition
+    sort volume is multi-hundred-MB.
+
+    ``dim``: the prospective OTHER side of the join, when there is one —
+    if plan stats prove it broadcastable (same ceiling as
+    ``broadcast_if_small``), the join will be a broadcast-hash join with
+    NO fact-side shuffle at all, so forcing one here would add the very
+    exchange the broadcast avoids; the fact is returned untouched.
+
+    On a 1000-executor cluster this is the same decision an operator
+    would make from table statistics: partition count ∝ input volume,
+    bounded per-task sort memory, no session-global knob.
+    """
+    need = sized_shuffle_partitions(df, bytes_per_task=bytes_per_task, cap=cap)
+    if need is None:
+        return df
+    if dim is not None and broadcast_if_small(dim) is not dim:
+        return df  # dim provably broadcastable: no fact shuffle exists
+    return df.repartition(need, *[df[k] for k in keys])
+
+
+def sized_shuffle_partitions(
+    df: DataFrame,
+    bytes_per_task: int = 128 << 20,
+    cap: int = 4096,
+) -> int | None:
+    """The shuffle partition count ``scale_shuffle`` would use for this
+    relation, or None when the session default already bounds per-task
+    volume (or nothing is provable). Exposed separately for multi-join
+    queries: a join OUTPUT has no trustworthy plan-stats size (basic
+    stats multiply the children), so composite plans compute the count
+    ONCE from the fact scan and apply it to each downstream exchange
+    explicitly. Only ever returns MORE partitions than the session
+    default — never fewer (AQE coalescing already handles over-split)."""
+    import math
+
+    est = estimated_decompressed_bytes(df)
+    if est is None:
+        return None  # nothing provable: keep the session default
+    spark = df.sparkSession
+    try:
+        default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # noqa: BLE001 — conf probe
+        default = 200
+    need = min(cap, math.ceil(est / bytes_per_task))
+    return need if need > default else None
 
 
 def shared(df: DataFrame, eager: bool = True) -> DataFrame:

@@ -58,7 +58,10 @@ from local_pubchem_db_spark.operators.similarity import (
     ivf_within_partition_pairs,
 )
 from local_pubchem_db_spark.operators.topk import distributed_ntile, top_k_per_group
-from local_pubchem_db_spark.operators.util import broadcast_if_small
+from local_pubchem_db_spark.operators.util import (
+    broadcast_if_small,
+    sized_shuffle_partitions,
+)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -255,6 +258,18 @@ def q_top_unshipped_orders(spark, sf_dir):
     ord_building = orders.join(
         broadcast_if_small(cust), orders.o_custkey == cust.c_custkey
     )
+    # Per-query shuffle sizing (r11, verdict Next #1): when the fact's
+    # decompressed estimate exceeds session_partitions x 128 MB, size
+    # the join exchange to the data — the explicit hash repartition by
+    # the join key REPLACES the exchange the sort-merge join inserts
+    # (and the grouped agg on o_orderkey reuses it), so the plan gains
+    # no shuffle; the per-task sort drops from multi-hundred-MB (the
+    # sf30 UNABLE_TO_ACQUIRE_MEMORY flake: 180M rows across 32
+    # partitions) to a bounded ~128 MB. No-op at small SF, where AQE
+    # keeps its broadcast/coalesce freedom.
+    n = sized_shuffle_partitions(li)
+    if n:
+        li = li.repartition(n, "l_orderkey")
     return (
         li.join(ord_building, li.l_orderkey == ord_building.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
@@ -278,8 +293,14 @@ def q_revenue_by_nation(spark, sf_dir):
     # plan stats prove it small (skips the AQE shuffle-write tax at
     # small scale); above the ceiling AQE decides — the forced-broadcast
     # class OOMed at sf100 on customer.
+    supp_b = broadcast_if_small(supp)
+    # size the fact exchange to the data when the supplier join will be
+    # sort-merge (supp unhinted) — see q_top_unshipped_orders (r11)
+    n = sized_shuffle_partitions(li)
+    if n and supp_b is supp:
+        li = li.repartition(n, "l_suppkey")
     return (
-        li.join(broadcast_if_small(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp_b, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -395,9 +416,20 @@ def q_brand_volume(spark, sf_dir):
     # part/supplier SCALE with SF (part is SF x 200k rows — a 20M-row
     # hash relation at sf100): hint only when plan stats prove them
     # small; otherwise unhinted and AQE decides from runtime sizes.
+    part_b = broadcast_if_small(part)
+    supp_b = broadcast_if_small(supp)
+    # size each sort-merge exchange to the fact volume (r11) — the count
+    # comes from the fact SCAN once (join outputs have no trustworthy
+    # plan-stats size) and is applied per join key where the dim is
+    # unhinted; see q_top_unshipped_orders.
+    n = sized_shuffle_partitions(li)
+    if n and part_b is part:
+        li = li.repartition(n, "l_partkey")
+    j = li.join(part_b, li.l_partkey == part.p_partkey)
+    if n and supp_b is supp:
+        j = j.repartition(n, "l_suppkey")
     return (
-        li.join(broadcast_if_small(part), li.l_partkey == part.p_partkey)
-        .join(broadcast_if_small(supp), li.l_suppkey == supp.s_suppkey)
+        j.join(supp_b, j.l_suppkey == supp.s_suppkey)
         .groupBy("p_brand", "s_name")
         .agg(
             F.sum(_dec("l_quantity", 12, 2)).cast("double").alias("sum_qty"),
@@ -1022,7 +1054,10 @@ def q_token_drift(spark, sf_dir):
     # equality with the two-frame form is pinned in test_drift.py.
     # The operator computes drift in decimal(38,0) (exact past int64 at
     # corpus scale); at this gate's sf0.01 the values are tiny, so cast
-    # back to long for the oracle's BIGINT hash parity.
+    # back to long for the oracle's BIGINT hash parity. This cast is
+    # GATE-SCALE ONLY: past ~3e9 total tokens it would overflow (ANSI
+    # failure), so bench.py times the uncast operator at every sf
+    # (_token_drift_uncast; ADVICE r10).
     d = token_drift_split(
         t(spark, sf_dir, "documents"),
         F.col("doc_id") % 2 == 0,
@@ -1091,16 +1126,18 @@ def q_gap_fill_locf(spark, sf_dir):
 
 # The driver records correctness rows for the FIRST 50 registry entries,
 # so the 50 slots all carry fully-oracled queries (rows+schema+value-hash
-# checked) and the four by-design no-oracle entries (iterative fits,
-# sketch internals — each pinned by an independent pytest oracle instead)
-# sit past the cap, where tools/oracle_check.py still runs them every
-# time. Near-duplicate surfaces share one query (see the r1→r2 merges in
+# checked); past the cap sit the four by-design no-oracle entries
+# (iterative fits, sketch internals — each pinned by an independent
+# pytest oracle instead) plus projection_scan (fully oracled, demoted in
+# r11 because its B8 coverage is redundant — the slot now grades
+# pct_selection, the distributed-selection exact median).
+# tools/oracle_check.py still runs every past-cap entry on every bench.
+# Near-duplicate surfaces share one query (see the r1→r2 merges in
 # each docstring) rather than spilling past the cap unchecked.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Tier B — reference SQL surface
     "count_star": q_count_star,
     "point_lookup": q_point_lookup,
-    "projection_scan": q_projection_scan,
     "indexed_filters": q_indexed_filters,
     "manifest_stats": q_manifest_stats,
     "correlated_count": q_correlated_count,
@@ -1132,6 +1169,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_variant_props": q_json_variant_props,
     # C10 — distinct / percentiles
     "exact_stats": q_exact_stats,
+    # the distributed-selection exact median — promoted into the graded
+    # 50 (r11, verdict Next #8) in place of projection_scan, whose B8
+    # coverage indexed_filters + count_star already duplicate
+    "pct_selection": q_pct_selection,
     # C11 — event time
     "events_hourly": q_events_hourly,
     "session_window": q_session_window,
@@ -1162,16 +1203,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_drift": q_token_drift,
     "ts_outliers": q_ts_outliers,
     "gap_fill_locf": q_gap_fill_locf,
-    # --- past the driver's 50-row cap: no-oracle-by-design entries,
-    # each pinned by an independent pytest oracle; tools/oracle_check.py
-    # runs them on every invocation ---
+    # --- past the driver's 50-row cap: the no-oracle-by-design entries
+    # (each pinned by an independent pytest oracle) plus projection_scan,
+    # which IS fully oracled (tools/oracle_check.py value-hashes it every
+    # run) but duplicates B8 coverage that indexed_filters + count_star
+    # already give — demoted to free a graded slot for pct_selection ---
     "approx_sketches": q_approx_sketches,
     "dedup_simhash": q_dedup_simhash,
     "incremental_dedup": q_incremental_dedup,
     "ann_ivf_probe": q_ann_ivf_probe,
-    # past-cap but FULLY oracled (value-hash vs DuckDB median every
-    # oracle_check run): the distributed-selection exact median
-    "pct_selection": q_pct_selection,
+    "projection_scan": q_projection_scan,
 }
 
 # Shared SQL fragments for the oracles ------------------------------------

@@ -153,3 +153,29 @@ def test_emit_keeps_calibration_in_compact_record(tmp_path):
     diag = json.loads(lines[0])["diagnostics"]
     assert diag["calibration_runs"] and diag["host_drift"] == 1.05
     assert diag["drift_vs_prev_normalized"] == {"q1": 1.0}
+
+
+def test_compute_drift_per_axis_normalization():
+    """r11 (verdict Next #2): rows whose plan crosses the Python worker
+    normalize by the PYTHON calibration axis, pure-JVM rows by the JVM
+    axis — host drift isolated to one path no longer reads as an engine
+    regression in the other. Without py-axis data, everything falls
+    back to the JVM factor (the pre-r11 behavior)."""
+    from bench import compute_drift
+
+    timings = {"jvm_q": 1.3, "py_q": 1.5}
+    prev = {"jvm_q": 1.0, "py_q": 1.0}
+    axes = {"jvm_q": "jvm", "py_q": "py"}
+    # JVM host drifted 1.3x, the Python worker path drifted 1.5x:
+    # with per-axis normalization both rows are pure host noise (1.0)
+    raw, norm = compute_drift(
+        timings, prev, cal=0.26, prev_cal=0.2,
+        cal_py=0.6, prev_cal_py=0.4, axes=axes,
+    )
+    assert raw == {"jvm_q": 1.3, "py_q": 1.5}
+    assert norm == {"jvm_q": 1.0, "py_q": 1.0}
+    # no py calibration in either artifact: everything on the JVM axis
+    _, norm2 = compute_drift(
+        timings, prev, cal=0.26, prev_cal=0.2, axes=axes,
+    )
+    assert norm2["jvm_q"] == 1.0 and abs(norm2["py_q"] - 1.154) < 1e-3

@@ -174,3 +174,76 @@ def test_gate_result_identical_rows(spark, sf_dir):
     a = sorted(r.doc_id for r in fan_out(df, min_bytes_per_task=1 << 30).collect())
     b = sorted(r.doc_id for r in fan_out(df, min_bytes_per_task=1).collect())
     assert a == b
+
+
+def test_estimated_rows_size_weighted_on_skewed_layout(spark, tmp_path):
+    """Skew-sized layouts (r11; ADVICE r10): a uniform first-4-files
+    extrapolation under-estimates rows when tiny files are listed first
+    — the CPU-UNSAFE direction. The size-weighted estimate samples the
+    LARGEST files and scales by total bytes, so 6 tiny + 2 huge files
+    must estimate near the true count and the row-gated fan_out must
+    fan."""
+    import os
+
+    import pandas as pd
+
+    from local_pubchem_db_spark.operators.util import estimated_rows
+
+    d = tmp_path / "skewed"
+    d.mkdir()
+    # distinct strings: no dictionary collapse, sizes track rows
+    for i in range(6):
+        pd.DataFrame(
+            {"doc_id": range(10), "text": [f"t{i}-{j}" for j in range(10)]}
+        ).to_parquet(str(d / f"tiny{i}.parquet"))
+    for i in range(2):
+        pd.DataFrame(
+            {
+                "doc_id": range(50_000),
+                "text": [f"h{i} word {j}" for j in range(50_000)],
+            }
+        ).to_parquet(str(d / f"huge{i}.parquet"))
+    df = spark.read.parquet(str(d))
+    true_rows = 100_060
+    est = estimated_rows(df)
+    assert est is not None
+    # the old uniform first-4 extrapolation could report as low as
+    # 10*4*(8/4) = 80; size-weighting must land near the truth
+    assert 0.5 * true_rows <= est <= 2 * true_rows, est
+    target = spark.sparkContext.defaultParallelism
+    out = fan_out(
+        df, min_bytes_per_task=1 << 40, min_rows_per_task=true_rows // (2 * target)
+    )
+    assert out.rdd.getNumPartitions() == target
+
+
+def test_probe_memo_skips_repeat_footer_reads(spark, sf_dir):
+    """High-QPS registries re-probe the identical plan (r11, verdict
+    Next #7): the second probe of the same plan in the same session
+    must issue ZERO footer reads; releasing the shared caches drops the
+    memo and the reads return."""
+    from local_pubchem_db_spark.operators.util import (
+        _FOOTER_READS,
+        broadcast_if_small,
+        estimated_decompressed_bytes,
+        estimated_rows,
+        release_shared_caches,
+    )
+
+    release_shared_caches(spark)  # start from a clean memo
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    before = _FOOTER_READS["n"]
+    est1 = estimated_decompressed_bytes(df)
+    r1 = estimated_rows(df)
+    assert _FOOTER_READS["n"] > before  # first probes actually read
+    mid = _FOOTER_READS["n"]
+    # same plan, fresh DataFrame object: memo must hit on semanticHash
+    df2 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    est2 = estimated_decompressed_bytes(df2)
+    r2 = estimated_rows(df2)
+    broadcast_if_small(df2)  # rides the same memoized estimate
+    assert (est2, r2) == (est1, r1)
+    assert _FOOTER_READS["n"] == mid  # zero new footer reads
+    release_shared_caches(spark)
+    estimated_decompressed_bytes(df2)
+    assert _FOOTER_READS["n"] > mid  # release drops the memo

@@ -461,3 +461,126 @@ def test_table_health_closes_every_opener_handle(spark, tmp_path):
     assert sorted(_os.listdir(closed)) == sorted(
         _os.path.basename(f) for f in real
     )
+
+
+def test_make_jvm_open_file_reads_parquet_footers(spark, tmp_path):
+    """The JVM-FileSystem opener (r11, verdict Next #6): a seekable
+    binary handle over Hadoop's own filesystem layer — pyarrow must be
+    able to parse a parquet footer through it."""
+    import pandas as pd
+    import pyarrow.parquet as papq
+
+    from local_pubchem_db_spark.operators.physical import make_jvm_open_file
+
+    real = str(tmp_path / "j.parquet")
+    pd.DataFrame({"id": [1, 2, 3, 4]}).to_parquet(real)
+    opener = make_jvm_open_file(spark)
+    assert getattr(opener, "_driver_only", False)
+    fh = opener(f"file:{real}")
+    try:
+        assert fh.seekable() and fh.readable()
+        md = papq.ParquetFile(fh).metadata
+        assert md.num_rows == 4
+    finally:
+        fh.close()
+
+
+def test_table_health_jvm_fallback_for_unresolvable_scheme(
+    spark, tmp_path, monkeypatch
+):
+    """When pyarrow cannot resolve the scheme but the JVM can (the
+    hdfs://-without-libhdfs deployment), table_health must fall back to
+    the JVM opener with DRIVER-side parsing — same rows, a warning, no
+    executor task failures. The classifier is faked (file:// stands in
+    for the JVM-only scheme — the opener and parse path are real)."""
+    import warnings
+
+    import pandas as pd
+
+    from local_pubchem_db_spark.operators import physical
+
+    real = str(tmp_path / "h.parquet")
+    pd.DataFrame({"id": [10, 20, 30]}).to_parquet(real)
+    size = __import__("os").path.getsize(real)
+    monkeypatch.setattr(
+        physical,
+        "_classify_footer_scheme",
+        lambda path: ("categorical", "Unrecognized filesystem type (faked)"),
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        h = physical.table_health(
+            spark,
+            "ignored",
+            stats_cols=["id"],
+            files=[(f"file:{real}", size)],
+        ).toPandas()
+    assert any("JVM Hadoop FileSystem" in str(w.message) for w in caught)
+    assert len(h) == 1
+    assert int(h["rows"][0]) == 3
+    assert bool(h["id_has_stats"][0])
+    assert float(h["id_min"][0]) == 10.0 and float(h["id_max"][0]) == 30.0
+    assert int(h["bytes"][0]) == size
+
+
+def test_table_health_environmental_failure_warns_and_proceeds(
+    spark, tmp_path, monkeypatch
+):
+    """A driver-side resolution failure that may be executor-local
+    (missing credentials/network — the s3:// case) must WARN and
+    proceed to the distributed path, not raise (ADVICE r10). JVM route
+    is disabled to simulate a scheme the JVM lacks too."""
+    import warnings
+
+    import pandas as pd
+
+    from local_pubchem_db_spark.operators import physical
+
+    real = str(tmp_path / "e.parquet")
+    pd.DataFrame({"id": [5, 6]}).to_parquet(real)
+    size = __import__("os").path.getsize(real)
+    monkeypatch.setattr(
+        physical,
+        "_classify_footer_scheme",
+        lambda path: ("environmental", "region/credentials (faked)"),
+    )
+
+    class _NoJvm:
+        _driver_only = True
+
+        def __init__(self, spark):
+            pass
+
+        def __call__(self, path):
+            raise OSError("no route (faked)")
+
+    monkeypatch.setattr(physical, "_JvmOpenFile", _NoJvm)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        h = physical.table_health(
+            spark,
+            "ignored",
+            files=[(f"file:{real}", size)],
+        ).toPandas()
+    assert any("proceeding anyway" in str(w.message) for w in caught)
+    assert len(h) == 1 and int(h["rows"][0]) == 2
+
+
+def test_classify_footer_scheme_triage():
+    """Classifier contract against pyarrow's real resolution: local
+    paths -> None; a scheme pyarrow has no filesystem for (ArrowInvalid)
+    -> categorical; a scheme whose resolution fails for host-specific
+    reasons (hdfs without libhdfs -> OSError) -> environmental. The
+    hdfs case degrades to None on hosts that DO have libhdfs."""
+    from local_pubchem_db_spark.operators.physical import (
+        _classify_footer_scheme,
+    )
+
+    assert _classify_footer_scheme("/plain/p.parquet") is None
+    assert _classify_footer_scheme("file:/p.parquet") is None
+
+    got = _classify_footer_scheme("wasbs://c@a/p.parquet")
+    assert got is not None and got[0] == "categorical"
+
+    got = _classify_footer_scheme("hdfs://nn:9000/p.parquet")
+    assert got is None or got[0] == "environmental"

@@ -234,11 +234,85 @@ def test_broadcast_if_small_gate(spark, sf_dir):
     # at runtime — that is exactly the intended fallback)
     unhinted = broadcast_if_small(small, max_bytes=1)
     assert unhinted is small  # no hint node added at all
-    # broadcast disabled in-session: never hint regardless of size
+    # broadcast disabled in-session: never hint regardless of size.
+    # Restore the value the session actually HAD, not a hardcoded one —
+    # a hardcoded restore silently mutates shared-session state for
+    # later tests when the default differs (ADVICE r10).
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         assert broadcast_if_small(small) is small
     finally:
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+
+def test_sized_shuffle_partitions_and_scale_shuffle(spark, sf_dir):
+    """Per-query shuffle sizing (r11, verdict Next #1): below the
+    volume threshold the fact is untouched (small-SF plans keep AQE
+    freedom); above it, the explicit keyed repartition carries the
+    computed count as a user REPARTITION_BY_NUM exchange that the
+    downstream sort-merge join adopts on BOTH sides — the plan gains no
+    exchange, the one shuffle is just sized to the data."""
+    from pyspark.sql import functions as F
+
+    from local_pubchem_db_spark.operators.util import (
+        scale_shuffle,
+        sized_shuffle_partitions,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # sf0.001 lineitem is far under default x 128 MB: no-op
+    assert sized_shuffle_partitions(li) is None
+    assert scale_shuffle(li, "l_orderkey") is li
+
+    # force engagement with a tiny per-task budget
+    n = sized_shuffle_partitions(li, bytes_per_task=1 << 10)
+    assert n is not None and n > default
+    sized = scale_shuffle(li, "l_orderkey", bytes_per_task=1 << 10)
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            sized.join(orders, sized.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
         )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    assert f"hashpartitioning(l_orderkey#" in plan
+    assert "REPARTITION_BY_NUM" in plan
+    # both join inputs aligned to the computed count; the grouped agg
+    # reuses the join partitioning (subset key) — exactly 2 exchanges
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count(f", {n})") == 2
+
+    # a provably-broadcastable dim suppresses the fact shuffle: the
+    # join will be broadcast-hash with no fact exchange at all
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    assert (
+        scale_shuffle(li, "l_orderkey", bytes_per_task=1 << 10, dim=nation)
+        is li
+    )
+
+
+def test_scale_shuffle_rows_identical(spark, sf_dir):
+    """Sized and default plans agree on content."""
+    from pyspark.sql import functions as F
+
+    from local_pubchem_db_spark.operators.util import scale_shuffle
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base = (
+        li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    sized = (
+        scale_shuffle(li, "l_orderkey", bytes_per_task=1 << 10)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, base)) == sorted(map(tuple, sized))

@@ -225,6 +225,52 @@ def test_bucketed_postings_round_trip_and_pruning(spark, corpus, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ret_idx_postings")
         spark.sql("DROP TABLE IF EXISTS t_ret_idx_docstats")
+        spark.sql("DROP TABLE IF EXISTS t_ret_idx_stats")
+
+
+def test_persisted_index_stats_and_jobfree_query_construction(spark, corpus):
+    """save_postings persists (N, avgdl) with the index (r11, verdict
+    Next #4); load_index hands them back, and a bm25_topk built WITH
+    them issues ZERO jobs before its scoring job — previously every
+    warm query paid a doc_stats aggregation job for two scalars. Scores
+    must be identical to the derive-per-query path."""
+    from local_pubchem_db_spark.operators.retrieval import (
+        load_index,
+        save_postings,
+    )
+
+    postings, doc_stats = build_postings(corpus)
+    save_postings(postings, doc_stats, "t_ret_stats_idx", buckets=4)
+    try:
+        bp, bd, (n_docs, avgdl) = load_index(spark, "t_ret_stats_idx")
+        # the persisted scalars equal the direct aggregation
+        row = doc_stats.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")
+        ).first()
+        assert n_docs == int(row["n"])
+        assert avgdl == pytest.approx(float(row["a"]), rel=1e-12)
+
+        # query CONSTRUCTION with the scalars runs no job at all
+        sc = spark.sparkContext
+        sc.setJobGroup("bm25_construct", "job-free construction pin")
+        try:
+            q = bm25_topk(
+                bp, bd, ["spark", "dog"], k=5, n_docs=n_docs, avgdl=avgdl
+            )
+        finally:
+            sc.setJobGroup("", "")
+        tracker = sc.statusTracker()
+        assert tracker.getJobIdsForGroup("bm25_construct") == []
+
+        # and the scores equal the derive-per-query path exactly
+        a = bm25_topk(postings, doc_stats, ["spark", "dog"], k=5).collect()
+        b = q.collect()
+        assert [(r[0], round(r[1], 9)) for r in a] == [
+            (r[0], round(r[1], 9)) for r in b
+        ]
+    finally:
+        for sfx in ("postings", "docstats", "stats"):
+            spark.sql(f"DROP TABLE IF EXISTS t_ret_stats_idx_{sfx}")
 
 
 def test_direct_routes_equal_postings_routes(spark, corpus):
