@@ -335,7 +335,7 @@ def broadcast_if_small(df: DataFrame, max_bytes: int | None = None) -> DataFrame
 def scale_shuffle(
     df: DataFrame,
     *keys: str,
-    bytes_per_task: int = 128 << 20,
+    bytes_per_task: int = 32 << 20,
     cap: int = 4096,
     dim: DataFrame | None = None,
 ) -> DataFrame:
@@ -382,7 +382,7 @@ def scale_shuffle(
 
 def sized_shuffle_partitions(
     df: DataFrame,
-    bytes_per_task: int = 128 << 20,
+    bytes_per_task: int = 32 << 20,
     cap: int = 4096,
 ) -> int | None:
     """The shuffle partition count ``scale_shuffle`` would use for this
@@ -392,7 +392,17 @@ def sized_shuffle_partitions(
     stats multiply the children), so composite plans compute the count
     ONCE from the fact scan and apply it to each downstream exchange
     explicitly. Only ever returns MORE partitions than the session
-    default — never fewer (AQE coalescing already handles over-split)."""
+    default — never fewer (AQE coalescing already handles over-split).
+
+    ``bytes_per_task`` is denominated in estimated DECOMPRESSED PARQUET
+    bytes, but the consumer this protects is the sort-merge join's sort
+    buffer holding deserialized UnsafeRows — ~3-8x wider than parquet's
+    encoded columns (numeric columns especially: dictionary/delta
+    encodings pack what UnsafeRow stores as full 8-byte fields). The
+    32 MB default therefore bounds the per-task IN-MEMORY sort near
+    100-250 MB — inside both the local 512 MB/thread shape and the
+    common 1 GB/core cluster shape, with spill as the backstop rather
+    than the plan."""
     import math
 
     est = estimated_decompressed_bytes(df)
