@@ -318,3 +318,46 @@ def test_direct_route_plan_is_shuffle_free(spark, corpus):
     stage = plan.split("TakeOrderedAndProject")[-1]
     assert "Exchange hashpartitioning" not in stage
     assert "EvalPython" not in plan
+
+
+def test_bucketed_docstats_join_never_shuffles_corpus_side(spark, corpus):
+    """save_postings buckets doc_stats by the doc id (r11): BM25's
+    scored join must read the corpus-sized doc-length relation through
+    its bucketed scan — zero exchanges on that side even when broadcast
+    is disabled (the non-broadcastable 100 TB regime); only the matched
+    postings shuffle, and the per-doc aggregation reuses the join
+    partitioning."""
+    from local_pubchem_db_spark.operators.retrieval import (
+        load_index,
+        save_postings,
+    )
+
+    postings, doc_stats = build_postings(corpus)
+    save_postings(postings, doc_stats, "t_ret_bj_idx", buckets=4)
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bp, bd, (n, avgdl) = load_index(spark, "t_ret_bj_idx")
+        q = bm25_topk(
+            bp, bd, ["spark", "dog"], k=5, n_docs=n, avgdl=avgdl
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        # doc_stats scan rides its bucket layout
+        ds_scan = [
+            ln for ln in plan.splitlines() if "docstats" in ln and "Scan" in ln
+        ]
+        assert ds_scan and "Bucketed: true" in ds_scan[0], plan
+        # exactly ONE doc-id exchange in the whole plan: the matched
+        # postings aligning to the buckets; the agg reuses it and the
+        # corpus side has none
+        assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
+        # and the results are still correct vs the in-memory route
+        a = bm25_topk(postings, doc_stats, ["spark", "dog"], k=5).collect()
+        b = q.collect()
+        assert [(r[0], round(r[1], 9)) for r in a] == [
+            (r[0], round(r[1], 9)) for r in b
+        ]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        for sfx in ("postings", "docstats", "stats"):
+            spark.sql(f"DROP TABLE IF EXISTS t_ret_bj_idx_{sfx}")
