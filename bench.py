@@ -493,13 +493,13 @@ def _bench_retrieval_bucketed(
     postings, doc_stats = build_postings(docs)
     try:
         save_postings(postings, doc_stats, name, buckets=8)
-        p, ds, (n_docs, avgdl) = load_index(spark, name)
+        p, ds, (n_docs, avgdl), tdf = load_index(spark, name)
         samples = []
         for _ in range(reps):
             t0 = _time.perf_counter()
             df = bm25_topk(
                 p, ds, ["hash", "spark", "stream", "vector"], k=10,
-                n_docs=n_docs, avgdl=avgdl,
+                n_docs=n_docs, avgdl=avgdl, term_df=tdf,
             )
             df.write.format("noop").mode("overwrite").save()
             samples.append(round(_time.perf_counter() - t0, 3))
@@ -507,7 +507,7 @@ def _bench_retrieval_bucketed(
         timings["retrieval_bucketed"] = min(samples)
         runs["retrieval_bucketed"] = samples
     finally:
-        for suffix in ("postings", "docstats", "stats"):
+        for suffix in ("postings", "docstats", "stats", "termdf"):
             spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
 
 

@@ -140,6 +140,22 @@ def save_postings(
         .format("parquet")
         .saveAsTable(f"{name}_docstats")
     )
+    # per-term document frequency, bucketed+sorted like the postings:
+    # at query time this replaces the df aggregation over the MATCHED
+    # postings with a bucket-pruned |q|-row lookup — removing the
+    # second full pass over the matched rows (the executed plan scanned
+    # the postings twice: once to aggregate df, once to score). For a
+    # stop-word-like term at corpus scale that second pass is millions
+    # of rows; the lookup is one row.
+    (
+        postings.groupBy("term")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .write.mode(mode)
+        .bucketBy(buckets, "term")
+        .sortBy("term")
+        .format("parquet")
+        .saveAsTable(f"{name}_termdf")
+    )
     (
         doc_stats.agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -159,13 +175,15 @@ def load_postings(spark, name: str) -> tuple[DataFrame, DataFrame]:
 
 def load_index(
     spark, name: str
-) -> tuple[DataFrame, DataFrame, tuple[int, float]]:
-    """``load_postings`` plus the persisted corpus scalars:
-    ``(postings, doc_stats, (n_docs, avgdl))``. The one-row stats read
-    is a single tiny job paid at SERVICE START; pass the scalars to
-    ``bm25_topk(..., n_docs=..., avgdl=...)`` and every query issues
-    zero jobs before its scoring job (test-pinned). Falls back to
-    scanning doc_stats when the stats table predates r11."""
+) -> tuple[DataFrame, DataFrame, tuple[int, float], DataFrame | None]:
+    """``load_postings`` plus the persisted corpus statistics:
+    ``(postings, doc_stats, (n_docs, avgdl), term_df)``. The one-row
+    stats read is a single tiny job paid at SERVICE START; pass the
+    scalars and ``term_df`` to ``bm25_topk(..., n_docs=..., avgdl=...,
+    term_df=...)`` and every query issues zero jobs before its scoring
+    job (test-pinned) AND scans the matched postings once, not twice.
+    Falls back gracefully on indexes that predate either table
+    (``term_df`` comes back None; the scalars derive from doc_stats)."""
     postings, doc_stats = load_postings(spark, name)
     try:
         row = spark.table(f"{name}_stats").first()
@@ -175,7 +193,11 @@ def load_index(
             F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
         ).first()
         n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
-    return postings, doc_stats, (n_docs, avgdl)
+    try:
+        term_df = spark.table(f"{name}_termdf")
+    except Exception:  # noqa: BLE001 — index without the df table
+        term_df = None
+    return postings, doc_stats, (n_docs, avgdl), term_df
 
 
 def _norm_terms(query_terms: list[str]) -> list[str]:
@@ -383,6 +405,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     n_docs: int | None = None,
     avgdl: float | None = None,
+    term_df: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k: ``score(d) = Σ_t idf(t) · tf·(k1+1) /
     (tf + k1·(1 − b + b·dl/avgdl))`` with the Lucene idf
@@ -394,7 +417,14 @@ def bm25_topk(
     by ``save_postings`` and handed back by ``load_index`` — pass both
     and query CONSTRUCTION issues no job at all (r11; previously every
     call re-aggregated doc_stats for two numbers). When omitted they are
-    derived here in one tiny aggregation job — the ad-hoc path."""
+    derived here in one tiny aggregation job — the ad-hoc path.
+
+    ``term_df``: the per-term document-frequency relation persisted by
+    ``save_postings`` (``<name>_termdf``) — when given, the idf side is
+    a bucket-pruned |q|-row lookup instead of a ``count_distinct``
+    aggregation over the matched postings, so the matched rows are
+    scanned ONCE (scoring) rather than twice; for stop-word-like terms
+    at corpus scale the removed pass is millions of rows."""
     if n_docs is None or avgdl is None:
         row = doc_stats.agg(
             F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
@@ -403,9 +433,12 @@ def bm25_topk(
     if n_docs == 0:
         return _empty_scored(postings, id_col)
     matched = _matched(postings, _norm_terms(query_terms))
-    df_t = matched.groupBy("term").agg(
-        F.count_distinct(id_col).alias("df")
-    )
+    if term_df is not None:
+        df_t = _matched(term_df, _norm_terms(query_terms))
+    else:
+        df_t = matched.groupBy("term").agg(
+            F.count_distinct(id_col).alias("df")
+        )
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))

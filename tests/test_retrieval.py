@@ -242,7 +242,8 @@ def test_persisted_index_stats_and_jobfree_query_construction(spark, corpus):
     postings, doc_stats = build_postings(corpus)
     save_postings(postings, doc_stats, "t_ret_stats_idx", buckets=4)
     try:
-        bp, bd, (n_docs, avgdl) = load_index(spark, "t_ret_stats_idx")
+        bp, bd, (n_docs, avgdl), tdf = load_index(spark, "t_ret_stats_idx")
+        assert tdf is not None
         # the persisted scalars equal the direct aggregation
         row = doc_stats.agg(
             F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")
@@ -255,7 +256,8 @@ def test_persisted_index_stats_and_jobfree_query_construction(spark, corpus):
         sc.setJobGroup("bm25_construct", "job-free construction pin")
         try:
             q = bm25_topk(
-                bp, bd, ["spark", "dog"], k=5, n_docs=n_docs, avgdl=avgdl
+                bp, bd, ["spark", "dog"], k=5, n_docs=n_docs,
+                avgdl=avgdl, term_df=tdf,
             )
         finally:
             sc.setJobGroup("", "")
@@ -269,7 +271,7 @@ def test_persisted_index_stats_and_jobfree_query_construction(spark, corpus):
             (r[0], round(r[1], 9)) for r in b
         ]
     finally:
-        for sfx in ("postings", "docstats", "stats"):
+        for sfx in ("postings", "docstats", "stats", "termdf"):
             spark.sql(f"DROP TABLE IF EXISTS t_ret_stats_idx_{sfx}")
 
 
@@ -337,9 +339,10 @@ def test_bucketed_docstats_join_never_shuffles_corpus_side(spark, corpus):
     prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        bp, bd, (n, avgdl) = load_index(spark, "t_ret_bj_idx")
+        bp, bd, (n, avgdl), tdf = load_index(spark, "t_ret_bj_idx")
         q = bm25_topk(
-            bp, bd, ["spark", "dog"], k=5, n_docs=n, avgdl=avgdl
+            bp, bd, ["spark", "dog"], k=5, n_docs=n, avgdl=avgdl,
+            term_df=tdf,
         )
         plan = q._jdf.queryExecution().executedPlan().toString()
         # doc_stats scan rides its bucket layout
@@ -347,6 +350,15 @@ def test_bucketed_docstats_join_never_shuffles_corpus_side(spark, corpus):
             ln for ln in plan.splitlines() if "docstats" in ln and "Scan" in ln
         ]
         assert ds_scan and "Bucketed: true" in ds_scan[0], plan
+        # with the persisted term_df, the matched postings are scanned
+        # ONCE (scoring) — the old plan read them a second time to
+        # aggregate per-term df
+        postings_scans = [
+            ln
+            for ln in plan.splitlines()
+            if "t_ret_bj_idx_postings" in ln and "Scan" in ln
+        ]
+        assert len(postings_scans) == 1, plan
         # exactly ONE doc-id exchange in the whole plan: the matched
         # postings aligning to the buckets; the agg reuses it and the
         # corpus side has none
@@ -359,5 +371,5 @@ def test_bucketed_docstats_join_never_shuffles_corpus_side(spark, corpus):
         ]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
-        for sfx in ("postings", "docstats", "stats"):
+        for sfx in ("postings", "docstats", "stats", "termdf"):
             spark.sql(f"DROP TABLE IF EXISTS t_ret_bj_idx_{sfx}")
