@@ -491,7 +491,22 @@ def _bench_retrieval_bucketed(
     name = "bench_retrieval_idx"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     postings, doc_stats = build_postings(docs)
+
+    def _reset_tables():
+        # drop catalog entries AND locations: a prior bench process
+        # killed mid-save leaves the directory while this process's
+        # fresh metastore has no entry (LOCATION_ALREADY_EXISTS)
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        wh = wh[5:] if wh.startswith("file:") else wh
+        for suffix in ("postings", "docstats", "stats", "termdf"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
+            shutil.rmtree(os.path.join(wh, f"{name}_{suffix}"),
+                          ignore_errors=True)
+
     try:
+        _reset_tables()
         save_postings(postings, doc_stats, name, buckets=8)
         p, ds, (n_docs, avgdl), tdf = load_index(spark, name)
         samples = []
@@ -507,8 +522,7 @@ def _bench_retrieval_bucketed(
         timings["retrieval_bucketed"] = min(samples)
         runs["retrieval_bucketed"] = samples
     finally:
-        for suffix in ("postings", "docstats", "stats", "termdf"):
-            spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
+        _reset_tables()
 
 
 def _bench_retrieval_warm(

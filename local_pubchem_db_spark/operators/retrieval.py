@@ -395,6 +395,56 @@ def bm25_topk_direct(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+    top_n: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher, SIGIR 2009):
+    ``score(d) = Σ_r 1 / (k + rank_r(d))`` over the given ranked
+    frames (each must carry <id_col> and a 1-based ``rank`` column) —
+    the standard way to combine lexical (BM25/coordination) and vector
+    (cosine ANN) retrieval without score calibration, since only RANKS
+    enter the fusion. ``k=60`` is the paper's constant.
+
+    Scale shape: each input is already a top-N frame (tiny — the heavy
+    lifting lives in the upstream rankers, which carry their own scale
+    shapes), so the fusion is a full-outer join of k-row relations that
+    AQE broadcasts; nothing here touches the corpus. Determinism: each
+    contribution is one IEEE division of exact integers and the
+    summation order is fixed by the expression tree, so the fused
+    scores hash-match any ANSI engine evaluating the same tree (the
+    registry twin `hybrid_rrf` is value-hashed against DuckDB).
+    Columns: <id_col>, ``rrf_score``, ``rank``."""
+    from functools import reduce
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    tagged = [
+        r.select(
+            F.col(id_col),
+            (
+                F.lit(1.0)
+                / (F.lit(float(k)) + F.col("rank").cast("double"))
+            ).alias(f"__rrf_{i}"),
+        )
+        for i, r in enumerate(rankings)
+    ]
+    joined = reduce(lambda a, b: a.join(b, id_col, "full_outer"), tagged)
+    score = None
+    for i in range(len(tagged)):
+        term = F.coalesce(F.col(f"__rrf_{i}"), F.lit(0.0))
+        score = term if score is None else score + term
+    fused = joined.select(F.col(id_col), score.alias("rrf_score"))
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return (
+        fused.orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(top_n)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
 def bm25_topk(
     postings: DataFrame,
     doc_stats: DataFrame,

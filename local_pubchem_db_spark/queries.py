@@ -1098,6 +1098,34 @@ def q_pct_selection(spark, sf_dir):
     )
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval (operators/retrieval.py, r11): Reciprocal Rank
+    Fusion of the lexical coordination ranking (top 20 for a fixed
+    4-term query) and the vector ranking (cosine top 20 around doc 0's
+    embedding — the embeddings table is row-aligned with documents).
+    RRF fuses RANKS, not scores, so no calibration is needed across
+    modalities and every fused score is a fixed-order sum of exact
+    integer divisions — hash-matchable. The pipeline shape behind
+    decontamination review and targeted sampling: find documents near a
+    probe both lexically and semantically."""
+    from local_pubchem_db_spark.operators.retrieval import (
+        coordination_topk_direct,
+        rrf_fuse,
+    )
+    from local_pubchem_db_spark.operators.similarity import brute_force_knn
+
+    docs = t(spark, sf_dir, "documents")
+    lex = coordination_topk_direct(
+        docs, ["hash", "spark", "stream", "vector"], k=20
+    ).select("doc_id", "rank")
+    emb = t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    vec = brute_force_knn(emb, probe, "vec_id", "embedding", k=20).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, vec], top_n=10)
+
+
 def q_gap_fill_locf(spark, sf_dir):
     """Time-series regularization (operators/timeseries.py): the hourly
     per-type rollup (decimal-exact sums) regularized onto a dense 1h
@@ -1213,6 +1241,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "ann_ivf_probe": q_ann_ivf_probe,
     "projection_scan": q_projection_scan,
+    # fully oracled (r11): RRF hybrid retrieval — lexical + vector ranks
+    "hybrid_rrf": q_hybrid_rrf,
 }
 
 # Shared SQL fragments for the oracles ------------------------------------
@@ -1710,6 +1740,56 @@ ORACLES: dict[str, str] = {
                  AS rank
         FROM per_doc
         ORDER BY n_terms DESC, total_tf DESC, doc_id
+        LIMIT 10
+    """,
+    "hybrid_rrf": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex({_NORM_TEXT}, '\\s+')) AS term
+          FROM documents
+        ),
+        postings AS (
+          SELECT term, doc_id, count(*) AS tf
+          FROM toks WHERE term <> '' GROUP BY 1, 2
+        ),
+        per_doc AS (
+          SELECT doc_id, count(DISTINCT term) AS n_terms, sum(tf) AS total_tf
+          FROM postings
+          WHERE term IN ('hash', 'spark', 'stream', 'vector')
+          GROUP BY doc_id
+        ),
+        lex AS (
+          SELECT doc_id, r FROM (
+            SELECT doc_id, row_number() OVER (
+                     ORDER BY n_terms DESC, total_tf DESC, doc_id) AS r
+            FROM per_doc)
+          WHERE r <= 20
+        ),
+        vec AS (
+          SELECT doc_id, r FROM (
+            SELECT c.vec_id AS doc_id, row_number() OVER (
+                     ORDER BY list_cosine_similarity(
+                       CAST(c.embedding AS DOUBLE[]),
+                       CAST((SELECT embedding FROM embeddings
+                             WHERE vec_id = 0) AS DOUBLE[])) DESC,
+                     c.vec_id ASC) AS r
+            FROM embeddings c WHERE c.vec_id <> 0)
+          WHERE r <= 20
+        ),
+        fused AS (
+          SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                 coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE)
+                          + CAST(l.r AS DOUBLE)), CAST(0 AS DOUBLE))
+               + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE)
+                          + CAST(v.r AS DOUBLE)), CAST(0 AS DOUBLE))
+                 AS rrf_score
+          FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+        )
+        SELECT doc_id, rrf_score,
+               CAST(row_number() OVER (
+                 ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+        FROM fused
+        ORDER BY rrf_score DESC, doc_id
         LIMIT 10
     """,
     "token_drift": f"""

@@ -191,6 +191,21 @@ def test_term_match_pushes_down_to_parquet_scan(spark, corpus, tmp_path):
     assert got == want
 
 
+def _reset_index_tables(spark, name):
+    """Drop an index's catalog entries AND their warehouse directories —
+    a table created by a process that died before its DROP leaves the
+    LOCATION behind while this process's fresh metastore has no entry,
+    so DROP TABLE alone cannot clear it (LOCATION_ALREADY_EXISTS)."""
+    import os
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh = wh[5:] if wh.startswith("file:") else wh
+    for sfx in ("postings", "docstats", "stats", "termdf"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{sfx}")
+        shutil.rmtree(os.path.join(wh, f"{name}_{sfx}"), ignore_errors=True)
+
+
 def test_bucketed_postings_round_trip_and_pruning(spark, corpus, tmp_path):
     """save_postings/load_postings: the bucketBy(term) deployment shape.
     The reloaded index must score identically, and a term probe must
@@ -201,6 +216,7 @@ def test_bucketed_postings_round_trip_and_pruning(spark, corpus, tmp_path):
     )
 
     postings, doc_stats = build_postings(corpus)
+    _reset_index_tables(spark, "t_ret_idx")
     save_postings(postings, doc_stats, "t_ret_idx", buckets=8)
     try:
         bp, bd = load_postings(spark, "t_ret_idx")
@@ -223,9 +239,7 @@ def test_bucketed_postings_round_trip_and_pruning(spark, corpus, tmp_path):
         sel = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", m[0])
         assert sel and int(sel.group(1)) <= 2 and int(sel.group(2)) == 8
     finally:
-        spark.sql("DROP TABLE IF EXISTS t_ret_idx_postings")
-        spark.sql("DROP TABLE IF EXISTS t_ret_idx_docstats")
-        spark.sql("DROP TABLE IF EXISTS t_ret_idx_stats")
+        _reset_index_tables(spark, "t_ret_idx")
 
 
 def test_persisted_index_stats_and_jobfree_query_construction(spark, corpus):
@@ -240,6 +254,7 @@ def test_persisted_index_stats_and_jobfree_query_construction(spark, corpus):
     )
 
     postings, doc_stats = build_postings(corpus)
+    _reset_index_tables(spark, "t_ret_stats_idx")
     save_postings(postings, doc_stats, "t_ret_stats_idx", buckets=4)
     try:
         bp, bd, (n_docs, avgdl), tdf = load_index(spark, "t_ret_stats_idx")
@@ -271,8 +286,7 @@ def test_persisted_index_stats_and_jobfree_query_construction(spark, corpus):
             (r[0], round(r[1], 9)) for r in b
         ]
     finally:
-        for sfx in ("postings", "docstats", "stats", "termdf"):
-            spark.sql(f"DROP TABLE IF EXISTS t_ret_stats_idx_{sfx}")
+        _reset_index_tables(spark, "t_ret_stats_idx")
 
 
 def test_direct_routes_equal_postings_routes(spark, corpus):
@@ -335,6 +349,7 @@ def test_bucketed_docstats_join_never_shuffles_corpus_side(spark, corpus):
     )
 
     postings, doc_stats = build_postings(corpus)
+    _reset_index_tables(spark, "t_ret_bj_idx")
     save_postings(postings, doc_stats, "t_ret_bj_idx", buckets=4)
     prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -371,5 +386,36 @@ def test_bucketed_docstats_join_never_shuffles_corpus_side(spark, corpus):
         ]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
-        for sfx in ("postings", "docstats", "stats", "termdf"):
-            spark.sql(f"DROP TABLE IF EXISTS t_ret_bj_idx_{sfx}")
+        _reset_index_tables(spark, "t_ret_bj_idx")
+
+
+def test_rrf_fuse_arithmetic_and_outer_semantics(spark):
+    """RRF (r11): score = sum of 1/(k + rank) over the rankings a doc
+    appears in; docs present in only ONE ranking still fuse (full-outer
+    semantics, missing contribution = 0); ties break on doc id."""
+    from local_pubchem_db_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(2, 1), (4, 2)], "doc_id long, rank long"
+    )
+    got = {
+        r["doc_id"]: (r["rrf_score"], r["rank"])
+        for r in rrf_fuse([a, b], k=60, top_n=10).collect()
+    }
+    import pytest as _pt
+
+    # doc 2: in both (rank 2 and rank 1) — the winner
+    assert got[2][0] == _pt.approx(1 / 62 + 1 / 61, abs=0)
+    assert got[2][1] == 1
+    # single-ranking docs fuse with the missing side at 0
+    assert got[1][0] == _pt.approx(1 / 61, abs=0)
+    assert got[4][0] == _pt.approx(1 / 62, abs=0)
+    assert got[3][0] == _pt.approx(1 / 63, abs=0)
+    # 1/61 > 1/62 > 1/63: ranks follow
+    assert [got[d][1] for d in (2, 1, 4, 3)] == [1, 2, 3, 4]
+
+    with _pt.raises(ValueError, match="at least one"):
+        rrf_fuse([])
