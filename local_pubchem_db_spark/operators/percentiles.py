@@ -70,27 +70,55 @@ METHODS = ("buffer", "sketch", "selection", "auto")
 # data too small to care).
 AUTO_SELECTION_MIN_DISTINCT_PER_GROUP = 1_000_000
 
+# How severe the #keys funnel must be before selection's three
+# full-volume exchanges beat buffer's per-key n·log n (r11 measurement,
+# sf100 events — 5 keys x 20M distinct doubles each, whole Hampel
+# pipeline: buffer 32s, selection 86-96s; the r10 regime3 case that
+# selection wins — ONE key, 10-30M distinct — is nk=1). Buffer's
+# per-value constant is far smaller than a shuffle's, so 5-way-parallel
+# sorting beats cluster-wide range partitioning until the funnel is
+# near-total: selection engages only at nk <= parallelism / 8.
+AUTO_SELECTION_KEY_FUNNEL_DIVISOR = 8
+
+# Per-group distinct count past which buffer is rejected REGARDLESS of
+# key count: each buffer task materializes and sorts the group's
+# value->count map, so ~64M distinct doubles is ~0.5-1 GB in one task —
+# the OOM/spill regime where only selection's bounded-task-memory shape
+# is safe, even when there are enough keys to parallelize.
+AUTO_SELECTION_MEMORY_CAP_DISTINCT = 64_000_000
+
 
 def choose_percentile_method(
     df: DataFrame,
     key_cols: list[str],
     value_col: str,
     min_distinct_per_group: int = AUTO_SELECTION_MIN_DISTINCT_PER_GROUP,
+    key_funnel_divisor: int = AUTO_SELECTION_KEY_FUNNEL_DIVISOR,
+    memory_cap_distinct: int = AUTO_SELECTION_MEMORY_CAP_DISTINCT,
 ) -> str:
     """Encode the tier decision rule the module docstring states: the
     choice is about PER-GROUP VALUE CARDINALITY and KEY COUNT, not data
     volume. One cheap map-side-combinable probe (two HLL sketches over
     one scan) measures both:
 
+    - per-group distinct values past ``memory_cap_distinct`` ->
+      ``selection`` regardless of key count (buffer's per-key task
+      buffer would not fit — the hard constraint);
     - enough keys to saturate the cluster -> ``buffer`` (the #keys
       funnel never binds, and buffer pays one shuffle vs selection's
       two);
     - few keys but small distinct-value groups -> ``buffer`` (its
       value->count map collapses repeats — the degenerate massive-tie
       shape that stragglers the selection rank window);
-    - few keys carrying huge high-cardinality groups -> ``selection``
-      (the exact-at-scale regime: parallelism ~ volume, bounded task
-      memory).
+    - a NEAR-TOTAL key funnel (nk <= parallelism / ``key_funnel_divisor``)
+      carrying huge high-cardinality groups -> ``selection`` (the
+      exact-at-scale regime: parallelism ~ volume, bounded task memory).
+      r11 refinement: the r10 rule flipped to selection for ANY
+      nk < parallelism, but measured at sf100 (5 keys x 20M distinct
+      each) buffer's 5-way-parallel per-group sort (32s) beats
+      selection's three full-volume exchanges (86-96s) — wall-clock
+      only favors selection when the funnel approaches single-task,
+      while the memory cap above handles the safety side.
     """
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
@@ -105,11 +133,17 @@ def choose_percentile_method(
         .first()
     )
     nk, nkv = int(st["nk"] or 0), int(st["nkv"] or 0)
-    if nk == 0 or nk >= par:
+    if nk == 0:
+        return "buffer"
+    per_group = nkv / nk
+    if per_group >= memory_cap_distinct:
+        return "selection"
+    if nk >= par:
         return "buffer"
     return (
         "selection"
-        if nkv / nk >= min_distinct_per_group
+        if nk <= max(1, par // key_funnel_divisor)
+        and per_group >= min_distinct_per_group
         else "buffer"
     )
 

@@ -295,3 +295,37 @@ def test_multi_percentiles_bad_ps(spark):
         grouped_percentiles(df, ["k"], "v", [])
     with pytest.raises(ValueError):
         grouped_percentiles(df, ["k"], "v", [0.5, 2.0])
+
+
+def test_auto_rule_funnel_and_memory_boundaries(spark):
+    """r11 refinement, measured at sf100 (5 keys x 20M distinct each:
+    buffer 32s vs selection 86-96s): few-but-parallelizable keys keep
+    buffer even with huge-cardinality groups; selection needs a
+    near-total funnel (nk <= par/8) — or a per-group cardinality past
+    the memory cap, which overrides everything (the buffer task's
+    value map would not fit)."""
+    from local_pubchem_db_spark.operators.percentiles import (
+        choose_percentile_method,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    nk_above_funnel = max(1, par // 8) + 1
+    rows = [
+        (f"k{i % nk_above_funnel}", float(i)) for i in range(nk_above_funnel * 800)
+    ]
+    df = _mk(spark, rows)
+    # huge groups (threshold scaled to the test) but nk above the
+    # funnel: buffer — the r10 rule would have flipped to selection
+    assert (
+        choose_percentile_method(df, ["k"], "v", min_distinct_per_group=500)
+        == "buffer"
+    )
+    # same shape with the memory cap scaled down: selection, regardless
+    # of the funnel — per-task buffers that can't fit trump wall-clock
+    assert (
+        choose_percentile_method(
+            df, ["k"], "v", min_distinct_per_group=500,
+            memory_cap_distinct=500,
+        )
+        == "selection"
+    )
