@@ -70,21 +70,19 @@ METHODS = ("buffer", "sketch", "selection", "auto")
 # data too small to care).
 AUTO_SELECTION_MIN_DISTINCT_PER_GROUP = 1_000_000
 
-# How severe the #keys funnel must be before selection's three
-# full-volume exchanges beat buffer's per-key n·log n (r11 measurement,
-# sf100 events — 5 keys x 20M distinct doubles each, whole Hampel
-# pipeline: buffer 32s, selection 86-96s; the r10 regime3 case that
-# selection wins — ONE key, 10-30M distinct — is nk=1). Buffer's
-# per-value constant is far smaller than a shuffle's, so 5-way-parallel
-# sorting beats cluster-wide range partitioning until the funnel is
-# near-total: selection engages only at nk <= parallelism / 8.
-AUTO_SELECTION_KEY_FUNNEL_DIVISOR = 8
+# Relative per-row constant of selection's machinery vs buffer's map
+# insert: selection moves every ROW through a range exchange plus a
+# rank window plus the offsets pass (~3 shuffle-grade passes), while
+# buffer pays ~one hash-map insert per row and then sorts only the
+# DISTINCT values. Calibrated against the five measured regimes in
+# tools/measure_percentiles.py (see choose_percentile_method).
+AUTO_SELECTION_PASS_COST = 3.0
 
 # Per-group distinct count past which buffer is rejected REGARDLESS of
-# key count: each buffer task materializes and sorts the group's
+# the cost model: each buffer task materializes and sorts the group's
 # value->count map, so ~64M distinct doubles is ~0.5-1 GB in one task —
 # the OOM/spill regime where only selection's bounded-task-memory shape
-# is safe, even when there are enough keys to parallelize.
+# is safe, even when the wall-clock model would say buffer.
 AUTO_SELECTION_MEMORY_CAP_DISTINCT = 64_000_000
 
 
@@ -93,38 +91,46 @@ def choose_percentile_method(
     key_cols: list[str],
     value_col: str,
     min_distinct_per_group: int = AUTO_SELECTION_MIN_DISTINCT_PER_GROUP,
-    key_funnel_divisor: int = AUTO_SELECTION_KEY_FUNNEL_DIVISOR,
+    selection_pass_cost: float = AUTO_SELECTION_PASS_COST,
     memory_cap_distinct: int = AUTO_SELECTION_MEMORY_CAP_DISTINCT,
 ) -> str:
-    """Encode the tier decision rule the module docstring states: the
-    choice is about PER-GROUP VALUE CARDINALITY and KEY COUNT, not data
-    volume. One cheap map-side-combinable probe (two HLL sketches over
-    one scan) measures both:
+    """Pick the exact tier from a COST MODEL over one probe scan
+    (count + two HLL sketches, map-side combinable):
 
-    - per-group distinct values past ``memory_cap_distinct`` ->
-      ``selection`` regardless of key count (buffer's per-key task
-      buffer would not fit — the hard constraint);
-    - enough keys to saturate the cluster -> ``buffer`` (the #keys
-      funnel never binds, and buffer pays one shuffle vs selection's
-      two);
-    - few keys but small distinct-value groups -> ``buffer`` (its
-      value->count map collapses repeats — the degenerate massive-tie
-      shape that stragglers the selection rank window);
-    - a NEAR-TOTAL key funnel (nk <= parallelism / ``key_funnel_divisor``)
-      carrying huge high-cardinality groups -> ``selection`` (the
-      exact-at-scale regime: parallelism ~ volume, bounded task memory).
-      r11 refinement: the r10 rule flipped to selection for ANY
-      nk < parallelism, but measured at sf100 (5 keys x 20M distinct
-      each) buffer's 5-way-parallel per-group sort (32s) beats
-      selection's three full-volume exchanges (86-96s) — wall-clock
-      only favors selection when the funnel approaches single-task,
-      while the memory cap above handles the safety side.
+    - ``buffer_cost ~ nkv / min(nk, parallelism)``: buffer's critical
+      path holds the DISTINCT (key, value) pairs of its largest funnel
+      lane — repeats collapse into its value->count map, so row count
+      barely matters;
+    - ``selection_cost ~ pass_cost * n_rows / parallelism``: selection
+      range-partitions every ROW across the cluster (~3 shuffle-grade
+      passes), so distinct count barely matters.
+
+    Selection wins when its cost is lower AND the per-group cardinality
+    clears ``min_distinct_per_group`` (below it, fixed stage overheads
+    dominate and buffer is instant anyway). A per-group cardinality
+    past ``memory_cap_distinct`` forces selection regardless — buffer's
+    per-task value map would not fit task memory (the safety case the
+    wall-clock model doesn't get to override).
+
+    The model reproduces every measured regime
+    (tools/measure_percentiles.py, sf10 + the sf100 A/B):
+    natural-keys/repeating (nkv 48k, rows 10M) -> buffer (measured 19x);
+    one-group all-distinct (nkv=rows=10M) -> selection (14x);
+    one-group massive ties (nkv 3) -> buffer (21x);
+    few-parallel-keys all-distinct (nk 5, nkv=rows) -> selection
+    (3.5x — the r11 regime5 a key-count-only rule gets wrong in one
+    direction, and r11's own first funnel-based fix got wrong in the
+    other); sf100 raw events (rows 100M, nkv 48k) -> buffer (2.7x).
+    A probe-cost note rides with ``method="auto"``: the probe itself
+    is one full scan of the relation — amortize it across a service's
+    calls or pick the tier explicitly when the shape is known.
     """
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     st = (
         df.filter(F.col(value_col).isNotNull())
         .agg(
+            F.count(F.lit(1)).alias("n_rows"),
             F.approx_count_distinct(F.struct(*key_cols)).alias("nk"),
             F.approx_count_distinct(
                 F.struct(*key_cols, value_col)
@@ -132,20 +138,18 @@ def choose_percentile_method(
         )
         .first()
     )
+    n_rows = int(st["n_rows"] or 0)
     nk, nkv = int(st["nk"] or 0), int(st["nkv"] or 0)
     if nk == 0:
         return "buffer"
     per_group = nkv / nk
     if per_group >= memory_cap_distinct:
         return "selection"
-    if nk >= par:
+    if per_group < min_distinct_per_group:
         return "buffer"
-    return (
-        "selection"
-        if nk <= max(1, par // key_funnel_divisor)
-        and per_group >= min_distinct_per_group
-        else "buffer"
-    )
+    buffer_cost = nkv / min(nk, par)
+    selection_cost = selection_pass_cost * n_rows / par
+    return "selection" if selection_cost < buffer_cost else "buffer"
 
 
 def grouped_percentiles(

@@ -297,34 +297,48 @@ def test_multi_percentiles_bad_ps(spark):
         grouped_percentiles(df, ["k"], "v", [0.5, 2.0])
 
 
-def test_auto_rule_funnel_and_memory_boundaries(spark):
-    """r11 refinement, measured at sf100 (5 keys x 20M distinct each:
-    buffer 32s vs selection 86-96s): few-but-parallelizable keys keep
-    buffer even with huge-cardinality groups; selection needs a
-    near-total funnel (nk <= par/8) — or a per-group cardinality past
-    the memory cap, which overrides everything (the buffer task's
-    value map would not fit)."""
+def test_auto_rule_cost_model_boundaries(spark):
+    """r11 final rule (pinned against the five measured regimes in
+    tools/measure_percentiles.py): buffer's cost tracks DISTINCT values
+    through the key funnel, selection's tracks ROWS across the cluster.
+    Few-but-parallel keys with ALL-DISTINCT values -> selection (rows =
+    distinct, regime5: measured 3.5x); the same keys with heavy repeat
+    COLLAPSE -> buffer (rows >> distinct, the sf100 shape: measured
+    2.7x); a per-group cardinality past the memory cap forces selection
+    regardless of the wall-clock model."""
     from local_pubchem_db_spark.operators.percentiles import (
         choose_percentile_method,
     )
 
-    par = spark.sparkContext.defaultParallelism
-    nk_above_funnel = max(1, par // 8) + 1
-    rows = [
-        (f"k{i % nk_above_funnel}", float(i)) for i in range(nk_above_funnel * 800)
-    ]
-    df = _mk(spark, rows)
-    # huge groups (threshold scaled to the test) but nk above the
-    # funnel: buffer — the r10 rule would have flipped to selection
-    assert (
-        choose_percentile_method(df, ["k"], "v", min_distinct_per_group=500)
-        == "buffer"
+    # 5 keys, every row a distinct value: selection_cost (3*rows/par)
+    # undercuts buffer_cost (rows/5) whenever par > 15
+    distinct_rows = _mk(
+        spark, [(f"k{i % 5}", float(i)) for i in range(4000)]
     )
-    # same shape with the memory cap scaled down: selection, regardless
-    # of the funnel — per-task buffers that can't fit trump wall-clock
     assert (
         choose_percentile_method(
-            df, ["k"], "v", min_distinct_per_group=500,
+            distinct_rows, ["k"], "v", min_distinct_per_group=500
+        )
+        == "selection"
+    )
+    # same 5 keys and per-group cardinality, but ~13x repeat collapse:
+    # buffer's map processes 3000 distinct while selection pays 40000
+    # rows -> buffer
+    collapsed = _mk(
+        spark,
+        [(f"k{i % 5}", float(i % 3000)) for i in range(40_000)],
+    )
+    assert (
+        choose_percentile_method(
+            collapsed, ["k"], "v", min_distinct_per_group=500
+        )
+        == "buffer"
+    )
+    # memory cap overrides the model: per-group distinct past the cap
+    # would not fit a buffer task, whatever the wall-clock says
+    assert (
+        choose_percentile_method(
+            collapsed, ["k"], "v", min_distinct_per_group=500,
             memory_cap_distinct=500,
         )
         == "selection"

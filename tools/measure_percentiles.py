@@ -19,6 +19,12 @@ Four regimes over the events table, each timed warm (min of 2):
    slice's rank window holds ~a third of the data (correct, but a
    straggler); buffer's value->count map collapses the ties to 3
    entries and wins.
+5. FEW-BUT-PARALLEL keys (~5 natural types), CONTINUOUS values (r11):
+   the shape where the r10 rule mispredicted — buffer's 5-way-parallel
+   per-group sorting beats selection's three full-volume exchanges
+   (measured 32s vs 86-96s at sf100), so the r11 rule keeps buffer
+   unless the key funnel is near-total (nk <= parallelism/8) or the
+   per-group value map would not fit task memory (64M distinct cap).
 
 Each regime also times ``method="auto"``: the probe + whichever tier
 the decision rule picks — auto should track the winning tier's time
@@ -98,6 +104,21 @@ def main() -> None:
         (F.col("event_id") % 3).cast("double").alias("v"),
     )
     regime("regime4_one_group_massive_ties", ties, ["g"], "v")
+
+    # r11 regime: FEW-BUT-PARALLEL keys (the ~5 natural event types)
+    # each carrying an all-distinct group — the shape where the r10
+    # auto rule mispredicted (sf100: picked selection at 2-3x the cost).
+    # Buffer's per-key n*log n on 5-way parallelism beats selection's
+    # three full-volume exchanges until the funnel is near-total; the
+    # r11 rule (nk <= parallelism/8) keeps buffer here.
+    few_cont = events_table(spark, sf_dir).select(
+        F.col("event_type").alias("g"),
+        (
+            F.col("value").cast("double")
+            + F.col("event_id").cast("double") / 1e12
+        ).alias("v"),
+    )
+    regime("regime5_few_parallel_keys_all_distinct", few_cont, ["g"], "v")
 
     if record:
         import json
