@@ -122,6 +122,7 @@ def compute_drift(
     cal_py: float | None = None,
     prev_cal_py: float | None = None,
     axes: dict | None = None,
+    prev_axes: dict | None = None,
 ) -> tuple[dict, dict | None]:
     """(raw drift, calibration-normalized drift) vs the previous
     artifact. Raw: t_now / t_prev per query. Normalized: raw divided by
@@ -135,7 +136,15 @@ def compute_drift(
     normalize by the PYTHON-axis factor (cal_py / prev_cal_py) when
     both artifacts carry it; pure-JVM rows keep the JVM axis. The r10
     session showed pandas-UDF rows drifting 1.15-1.5x at EQUAL JVM
-    calibration — one axis cannot attribute drift in the other path."""
+    calibration — one axis cannot attribute drift in the other path.
+
+    ``prev_axes`` (when the previous artifact recorded drift_axis —
+    self-recorded series do, driver compact records do not): a query
+    whose axis FLIPPED between artifacts (a refactor moved it across
+    the Python boundary) gets no normalized entry at all — the raw
+    ratio mixes two execution paths and dividing it by either single
+    host factor would produce an unattributable number (r11 review
+    finding)."""
     raw = {
         q: round(timings[q] / prev_queries[q], 3)
         for q in timings
@@ -158,8 +167,21 @@ def compute_drift(
             3,
         )
         for q, v in raw.items()
+        if not (
+            prev_axes
+            and axes
+            and q in prev_axes
+            and q in axes
+            and prev_axes[q] != axes[q]
+        )
     }
     return raw, norm
+
+
+# The Python-worker operator NODE names (not bare substrings: a scan
+# path or pushed literal containing "pandas" must not flip a pure-JVM
+# query onto the py axis — r11 review finding).
+_PY_NODE_RE = None
 
 
 def _plan_axis(df) -> str:
@@ -167,12 +189,24 @@ def _plan_axis(df) -> str:
     "py" when it crosses the Python worker (ArrowEvalPython /
     MapInPandas / FlatMapGroupsInPandas / python UDAF nodes), else
     "jvm". Empirical, not a hand-kept list — refactors that move a
-    query across the boundary re-classify it automatically."""
+    query across the boundary re-classify it automatically. Matches
+    operator NODE names only, so data that merely mentions
+    python/pandas (paths, literals, column names) cannot misclassify."""
+    import re
+
+    global _PY_NODE_RE
+    if _PY_NODE_RE is None:
+        _PY_NODE_RE = re.compile(
+            r"ArrowEvalPython|BatchEvalPython|MapInPandas|MapInArrow"
+            r"|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas"
+            r"|AggregateInPandas|WindowInPandas|PythonUDF|PythonUDAF"
+            r"|ApplyInPandas"
+        )
     try:
         plan = df._jdf.queryExecution().executedPlan().toString()
     except Exception:  # noqa: BLE001 — classification is best-effort
         return "jvm"
-    return "py" if ("Python" in plan or "Pandas" in plan) else "jvm"
+    return "py" if _PY_NODE_RE.search(plan) else "jvm"
 
 
 def main() -> None:
@@ -430,6 +464,7 @@ def main() -> None:
             cal_py=calibration_py,
             prev_cal_py=prev.get("calibration_py"),
             axes=axes,
+            prev_axes=prev.get("drift_axis"),
         )
         out["prev_artifact"] = prev_name
         out["prev_total"] = prev.get("value")
@@ -484,6 +519,7 @@ def _bench_retrieval_bucketed(
     from local_pubchem_db_spark.operators.retrieval import (
         bm25_topk,
         build_postings,
+        drop_index,
         load_index,
         save_postings,
     )
@@ -491,22 +527,8 @@ def _bench_retrieval_bucketed(
     name = "bench_retrieval_idx"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     postings, doc_stats = build_postings(docs)
-
-    def _reset_tables():
-        # drop catalog entries AND locations: a prior bench process
-        # killed mid-save leaves the directory while this process's
-        # fresh metastore has no entry (LOCATION_ALREADY_EXISTS)
-        import shutil
-
-        wh = spark.conf.get("spark.sql.warehouse.dir")
-        wh = wh[5:] if wh.startswith("file:") else wh
-        for suffix in ("postings", "docstats", "stats", "termdf"):
-            spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
-            shutil.rmtree(os.path.join(wh, f"{name}_{suffix}"),
-                          ignore_errors=True)
-
     try:
-        _reset_tables()
+        drop_index(spark, name)  # clear stale catalog entries/locations
         save_postings(postings, doc_stats, name, buckets=8)
         p, ds, (n_docs, avgdl), tdf = load_index(spark, name)
         samples = []
@@ -522,7 +544,7 @@ def _bench_retrieval_bucketed(
         timings["retrieval_bucketed"] = min(samples)
         runs["retrieval_bucketed"] = samples
     finally:
-        _reset_tables()
+        drop_index(spark, name)
 
 
 def _bench_retrieval_warm(

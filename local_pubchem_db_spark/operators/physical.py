@@ -360,10 +360,15 @@ def _classify_footer_scheme(path: str) -> tuple[str, str] | None:
     scheme, sep, _ = probe.partition("://")
     if not sep or scheme.lower() == "file":
         return None  # plain/driver-local path: pyarrow opens it directly
+    # the exception class must be bound BEFORE the probe try: if this
+    # import itself failed inside it, evaluating `except _ArrowInvalid`
+    # would raise NameError and mask the real error (r11 review finding)
     try:
         import pyarrow.fs as _pafs
         from pyarrow.lib import ArrowInvalid as _ArrowInvalid
-
+    except Exception as err:  # noqa: BLE001 — pyarrow broken on driver
+        return ("environmental", f"pyarrow unavailable on driver: {err}")
+    try:
         _pafs.FileSystem.from_uri(probe)
         return None
     except _ArrowInvalid as err:
@@ -594,7 +599,26 @@ def table_health(
         issue = _classify_footer_scheme(sized[0][0])
         if issue is not None:
             kind, perr = issue
+            # which environmental failures get the JVM fallback: only
+            # schemes Spark reads NATIVELY (Hadoop core) — hdfs without
+            # libhdfs is the fallback's reason to exist. Cloud-store
+            # schemes (s3://, gs://, ...) whose driver probe failed on
+            # credentials/network must instead warn-and-proceed to the
+            # distributed executor path: executors may hold what the
+            # driver lacks, and routing a 100k-file listing through
+            # serial driver-side py4j reads would be a perf cliff
+            # (r11 review finding). Categorical failures (pyarrow has
+            # no filesystem for the scheme anywhere) always try the JVM.
+            scheme = sized[0][0].partition("://")[0].lower()
+            jvm_eligible = kind == "categorical" or scheme in (
+                "hdfs", "viewfs", "webhdfs", "har", "file",
+            )
             try:
+                if not jvm_eligible:
+                    raise OSError(
+                        "environmental failure on a non-Hadoop-native "
+                        "scheme: executors get first try"
+                    )
                 jvm_opener = _JvmOpenFile(spark)
                 jvm_opener(sized[0][0]).close()  # resolve+open probe
                 open_file = jvm_opener

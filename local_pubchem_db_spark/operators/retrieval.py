@@ -140,15 +140,24 @@ def save_postings(
         .format("parquet")
         .saveAsTable(f"{name}_docstats")
     )
+    # The derived tables below aggregate the TABLES JUST WRITTEN, not
+    # the input DataFrames: the inputs' lineage is the full tokenize ->
+    # explode -> shuffle pipeline (the dominant index-build cost), and
+    # re-evaluating it once per derived table would roughly double the
+    # build; the written parquet is materialized, so these are cheap
+    # re-reads (r11 review finding).
+    spark = postings.sparkSession
     # per-term document frequency, bucketed+sorted like the postings:
     # at query time this replaces the df aggregation over the MATCHED
     # postings with a bucket-pruned |q|-row lookup — removing the
     # second full pass over the matched rows (the executed plan scanned
     # the postings twice: once to aggregate df, once to score). For a
     # stop-word-like term at corpus scale that second pass is millions
-    # of rows; the lookup is one row.
+    # of rows; the lookup is one row. The source table is bucketed by
+    # term, so this groupBy shuffles nothing.
     (
-        postings.groupBy("term")
+        spark.table(f"{name}_postings")
+        .groupBy("term")
         .agg(F.count_distinct(id_col).alias("df"))
         .write.mode(mode)
         .bucketBy(buckets, "term")
@@ -157,7 +166,8 @@ def save_postings(
         .saveAsTable(f"{name}_termdf")
     )
     (
-        doc_stats.agg(
+        spark.table(f"{name}_docstats")
+        .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.avg("dl").cast("double").alias("avgdl"),
         )
@@ -165,6 +175,27 @@ def save_postings(
         .format("parquet")
         .saveAsTable(f"{name}_stats")
     )
+
+
+# Every table suffix save_postings creates — drop_index owns the list
+# so bench/test cleanup can never drift from the writer.
+INDEX_TABLE_SUFFIXES = ("postings", "docstats", "termdf", "stats")
+
+
+def drop_index(spark, name: str) -> None:
+    """Remove every table ``save_postings(name=...)`` creates — catalog
+    entries AND their warehouse directories. The directory half matters
+    when a PRIOR process died mid-save: its location survives while a
+    fresh metastore has no entry to DROP, so a later save fails with
+    LOCATION_ALREADY_EXISTS."""
+    import os
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh = wh[5:] if wh.startswith("file:") else wh
+    for sfx in INDEX_TABLE_SUFFIXES:
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{sfx}")
+        shutil.rmtree(os.path.join(wh, f"{name}_{sfx}"), ignore_errors=True)
 
 
 def load_postings(spark, name: str) -> tuple[DataFrame, DataFrame]:

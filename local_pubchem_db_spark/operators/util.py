@@ -299,14 +299,16 @@ def broadcast_if_small(df: DataFrame, max_bytes: int | None = None) -> DataFrame
     a broadcast hash relation holds decompressed rows, so the size is
     estimated DECOMPRESSED (plan stats scaled by the parquet footers'
     uncompressed/compressed ratio — ``estimated_decompressed_bytes``;
-    r11, ADVICE r10: the previous fixed /4 margin could prove a 25:1
-    compressible dimension "small" while it expanded far past the
-    ceiling in memory). The remaining default ceiling is the session's
-    ``autoBroadcastJoinThreshold`` divided by 2: the footer ratio covers
-    codec compression but NOT the encoded->in-memory expansion (the
-    footer "uncompressed" size is the ENCODED size — dictionary/RLE
-    survive decompression), so a residual margin stays. The hint engages
-    only when the relation is small with margin — the conservative
+    r11, ADVICE r10: the previous fixed /4 margin over COMPRESSED bytes
+    could prove a 25:1 compressible dimension "small" while it expanded
+    far past the ceiling in memory). The remaining default ceiling is
+    the session's ``autoBroadcastJoinThreshold`` divided by 4: the
+    footer ratio covers only CODEC compression — the footer
+    "uncompressed" size is still the ENCODED size, and dictionary/RLE
+    encodings survive decompression, so the in-memory hash relation is
+    another ~3-8x wider (the same UnsafeRow expansion
+    ``sized_shuffle_partitions`` documents). /4 keeps the hint engaged
+    only when the relation is small with real margin — the conservative
     direction (a skipped hint costs one AQE shuffle-write; a wrong hint
     can OOM).
     """
@@ -326,7 +328,7 @@ def broadcast_if_small(df: DataFrame, max_bytes: int | None = None) -> DataFrame
             thr = 10 << 20
         if thr <= 0:  # broadcast disabled in this session: never hint
             return df
-        max_bytes = thr // 2
+        max_bytes = thr // 4
     if 0 < size < max_bytes:
         return F.broadcast(df)
     return df

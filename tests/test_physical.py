@@ -584,3 +584,50 @@ def test_classify_footer_scheme_triage():
 
     got = _classify_footer_scheme("hdfs://nn:9000/p.parquet")
     assert got is None or got[0] == "environmental"
+
+
+def test_table_health_environmental_cloud_scheme_prefers_executors(
+    spark, tmp_path, monkeypatch
+):
+    """Environmental failure on a NON-Hadoop-native scheme (the s3
+    credentials/region case): the JVM fallback must NOT engage even if
+    it could read — serial driver-side parsing of a large cloud listing
+    is a perf cliff, and executors may hold what the driver lacks. The
+    call warns and stays on the distributed path (r11 review)."""
+    import warnings
+
+    import pandas as pd
+
+    from local_pubchem_db_spark.operators import physical
+
+    real = str(tmp_path / "s.parquet")
+    pd.DataFrame({"id": [1]}).to_parquet(real)
+    monkeypatch.setattr(
+        physical,
+        "_classify_footer_scheme",
+        lambda path: ("environmental", "region/credentials (faked)"),
+    )
+    calls = []
+
+    class _Recorder:
+        _driver_only = True
+
+        def __init__(self, spark):
+            pass
+
+        def __call__(self, path):
+            calls.append(path)
+            return open(real, "rb")
+
+    monkeypatch.setattr(physical, "_JvmOpenFile", _Recorder)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        df = physical.table_health(
+            spark,
+            "ignored",
+            files=[("s3://bkt/t/s.parquet", 123)],
+        )
+    assert any("proceeding anyway" in str(w.message) for w in caught)
+    assert calls == []  # the JVM opener never probed
+    # and the plan is the distributed mapInPandas path, not a local one
+    assert "LocalTableScan" not in df._jdf.queryExecution().executedPlan().toString()

@@ -192,18 +192,12 @@ def test_term_match_pushes_down_to_parquet_scan(spark, corpus, tmp_path):
 
 
 def _reset_index_tables(spark, name):
-    """Drop an index's catalog entries AND their warehouse directories —
-    a table created by a process that died before its DROP leaves the
-    LOCATION behind while this process's fresh metastore has no entry,
-    so DROP TABLE alone cannot clear it (LOCATION_ALREADY_EXISTS)."""
-    import os
-    import shutil
+    """Clear an index's catalog entries and warehouse locations —
+    delegates to the operator's own drop_index so the table-suffix list
+    lives in ONE place (next to save_postings)."""
+    from local_pubchem_db_spark.operators.retrieval import drop_index
 
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    wh = wh[5:] if wh.startswith("file:") else wh
-    for sfx in ("postings", "docstats", "stats", "termdf"):
-        spark.sql(f"DROP TABLE IF EXISTS {name}_{sfx}")
-        shutil.rmtree(os.path.join(wh, f"{name}_{sfx}"), ignore_errors=True)
+    drop_index(spark, name)
 
 
 def test_bucketed_postings_round_trip_and_pruning(spark, corpus, tmp_path):

@@ -20,11 +20,16 @@ Four regimes over the events table, each timed warm (min of 2):
    straggler); buffer's value->count map collapses the ties to 3
    entries and wins.
 5. FEW-BUT-PARALLEL keys (~5 natural types), CONTINUOUS values (r11):
-   the shape where the r10 rule mispredicted — buffer's 5-way-parallel
-   per-group sorting beats selection's three full-volume exchanges
-   (measured 32s vs 86-96s at sf100), so the r11 rule keeps buffer
-   unless the key funnel is near-total (nk <= parallelism/8) or the
-   per-group value map would not fit task memory (64M distinct cap).
+   every row distinct, so buffer's value->count map collapses NOTHING —
+   its 5-lane funnel processes all 10M distinct values while selection
+   spreads the same rows across every core (measured at sf10: buffer
+   8.5-8.9s vs selection 2.2s). The final r11 rule is a COST MODEL:
+   buffer_cost ~ distinct/(min(nk, par)) vs selection_cost ~ 3*rows/par
+   — it picks selection here and buffer on regime 1 (same 5 keys, but
+   48k distinct under 10M rows: repeats collapse, so buffer wins 19x).
+   The model's probe is one full scan; a 64M per-group distinct cap
+   forces selection when buffer's task map cannot fit regardless of
+   the wall-clock comparison.
 
 Each regime also times ``method="auto"``: the probe + whichever tier
 the decision rule picks — auto should track the winning tier's time
@@ -106,11 +111,11 @@ def main() -> None:
     regime("regime4_one_group_massive_ties", ties, ["g"], "v")
 
     # r11 regime: FEW-BUT-PARALLEL keys (the ~5 natural event types)
-    # each carrying an all-distinct group — the shape where the r10
-    # auto rule mispredicted (sf100: picked selection at 2-3x the cost).
-    # Buffer's per-key n*log n on 5-way parallelism beats selection's
-    # three full-volume exchanges until the funnel is near-total; the
-    # r11 rule (nk <= parallelism/8) keeps buffer here.
+    # each carrying an ALL-DISTINCT group — rows == distinct, so
+    # buffer collapses nothing and selection's rows-across-the-cluster
+    # shape wins (the cost model picks selection; a key-count-only
+    # rule picks wrong in one direction here and a funnel-only rule
+    # in the other — both were tried and measured this round).
     few_cont = events_table(spark, sf_dir).select(
         F.col("event_type").alias("g"),
         (
