@@ -413,3 +413,47 @@ def test_rrf_fuse_arithmetic_and_outer_semantics(spark):
 
     with _pt.raises(ValueError, match="at least one"):
         rrf_fuse([])
+
+
+def test_rrf_fuse_is_input_order_invariant_and_matches_reference(spark):
+    """Property pin over random rankings (fixed cases, Spark-backed —
+    per-example Spark jobs make hypothesis impractical here): RRF must
+    be invariant to the ORDER rankings are passed in, to doc ids, and
+    must equal the obvious pure-Python reference on every case."""
+    import random
+
+    from local_pubchem_db_spark.operators.retrieval import rrf_fuse
+
+    rng = random.Random(421)
+    for case in range(6):
+        n_rank = rng.randint(1, 3)
+        rankings, py_rankings = [], []
+        for _ in range(n_rank):
+            ids = rng.sample(range(100), rng.randint(1, 12))
+            rows = [(d, r + 1) for r, d in enumerate(ids)]
+            py_rankings.append(dict((d, r + 1) for r, d in enumerate(ids)))
+            rankings.append(
+                spark.createDataFrame(rows, "doc_id long, rank long")
+            )
+        k = rng.choice([10, 60])
+        top_n = rng.choice([5, 50])
+        # pure-Python reference
+        all_ids = set().union(*[set(p) for p in py_rankings])
+        ref_scores = {
+            d: sum(1.0 / (k + p[d]) for p in py_rankings if d in p)
+            for d in all_ids
+        }
+        ref = sorted(all_ids, key=lambda d: (-ref_scores[d], d))[:top_n]
+
+        got = rrf_fuse(rankings, k=k, top_n=top_n).collect()
+        assert [r["doc_id"] for r in got] == ref, case
+        for r in got:
+            assert r["rrf_score"] == pytest.approx(
+                ref_scores[r["doc_id"]], rel=1e-15
+            )
+        # input-order invariance: reversed ranking list, same result set
+        # and ranks (score SUMS may differ in the last ulp when 3+
+        # rankings reorder the additions; the induced order must not)
+        rev = rrf_fuse(list(reversed(rankings)), k=k, top_n=top_n).collect()
+        assert [r["doc_id"] for r in rev] == [r["doc_id"] for r in got]
+        assert [r["rank"] for r in rev] == [r["rank"] for r in got]
