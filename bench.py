@@ -261,13 +261,14 @@ def main() -> None:
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 samples.append(round(time.perf_counter() - t0, 3))
-                # axis probe AFTER the save (the executed adaptive plan),
-                # BEFORE the cache release (plan nodes survive either way)
-                axes[name] = _plan_axis(df)
                 # shared() relations are per-invocation scratch; dropping them
                 # between repetitions keeps every sample a COLD run and keeps
                 # storage memory flat across the sweep.
                 release_shared_caches(spark)
+            # axis probe ONCE per row, after the reps (identical every
+            # rep; stringifying a large adaptive plan per rep is a
+            # wasted JVM round trip — r11 review finding)
+            axes[name] = _plan_axis(df)
         except Exception as e:  # noqa: BLE001 — survey harness, not control flow
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             release_shared_caches(spark)
@@ -368,10 +369,10 @@ def main() -> None:
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 samples.append(round(time.perf_counter() - t0, 3))
-                axes[aux] = _plan_axis(df)
                 # cold samples, like the headline loop: token_drift's
                 # shared() histogram must not serve rep 2 from cache
                 release_shared_caches(spark)
+            axes[aux] = _plan_axis(df)  # once per row, not per rep
         except Exception as e:  # noqa: BLE001
             errors[aux] = f"{type(e).__name__}: {e}"[:500]
             release_shared_caches(spark)

@@ -366,12 +366,18 @@ def _classify_footer_scheme(path: str) -> tuple[str, str] | None:
     try:
         import pyarrow.fs as _pafs
         from pyarrow.lib import ArrowInvalid as _ArrowInvalid
+        from pyarrow.lib import (
+            ArrowNotImplementedError as _ArrowNotImpl,
+        )
     except Exception as err:  # noqa: BLE001 — pyarrow broken on driver
         return ("environmental", f"pyarrow unavailable on driver: {err}")
     try:
         _pafs.FileSystem.from_uri(probe)
         return None
-    except _ArrowInvalid as err:
+    except (_ArrowInvalid, _ArrowNotImpl) as err:
+        # ArrowNotImplementedError ("compiled without S3 support") is a
+        # BUILD property — identical on every executor running the same
+        # wheel, so it is categorical, not environmental (r11 review)
         return ("categorical", str(err))
     except Exception as err:  # noqa: BLE001 — creds/network/libhdfs
         return ("environmental", str(err))

@@ -155,11 +155,17 @@ def save_postings(
     # stop-word-like term at corpus scale that second pass is millions
     # of rows; the lookup is one row. The source table is bucketed by
     # term, so this groupBy shuffles nothing.
+    # Derived tables ALWAYS overwrite, whatever ``mode`` the base
+    # tables used: they are whole-table aggregates of the (possibly
+    # just-appended) base, so appending them would stack a new
+    # whole-table aggregate onto the previous one — doubling per-term
+    # df counts and leaving multiple rows in the stats table (r11
+    # review finding).
     (
         spark.table(f"{name}_postings")
         .groupBy("term")
         .agg(F.count_distinct(id_col).alias("df"))
-        .write.mode(mode)
+        .write.mode("overwrite")
         .bucketBy(buckets, "term")
         .sortBy("term")
         .format("parquet")
@@ -171,7 +177,7 @@ def save_postings(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.avg("dl").cast("double").alias("avgdl"),
         )
-        .write.mode(mode)
+        .write.mode("overwrite")
         .format("parquet")
         .saveAsTable(f"{name}_stats")
     )
@@ -193,9 +199,18 @@ def drop_index(spark, name: str) -> None:
 
     wh = spark.conf.get("spark.sql.warehouse.dir")
     wh = wh[5:] if wh.startswith("file:") else wh
+    try:
+        db = spark.catalog.currentDatabase()
+    except Exception:  # noqa: BLE001 — catalog probe
+        db = "default"
+    base = wh if db == "default" else os.path.join(wh, f"{db}.db")
     for sfx in INDEX_TABLE_SUFFIXES:
-        spark.sql(f"DROP TABLE IF EXISTS {name}_{sfx}")
-        shutil.rmtree(os.path.join(wh, f"{name}_{sfx}"), ignore_errors=True)
+        ident = f"{name}_{sfx}"
+        spark.sql(f"DROP TABLE IF EXISTS {ident}")
+        # orphan-location guess must match how Spark LAYS OUT managed
+        # tables: directory names are lowercased, and non-default
+        # databases nest under <db>.db/ (r11 review finding)
+        shutil.rmtree(os.path.join(base, ident.lower()), ignore_errors=True)
 
 
 def load_postings(spark, name: str) -> tuple[DataFrame, DataFrame]:
@@ -513,9 +528,10 @@ def bm25_topk(
         n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
     if n_docs == 0:
         return _empty_scored(postings, id_col)
-    matched = _matched(postings, _norm_terms(query_terms))
+    terms = _norm_terms(query_terms)
+    matched = _matched(postings, terms)
     if term_df is not None:
-        df_t = _matched(term_df, _norm_terms(query_terms))
+        df_t = _matched(term_df, terms)
     else:
         df_t = matched.groupBy("term").agg(
             F.count_distinct(id_col).alias("df")

@@ -259,14 +259,16 @@ def q_top_unshipped_orders(spark, sf_dir):
         broadcast_if_small(cust), orders.o_custkey == cust.c_custkey
     )
     # Per-query shuffle sizing (r11, verdict Next #1): when the fact's
-    # decompressed estimate exceeds session_partitions x 128 MB, size
-    # the join exchange to the data — the explicit hash repartition by
-    # the join key REPLACES the exchange the sort-merge join inserts
-    # (and the grouped agg on o_orderkey reuses it), so the plan gains
-    # no shuffle; the per-task sort drops from multi-hundred-MB (the
-    # sf30 UNABLE_TO_ACQUIRE_MEMORY flake: 180M rows across 32
-    # partitions) to a bounded ~128 MB. No-op at small SF, where AQE
-    # keeps its broadcast/coalesce freedom.
+    # decompressed estimate exceeds session_partitions x 32 MB (of
+    # parquet-uncompressed bytes ~ 100-250 MB of in-memory UnsafeRows,
+    # see sized_shuffle_partitions), size the join exchange to the data
+    # — the explicit hash repartition by the join key REPLACES the
+    # exchange the sort-merge join inserts (and the grouped agg on
+    # o_orderkey reuses it), so the plan gains no shuffle; the per-task
+    # sort drops from multi-hundred-MB (the sf30
+    # UNABLE_TO_ACQUIRE_MEMORY flake: 180M rows across 32 partitions)
+    # to a bounded level. No-op at small SF, where AQE keeps its
+    # broadcast/coalesce freedom.
     n = sized_shuffle_partitions(li)
     if n:
         li = li.repartition(n, "l_orderkey")

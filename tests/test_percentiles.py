@@ -301,19 +301,26 @@ def test_auto_rule_cost_model_boundaries(spark):
     """r11 final rule (pinned against the five measured regimes in
     tools/measure_percentiles.py): buffer's cost tracks DISTINCT values
     through the key funnel, selection's tracks ROWS across the cluster.
-    Few-but-parallel keys with ALL-DISTINCT values -> selection (rows =
-    distinct, regime5: measured 3.5x); the same keys with heavy repeat
-    COLLAPSE -> buffer (rows >> distinct, the sf100 shape: measured
-    2.7x); a per-group cardinality past the memory cap forces selection
-    regardless of the wall-clock model."""
+    Shapes are built RELATIVE to the session's parallelism so the pins
+    hold on any core count (the first cut hard-coded shapes that only
+    chose selection past 15 cores — r11 review, execution-confirmed)."""
     from local_pubchem_db_spark.operators.percentiles import (
         choose_percentile_method,
     )
 
-    # 5 keys, every row a distinct value: selection_cost (3*rows/par)
-    # undercuts buffer_cost (rows/5) whenever par > 15
+    par = spark.sparkContext.defaultParallelism
+    if par <= 3:
+        import pytest as _pt
+
+        _pt.skip("cost model needs parallelism > pass_cost to ever pick selection")
+    # few keys, every row a distinct value (rows == distinct):
+    # selection_cost = 3*rows/par < buffer_cost = rows/nk whenever
+    # 3*nk < par — pick nk to guarantee it on this host
+    nk = max(1, par // 4)
+    rows_per_key = 800
     distinct_rows = _mk(
-        spark, [(f"k{i % 5}", float(i)) for i in range(4000)]
+        spark,
+        [(f"k{i % nk}", float(i)) for i in range(nk * rows_per_key)],
     )
     assert (
         choose_percentile_method(
@@ -321,12 +328,16 @@ def test_auto_rule_cost_model_boundaries(spark):
         )
         == "selection"
     )
-    # same 5 keys and per-group cardinality, but ~13x repeat collapse:
-    # buffer's map processes 3000 distinct while selection pays 40000
-    # rows -> buffer
+    # same keys and per-group cardinality, but repeat COLLAPSE of
+    # 2*par: buffer processes nk*600 distinct while selection pays
+    # nk*600*2*par rows -> selection_cost/buffer_cost = 6*nk >= 1.5
+    # -> buffer, on any par
     collapsed = _mk(
         spark,
-        [(f"k{i % 5}", float(i % 3000)) for i in range(40_000)],
+        [
+            (f"k{i % nk}", float(i % (nk * 600) // nk))
+            for i in range(nk * 600 * 2 * par)
+        ],
     )
     assert (
         choose_percentile_method(
