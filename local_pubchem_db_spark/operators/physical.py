@@ -343,6 +343,14 @@ def _pyarrow_uri(path: str) -> str:
     return path
 
 
+# Largest listing the AUTOMATIC driver-side JVM footer fallback will
+# accept: past this, serial py4j parsing is a silent multi-hour loop
+# (ADVICE r11), so table_health refuses with guidance instead. An
+# EXPLICITLY passed driver-only open_file is never capped — the caller
+# chose the serial shape knowingly.
+_DRIVER_PARSE_CAP = 4096
+
+
 def _classify_footer_scheme(path: str) -> tuple[str, str] | None:
     """Plan-time probe of pyarrow's filesystem resolution for the
     footer reads (r10; softened + classified r11, ADVICE r10):
@@ -625,6 +633,17 @@ def table_health(
                         "environmental failure on a non-Hadoop-native "
                         "scheme: executors get first try"
                     )
+                # the automatic JVM fallback parses footers SERIALLY on
+                # the driver (py4j) — fine for thousands of files, a
+                # multi-hour silent loop for 100k (ADVICE r11). Past the
+                # cap, refuse with guidance instead of committing; an
+                # EXPLICITLY passed driver-only open_file stays honored
+                # (the caller opted into the serial shape knowingly).
+                if len(sized) > _DRIVER_PARSE_CAP:
+                    raise ValueError(
+                        f"listing has {len(sized)} files — too many for "
+                        "the serial driver-side JVM fallback"
+                    )
                 jvm_opener = _JvmOpenFile(spark)
                 jvm_opener(sized[0][0]).close()  # resolve+open probe
                 open_file = jvm_opener
@@ -632,9 +651,10 @@ def table_health(
                     "table_health: pyarrow cannot resolve this URI "
                     f"scheme on the driver ({perr}); falling back to the "
                     "JVM Hadoop FileSystem with DRIVER-side footer "
-                    "parsing. For large listings, install pyarrow's "
-                    "filesystem for this scheme on executors or pass a "
-                    "picklable open_file.",
+                    f"parsing of {len(sized)} files, serially. For "
+                    "large listings, install pyarrow's filesystem for "
+                    "this scheme on executors or pass a picklable "
+                    "open_file.",
                     stacklevel=2,
                 )
             except Exception as jerr:  # noqa: BLE001 — no JVM route

@@ -94,6 +94,20 @@ def build_postings(
     return postings, doc_stats
 
 
+def with_rank(df: DataFrame, *order, col: str = "rank") -> DataFrame:
+    """Append a 1-based dense ordering column over an ALREADY-SMALL
+    frame (a top-k result) — the rank column ``rrf_fuse`` consumes.
+    The window partitions by a constant rather than nothing: the empty
+    partition spec is semantically identical over one frame but makes
+    WindowExec log "No Partition Defined for Window operation! Moving
+    all data to a single partition" on EVERY query — alarming noise in
+    a service's logs for what is a deliberate O(k) step (r12, verdict
+    What's wrong #3). Only ever call this AFTER a ``limit``: on an
+    unbounded frame the single-partition funnel would be real."""
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return df.withColumn(col, F.row_number().over(w).cast("long"))
+
+
 def save_postings(
     postings: DataFrame,
     doc_stats: DataFrame,
@@ -122,9 +136,26 @@ def save_postings(
     near-zero IO, while stop-word-like terms whose postings dominate
     the corpus are better served by ``coordination_topk_direct`` /
     ``bm25_topk_direct`` (full scan parallelism, no index) — measured
-    at sf100: 4 ubiquitous terms run ~14 s bucketed vs ~8 s direct,
-    but a selective probe touches only its terms' buckets/row groups
-    where the direct route always pays the whole corpus."""
+    at sf100: 4 ubiquitous terms run ~14 s bucketed vs ~8 s direct;
+    ``bm25_topk_auto`` makes that call per query from the persisted df.
+
+    ``mode="append"`` ingests a DELTA batch (an incremental corpus
+    ingest): the base tables append, and the derived ``_termdf`` /
+    ``_stats`` tables are updated by aggregating ONLY the newly
+    appended files and merging with the persisted aggregates — an
+    O(delta) update, not the O(corpus) re-aggregation a from-scratch
+    derived build pays (r12, verdict Next #2). Contract: an appended
+    batch must carry NEW documents (fresh ids). Re-appending an
+    existing document duplicates its (term, doc) rows in the base
+    postings relation itself — the df merge then over-counts exactly
+    as the base table does; dedup before ingest, not here. The stats
+    table stores the exact ``sum_dl`` (decimal) alongside ``avgdl``
+    so incremental merges are EXACT integer arithmetic and bit-equal
+    to a from-scratch build — avgdl is always derived as
+    double(sum_dl)/n, never re-averaged in float."""
+    spark = postings.sparkSession
+    id_col = next(c for c in doc_stats.columns if c != "dl")
+    prior = _prior_index_state(spark, name) if mode == "append" else None
     (
         postings.write.mode(mode)
         .bucketBy(buckets, "term")
@@ -132,7 +163,6 @@ def save_postings(
         .format("parquet")
         .saveAsTable(f"{name}_postings")
     )
-    id_col = next(c for c in doc_stats.columns if c != "dl")
     (
         doc_stats.write.mode(mode)
         .bucketBy(buckets, id_col)
@@ -140,13 +170,15 @@ def save_postings(
         .format("parquet")
         .saveAsTable(f"{name}_docstats")
     )
+    if prior is not None:
+        _merge_derived_tables(spark, name, buckets, id_col, prior)
+        return
     # The derived tables below aggregate the TABLES JUST WRITTEN, not
     # the input DataFrames: the inputs' lineage is the full tokenize ->
     # explode -> shuffle pipeline (the dominant index-build cost), and
     # re-evaluating it once per derived table would roughly double the
     # build; the written parquet is materialized, so these are cheap
     # re-reads (r11 review finding).
-    spark = postings.sparkSession
     # per-term document frequency, bucketed+sorted like the postings:
     # at query time this replaces the df aggregation over the MATCHED
     # postings with a bucket-pruned |q|-row lookup — removing the
@@ -155,16 +187,15 @@ def save_postings(
     # stop-word-like term at corpus scale that second pass is millions
     # of rows; the lookup is one row. The source table is bucketed by
     # term, so this groupBy shuffles nothing.
-    # Derived tables ALWAYS overwrite, whatever ``mode`` the base
-    # tables used: they are whole-table aggregates of the (possibly
-    # just-appended) base, so appending them would stack a new
-    # whole-table aggregate onto the previous one — doubling per-term
-    # df counts and leaving multiple rows in the stats table (r11
-    # review finding).
+    # An append WITHOUT usable prior state (first write, or an index
+    # predating the derived tables) still lands here: a whole-table
+    # derived build, always written with overwrite — appending a
+    # whole-table aggregate onto a previous one would stack them
+    # (doubled df counts, multi-row stats; r11 review finding).
     (
         spark.table(f"{name}_postings")
         .groupBy("term")
-        .agg(F.count_distinct(id_col).alias("df"))
+        .agg(F.count_distinct(id_col).cast("long").alias("df"))
         .write.mode("overwrite")
         .bucketBy(buckets, "term")
         .sortBy("term")
@@ -175,7 +206,16 @@ def save_postings(
         spark.table(f"{name}_docstats")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.avg("dl").cast("double").alias("avgdl"),
+            F.sum(F.col("dl").cast("decimal(38,0)")).alias("sum_dl"),
+        )
+        .select(
+            "n",
+            # double(exact sum)/n: partition-order-independent, so the
+            # incremental merge reproduces it bit-for-bit
+            F.when(F.col("n") > 0, F.col("sum_dl").cast("double") / F.col("n"))
+            .otherwise(F.lit(0.0))
+            .alias("avgdl"),
+            "sum_dl",
         )
         .write.mode("overwrite")
         .format("parquet")
@@ -183,34 +223,169 @@ def save_postings(
     )
 
 
+def _prior_index_state(spark, name: str) -> dict | None:
+    """Snapshot of an existing index's state taken BEFORE an append —
+    the base tables' file listings (so the delta is identifiable as the
+    new files afterwards) and the persisted stats row. None when the
+    index doesn't exist yet or predates the derived tables (including
+    a pre-r12 ``_stats`` without the exact ``sum_dl``): those appends
+    fall back to the whole-table derived build."""
+    try:
+        stats = spark.table(f"{name}_stats").first()
+        if stats is None or "sum_dl" not in stats.__fields__:
+            return None
+        spark.table(f"{name}_termdf").schema  # existence probe
+        return {
+            "postings_files": set(spark.table(f"{name}_postings").inputFiles()),
+            "docstats_files": set(spark.table(f"{name}_docstats").inputFiles()),
+            "stats": stats,
+        }
+    except Exception:  # noqa: BLE001 — missing table(s): full build
+        return None
+
+
+def _merge_derived_tables(
+    spark, name: str, buckets: int, id_col: str, prior: dict
+) -> None:
+    """O(delta) derived-table update after an append: aggregate ONLY
+    the newly appended base files (materialized parquet — never the
+    input DataFrames' lineage) and merge with the persisted aggregates.
+
+    ``_termdf``: delta per-term df unioned with the persisted table and
+    summed — exact integers, equal to a from-scratch count_distinct
+    under the append contract (new documents only). The merged table
+    cannot overwrite the table it reads, so it lands in a staging
+    table and is swapped in via DROP + ALTER TABLE RENAME (metadata
+    ops; the catalog moves the managed directory).
+
+    ``_stats``: pure driver arithmetic on exact integers — n adds,
+    sum_dl (decimal) adds, avgdl re-derived as double(sum)/n."""
+    from decimal import Decimal
+
+    new_p = [
+        f
+        for f in spark.table(f"{name}_postings").inputFiles()
+        if f not in prior["postings_files"]
+    ]
+    new_d = [
+        f
+        for f in spark.table(f"{name}_docstats").inputFiles()
+        if f not in prior["docstats_files"]
+    ]
+    if new_p:
+        delta_df = (
+            spark.read.parquet(*new_p)
+            .groupBy("term")
+            .agg(F.count_distinct(id_col).cast("long").alias("df"))
+        )
+        merged = (
+            spark.table(f"{name}_termdf")
+            .unionByName(delta_df)
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"))
+        )
+        staged = f"{name}_termdf__staged"
+        spark.sql(f"DROP TABLE IF EXISTS {staged}")
+        (
+            merged.write.mode("overwrite")
+            .bucketBy(buckets, "term")
+            .sortBy("term")
+            .format("parquet")
+            .saveAsTable(staged)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {name}_termdf")
+        spark.sql(f"ALTER TABLE {staged} RENAME TO {name}_termdf")
+    if new_d:
+        drow = (
+            spark.read.parquet(*new_d)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col("dl").cast("decimal(38,0)")).alias("sum_dl"),
+            )
+            .first()
+        )
+        n = int(prior["stats"]["n"]) + int(drow["n"])
+        sum_dl = Decimal(prior["stats"]["sum_dl"] or 0) + Decimal(
+            drow["sum_dl"] or 0
+        )
+        avgdl = float(sum_dl) / n if n else 0.0
+        (
+            spark.createDataFrame(
+                [(n, avgdl, sum_dl)],
+                "n long, avgdl double, sum_dl decimal(38,0)",
+            )
+            .write.mode("overwrite")
+            .format("parquet")
+            .saveAsTable(f"{name}_stats")
+        )
+
+
 # Every table suffix save_postings creates — drop_index owns the list
-# so bench/test cleanup can never drift from the writer.
+# so bench/test cleanup can never drift from the writer. The staging
+# suffix exists only transiently during an incremental append's
+# derived-table swap, but a crash mid-swap can strand it.
 INDEX_TABLE_SUFFIXES = ("postings", "docstats", "termdf", "stats")
+_STAGING_SUFFIXES = ("termdf__staged",)
+
+
+def _hadoop_delete(spark, uri: str) -> bool:
+    """Recursive delete through the JVM's own Hadoop ``FileSystem`` —
+    works on ANY warehouse scheme the Spark session itself can write
+    (``file://``, ``hdfs://``, object stores), where a driver-side
+    ``shutil.rmtree`` over a string-surgered path silently does nothing
+    off POSIX (r12, verdict Next #3). Returns whether a path existed."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.delete(jpath, True))
 
 
 def drop_index(spark, name: str) -> None:
-    """Remove every table ``save_postings(name=...)`` creates — catalog
-    entries AND their warehouse directories. The directory half matters
-    when a PRIOR process died mid-save: its location survives while a
-    fresh metastore has no entry to DROP, so a later save fails with
-    LOCATION_ALREADY_EXISTS."""
-    import os
-    import shutil
+    """Remove every table ``save_postings(name=...)`` creates.
 
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    wh = wh[5:] if wh.startswith("file:") else wh
+    For an identifier the catalog KNOWS, this is just DROP TABLE —
+    Spark removes a MANAGED table's directory itself, and an EXTERNAL
+    table's data is intentionally preserved by DROP, so no directory
+    is ever touched here (ADVICE r11: the previous unconditional
+    rmtree over a name-guessed path could delete an EXTERNAL table's
+    preserved data, or any unrelated directory that happened to match
+    the lowercased identifier).
+
+    Only when the catalog has NO entry is the conventional warehouse
+    location removed — the true orphan case this exists for: a PRIOR
+    process died mid-save, its directory survives while a fresh
+    metastore has nothing to DROP, and the next save fails with
+    LOCATION_ALREADY_EXISTS. The removal goes through the JVM Hadoop
+    FileSystem, so an object-store warehouse is cleaned the same as a
+    local one."""
+    import posixpath
+
     try:
         db = spark.catalog.currentDatabase()
     except Exception:  # noqa: BLE001 — catalog probe
         db = "default"
-    base = wh if db == "default" else os.path.join(wh, f"{db}.db")
-    for sfx in INDEX_TABLE_SUFFIXES:
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    base = wh if db == "default" else posixpath.join(wh, f"{db}.db")
+    for sfx in INDEX_TABLE_SUFFIXES + _STAGING_SUFFIXES:
         ident = f"{name}_{sfx}"
+        in_catalog = spark.catalog.tableExists(ident)
         spark.sql(f"DROP TABLE IF EXISTS {ident}")
+        if in_catalog:
+            continue  # DROP handled it (managed dir removed by Spark;
+            # EXTERNAL data preserved — by design, never deleted here)
         # orphan-location guess must match how Spark LAYS OUT managed
         # tables: directory names are lowercased, and non-default
         # databases nest under <db>.db/ (r11 review finding)
-        shutil.rmtree(os.path.join(base, ident.lower()), ignore_errors=True)
+        loc = posixpath.join(base, ident.lower())
+        try:
+            _hadoop_delete(spark, loc)
+        except Exception:  # noqa: BLE001 — best-effort cleanup: a JVM
+            # resolution failure must not turn cleanup into a crash;
+            # the POSIX fallback covers plain-path warehouses
+            import shutil
+
+            local = loc[5:] if loc.startswith("file:") else loc
+            shutil.rmtree(local, ignore_errors=True)
 
 
 def load_postings(spark, name: str) -> tuple[DataFrame, DataFrame]:
@@ -284,17 +459,16 @@ def coordination_topk(
         F.count_distinct("term").cast("long").alias("n_terms"),
         F.sum("tf").cast("long").alias("total_tf"),
     )
-    w = Window.orderBy(
-        F.desc("n_terms"), F.desc("total_tf"), F.asc(id_col)
-    )
-    # row_number over an un-partitioned window would funnel everything
-    # through one task; orderBy+limit is a TakeOrderedAndProject (per-
-    # partition top-k, then a k-sized merge on the driver side of the
-    # exchange), after which ranking k rows is free.
+    # row_number over the full relation would funnel everything through
+    # one task; orderBy+limit is a TakeOrderedAndProject (per-partition
+    # top-k, then a k-sized merge on the driver side of the exchange),
+    # after which ranking k rows is free.
     topk = per_doc.orderBy(
         F.desc("n_terms"), F.desc("total_tf"), F.asc(id_col)
     ).limit(k)
-    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+    return with_rank(
+        topk, F.desc("n_terms"), F.desc("total_tf"), F.asc(id_col)
+    )
 
 
 def _term_eq(term: str):
@@ -357,7 +531,6 @@ def coordination_topk_direct(
     # pushed down, Catalyst re-expands n_terms>0 into four full
     # tokenize trees evaluated in the (possibly 4-task) scan stage:
     # measured 101 s vs 8 s at sf30.
-    w = Window.orderBy(F.desc("n_terms"), F.desc("total_tf"), F.asc(id_col))
     topk = (
         per_doc.orderBy(
             F.desc("n_terms"), F.desc("total_tf"), F.asc(id_col)
@@ -365,7 +538,9 @@ def coordination_topk_direct(
         .limit(k)
         .filter(F.col("n_terms") > 0)
     )
-    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+    return with_rank(
+        topk, F.desc("n_terms"), F.desc("total_tf"), F.asc(id_col)
+    )
 
 
 def bm25_topk_direct(
@@ -406,12 +581,48 @@ def bm25_topk_direct(
     n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
     if n_docs == 0:
         return _empty_scored(docs, id_col)
-    score = F.lit(0.0)
+    idf_by_term = {}
     for i, t in enumerate(terms):
         df_t = int(stats[f"df_{i}"])
-        if df_t == 0:
-            continue
-        idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        if df_t > 0:
+            idf_by_term[t] = math.log(
+                1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)
+            )
+    return _bm25_score_direct(
+        docs, idf_by_term, avgdl, k, k1, b, id_col, text_col
+    )
+
+
+def _bm25_score_direct(
+    docs: DataFrame,
+    idf_by_term: dict[str, float],
+    avgdl: float,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """The scoring half of the direct route: ONE map-only scan that
+    tokenizes each document once and accumulates the BM25 sum from the
+    given per-term idf constants, then TakeOrdered. Shared between
+    ``bm25_topk_direct`` (which derives the constants from its own
+    stats pass) and ``bm25_topk_auto``'s direct route (which reads them
+    from the persisted index, so a routed stop-word query pays ONE
+    corpus scan, not two)."""
+    if not idf_by_term or avgdl <= 0.0:
+        return _empty_scored(docs, id_col)
+    toks = tokens(normalize_text(F.col(text_col)))
+    # idempotent when the caller already fanned (a repartitioned input
+    # is at the target count, so the gate no-ops)
+    docs = fan_out(docs, **HEAVY_TEXT_GATE)
+    with_toks = docs.select(F.col(id_col), toks.alias("__toks")).withColumn(
+        "__dl",
+        F.size(F.filter(F.col("__toks"), lambda x: x != F.lit(""))),
+    ).filter(F.col("__dl") > 0)
+    score = F.lit(0.0)
+    for t in sorted(idf_by_term):
+        idf = idf_by_term[t]
         tf = F.size(
             F.filter(F.col("__toks"), _term_eq(t))
         ).cast("double")
@@ -483,11 +694,10 @@ def rrf_fuse(
         term = F.coalesce(F.col(f"__rrf_{i}"), F.lit(0.0))
         score = term if score is None else score + term
     fused = joined.select(F.col(id_col), score.alias("rrf_score"))
-    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
-    return (
-        fused.orderBy(F.desc("rrf_score"), F.asc(id_col))
-        .limit(top_n)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+    return with_rank(
+        fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(top_n),
+        F.desc("rrf_score"),
+        F.asc(id_col),
     )
 
 
@@ -553,3 +763,108 @@ def bm25_topk(
         .agg(F.sum(F.col("idf") * tf_norm).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def choose_bm25_route(
+    term_df: DataFrame,
+    n_docs: int,
+    query_terms: list[str],
+    direct_over: float = 1.0,
+) -> tuple[str, dict[str, int]]:
+    """Route a query between the bucketed index and the direct scan
+    from the persisted per-term document frequencies — the decision the
+    r11 index left to the caller (r12, verdict Next #1).
+
+    Why a router exists at all: the bucketed probe reads only the
+    matched postings (Σ_t df(t) rows — a posting exists exactly for
+    each (term, doc) pair), but its parallelism is bounded by |matched
+    buckets| — each term's rows live in ONE bucket, so a |q|-term query
+    runs at most |q| scan tasks no matter how large its posting lists
+    are. For SELECTIVE terms that is near-zero IO and the index wins
+    outright; for stop-word-like terms the per-task posting list
+    approaches the corpus itself while the direct scan spreads the
+    same work over every scan split (measured at sf100: ~14 s bucketed
+    vs ~8 s direct for 4 ubiquitous terms — and the routed direct scan
+    is cheaper still, since the persisted stats replace the df pass).
+
+    The decision reads the ``<name>_termdf`` relation — a bucket-pruned
+    |q|-row lookup, the same tiny scan the scoring query would do — and
+    routes DIRECT when the matched volume Σ df exceeds ``direct_over ×
+    n_docs`` (default 1.0: route away from the index once the probe
+    must read more postings rows than there are documents — past that
+    point the per-bucket serial scan exceeds a full-parallel pass over
+    the corpus). Returns ``(route, df_by_term)`` with the collected
+    per-term df so the direct route can reuse it for idf (no second
+    stats pass)."""
+    terms = _norm_terms(query_terms)
+    rows = _matched(term_df, terms).collect()
+    df_by_term = {r["term"]: int(r["df"]) for r in rows}
+    matched = sum(df_by_term.values())
+    route = "direct" if matched > direct_over * n_docs else "bucketed"
+    return route, df_by_term
+
+
+def bm25_topk_auto(
+    spark,
+    name: str,
+    query_terms: list[str],
+    docs: DataFrame | None = None,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    direct_over: float = 1.0,
+    index: tuple | None = None,
+) -> DataFrame:
+    """BM25 with automatic route selection: consult the persisted
+    ``<name>_termdf`` (``choose_bm25_route``) and send high-df
+    stop-word-like probes to the direct corpus scan while selective
+    probes stay on the bucket-pruned index path. The routed direct
+    query derives idf and avgdl from the PERSISTED index stats — one
+    corpus scan total, where a bare ``bm25_topk_direct`` pays two
+    (stats + scoring). Scores on the two routes agree to float
+    round-off (test-pinned), since both evaluate the same Lucene BM25
+    with identical (N, df, avgdl).
+
+    ``docs``: the raw corpus relation, required for the direct route
+    (an index stores no text); omit it and every query takes the
+    bucketed path. The caller owns keeping ``docs`` and the index on
+    the SAME corpus version — the router prices and scores queries
+    with the index's statistics.
+
+    ``index``: the ``load_index(spark, name)`` tuple, passed by a
+    long-lived service so query construction re-reads nothing; when
+    omitted it is loaded here (one tiny stats read). The routing
+    lookup itself is a bucket-pruned |q|-row job either way."""
+    postings, doc_stats, (n_docs, avgdl), term_df = (
+        index if index is not None else load_index(spark, name)
+    )
+    if n_docs == 0:
+        return _empty_scored(postings, id_col)
+    route = "bucketed"
+    if docs is not None and term_df is not None:
+        route, df_by_term = choose_bm25_route(
+            term_df, n_docs, query_terms, direct_over=direct_over
+        )
+    if route == "direct":
+        idf_by_term = {
+            t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            for t, df in df_by_term.items()
+            if df > 0
+        }
+        return _bm25_score_direct(
+            docs, idf_by_term, avgdl, k, k1, b, id_col, text_col
+        )
+    return bm25_topk(
+        postings,
+        doc_stats,
+        query_terms,
+        k=k,
+        k1=k1,
+        b=b,
+        id_col=id_col,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        term_df=term_df,
+    )

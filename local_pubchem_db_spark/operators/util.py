@@ -19,9 +19,19 @@ _EAGER_FILLED: WeakKeyDictionary = WeakKeyDictionary()
 # milliseconds each, which matters only when a registry serves the SAME
 # query at high QPS — exactly the case where the plan (and therefore its
 # files) is stable, so the memo is keyed by the plan's semanticHash and
-# dropped with the caches (release_shared_caches). Staleness window: a
-# table REWRITTEN in place mid-session serves the old estimate until the
-# caches are released — perf-only (a mis-sized gate), never wrong data.
+# dropped with the caches (release_shared_caches). Staleness window
+# (ADVICE r11): a table REWRITTEN IN PLACE mid-session serves the old
+# estimate until the caches are released. For the fan-out gates that is
+# perf-only (a mis-sized gate, never wrong data); for broadcast_if_small
+# the stale direction can be UNSAFE — a table rewritten LARGER keeps
+# serving the small estimate, so the broadcast hint can stay engaged on
+# a relation past the ceiling (the OOM direction; the /4 margin below
+# the session threshold is the only headroom). After any in-place
+# rewrite, call release_shared_caches(spark) (and
+# spark.catalog.refreshTable) — the same invalidation Spark's own
+# file-index caching requires for that workflow. Failed probes are NOT
+# memoized (see _memo_probe), so a transient footer-read failure never
+# pins a degraded estimate for the session.
 _PROBE_MEMO: WeakKeyDictionary = WeakKeyDictionary()
 
 # observable footer-read counter (tests pin the memo with it): bumped
@@ -54,7 +64,14 @@ HEAVY_TEXT_GATE = {"min_bytes_per_task": 32 << 10, "min_rows_per_task": 64}
 LIGHT_TEXT_GATE = {"min_bytes_per_task": 96 << 10, "min_rows_per_task": 256}
 
 
-_MISS = object()  # memo sentinel: None is a legitimate cached estimate
+_MISS = object()  # memo sentinel (failed probes are recomputed, see below)
+
+# estimated_rows stat bounds (module constants so tests can pin the
+# spread-subset path without materializing thousands of files): stat
+# every path up to _STAT_CAP; past it, stat an evenly-spread
+# _STAT_SPREAD-path subset and size-weight within it.
+_STAT_CAP = 4096
+_STAT_SPREAD = 512
 
 
 def _memo_probe(df: DataFrame, kind: str, compute):
@@ -70,7 +87,12 @@ def _memo_probe(df: DataFrame, kind: str, compute):
     val = memo.get(key, _MISS)
     if val is _MISS:
         val = compute(df)
-        memo[key] = val
+        # None means "could not estimate" — possibly a TRANSIENT footer
+        # or stats failure. Memoizing it would pin the degraded answer
+        # for the whole session (ADVICE r11); recomputing a None is one
+        # failed ms-scale probe per call, so let it retry.
+        if val is not None:
+            memo[key] = val
     return val
 
 
@@ -157,10 +179,16 @@ def estimated_rows(df: DataFrame) -> int | None:
     sampled bytes — a uniform first-4-files × file-count extrapolation
     under-estimates rows on skew-sized layouts (a few tiny files sampled
     first), which skips the fan-out in the CPU-UNSAFE direction. File
-    sizes come from driver stat calls, bounded: the gate only runs on
-    scans with fewer partitions than the cluster's parallelism, so the
-    listing is small by construction; layouts past the stat cap fall
-    back to uniform extrapolation over a spread of the listing.
+    sizes come from driver stat calls, capped at 4096 paths (driver
+    getsize on local paths is ~µs each; the gate only runs on scans
+    with fewer partitions than the cluster's parallelism, so listings
+    are small by construction anyway). Past the cap, a 512-path
+    EVENLY-SPREAD subset is statted and size-weighted WITHIN itself,
+    then scaled by the full/subset file-count ratio — skew-sized
+    layouts keep the largest-files protection instead of silently
+    reverting to the uniform sample (ADVICE r11); the pure uniform
+    spread sample remains only for non-POSIX schemes where no byte
+    view exists at all.
 
     Upstream filters are not discounted (footer rows >= scan rows), so
     the error direction is MORE parallelism — the CPU-safe side. None
@@ -180,12 +208,22 @@ def estimated_rows(df: DataFrame) -> int | None:
             import pyarrow.parquet as _papq
 
             paths = [_local_path(f) for f in files]
+            # bounded stat set: all paths up to the cap, else an
+            # evenly-spread 512-path subset (keeps the size-weighted
+            # protection on huge listings; ADVICE r11)
+            if len(paths) <= _STAT_CAP:
+                stat_paths, subset_scale = paths, 1.0
+            else:
+                idx = sorted(
+                    {(i * len(paths)) // _STAT_SPREAD for i in range(_STAT_SPREAD)}
+                )
+                stat_paths = [paths[i] for i in idx]
+                subset_scale = len(paths) / len(stat_paths)
             sized: list[tuple[int, str]] | None = None
-            if len(paths) <= 256:
-                try:
-                    sized = [(_os.path.getsize(p), p) for p in paths]
-                except OSError:  # non-POSIX scheme: no driver stat view
-                    sized = None
+            try:
+                sized = [(_os.path.getsize(p), p) for p in stat_paths]
+            except OSError:  # non-POSIX scheme: no driver stat view
+                sized = None
             if sized:
                 sized.sort(reverse=True)
                 sample = sized[:4]
@@ -195,9 +233,11 @@ def estimated_rows(df: DataFrame) -> int | None:
                     rows += _papq.ParquetFile(p).metadata.num_rows
                 sampled_bytes = sum(sz for sz, _p in sample)
                 if sampled_bytes <= 0:
-                    return rows  # all-empty sample: exact (tiny) anyway
+                    # all-empty stat set: exact for a full listing;
+                    # scaled by the subset ratio otherwise
+                    return int(rows * subset_scale)
                 total_bytes = sum(sz for sz, _p in sized)
-                return int(rows * total_bytes / sampled_bytes)
+                return int(rows * total_bytes / sampled_bytes * subset_scale)
             # no byte view: uniform extrapolation over an evenly-spread
             # sample (first/last/middles) — less skewable than first-4
             idx = sorted({0, len(paths) - 1, len(paths) // 3, (2 * len(paths)) // 3})
@@ -311,6 +351,14 @@ def broadcast_if_small(df: DataFrame, max_bytes: int | None = None) -> DataFrame
     only when the relation is small with real margin — the conservative
     direction (a skipped hint costs one AQE shuffle-write; a wrong hint
     can OOM).
+
+    Staleness caveat (ADVICE r11): the size estimate is memoized per
+    (session, plan), so a table REWRITTEN IN PLACE to be larger keeps
+    serving its old small estimate — here that is the OOM direction,
+    not merely a mis-sized gate. After an in-place rewrite, call
+    ``release_shared_caches(spark)`` and ``spark.catalog.refreshTable``
+    before re-running queries over the table (the /4 margin absorbs
+    moderate growth, not a regime change).
     """
     from pyspark.sql import functions as F
 

@@ -1109,7 +1109,17 @@ def q_hybrid_rrf(spark, sf_dir):
     modalities and every fused score is a fixed-order sum of exact
     integer divisions — hash-matchable. The pipeline shape behind
     decontamination review and targeted sampling: find documents near a
-    probe both lexically and semantically."""
+    probe both lexically and semantically.
+
+    Oracle boundary sensitivity (ADVICE r11): hash parity additionally
+    assumes both engines agree on MEMBERSHIP at each input ranking's
+    k=20 cut. The coordination side is exact-integer-keyed, but the
+    vector side compares numpy's normalized-dot cosine against DuckDB's
+    list_cosine_similarity — different float reduction orders, so a
+    near-tie at the 20/21 boundary could flip a member and change the
+    fused top-10 on other data/hardware (the gate's own data passes
+    consistently). If this query is ported to new data and the hash
+    flakes, check the boundary before suspecting the operator."""
     from local_pubchem_db_spark.operators.retrieval import (
         coordination_topk_direct,
         rrf_fuse,

@@ -457,3 +457,286 @@ def test_rrf_fuse_is_input_order_invariant_and_matches_reference(spark):
         rev = rrf_fuse(list(reversed(rankings)), k=k, top_n=top_n).collect()
         assert [r["doc_id"] for r in rev] == [r["doc_id"] for r in got]
         assert [r["rank"] for r in rev] == [r["rank"] for r in got]
+
+
+# ---------------------------------------------------------------------------
+# r12: incremental append, catalog-safe drop_index, route selection,
+# window-warning suppression
+# ---------------------------------------------------------------------------
+
+DELTA_DOCS = [
+    (100, "fresh spark vectors stream into the index"),
+    (101, "dog fox dog"),
+    (102, "entirely novel wording here"),
+]
+
+
+def test_append_updates_derived_tables_from_delta_only(spark, corpus):
+    """save_postings(mode="append") must (a) produce derived tables
+    bit-equal to a from-scratch build over the union corpus, and (b)
+    aggregate ONLY the appended base files — the O(delta) update
+    (r12, verdict Next #2). The delta pin spies on DataFrameReader
+    .parquet: every path it reads during the append must be a file
+    created BY the append, never a pre-existing base file."""
+    from unittest import mock
+
+    from local_pubchem_db_spark.operators.retrieval import (
+        build_postings,
+        load_index,
+        save_postings,
+    )
+
+    name, ref = "t_ret_app_idx", "t_ret_app_ref"
+    _reset_index_tables(spark, name)
+    _reset_index_tables(spark, ref)
+    base = spark.createDataFrame(DOCS, "doc_id long, text string")
+    delta = spark.createDataFrame(DELTA_DOCS, "doc_id long, text string")
+    try:
+        p0, d0 = build_postings(base)
+        save_postings(p0, d0, name, buckets=4)
+        before = set(
+            spark.table(f"{name}_postings").inputFiles()
+        ) | set(spark.table(f"{name}_docstats").inputFiles())
+
+        p1, d1 = build_postings(delta)
+        reader_cls = type(spark.read)
+        orig = reader_cls.parquet
+        seen: list[str] = []
+
+        def spy(self, *paths, **kw):
+            seen.extend(paths)
+            return orig(self, *paths, **kw)
+
+        with mock.patch.object(reader_cls, "parquet", spy):
+            save_postings(p1, d1, name, buckets=4, mode="append")
+        # O(delta): nothing the merge read predates the append
+        assert seen, "append took the whole-table derived path"
+        assert not (set(seen) & before), sorted(set(seen) & before)
+
+        # bit-equality with a from-scratch build over base+delta
+        pu, du = build_postings(base.unionByName(delta))
+        save_postings(pu, du, ref, buckets=4)
+        got_tdf = sorted(
+            (r["term"], r["df"])
+            for r in spark.table(f"{name}_termdf").collect()
+        )
+        want_tdf = sorted(
+            (r["term"], r["df"])
+            for r in spark.table(f"{ref}_termdf").collect()
+        )
+        assert got_tdf == want_tdf
+        got_stats = spark.table(f"{name}_stats").first()
+        want_stats = spark.table(f"{ref}_stats").first()
+        assert got_stats["n"] == want_stats["n"]
+        assert got_stats["sum_dl"] == want_stats["sum_dl"]
+        assert got_stats["avgdl"] == want_stats["avgdl"]  # bit-equal:
+        # both sides derive avgdl as double(exact sum_dl)/n
+
+        # and the appended index serves queries over the union corpus
+        bp, bd, (n_docs, avgdl), tdf = load_index(spark, name)
+        a = bm25_topk(
+            bp, bd, ["spark", "dog"], k=5,
+            n_docs=n_docs, avgdl=avgdl, term_df=tdf,
+        ).collect()
+        rp, rd, (rn, ravg), rtdf = load_index(spark, ref)
+        b = bm25_topk(
+            rp, rd, ["spark", "dog"], k=5,
+            n_docs=rn, avgdl=ravg, term_df=rtdf,
+        ).collect()
+        assert [(r[0], round(r[1], 12)) for r in a] == [
+            (r[0], round(r[1], 12)) for r in b
+        ]
+    finally:
+        _reset_index_tables(spark, name)
+        _reset_index_tables(spark, ref)
+
+
+def test_append_without_derived_tables_falls_back_to_full_build(
+    spark, corpus
+):
+    """Appending onto an index whose derived tables are missing (a
+    pre-r11 index) must rebuild them from the whole base tables — and
+    still end correct."""
+    from local_pubchem_db_spark.operators.retrieval import (
+        build_postings,
+        save_postings,
+    )
+
+    name = "t_ret_app_old_idx"
+    _reset_index_tables(spark, name)
+    base = spark.createDataFrame(DOCS, "doc_id long, text string")
+    delta = spark.createDataFrame(DELTA_DOCS, "doc_id long, text string")
+    try:
+        p0, d0 = build_postings(base)
+        save_postings(p0, d0, name, buckets=4)
+        spark.sql(f"DROP TABLE IF EXISTS {name}_termdf")
+        spark.sql(f"DROP TABLE IF EXISTS {name}_stats")
+        p1, d1 = build_postings(delta)
+        save_postings(p1, d1, name, buckets=4, mode="append")
+        want_n = base.unionByName(delta).filter(
+            F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0
+        ).count()
+        assert spark.table(f"{name}_stats").first()["n"] == want_n
+        got = {
+            r["term"]: r["df"]
+            for r in spark.table(f"{name}_termdf").collect()
+        }
+        assert got["dog"] == 3  # docs 0, 5 from base + 101 from delta
+    finally:
+        _reset_index_tables(spark, name)
+
+
+def test_drop_index_preserves_external_table_data(spark, tmp_path):
+    """ADVICE r11 (medium): drop_index must never delete the data of an
+    EXTERNAL table that happens to carry an index identifier — DROP
+    TABLE intentionally preserves external locations, and the old
+    name-guess rmtree violated that."""
+    import os
+
+    import pandas as pd
+
+    from local_pubchem_db_spark.operators.retrieval import drop_index
+
+    loc = tmp_path / "ext_postings_data"
+    loc.mkdir()
+    pd.DataFrame({"term": ["a"], "doc_id": [1], "tf": [1]}).to_parquet(
+        loc / "part-0.parquet"
+    )
+    name = "t_ret_ext"
+    spark.sql(f"DROP TABLE IF EXISTS {name}_postings")
+    spark.sql(
+        f"CREATE TABLE {name}_postings (term string, doc_id long, tf long) "
+        f"USING parquet LOCATION '{loc}'"
+    )
+    drop_index(spark, name)
+    assert not spark.catalog.tableExists(f"{name}_postings")
+    assert os.path.exists(loc / "part-0.parquet")  # data preserved
+
+
+def test_drop_index_removes_orphan_location_only_when_uncataloged(
+    spark, tmp_path
+):
+    """The true orphan case drop_index exists for: a dead prior process
+    left a warehouse directory with no catalog entry. drop_index must
+    remove it (via the JVM Hadoop FileSystem — object-store-safe,
+    r12 verdict Next #3) so the next save doesn't fail with
+    LOCATION_ALREADY_EXISTS."""
+    import os
+
+    from local_pubchem_db_spark.operators.retrieval import drop_index
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    base = wh[5:] if wh.startswith("file:") else wh
+    orphan = os.path.join(base, "t_ret_orph_postings")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "stale.parquet"), "wb") as f:
+        f.write(b"junk")
+    assert not spark.catalog.tableExists("t_ret_orph_postings")
+    drop_index(spark, "t_ret_orph")
+    assert not os.path.exists(orphan)
+
+
+def test_hadoop_delete_handles_file_scheme(spark, tmp_path):
+    """_hadoop_delete routes through the JVM FileSystem: a file:-scheme
+    URI (the managed-warehouse shape on POSIX) is removed recursively;
+    a missing path reports False, not an error."""
+    from local_pubchem_db_spark.operators.retrieval import _hadoop_delete
+
+    d = tmp_path / "jvmdel" / "nested"
+    d.mkdir(parents=True)
+    (d / "x.txt").write_text("x")
+    assert _hadoop_delete(spark, f"file:{tmp_path / 'jvmdel'}")
+    assert not (tmp_path / "jvmdel").exists()
+    assert not _hadoop_delete(spark, f"file:{tmp_path / 'jvmdel'}")
+
+
+def test_bm25_route_selection(spark, corpus):
+    """The router (r12, verdict Next #1): a SELECTIVE probe stays on
+    the bucket-pruned index path (plan scans the postings table, not
+    the corpus); a probe whose matched volume exceeds the corpus
+    routes to the direct scan (plan scans the corpus, not the postings
+    table) and reuses the PERSISTED stats — one corpus scan, no stats
+    pass. Scores agree with both reference routes."""
+    from local_pubchem_db_spark.operators.retrieval import (
+        bm25_topk_auto,
+        bm25_topk_direct,
+        build_postings,
+        choose_bm25_route,
+        load_index,
+        save_postings,
+    )
+
+    name = "t_ret_route_idx"
+    _reset_index_tables(spark, name)
+    postings, doc_stats = build_postings(corpus)
+    try:
+        save_postings(postings, doc_stats, name, buckets=4)
+        idx = load_index(spark, name)
+        _, _, (n_docs, _avg), tdf = idx
+
+        # "the" appears in docs 0 (x2); Σdf for a ubiquitous-ish probe
+        # ["spark","dog","quick","over","vector"] spans most docs
+        route, dfs = choose_bm25_route(tdf, n_docs, ["spark"], 1.0)
+        assert route == "bucketed" and dfs == {"spark": 2}
+        route, dfs = choose_bm25_route(
+            tdf, n_docs, ["spark", "dog", "quick", "over", "vector"], 0.5
+        )
+        assert route == "direct" and sum(dfs.values()) > 0.5 * n_docs
+
+        sel = bm25_topk_auto(
+            spark, name, ["spark"], docs=corpus, k=5, index=idx
+        )
+        sel_plan = sel._jdf.queryExecution().executedPlan().toString()
+        assert f"{name}_postings".lower() in sel_plan.lower()
+        assert "SelectedBucketsCount" in sel_plan
+
+        ubi = bm25_topk_auto(
+            spark, name, ["spark", "dog", "quick", "over", "vector"],
+            docs=corpus, k=5, index=idx, direct_over=0.5,
+        )
+        ubi_plan = ubi._jdf.queryExecution().executedPlan().toString()
+        assert f"{name}_postings".lower() not in ubi_plan.lower()
+
+        # score parity: routed-direct equals bm25_topk_direct (which
+        # derives its own stats) to float round-off
+        want = bm25_topk_direct(
+            corpus, ["spark", "dog", "quick", "over", "vector"], k=5
+        ).collect()
+        got = ubi.collect()
+        assert [r[0] for r in got] == [r[0] for r in want]
+        for g, w in zip(got, want):
+            assert g[1] == pytest.approx(w[1], rel=1e-12)
+    finally:
+        _reset_index_tables(spark, name)
+
+
+def test_topk_rank_window_is_partitioned(spark, corpus):
+    """The k-row rank windows must declare a (constant) partition spec:
+    an empty spec makes WindowExec warn "No Partition Defined" on every
+    query — log noise at service scale (r12, verdict What's wrong #3).
+    Pinned on the analyzed plans of all three rank-emitting operators."""
+    from local_pubchem_db_spark.operators.retrieval import (
+        build_postings,
+        coordination_topk,
+        coordination_topk_direct,
+        rrf_fuse,
+    )
+
+    postings, _ = build_postings(corpus)
+    frames = [
+        coordination_topk(postings, ["spark", "dog"], k=3),
+        coordination_topk_direct(corpus, ["spark", "dog"], k=3),
+    ]
+    frames.append(
+        rrf_fuse([frames[0].select("doc_id", "rank")], top_n=3)
+    )
+    for df in frames:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        specs = [
+            ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
+        ]
+        assert specs, plan
+        for ln in specs:
+            # partitioned form: windowspecdefinition(0, <order>...);
+            # the unpartitioned form starts straight with an order expr
+            assert "windowspecdefinition(0," in ln, ln
