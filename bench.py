@@ -385,16 +385,34 @@ def main() -> None:
     # deployment shape — index persisted via save_postings (bucketed,
     # stats table alongside), queried through load_index with the
     # persisted scalars, so bucket-pruning or stats regressions at any
-    # sf surface as timing drift, not only as a test failure.
+    # sf surface as timing drift, not only as a test failure. The warm
+    # hybrid row (r12, verdict Next #5) reuses the SAME persisted
+    # index: persisted-BM25 + IVF-PQ ANN + rrf_fuse — the deployment
+    # composition behind hybrid_rrf's oracle-shaped registry twin.
+    idx_name = "bench_retrieval_idx"
+    idx = None
     try:
-        _bench_retrieval_bucketed(spark, sf_dir, REPS, timings, runs, axes)
+        idx = _prepare_retrieval_index(spark, sf_dir, idx_name)
+        _bench_retrieval_bucketed(spark, REPS, timings, runs, axes, idx)
     except Exception as e:  # noqa: BLE001
         errors["retrieval_bucketed"] = f"{type(e).__name__}: {e}"[:500]
+    try:
+        if idx is None:
+            raise RuntimeError("retrieval index prepare failed")
+        _bench_hybrid_warm(spark, sf_dir, REPS, timings, runs, axes, idx)
+    except Exception as e:  # noqa: BLE001
+        errors["hybrid_warm"] = f"{type(e).__name__}: {e}"[:500]
+    try:
+        from local_pubchem_db_spark.operators.retrieval import drop_index
+
+        drop_index(spark, idx_name)
+    except Exception:  # noqa: BLE001 — warehouse scratch cleanup
+        pass
     release_shared_caches(spark)
 
     AUX = ("ivf_pq_search", "gap_fill", "retrieval_topk",
            "ts_outliers", "token_drift", "pct_selection",
-           "retrieval_warm", "retrieval_bucketed")
+           "retrieval_warm", "retrieval_bucketed", "hybrid_warm")
     total = round(
         sum(
             v
@@ -506,46 +524,114 @@ def _token_drift_uncast(spark, sf_dir: str):
     return token_drift_split(docs, F.col("doc_id") % 2 == 0, top_n=20)
 
 
-def _bench_retrieval_bucketed(
-    spark, sf_dir: str, reps: int, timings, runs, axes
-) -> None:
-    """The bucketed-catalog service path, timed per sf (r11): build the
-    index once and PERSIST it through save_postings (bucketed+sorted
-    postings, stats table), then time bm25_topk reading via load_index
-    with the persisted (N, avgdl) — the query issues zero jobs before
-    its scoring job and the ``IN`` probe prunes buckets. Tables are
-    dropped afterwards (warehouse scratch)."""
-    import time as _time
-
+def _prepare_retrieval_index(spark, sf_dir: str, name: str):
+    """Build + persist the bucketed inverted index ONCE (untimed — a
+    service pays this per corpus version) and return the loaded
+    ``load_index`` tuple. Shared by the retrieval_bucketed and
+    hybrid_warm rows; the caller drops the tables afterwards."""
     from local_pubchem_db_spark.operators.retrieval import (
-        bm25_topk,
         build_postings,
         drop_index,
         load_index,
         save_postings,
     )
 
-    name = "bench_retrieval_idx"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     postings, doc_stats = build_postings(docs)
-    try:
-        drop_index(spark, name)  # clear stale catalog entries/locations
-        save_postings(postings, doc_stats, name, buckets=8)
-        p, ds, (n_docs, avgdl), tdf = load_index(spark, name)
-        samples = []
-        for _ in range(reps):
-            t0 = _time.perf_counter()
-            df = bm25_topk(
-                p, ds, ["hash", "spark", "stream", "vector"], k=10,
+    drop_index(spark, name)  # clear stale catalog entries/locations
+    save_postings(postings, doc_stats, name, buckets=8)
+    return load_index(spark, name)
+
+
+def _bench_retrieval_bucketed(
+    spark, reps: int, timings, runs, axes, idx
+) -> None:
+    """The bucketed-catalog service path, timed per sf (r11): bm25_topk
+    over the persisted index with the persisted (N, avgdl, term df) —
+    the query issues zero jobs before its scoring job and the ``IN``
+    probe prunes buckets."""
+    import time as _time
+
+    from local_pubchem_db_spark.operators.retrieval import bm25_topk
+
+    p, ds, (n_docs, avgdl), tdf = idx
+    samples = []
+    for _ in range(reps):
+        t0 = _time.perf_counter()
+        df = bm25_topk(
+            p, ds, ["hash", "spark", "stream", "vector"], k=10,
+            n_docs=n_docs, avgdl=avgdl, term_df=tdf,
+        )
+        df.write.format("noop").mode("overwrite").save()
+        samples.append(round(_time.perf_counter() - t0, 3))
+    axes["retrieval_bucketed"] = _plan_axis(df)
+    timings["retrieval_bucketed"] = min(samples)
+    runs["retrieval_bucketed"] = samples
+
+
+def _bench_hybrid_warm(
+    spark, sf_dir: str, reps: int, timings, runs, axes, idx
+) -> None:
+    """The warm HYBRID service composition, timed per sf (r12, verdict
+    Next #5): persisted-index BM25 (top 20, ranked) fused with IVF-PQ
+    ANN (top 20 around doc 0's embedding, residual+rerank — the
+    scale-path ANN, not brute force) via Reciprocal Rank Fusion. The
+    registry twin ``hybrid_rrf`` deliberately uses the direct lexical
+    route + brute-force kNN for its DuckDB oracle; THIS row times the
+    deployment shape, so a regression in either persisted path or in
+    the fusion join surfaces as drift at every sf. Index and encoded
+    corpus are prepared outside the timer."""
+    import time as _time
+
+    from local_pubchem_db_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_fit,
+    )
+    from local_pubchem_db_spark.operators.pq import (
+        ivf_pq_search,
+        pq_encode,
+        pq_fit,
+    )
+    from local_pubchem_db_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+        with_rank,
+    )
+    from pyspark.sql import functions as F
+
+    p, ds, (n_docs, avgdl), tdf = idx
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = kmeans_fit(emb, k=8, max_iter=10)
+    assigned = emb.join(
+        assign_clusters(emb, centroids).withColumnRenamed("id", "vec_id"),
+        "vec_id",
+    )
+    codebooks = pq_fit(assigned, m=8, k=16, centroids=centroids)
+    encoded = pq_encode(assigned, codebooks, centroids=centroids).persist()
+    encoded.count()
+    probe = emb.filter(F.col("vec_id") == 0)
+    samples = []
+    for _ in range(reps):
+        t0 = _time.perf_counter()
+        lex = with_rank(
+            bm25_topk(
+                p, ds, ["hash", "spark", "stream", "vector"], k=20,
                 n_docs=n_docs, avgdl=avgdl, term_df=tdf,
-            )
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(round(_time.perf_counter() - t0, 3))
-        axes["retrieval_bucketed"] = _plan_axis(df)
-        timings["retrieval_bucketed"] = min(samples)
-        runs["retrieval_bucketed"] = samples
-    finally:
-        drop_index(spark, name)
+            ),
+            F.desc("score"),
+            F.asc("doc_id"),
+        ).select("doc_id", "rank")
+        vec = ivf_pq_search(
+            encoded, probe, centroids, codebooks,
+            k=20, nprobe=4, residual=True, rerank=50,
+        ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+        df = rrf_fuse([lex, vec], top_n=10)
+        df.write.format("noop").mode("overwrite").save()
+        samples.append(round(_time.perf_counter() - t0, 3))
+    axes["hybrid_warm"] = _plan_axis(df)
+    encoded.unpersist()
+    timings["hybrid_warm"] = min(samples)
+    runs["hybrid_warm"] = samples
 
 
 def _bench_retrieval_warm(

@@ -247,3 +247,67 @@ def test_probe_memo_skips_repeat_footer_reads(spark, sf_dir):
     release_shared_caches(spark)
     estimated_decompressed_bytes(df2)
     assert _FOOTER_READS["n"] > mid  # release drops the memo
+
+
+def test_probe_memo_never_pins_failed_estimates(spark):
+    """A probe returning None ("could not estimate" — possibly a
+    TRANSIENT footer failure) must NOT be memoized: the old behavior
+    pinned the degraded answer for the whole session, so one flaky
+    footer read disabled size estimation until release (ADVICE r11).
+    A successful (non-None) result IS memoized."""
+    from local_pubchem_db_spark.operators.util import _memo_probe
+
+    df = spark.range(4)
+    calls = {"n": 0}
+    answers = [None, None, 7]
+
+    def flaky(_d):
+        calls["n"] += 1
+        return answers[min(calls["n"], len(answers)) - 1]
+
+    assert _memo_probe(df, "t_flaky_probe", flaky) is None
+    assert _memo_probe(df, "t_flaky_probe", flaky) is None  # recomputed
+    assert _memo_probe(df, "t_flaky_probe", flaky) == 7
+    assert calls["n"] == 3
+    assert _memo_probe(df, "t_flaky_probe", flaky) == 7  # memo hit now
+    assert calls["n"] == 3
+
+
+def test_estimated_rows_size_weighted_past_stat_cap(
+    spark, tmp_path, monkeypatch
+):
+    """Listings past the stat cap must KEEP the size-weighted
+    protection via an evenly-spread statted subset, not silently revert
+    to the uniform first-4 sample (ADVICE r11). Pinned by shrinking the
+    module caps: 10 files (8 tiny + 2 huge) with a cap of 4 force the
+    subset branch; a spread covering the listing keeps the pin
+    deterministic (inputFiles order is arbitrary, so a partial spread
+    could miss the huge files by luck — at the real 512-path spread
+    over 4096+ files that is the accepted sampling risk, documented in
+    the operator). Size-weighting within the subset must land near the
+    truth where a uniform 4-path sample dominated by tiny files
+    reports ~10x low."""
+    import pandas as pd
+
+    from local_pubchem_db_spark.operators import util
+
+    d = tmp_path / "capped"
+    d.mkdir()
+    for i in range(8):
+        pd.DataFrame(
+            {"doc_id": range(10), "text": [f"t{i}-{j}" for j in range(10)]}
+        ).to_parquet(str(d / f"a_tiny{i}.parquet"))
+    for i in range(2):
+        pd.DataFrame(
+            {
+                "doc_id": range(40_000),
+                "text": [f"h{i} word {j}" for j in range(40_000)],
+            }
+        ).to_parquet(str(d / f"z_huge{i}.parquet"))
+    monkeypatch.setattr(util, "_STAT_CAP", 4)
+    monkeypatch.setattr(util, "_STAT_SPREAD", 10)
+    df = spark.read.parquet(str(d))
+    true_rows = 80_080
+    est = util.estimated_rows(df)
+    assert est is not None
+    assert 0.4 * true_rows <= est <= 2.5 * true_rows, est

@@ -631,3 +631,53 @@ def test_table_health_environmental_cloud_scheme_prefers_executors(
     assert calls == []  # the JVM opener never probed
     # and the plan is the distributed mapInPandas path, not a local one
     assert "LocalTableScan" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_table_health_caps_automatic_driver_parse_fallback(
+    spark, tmp_path, monkeypatch
+):
+    """The AUTOMATIC driver-side JVM footer fallback is serial py4j —
+    a silent multi-hour loop on a 100k-file listing (ADVICE r11). Past
+    the cap it must refuse with guidance (never start the loop); at or
+    under the cap it proceeds as before; an EXPLICITLY passed
+    driver-only open_file is never capped."""
+    import warnings
+
+    import pandas as pd
+    import pytest
+
+    from local_pubchem_db_spark.operators import physical
+
+    real = str(tmp_path / "c.parquet")
+    pd.DataFrame({"id": [1, 2]}).to_parquet(real)
+    size = __import__("os").path.getsize(real)
+    monkeypatch.setattr(
+        physical,
+        "_classify_footer_scheme",
+        lambda path: ("categorical", "Unrecognized filesystem type (faked)"),
+    )
+    monkeypatch.setattr(physical, "_DRIVER_PARSE_CAP", 3)
+    files = [(f"file:{real}", size)] * 4  # past the cap
+    with pytest.raises(ValueError, match="too many for"):
+        physical.table_health(spark, "ignored", files=files)
+
+    # at the cap: the fallback engages and the warning names the count
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        h = physical.table_health(
+            spark, "ignored", files=files[:3]
+        ).toPandas()
+    assert len(h) == 3
+    assert any("3 files" in str(w.message) for w in caught)
+
+    # explicit driver-only opener: caller opted in, never capped
+    class _Opener:
+        _driver_only = True
+
+        def __call__(self, path):
+            return open(real, "rb")
+
+    h = physical.table_health(
+        spark, "ignored", files=files, open_file=_Opener()
+    ).toPandas()
+    assert len(h) == 4
