@@ -133,11 +133,13 @@ def save_postings(
     probe-time unit of parallelism per term, which also bounds a probe:
     a query's matched-postings scan runs at most |matched buckets|
     tasks, so SELECTIVE terms (the service's common case) prune to
-    near-zero IO, while stop-word-like terms whose postings dominate
-    the corpus are better served by ``coordination_topk_direct`` /
-    ``bm25_topk_direct`` (full scan parallelism, no index) — measured
-    at sf100: 4 ubiquitous terms run ~14 s bucketed vs ~8 s direct;
-    ``bm25_topk_auto`` makes that call per query from the persisted df.
+    near-zero IO, while a probe whose per-bucket serial volume exceeds
+    a full-parallel corpus pass belongs on the direct route —
+    ``bm25_topk_auto`` makes that call per query from the persisted df
+    (see ``choose_bm25_route`` for the parallelism-aware break-even
+    and the r12 measurements: on local[32] the bucketed path wins at
+    every reachable Σdf; on a 1000-core cluster the rule flips for
+    common terms).
 
     ``mode="append"`` ingests a DELTA batch (an incremental corpus
     ingest): the base tables append, and the derived ``_termdf`` /
@@ -765,42 +767,78 @@ def bm25_topk(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+# Serial-cost ratio between the two BM25 routes, measured at sf100 on
+# the 5M-doc replica corpus (bench_artifacts/ROUTER_r12_sf100.json):
+# the direct route costs ~110 µs per DOCUMENT (tokenize + |q|=4
+# per-term tf passes + score tree, whole-query wall / N) while the
+# bucketed route costs ~2.36 µs per MATCHED POSTINGS ROW (probe scan +
+# zero-exchange docstats join + per-doc aggregation). The router's
+# break-even scales this per-doc/per-row ratio; re-measure with
+# tools/measure_r12_router.py when the corpus or hardware changes
+# regime.
+DIRECT_COST_RATIO = 47.0
+
+
 def choose_bm25_route(
     term_df: DataFrame,
     n_docs: int,
     query_terms: list[str],
     direct_over: float = 1.0,
+    parallelism: int | None = None,
 ) -> tuple[str, dict[str, int]]:
     """Route a query between the bucketed index and the direct scan
     from the persisted per-term document frequencies — the decision the
     r11 index left to the caller (r12, verdict Next #1).
 
-    Why a router exists at all: the bucketed probe reads only the
-    matched postings (Σ_t df(t) rows — a posting exists exactly for
-    each (term, doc) pair), but its parallelism is bounded by |matched
-    buckets| — each term's rows live in ONE bucket, so a |q|-term query
-    runs at most |q| scan tasks no matter how large its posting lists
-    are. For SELECTIVE terms that is near-zero IO and the index wins
-    outright; for stop-word-like terms the per-task posting list
-    approaches the corpus itself while the direct scan spreads the
-    same work over every scan split (measured at sf100: ~14 s bucketed
-    vs ~8 s direct for 4 ubiquitous terms — and the routed direct scan
-    is cheaper still, since the persisted stats replace the df pass).
+    The tradeoff is PARALLELISM-BOUND, not volume-bound: the bucketed
+    probe reads only the matched postings (Σ_t df(t) rows — a posting
+    exists exactly per (term, doc) pair), but each term's rows live in
+    ONE bucket, so a |q|-term query runs at most |q| probe tasks no
+    matter how large its posting lists are — per-task serial time
+    ``(Σdf/|q|) · t_row``. The direct route tokenizes every document
+    but spreads N over the WHOLE cluster — per-task time
+    ``(N/P) · t_doc``. Routing direct is right when
+
+        Σdf/|q| · t_row  >  N/P · t_doc
+        i.e.  Σdf  >  direct_over · DIRECT_COST_RATIO · |q| · N / P
+
+    with ``t_doc/t_row`` the measured ``DIRECT_COST_RATIO``. Two
+    consequences the r12 measurements pin (ROUTER_r12_sf*.json):
+    on local[32] the bucketed path wins at EVERY reachable Σdf — even
+    4 ubiquitous terms (Σdf = 3.1 N, sf100: 9.2 s bucketed vs 17.3 s
+    routed-direct) — because Σdf ≤ |q|·N can never exceed the ~1.5·|q|·N
+    break-even at P=32; the r11 "stop-words belong on the direct route"
+    datum predates the termdf + bucketed-docstats index and is stale.
+    On a 1000-core cluster the SAME rule flips for common terms
+    (break-even Σdf ≈ 0.05·|q|·N) — the regime the router exists for:
+    the probe's |q|-task bound is the one part of the index that does
+    not scale with the cluster, and the persisted df is exactly the
+    signal that prices it per query.
 
     The decision reads the ``<name>_termdf`` relation — a bucket-pruned
-    |q|-row lookup, the same tiny scan the scoring query would do — and
-    routes DIRECT when the matched volume Σ df exceeds ``direct_over ×
-    n_docs`` (default 1.0: route away from the index once the probe
-    must read more postings rows than there are documents — past that
-    point the per-bucket serial scan exceeds a full-parallel pass over
-    the corpus). Returns ``(route, df_by_term)`` with the collected
-    per-term df so the direct route can reuse it for idf (no second
-    stats pass)."""
+    |q|-row lookup, the same tiny scan the scoring query would do.
+    ``direct_over`` scales the break-even (>1 biases toward the index,
+    <1 toward the scan); ``parallelism`` defaults to the session's
+    ``defaultParallelism``. Returns ``(route, df_by_term)`` with the
+    collected per-term df so the direct route can reuse it for idf
+    (no second stats pass)."""
     terms = _norm_terms(query_terms)
+    if parallelism is None:
+        try:
+            parallelism = term_df.sparkSession.sparkContext.defaultParallelism
+        except Exception:  # noqa: BLE001 — context probe
+            parallelism = 32
     rows = _matched(term_df, terms).collect()
     df_by_term = {r["term"]: int(r["df"]) for r in rows}
     matched = sum(df_by_term.values())
-    route = "direct" if matched > direct_over * n_docs else "bucketed"
+    threshold = (
+        direct_over
+        * DIRECT_COST_RATIO
+        * len(terms)
+        * n_docs
+        / max(parallelism, 1)
+    )
+    route = "direct" if matched > threshold else "bucketed"
     return route, df_by_term
 
 
@@ -816,16 +854,18 @@ def bm25_topk_auto(
     text_col: str = "text",
     direct_over: float = 1.0,
     index: tuple | None = None,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """BM25 with automatic route selection: consult the persisted
-    ``<name>_termdf`` (``choose_bm25_route``) and send high-df
-    stop-word-like probes to the direct corpus scan while selective
-    probes stay on the bucket-pruned index path. The routed direct
-    query derives idf and avgdl from the PERSISTED index stats — one
-    corpus scan total, where a bare ``bm25_topk_direct`` pays two
-    (stats + scoring). Scores on the two routes agree to float
-    round-off (test-pinned), since both evaluate the same Lucene BM25
-    with identical (N, df, avgdl).
+    ``<name>_termdf`` (``choose_bm25_route`` — the parallelism-aware
+    break-even documented there) and send probes whose per-bucket
+    serial volume exceeds a full-parallel corpus pass to the direct
+    scan, while everything else stays on the bucket-pruned index path.
+    The routed direct query derives idf and avgdl from the PERSISTED
+    index stats — one corpus scan total, where a bare
+    ``bm25_topk_direct`` pays two (stats + scoring). Scores on the two
+    routes agree to float round-off (test-pinned), since both evaluate
+    the same Lucene BM25 with identical (N, df, avgdl).
 
     ``docs``: the raw corpus relation, required for the direct route
     (an index stores no text); omit it and every query takes the
@@ -845,7 +885,11 @@ def bm25_topk_auto(
     route = "bucketed"
     if docs is not None and term_df is not None:
         route, df_by_term = choose_bm25_route(
-            term_df, n_docs, query_terms, direct_over=direct_over
+            term_df,
+            n_docs,
+            query_terms,
+            direct_over=direct_over,
+            parallelism=parallelism,
         )
     if route == "direct":
         idf_by_term = {

@@ -674,14 +674,21 @@ def test_bm25_route_selection(spark, corpus):
         idx = load_index(spark, name)
         _, _, (n_docs, _avg), tdf = idx
 
-        # "the" appears in docs 0 (x2); Σdf for a ubiquitous-ish probe
-        # ["spark","dog","quick","over","vector"] spans most docs
+        # the break-even is parallelism-aware (see choose_bm25_route):
+        # at small cluster parallelism the bucketed route wins at every
+        # reachable Σdf; at cluster scale the direct scan's per-task
+        # cost shrinks and common terms flip
         route, dfs = choose_bm25_route(tdf, n_docs, ["spark"], 1.0)
         assert route == "bucketed" and dfs == {"spark": 2}
+        ubi_terms = ["spark", "dog", "quick", "over", "vector"]
         route, dfs = choose_bm25_route(
-            tdf, n_docs, ["spark", "dog", "quick", "over", "vector"], 0.5
+            tdf, n_docs, ubi_terms, parallelism=32
         )
-        assert route == "direct" and sum(dfs.values()) > 0.5 * n_docs
+        assert route == "bucketed"  # Σdf ≤ |q|·N < break-even at P=32
+        route, dfs = choose_bm25_route(
+            tdf, n_docs, ubi_terms, parallelism=1_000_000
+        )
+        assert route == "direct" and sum(dfs.values()) > 0
 
         sel = bm25_topk_auto(
             spark, name, ["spark"], docs=corpus, k=5, index=idx
@@ -691,8 +698,8 @@ def test_bm25_route_selection(spark, corpus):
         assert "SelectedBucketsCount" in sel_plan
 
         ubi = bm25_topk_auto(
-            spark, name, ["spark", "dog", "quick", "over", "vector"],
-            docs=corpus, k=5, index=idx, direct_over=0.5,
+            spark, name, ubi_terms,
+            docs=corpus, k=5, index=idx, parallelism=1_000_000,
         )
         ubi_plan = ubi._jdf.queryExecution().executedPlan().toString()
         assert f"{name}_postings".lower() not in ubi_plan.lower()

@@ -78,9 +78,13 @@ def main() -> None:
             ("ubiquitous", UBIQUITOUS),
         ):
             route, dfs = choose_bm25_route(tdf, n_docs, terms)
+            route_p1000, _ = choose_bm25_route(
+                tdf, n_docs, terms, parallelism=1000
+            )
             rec = {
                 "terms": terms,
                 "route": route,
+                "route_p1000": route_p1000,
                 "sum_df": sum(dfs.values()),
                 "sum_df_over_n": round(sum(dfs.values()) / n_docs, 4),
                 "bucketed": _time(
