@@ -718,10 +718,13 @@ def test_bm25_route_selection(spark, corpus):
 
 
 def test_topk_rank_window_is_partitioned(spark, corpus):
-    """The k-row rank windows must declare a (constant) partition spec:
-    an empty spec makes WindowExec warn "No Partition Defined" on every
-    query — log noise at service scale (r12, verdict What's wrong #3).
-    Pinned on the analyzed plans of all three rank-emitting operators."""
+    """The k-row rank windows must keep a (constant) partition spec
+    THROUGH OPTIMIZATION: an empty spec makes WindowExec warn "No
+    Partition Defined" on every query — log noise at service scale
+    (r12, verdict What's wrong #3). A bare literal passes analysis but
+    is stripped by EliminateWindowPartitions, so this pins the
+    OPTIMIZED plan: the windowspecdefinition must lead with the
+    projected partition attribute (`_w0`), not an order expression."""
     from local_pubchem_db_spark.operators.retrieval import (
         build_postings,
         coordination_topk,
@@ -738,12 +741,10 @@ def test_topk_rank_window_is_partitioned(spark, corpus):
         rrf_fuse([frames[0].select("doc_id", "rank")], top_n=3)
     )
     for df in frames:
-        plan = df._jdf.queryExecution().analyzed().toString()
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
         specs = [
             ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
         ]
         assert specs, plan
         for ln in specs:
-            # partitioned form: windowspecdefinition(0, <order>...);
-            # the unpartitioned form starts straight with an order expr
-            assert "windowspecdefinition(0," in ln, ln
+            assert "windowspecdefinition(_w0" in ln, ln
