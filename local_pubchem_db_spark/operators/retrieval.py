@@ -106,10 +106,11 @@ def with_rank(df: DataFrame, *order, col: str = "rank") -> DataFrame:
     (``EliminateWindowPartitions`` strips foldable partition
     expressions, and ``hash(col) * 0`` is simplified away too), so the
     constant is ``pmod(hash(<first col>), 1)`` — always 0, never null,
-    any column type, and opaque to constant folding (execution-pinned:
-    the optimized plan keeps the partition spec and WindowExec stays
-    quiet). Only ever call this AFTER a ``limit``: on an unbounded
-    frame the single-partition funnel would be real."""
+    any hashable column type (not maps), and opaque to constant
+    folding (execution-pinned: the optimized plan keeps the partition
+    spec and WindowExec stays quiet). Only ever call this AFTER a
+    ``limit``: on an unbounded frame the single-partition funnel would
+    be real."""
     const = F.pmod(F.hash(F.col(df.columns[0])), F.lit(1))
     w = Window.partitionBy(const).orderBy(*order)
     return df.withColumn(col, F.row_number().over(w).cast("long"))
