@@ -57,7 +57,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-METHODS = ("buffer", "sketch", "selection", "auto")
+METHODS = ("buffer", "sketch", "selection", "auto", "hist")
 
 # Per-group distinct-value count past which the selection tier wins:
 # buffer's per-key task holds (and sorts) a value->count map of the
@@ -180,6 +180,14 @@ def grouped_percentiles(
       map-side combined to one row) picks buffer vs selection by the
       decision rule in ``choose_percentile_method`` — both tiers are
       exact, so auto never changes results, only the plan.
+    - ``method="hist"``: exact via an explicit (key, value)->count
+      histogram and ``weighted_percentiles`` — same cost class as
+      buffer (one combinable shuffle; per-key work ~ distinct values),
+      but the histogram is a first-class DataFrame the CALLER can
+      persist and reuse across several order statistics of the same
+      relation (the ``robust_outliers`` med+MAD case: one data pass
+      serves both). Not in auto's candidate set — reach for it when
+      reuse is the point.
 
     Null values are ignored; keys whose values are all null (or absent)
     produce no row. Values are computed as double (interpolation is a
@@ -205,6 +213,13 @@ def grouped_percentiles(
     if method == "buffer":
         return base.groupBy(*key_cols).agg(
             F.percentile("__v", p_arr).alias(out_col)
+        )
+    if method == "hist":
+        hist = base.groupBy(*key_cols, "__v").agg(
+            F.count(F.lit(1)).alias("__w")
+        )
+        return weighted_percentiles(
+            hist, key_cols, "__v", "__w", ps, out_col=out_col
         )
     if method == "sketch":
         return base.groupBy(*key_cols).agg(
@@ -381,3 +396,113 @@ def grouped_median(
         out_col=out_col,
         num_slices=num_slices,
     )
+
+
+def weighted_percentiles(
+    hist: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    ps: list[float],
+    out_col: str = "pcts",
+) -> DataFrame:
+    """EXACT percentiles of a pre-aggregated weighted relation: ``hist``
+    holds one row per (key, value) with ``weight_col`` the number of
+    underlying occurrences, and the result equals Spark's exact
+    ``percentile`` over the EXPANDED relation bit-for-bit (the same
+    ``lo*(ceil-pos) + hi*(pos-floor)`` interpolation the selection tier
+    replicates; test-pinned against the buffer aggregate).
+
+    Why it exists (r12): monitoring/telemetry stores often hold
+    histograms rather than raw samples, and several order statistics of
+    ONE relation should not each pay a full data pass — build the
+    histogram once (one map-side-combinable shuffle over the raw rows,
+    output = distinct (key, value) pairs), persist it, and every
+    subsequent statistic (median, MAD via a derived deviation
+    histogram, any quantile) runs over the tiny weighted relation.
+    ``robust_outliers(method="hist")`` is the shipped composition.
+
+    Scale shape: the cumulative-weight window partitions by key and
+    sorts each key's DISTINCT values in one task — buffer's memory
+    shape as a compute shape, so this tier suits the repeating-values
+    regime (distinct << rows). For few-key groups of mostly-distinct
+    values use ``method="selection"`` on the raw rows instead.
+
+    Weights must be positive; rows with null value or non-positive
+    weight are dropped (a zero-weight value does not exist in the
+    expanded relation). Keys with no surviving rows produce no output.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if not ps:
+        raise ValueError("ps must be non-empty")
+    for p in ps:
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"every p must be in [0, 1], got {p}")
+    g = (
+        hist.filter(
+            F.col(value_col).isNotNull() & (F.col(weight_col) > 0)
+        )
+        .select(
+            *[F.col(k) for k in key_cols],
+            F.col(value_col).cast("double").alias("__v"),
+            F.col(weight_col).cast("long").alias("__w"),
+        )
+    )
+    # cumulative weight in value order + the key total, both as window
+    # columns so the per-percentile target ranks are row-local
+    # expressions — no join against a separate totals relation. The two
+    # windows share one (key)-clustered exchange; the cumulative sort
+    # funnels each key's DISTINCT values into one task (see docstring).
+    w_cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*key_cols)
+    g = g.withColumn("__cum", F.sum("__w").over(w_cum)).withColumn(
+        "__n", F.sum("__w").over(w_all)
+    )
+    # a hist row covers the zero-based global ranks
+    # [__cum - __w, __cum - 1] of the expanded relation; for each
+    # requested percentile the straddling ranks are floor/ceil of
+    # idx = p*(n-1) — EXACTLY the selection tier's targets, computed
+    # with the same double arithmetic so interpolation is bit-equal.
+    prev = F.col("__cum") - F.col("__w")
+    nm1 = (F.col("__n") - 1).cast("double")
+    aggs = []
+    for i, p in enumerate(ps):
+        idx = F.lit(float(p)) * nm1
+        fl = F.floor(idx).cast("long")
+        cl = F.ceil(idx).cast("long")
+        aggs.extend(
+            [
+                F.max(
+                    F.when((prev <= fl) & (fl < F.col("__cum")), F.col("__v"))
+                ).alias(f"__lo{i}"),
+                F.max(
+                    F.when((prev <= cl) & (cl < F.col("__cum")), F.col("__v"))
+                ).alias(f"__hi{i}"),
+                F.first(fl).alias(f"__f{i}"),
+                F.first(cl).alias(f"__cl{i}"),
+                F.first(idx).alias(f"__idx{i}"),
+            ]
+        )
+    per_key = g.groupBy(*key_cols).agg(*aggs)
+    outs = []
+    for i in range(len(ps)):
+        lo, hi = F.col(f"__lo{i}"), F.col(f"__hi{i}")
+        fl, cl, idx = (
+            F.col(f"__f{i}"),
+            F.col(f"__cl{i}"),
+            F.col(f"__idx{i}"),
+        )
+        # Spark's Percentile formula, replicated literally (see the
+        # selection tier's comment: lo + (hi-lo)*frac differs in the
+        # last ulp)
+        outs.append(
+            F.when(fl == cl, lo).otherwise(
+                lo * (cl - idx) + hi * (idx - fl)
+            )
+        )
+    return per_key.select(*key_cols, F.array(*outs).alias(out_col))

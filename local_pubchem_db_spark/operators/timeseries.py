@@ -230,7 +230,13 @@ def robust_outliers(
     statistic must still be exact; ``"auto"`` (r10) probes key count
     and per-group value cardinality once and picks buffer vs selection
     by the measured decision rule (both exact, so the choice never
-    changes values — see ``choose_percentile_method``)."""
+    changes values — see ``choose_percentile_method``); ``"hist"``
+    (r12) builds the (key, value)->count histogram ONCE and derives
+    BOTH medians from it via ``weighted_percentiles`` — exact and
+    bit-equal to buffer (test-pinned), with one full-data combine pass
+    instead of two plus a full-data join pass: the right tier for
+    repeating-value telemetry where distinct (key, value) pairs are
+    far fewer than rows."""
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     from local_pubchem_db_spark.operators.percentiles import grouped_median
@@ -248,6 +254,49 @@ def robust_outliers(
         from local_pubchem_db_spark.operators.util import shared
 
         base = shared(base)
+    if m == "hist":
+        # One data pass serves BOTH statistics (r12): the med pass and
+        # the mad pass above each scan-and-combine the full relation —
+        # but the MAD's deviation histogram is a pure function of the
+        # VALUE histogram once the median is known (|v − med| with the
+        # same weights, re-summed where two values collide). So build
+        # the (key, value)->count histogram once (one map-side-
+        # combinable shuffle, output = distinct pairs — the repeating-
+        # values telemetry regime), persist it, and both medians run
+        # over the tiny weighted relation via ``weighted_percentiles``
+        # (bit-equal to the buffer aggregate, test-pinned). Total full-
+        # data work: ONE combine pass + the final scan-join — vs
+        # buffer's two combine passes + a join pass + the final scan.
+        from local_pubchem_db_spark.operators.percentiles import (
+            weighted_percentiles,
+        )
+        from local_pubchem_db_spark.operators.util import shared
+
+        hist = shared(
+            base.groupBy(*key_cols, x.alias("__hv")).agg(
+                F.count(F.lit(1)).alias("__w")
+            )
+        )
+        med = weighted_percentiles(
+            hist, key_cols, "__hv", "__w", [0.5], out_col="__m"
+        ).select(*key_cols, F.element_at("__m", 1).alias("med"))
+        devh = (
+            hist.join(F.broadcast(med), key_cols)
+            .select(
+                *key_cols,
+                F.abs(F.col("__hv") - F.col("med")).alias("__dv"),
+                "__w",
+            )
+            .groupBy(*key_cols, "__dv")
+            .agg(F.sum("__w").alias("__w"))
+        )
+        mad = weighted_percentiles(
+            devh, key_cols, "__dv", "__w", [0.5], out_col="__m"
+        ).select(*key_cols, F.element_at("__m", 1).alias("mad"))
+        stats = med.join(mad, key_cols)
+        return base.join(stats, key_cols).filter(
+            F.abs(x - F.col("med")) > F.lit(k) * F.col("mad")
+        )
     med = grouped_median(
         base, key_cols, value_col, method=m, accuracy=accuracy, out_col="med"
     )

@@ -1071,15 +1071,20 @@ def q_token_drift(spark, sf_dir):
 def q_ts_outliers(spark, sf_dir):
     """Robust per-series outlier detection (operators/timeseries.py):
     Hampel filter |x - median| > 3.5 * MAD per event_type over the
-    events stream; exact interpolated medians on both engines."""
+    events stream; exact interpolated medians on both engines.
+    method="hist" (r12): ONE (key, value)->count histogram pass serves
+    both medians via weighted_percentiles — bit-equal to the buffer
+    aggregate (test-pinned, so the DuckDB hash is unaffected) and
+    measured 1.5-3x faster on the repeating-value telemetry shape
+    (sf30: 3.1-4.5 s vs 8.9-9.6 s buffer)."""
     from local_pubchem_db_spark.operators.timeseries import robust_outliers
 
     ev = events_table(spark, sf_dir).select(
         "event_id", "event_type", "value"
     )
-    return robust_outliers(ev, ["event_type"], "value", k=3.5).select(
-        "event_id", "event_type", "value", "med", "mad"
-    )
+    return robust_outliers(
+        ev, ["event_type"], "value", k=3.5, method="hist"
+    ).select("event_id", "event_type", "value", "med", "mad")
 
 
 def q_pct_selection(spark, sf_dir):

@@ -354,3 +354,92 @@ def test_auto_rule_cost_model_boundaries(spark):
         )
         == "selection"
     )
+
+
+def test_weighted_percentiles_equal_buffer_on_expansion(spark):
+    """weighted_percentiles over a (key, value, weight) histogram must
+    equal the buffer aggregate over the EXPANDED relation BIT-exactly
+    (same interpolation formula), across odd/even totals, ties, weights
+    > 1, and unsorted ps — the exactness contract the hist tier and
+    robust_outliers(method="hist") stand on (r12)."""
+    import random
+
+    import pytest
+
+    from local_pubchem_db_spark.operators.percentiles import (
+        grouped_percentiles,
+        weighted_percentiles,
+    )
+
+    rng = random.Random(29)
+    hist_rows = []
+    for key, n_vals in (("a", 37), ("b", 4), ("c", 1)):
+        vals = sorted(rng.sample(range(1000), n_vals))
+        for v in vals:
+            hist_rows.append((key, float(v) / 7.0, rng.randint(1, 9)))
+    hist = spark.createDataFrame(
+        hist_rows, "k string, v double, w long"
+    ).repartition(7)
+    expanded = spark.createDataFrame(
+        [(k, v) for k, v, w in hist_rows for _ in range(w)],
+        "k string, v double",
+    ).repartition(5)
+    ps = [0.75, 0.0, 0.5, 1.0, 0.31]
+    got = {
+        r["k"]: list(r["pcts"])
+        for r in weighted_percentiles(hist, ["k"], "v", "w", ps).collect()
+    }
+    want = {
+        r["k"]: list(r["pcts"])
+        for r in grouped_percentiles(
+            expanded, ["k"], "v", ps, method="buffer"
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        for g, w in zip(got[k], want[k]):
+            assert g == pytest.approx(w, abs=0.0), k
+    # degenerate inputs: zero/negative weights and null values vanish
+    # (they do not exist in the expanded relation)
+    weird = spark.createDataFrame(
+        [("a", 1.0, 2), ("a", 9.0, 0), ("a", None, 5), ("b", 3.0, -1)],
+        "k string, v double, w long",
+    )
+    out = {
+        r["k"]: list(r["pcts"])
+        for r in weighted_percentiles(weird, ["k"], "v", "w", [0.5]).collect()
+    }
+    assert out == {"a": [1.0]}  # only the w=2 value survives; b vanishes
+
+
+def test_hist_method_equals_buffer(spark):
+    """grouped_percentiles(method="hist") — build-the-histogram-then-
+    weighted-percentiles — must equal buffer bit-exactly on raw rows."""
+    import pytest
+
+    from local_pubchem_db_spark.operators.percentiles import (
+        grouped_percentiles,
+    )
+
+    rows = [("a", float((i * 13) % 41)) for i in range(200)] + [
+        ("b", 2.0),
+        ("b", 2.0),
+        ("b", 8.0),
+        ("a", None),
+    ]
+    df = spark.createDataFrame(rows, "k string, v double").repartition(9)
+    ps = [0.5, 0.9]
+    got = {
+        r["k"]: list(r["pcts"])
+        for r in grouped_percentiles(df, ["k"], "v", ps, method="hist").collect()
+    }
+    want = {
+        r["k"]: list(r["pcts"])
+        for r in grouped_percentiles(
+            df, ["k"], "v", ps, method="buffer"
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        for g, w in zip(got[k], want[k]):
+            assert g == pytest.approx(w, abs=0.0), k

@@ -402,3 +402,35 @@ def test_robust_outliers_selection_method_identical_to_buffer(spark):
     buf, sel = run("buffer"), run("selection")
     assert buf == sel
     assert {(k, x) for k, x, *_ in buf} >= {("a", 500.0), ("b", -500.0)}
+
+
+def test_robust_outliers_hist_method_identical_to_buffer(spark):
+    """method="hist" (r12: one (key, value)->count histogram serves
+    BOTH medians via weighted_percentiles) must reproduce the buffer
+    path's flagged rows, med, and mad EXACTLY — same exact interpolated
+    medians, one fewer full-data pass. Shapes cover ties, heavy
+    repetition (the telemetry regime the tier exists for), a
+    single-row key, nulls, and gross outliers."""
+    import numpy as np
+
+    from local_pubchem_db_spark.operators.timeseries import robust_outliers
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for key, n in (("a", 401), ("b", 64), ("c", 1)):
+        # quantized values -> heavy repetition per key
+        rows += [(key, float(round(v))) for v in rng.normal(10, 3, n)]
+    rows += [("a", 500.0), ("b", -500.0), ("a", None)]
+    df = spark.createDataFrame(rows, "key string, x double").repartition(9)
+
+    def run(method):
+        return sorted(
+            (r["key"], r["x"], r["med"], r["mad"])
+            for r in robust_outliers(
+                df, ["key"], "x", k=4.0, method=method
+            ).collect()
+        )
+
+    buf, hist = run("buffer"), run("hist")
+    assert buf == hist
+    assert {(k, x) for k, x, *_ in buf} >= {("a", 500.0), ("b", -500.0)}
