@@ -748,3 +748,53 @@ def test_topk_rank_window_is_partitioned(spark, corpus):
         assert specs, plan
         for ln in specs:
             assert "windowspecdefinition(_w0" in ln, ln
+
+
+def test_consecutive_appends_stay_exact(spark):
+    """Two successive O(delta) appends must keep the derived tables
+    equal to a from-scratch build over the full corpus — the merge must
+    compose (each append's prior state is the PREVIOUS append's
+    output), not just work once."""
+    from local_pubchem_db_spark.operators.retrieval import (
+        build_postings,
+        save_postings,
+    )
+
+    name, ref = "t_ret_app2_idx", "t_ret_app2_ref"
+    _reset_index_tables(spark, name)
+    _reset_index_tables(spark, ref)
+    base = spark.createDataFrame(DOCS, "doc_id long, text string")
+    d1 = spark.createDataFrame(DELTA_DOCS, "doc_id long, text string")
+    d2 = spark.createDataFrame(
+        [(200, "spark spark dog"), (201, "late arrival text")],
+        "doc_id long, text string",
+    )
+    try:
+        p, d = build_postings(base)
+        save_postings(p, d, name, buckets=4)
+        for delta in (d1, d2):
+            dp, dd = build_postings(delta)
+            save_postings(dp, dd, name, buckets=4, mode="append")
+        pu, du = build_postings(base.unionByName(d1).unionByName(d2))
+        save_postings(pu, du, ref, buckets=4)
+        got = sorted(
+            (r["term"], r["df"])
+            for r in spark.table(f"{name}_termdf").collect()
+        )
+        want = sorted(
+            (r["term"], r["df"])
+            for r in spark.table(f"{ref}_termdf").collect()
+        )
+        assert got == want
+        gs, ws = (
+            spark.table(f"{name}_stats").first(),
+            spark.table(f"{ref}_stats").first(),
+        )
+        assert (gs["n"], gs["sum_dl"], gs["avgdl"]) == (
+            ws["n"],
+            ws["sum_dl"],
+            ws["avgdl"],
+        )
+    finally:
+        _reset_index_tables(spark, name)
+        _reset_index_tables(spark, ref)
