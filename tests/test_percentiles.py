@@ -443,3 +443,29 @@ def test_hist_method_equals_buffer(spark):
     for k in want:
         for g, w in zip(got[k], want[k]):
             assert g == pytest.approx(w, abs=0.0), k
+
+
+def test_weighted_percentiles_plan_one_exchange_no_python(spark):
+    """weighted_percentiles' scoring plan: the cumulative window, the
+    totals window, and the per-key aggregation must all ride ONE
+    key-clustered exchange (the groupBy reuses the windows'
+    partitioning), and nothing crosses into Python — the shape that
+    keeps the hist tier one-combinable-shuffle cheap at scale."""
+    import re
+
+    from local_pubchem_db_spark.operators.percentiles import (
+        weighted_percentiles,
+    )
+
+    hist = spark.createDataFrame(
+        [("a", float(i % 37), (i % 5) + 1) for i in range(500)],
+        "k string, v double, w long",
+    )
+    plan = (
+        weighted_percentiles(hist, ["k"], "v", "w", [0.5, 0.9])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange", plan)) == 1, plan
+    assert not re.findall(r"EvalPython|ArrowEval|MapInPandas", plan)
