@@ -85,6 +85,26 @@ AUTO_SELECTION_PASS_COST = 3.0
 # is safe, even when the wall-clock model would say buffer.
 AUTO_SELECTION_MEMORY_CAP_DISTINCT = 64_000_000
 
+# The hist tier enters auto's candidate set only when SEVERAL order
+# statistics reuse ONE histogram (``reuse_stats >= 2`` — e.g.
+# robust_outliers' med+MAD): hist's saving is the (s-1) full combine
+# passes buffer would pay per statistic, so a single statistic never
+# benefits. Two measured gates (ROUND12_NOTES §9b; re-measured r13 in
+# bench_artifacts/PCT_TIERS_hist_*.json):
+#
+# - row floor: below ~2M rows the hist tier's extra persist job and
+#   second derived aggregation dominate what the saved pass saves —
+#   sf0.1 events (~100k rows) ran ~1.4x WORSE under hist while sf10
+#   (10M rows) ran 1.5x better (sf30 2-3x, sf100 3x), so the boundary
+#   sits between 100k and 10M; 2M errs toward buffer (mis-picking
+#   buffer costs a bounded constant factor on data this small).
+# - compression floor: the histogram must be >= 4x smaller than the
+#   rows — each statistic re-runs the per-key cumulative window over
+#   the histogram, so at low compression that window re-pays most of
+#   the full pass the single combine was supposed to save.
+AUTO_HIST_MIN_ROWS = 2_000_000
+AUTO_HIST_MIN_COMPRESSION = 4.0
+
 
 def choose_percentile_method(
     df: DataFrame,
@@ -93,6 +113,9 @@ def choose_percentile_method(
     min_distinct_per_group: int = AUTO_SELECTION_MIN_DISTINCT_PER_GROUP,
     selection_pass_cost: float = AUTO_SELECTION_PASS_COST,
     memory_cap_distinct: int = AUTO_SELECTION_MEMORY_CAP_DISTINCT,
+    reuse_stats: int = 1,
+    hist_min_rows: int = AUTO_HIST_MIN_ROWS,
+    hist_min_compression: float = AUTO_HIST_MIN_COMPRESSION,
 ) -> str:
     """Pick the exact tier from a COST MODEL over one probe scan
     (count + two HLL sketches, map-side combinable):
@@ -121,6 +144,17 @@ def choose_percentile_method(
     (3.5x — the r11 regime5 a key-count-only rule gets wrong in one
     direction, and r11's own first funnel-based fix got wrong in the
     other); sf100 raw events (rows 100M, nkv 48k) -> buffer (2.7x).
+    ``reuse_stats`` (r13, verdict Next #1): how many order statistics
+    the CALLER will derive from one relation (``robust_outliers`` passes
+    2 — med + MAD). At >= 2 the ``hist`` tier joins the candidate set:
+    wherever the model would pick buffer, it upgrades to hist when the
+    measured compression (``nkv`` distinct pairs vs ``n_rows``) clears
+    ``hist_min_compression`` and the data clears ``hist_min_rows`` —
+    exactly the regime the r12 ts_outliers measurements pinned (1.4x
+    worse at sf0.1's ~100k rows, 1.5-3x better at sf10-100). The signal
+    is already in the probe; no extra scan. A single statistic
+    (``reuse_stats=1``) never picks hist — its saving IS the reuse.
+
     A probe-cost note rides with ``method="auto"``: the probe itself
     is one full scan of the relation — amortize it across a service's
     calls or pick the tier explicitly when the shape is known.
@@ -140,16 +174,31 @@ def choose_percentile_method(
     )
     n_rows = int(st["n_rows"] or 0)
     nk, nkv = int(st["nk"] or 0), int(st["nkv"] or 0)
+
+    def _hist_upgrade(method: str) -> str:
+        if (
+            method == "buffer"
+            and reuse_stats >= 2
+            and n_rows >= hist_min_rows
+            and nkv * hist_min_compression <= n_rows
+        ):
+            return "hist"
+        return method
+
     if nk == 0:
         return "buffer"
     per_group = nkv / nk
     if per_group >= memory_cap_distinct:
         return "selection"
     if per_group < min_distinct_per_group:
-        return "buffer"
+        return _hist_upgrade("buffer")
     buffer_cost = nkv / min(nk, par)
     selection_cost = selection_pass_cost * n_rows / par
-    return "selection" if selection_cost < buffer_cost else "buffer"
+    return (
+        "selection"
+        if selection_cost < buffer_cost
+        else _hist_upgrade("buffer")
+    )
 
 
 def grouped_percentiles(
@@ -186,8 +235,12 @@ def grouped_percentiles(
       but the histogram is a first-class DataFrame the CALLER can
       persist and reuse across several order statistics of the same
       relation (the ``robust_outliers`` med+MAD case: one data pass
-      serves both). Not in auto's candidate set — reach for it when
-      reuse is the point.
+      serves both). Not in THIS function's auto candidate set — all of
+      ``ps`` already share one pass in every tier here, so there is no
+      reuse for hist to win on; callers composing SEVERAL percentile
+      relations over one input (robust_outliers) resolve the tier via
+      ``choose_percentile_method(..., reuse_stats=2)``, where hist is
+      a candidate (r13).
 
     Null values are ignored; keys whose values are all null (or absent)
     produce no row. Values are computed as double (interpolation is a
@@ -428,9 +481,14 @@ def weighted_percentiles(
     regime (distinct << rows). For few-key groups of mostly-distinct
     values use ``method="selection"`` on the raw rows instead.
 
-    Weights must be positive; rows with null value or non-positive
-    weight are dropped (a zero-weight value does not exist in the
-    expanded relation). Keys with no surviving rows produce no output.
+    Weights must be positive INTEGERS — occurrence counts. Rows with
+    null value or non-positive weight are dropped (a zero-weight value
+    does not exist in the expanded relation); keys with no surviving
+    rows produce no output. A weight column of fractional TYPE is
+    accepted only while every surviving value is integral: the previous
+    silent ``cast(long)`` truncated 1.7 -> 1 and dropped 0.5 entirely,
+    yielding quietly wrong percentiles (ADVICE r12) — now any
+    fractional weight raises, JVM-side, with the offending value.
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
@@ -439,6 +497,35 @@ def weighted_percentiles(
     for p in ps:
         if not (0.0 <= p <= 1.0):
             raise ValueError(f"every p must be in [0, 1], got {p}")
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    wt = hist.schema[weight_col].dataType
+    w_long = F.col(weight_col).cast("long")
+    integral = isinstance(
+        wt, (ByteType, ShortType, IntegerType, LongType)
+    ) or (isinstance(wt, DecimalType) and wt.scale == 0)
+    if not integral:
+        w_long = F.when(
+            w_long.cast("double") == F.col(weight_col).cast("double"),
+            w_long,
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "weighted_percentiles: fractional weight in "
+                        f"{weight_col!r}: "
+                    ),
+                    F.col(weight_col).cast("string"),
+                    F.lit(" — weights are occurrence counts (integers)"),
+                )
+            ).cast("long")
+        )
     g = (
         hist.filter(
             F.col(value_col).isNotNull() & (F.col(weight_col) > 0)
@@ -446,7 +533,7 @@ def weighted_percentiles(
         .select(
             *[F.col(k) for k in key_cols],
             F.col(value_col).cast("double").alias("__v"),
-            F.col(weight_col).cast("long").alias("__w"),
+            w_long.alias("__w"),
         )
     )
     # cumulative weight in value order + the key total, both as window

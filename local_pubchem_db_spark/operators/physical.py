@@ -627,22 +627,34 @@ def table_health(
             jvm_eligible = kind == "categorical" or scheme in (
                 "hdfs", "viewfs", "webhdfs", "har", "file",
             )
+            # the automatic JVM fallback parses footers SERIALLY on the
+            # driver (py4j) — fine for thousands of files, a multi-hour
+            # silent loop for 100k (ADVICE r11). Past the cap, refuse
+            # with guidance instead of committing; an EXPLICITLY passed
+            # driver-only open_file stays honored (the caller opted
+            # into the serial shape knowingly). The check sits BEFORE
+            # the try: raised inside it, the except below swallowed it
+            # for environmental hdfs-like failures and converted the
+            # refusal into a misleading credentials warning (ADVICE
+            # r12) — the guidance must surface on every eligible route.
+            if jvm_eligible and len(sized) > _DRIVER_PARSE_CAP:
+                raise ValueError(
+                    f"listing has {len(sized)} files — too many for "
+                    "the serial driver-side JVM fallback "
+                    f"(cap {_DRIVER_PARSE_CAP}; original driver "
+                    f"failure: {perr}). Options: (a) pass "
+                    "open_file=<picklable (path) -> seekable binary "
+                    "handle> built on a reachable client — it runs "
+                    "distributed on executors; (b) install pyarrow's "
+                    "filesystem for this scheme on the driver; (c) "
+                    "split the listing and call table_health per "
+                    "shard."
+                )
             try:
                 if not jvm_eligible:
                     raise OSError(
                         "environmental failure on a non-Hadoop-native "
                         "scheme: executors get first try"
-                    )
-                # the automatic JVM fallback parses footers SERIALLY on
-                # the driver (py4j) — fine for thousands of files, a
-                # multi-hour silent loop for 100k (ADVICE r11). Past the
-                # cap, refuse with guidance instead of committing; an
-                # EXPLICITLY passed driver-only open_file stays honored
-                # (the caller opted into the serial shape knowingly).
-                if len(sized) > _DRIVER_PARSE_CAP:
-                    raise ValueError(
-                        f"listing has {len(sized)} files — too many for "
-                        "the serial driver-side JVM fallback"
                     )
                 jvm_opener = _JvmOpenFile(spark)
                 jvm_opener(sized[0][0]).close()  # resolve+open probe

@@ -236,7 +236,16 @@ def robust_outliers(
     bit-equal to buffer (test-pinned), with one full-data combine pass
     instead of two plus a full-data join pass: the right tier for
     repeating-value telemetry where distinct (key, value) pairs are
-    far fewer than rows."""
+    far fewer than rows.
+
+    ``"auto"`` resolves ONCE, here, with ``reuse_stats=2`` — the Hampel
+    filter derives TWO order statistics from one relation, which is
+    exactly the reuse the hist tier's saving depends on (r13, verdict
+    Next #1): the probe's measured compression (distinct (key, value)
+    pairs vs rows) picks hist on repeating-value telemetry past the
+    measured row floor, buffer below it, selection for few-key
+    mostly-distinct groups. Resolving at this level also means the two
+    ``grouped_median`` calls below stop paying one probe EACH."""
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     from local_pubchem_db_spark.operators.percentiles import grouped_median
@@ -254,6 +263,14 @@ def robust_outliers(
         from local_pubchem_db_spark.operators.util import shared
 
         base = shared(base)
+    if m == "auto":
+        from local_pubchem_db_spark.operators.percentiles import (
+            choose_percentile_method,
+        )
+
+        m = choose_percentile_method(
+            base, key_cols, value_col, reuse_stats=2
+        )
     if m == "hist":
         # One data pass serves BOTH statistics (r12): the med pass and
         # the mad pass above each scan-and-combine the full relation —
@@ -280,8 +297,14 @@ def robust_outliers(
         med = weighted_percentiles(
             hist, key_cols, "__hv", "__w", [0.5], out_col="__m"
         ).select(*key_cols, F.element_at("__m", 1).alias("med"))
+        # No broadcast hint on the per-key median relation: for a
+        # low-cardinality key it is tiny and AQE broadcasts it from
+        # runtime stats anyway, while a FORCED hint on a
+        # high-cardinality key column could exceed the broadcast limit
+        # or OOM the driver — the buffer path already leaves this
+        # same join to AQE (ADVICE r12).
         devh = (
-            hist.join(F.broadcast(med), key_cols)
+            hist.join(med, key_cols)
             .select(
                 *key_cols,
                 F.abs(F.col("__hv") - F.col("med")).alias("__dv"),

@@ -1072,18 +1072,21 @@ def q_ts_outliers(spark, sf_dir):
     """Robust per-series outlier detection (operators/timeseries.py):
     Hampel filter |x - median| > 3.5 * MAD per event_type over the
     events stream; exact interpolated medians on both engines.
-    method="hist" (r12): ONE (key, value)->count histogram pass serves
-    both medians via weighted_percentiles — bit-equal to the buffer
-    aggregate (test-pinned, so the DuckDB hash is unaffected) and
-    measured 1.5-3x faster on the repeating-value telemetry shape
-    (sf30: 3.1-4.5 s vs 8.9-9.6 s buffer)."""
+    method="auto" (r13, closing r12's hardcoded tier): one cardinality
+    probe picks the tier by the measured cost model — buffer below the
+    ~2M-row floor (sf0.1, where r12's hardcoded hist paid ~1.4x for
+    nothing), the r12 hist tier (ONE (key, value)->count histogram
+    pass serving both medians via weighted_percentiles, 1.5-3x faster
+    at sf10-100 on this repeating-value telemetry shape) above it.
+    Every tier is exact and bit-equal (test-pinned), so the DuckDB
+    hash is tier-independent."""
     from local_pubchem_db_spark.operators.timeseries import robust_outliers
 
     ev = events_table(spark, sf_dir).select(
         "event_id", "event_type", "value"
     )
     return robust_outliers(
-        ev, ["event_type"], "value", k=3.5, method="hist"
+        ev, ["event_type"], "value", k=3.5, method="auto"
     ).select("event_id", "event_type", "value", "med", "mad")
 
 

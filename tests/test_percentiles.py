@@ -469,3 +469,98 @@ def test_weighted_percentiles_plan_one_exchange_no_python(spark):
     )
     assert len(re.findall(r"Exchange", plan)) == 1, plan
     assert not re.findall(r"EvalPython|ArrowEval|MapInPandas", plan)
+
+def test_auto_hist_candidate_rule(spark):
+    """r13 (verdict Next #1): the hist tier joins auto's candidate set
+    only when (a) the caller declares reuse (reuse_stats >= 2), (b) the
+    relation clears the row floor, and (c) the probe measures enough
+    compression (distinct (key, value) pairs << rows). Thresholds are
+    scaled down so the pins run on test-sized data — the production
+    constants play the same roles at 2M rows / 4x compression."""
+    from local_pubchem_db_spark.operators.percentiles import (
+        choose_percentile_method,
+    )
+
+    # 5 keys x 2000 rows, values collapse to 10 distinct per key:
+    # nkv ~ 50 << 10_000 rows — the repeating-value telemetry shape
+    compressed = _mk(
+        spark,
+        [(f"k{i % 5}", float(i % 10)) for i in range(10_000)],
+    )
+    kw = dict(hist_min_rows=1_000, hist_min_compression=4.0)
+    assert (
+        choose_percentile_method(compressed, ["k"], "v", reuse_stats=2, **kw)
+        == "hist"
+    )
+    # (a) no reuse -> hist's saving (the second combine pass) does not
+    # exist; stay on buffer
+    assert (
+        choose_percentile_method(compressed, ["k"], "v", reuse_stats=1, **kw)
+        == "buffer"
+    )
+    # (b) row floor: same shape, below the floor -> buffer
+    assert (
+        choose_percentile_method(
+            compressed, ["k"], "v", reuse_stats=2,
+            hist_min_rows=100_000, hist_min_compression=4.0,
+        )
+        == "buffer"
+    )
+    # (c) compression floor: nearly-distinct values (nkv ~ rows) -> the
+    # per-statistic window over the histogram re-pays the saved pass
+    distinct = _mk(
+        spark, [(f"k{i % 5}", float(i)) for i in range(10_000)]
+    )
+    assert (
+        choose_percentile_method(distinct, ["k"], "v", reuse_stats=2, **kw)
+        != "hist"
+    )
+    # selection regimes keep precedence over hist: few keys, huge
+    # all-distinct groups (scaled threshold as in the r11 pins)
+    par = spark.sparkContext.defaultParallelism
+    if par > 3:
+        few_huge = _mk(spark, [("a", float(i)) for i in range(3000)])
+        assert (
+            choose_percentile_method(
+                few_huge, ["k"], "v", reuse_stats=2,
+                min_distinct_per_group=2000, hist_min_rows=1_000,
+            )
+            == "selection"
+        )
+
+
+def test_weighted_percentiles_fractional_weight_raises(spark):
+    """ADVICE r12: a fractional weight must raise, not silently
+    truncate (1.7 -> 1) or vanish (0.5 -> 0). A fractional TYPE whose
+    values are all integral keeps working and matches the long-typed
+    result exactly."""
+    from local_pubchem_db_spark.operators.percentiles import (
+        weighted_percentiles,
+    )
+
+    bad = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("a", 2.0, 1.7)], "k string, v double, w double"
+    )
+    with pytest.raises(Exception, match="fractional weight"):
+        weighted_percentiles(bad, ["k"], "v", "w", [0.5]).collect()
+    half = spark.createDataFrame(
+        [("a", 1.0, 0.5), ("a", 2.0, 3.0)], "k string, v double, w double"
+    )
+    with pytest.raises(Exception, match="fractional weight"):
+        weighted_percentiles(half, ["k"], "v", "w", [0.5]).collect()
+
+    rows = [("a", 1.0, 2), ("a", 5.0, 3), ("b", 7.0, 1)]
+    as_long = spark.createDataFrame(rows, "k string, v double, w long")
+    as_double = spark.createDataFrame(
+        [(k, v, float(w)) for k, v, w in rows], "k string, v double, w double"
+    )
+    ps = [0.25, 0.5, 0.75]
+    got_l = {
+        tuple(r[:1]): r["pcts"]
+        for r in weighted_percentiles(as_long, ["k"], "v", "w", ps).collect()
+    }
+    got_d = {
+        tuple(r[:1]): r["pcts"]
+        for r in weighted_percentiles(as_double, ["k"], "v", "w", ps).collect()
+    }
+    assert got_l == got_d

@@ -681,3 +681,31 @@ def test_table_health_caps_automatic_driver_parse_fallback(
         spark, "ignored", files=files, open_file=_Opener()
     ).toPandas()
     assert len(h) == 4
+
+def test_table_health_cap_surfaces_on_environmental_hdfs_failure(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12: an over-cap listing on an ENVIRONMENTAL failure of a
+    Hadoop-native scheme (libhdfs absent on the driver) must refuse with
+    the cap's guidance — previously the cap's ValueError was raised
+    inside the try and swallowed by the environmental except, which
+    converted the refusal into a misleading 'proceeding anyway'
+    credentials warning (and would then have run the distributed path
+    against a scheme the executors would also serially mis-handle)."""
+    import pandas as pd
+    import pytest
+
+    from local_pubchem_db_spark.operators import physical
+
+    real = str(tmp_path / "c.parquet")
+    pd.DataFrame({"id": [1, 2]}).to_parquet(real)
+    size = __import__("os").path.getsize(real)
+    monkeypatch.setattr(
+        physical,
+        "_classify_footer_scheme",
+        lambda path: ("environmental", "libhdfs not found (faked)"),
+    )
+    monkeypatch.setattr(physical, "_DRIVER_PARSE_CAP", 3)
+    files = [(f"hdfs://nn/t/{i}.parquet", size) for i in range(4)]
+    with pytest.raises(ValueError, match="too many for"):
+        physical.table_health(spark, "ignored", files=files)

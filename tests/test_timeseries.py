@@ -434,3 +434,111 @@ def test_robust_outliers_hist_method_identical_to_buffer(spark):
     buf, hist = run("buffer"), run("hist")
     assert buf == hist
     assert {(k, x) for k, x, *_ in buf} >= {("a", 500.0), ("b", -500.0)}
+
+def test_robust_outliers_auto_resolves_once_and_matches_buffer(spark):
+    """method="auto" (r13): the tier resolves ONCE at the
+    robust_outliers level with reuse_stats=2 (the Hampel filter's two
+    order statistics are exactly the reuse the hist tier's saving
+    depends on) — previously "auto" leaked into each grouped_median
+    call and paid one probe per statistic. Whatever the probe picks,
+    values equal the buffer tier (every tier is exact)."""
+    import numpy as np
+
+    from local_pubchem_db_spark.operators import percentiles as pct
+    from local_pubchem_db_spark.operators.timeseries import robust_outliers
+
+    rng = np.random.default_rng(31)
+    rows = [
+        (key, float(round(v)))
+        for key, n in (("a", 300), ("b", 120))
+        for v in rng.normal(50, 4, n)
+    ] + [("a", 900.0), ("b", -900.0)]
+    df = spark.createDataFrame(rows, "key string, x double").repartition(5)
+
+    calls = []
+    orig = pct.choose_percentile_method
+
+    def spy(df_, keys, val, **kw):
+        calls.append(kw)
+        return orig(df_, keys, val, **kw)
+
+    try:
+        pct.choose_percentile_method = spy
+        auto = sorted(
+            (r["key"], r["x"], r["med"], r["mad"])
+            for r in robust_outliers(
+                df, ["key"], "x", k=4.0, method="auto"
+            ).collect()
+        )
+    finally:
+        pct.choose_percentile_method = orig
+    assert len(calls) == 1, calls
+    assert calls[0].get("reuse_stats") == 2
+    buf = sorted(
+        (r["key"], r["x"], r["med"], r["mad"])
+        for r in robust_outliers(
+            df, ["key"], "x", k=4.0, method="buffer"
+        ).collect()
+    )
+    assert auto == buf
+
+
+def test_robust_outliers_auto_picks_hist_on_compressed_telemetry(spark):
+    """The graded ts_outliers regime in miniature: repeating values
+    (distinct pairs << rows) and two statistics -> the auto path takes
+    the hist branch when thresholds allow, and its values still equal
+    buffer bit-for-bit."""
+    import numpy as np
+
+    from local_pubchem_db_spark.operators import percentiles as pct
+    from local_pubchem_db_spark.operators.timeseries import robust_outliers
+
+    rng = np.random.default_rng(7)
+    rows = [
+        ("a", float(round(v))) for v in rng.normal(10, 2, 2000)
+    ] + [("a", 300.0)]
+    df = spark.createDataFrame(rows, "key string, x double").repartition(4)
+
+    calls = []
+    orig = pct.choose_percentile_method
+
+    def spy(df_, keys, val, **kw):
+        kw["hist_min_rows"] = 100  # production floor is 2M; scale down
+        m = orig(df_, keys, val, **kw)
+        calls.append(m)
+        return m
+
+    try:
+        pct.choose_percentile_method = spy
+        auto = sorted(
+            (r["key"], r["x"], r["med"], r["mad"])
+            for r in robust_outliers(
+                df, ["key"], "x", k=4.0, method="auto"
+            ).collect()
+        )
+    finally:
+        pct.choose_percentile_method = orig
+    assert calls == ["hist"], calls
+    buf = sorted(
+        (r["key"], r["x"], r["med"], r["mad"])
+        for r in robust_outliers(
+            df, ["key"], "x", k=4.0, method="buffer"
+        ).collect()
+    )
+    assert auto == buf
+
+
+def test_robust_outliers_hist_no_forced_broadcast(spark):
+    """ADVICE r12: the hist path must not FORCE a broadcast of the
+    per-key median relation — for a high-cardinality key that hint can
+    exceed the broadcast limit or OOM, and AQE broadcasts a genuinely
+    small relation from runtime stats anyway. Pinned on the optimized
+    logical plan: no ResolvedHint survives."""
+    from local_pubchem_db_spark.operators.timeseries import robust_outliers
+
+    df = spark.createDataFrame(
+        [("a", float(i % 7)) for i in range(200)], "key string, x double"
+    )
+    out = robust_outliers(df, ["key"], "x", k=3.0, method="hist")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in plan, plan
