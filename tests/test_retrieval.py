@@ -798,3 +798,305 @@ def test_consecutive_appends_stay_exact(spark):
     finally:
         _reset_index_tables(spark, name)
         _reset_index_tables(spark, ref)
+
+def test_corpus_pointer_makes_router_self_contained(spark, corpus, tmp_path):
+    """r13 (verdict Next #2): save_postings(corpus_table=...) persists
+    the corpus pointer in <name>_stats; a bare bm25_topk_auto(spark,
+    name, terms) call then resolves the corpus ITSELF and can take the
+    direct route — previously a forgotten docs= silently pinned every
+    query to the bucketed path. Pinned: the auto-resolved direct route
+    equals the explicitly-plumbed one to float round-off."""
+    from local_pubchem_db_spark.operators.retrieval import (
+        bm25_topk_auto,
+        build_postings,
+        index_meta,
+        save_postings,
+    )
+
+    name = "t_ret_ptr_idx"
+    _reset_index_tables(spark, name)
+    loc = str(tmp_path / "corpus_parquet")
+    corpus.write.parquet(loc)
+    docs = spark.read.parquet(loc)
+    try:
+        p, d = build_postings(docs)
+        save_postings(p, d, name, buckets=4, corpus_table=loc)
+        meta = index_meta(spark, name)
+        assert meta["corpus_table"] == loc
+        assert meta["corpus_id_col"] == "doc_id"
+        assert meta["corpus_text_col"] == "text"
+        assert meta["corpus_files"] == len(docs.inputFiles())
+        assert meta["postings_files"] == len(
+            spark.table(f"{name}_postings").inputFiles()
+        )
+        assert meta["buckets"] == 4
+        # force the direct route (threshold 0) WITHOUT docs: the
+        # pointer must supply the corpus
+        q = ["spark", "dog"]
+        bare = {
+            (r[0], round(r[1], 12))
+            for r in bm25_topk_auto(
+                spark, name, q, k=5, direct_over=1e-12
+            ).collect()
+        }
+        plumbed = {
+            (r[0], round(r[1], 12))
+            for r in bm25_topk_auto(
+                spark, name, q, k=5, direct_over=1e-12, docs=docs
+            ).collect()
+        }
+        assert bare == plumbed and bare
+    finally:
+        _reset_index_tables(spark, name)
+
+
+def test_corpus_version_mismatch_warns_not_fails(spark, corpus, tmp_path):
+    """The version guard (r13): when the pointed-at corpus grew after
+    the index was built (file count changed), the self-contained call
+    WARNS that statistics describe the indexed version — and still
+    answers (never fails, never misprices silently)."""
+    import warnings
+
+    from local_pubchem_db_spark.operators.retrieval import (
+        bm25_topk_auto,
+        build_postings,
+        save_postings,
+    )
+
+    name = "t_ret_ver_idx"
+    _reset_index_tables(spark, name)
+    loc = str(tmp_path / "corpus_v")
+    corpus.write.parquet(loc)
+    docs = spark.read.parquet(loc)
+    try:
+        p, d = build_postings(docs)
+        save_postings(p, d, name, buckets=4, corpus_table=loc)
+        # the corpus grows in place, index not re-synced
+        spark.createDataFrame(
+            [(100, "brand new dog document")], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(loc)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            out = bm25_topk_auto(spark, name, ["dog"], k=5).collect()
+        assert any(
+            "describe the indexed version" in str(w.message) for w in caught
+        )
+        assert out  # bucketed-path answer from the indexed version
+    finally:
+        _reset_index_tables(spark, name)
+
+
+def test_persisted_cost_ratio_overrides_module_constant(spark, corpus):
+    """r13 (verdict Next #4): a measured per-index cost_ratio persisted
+    in <name>_stats must drive the break-even instead of the module
+    constant. Pinned both at the choose_bm25_route level and through
+    bm25_topk_auto's plumbing: with a tiny persisted ratio the same
+    query flips to the direct route that the constant would keep
+    bucketed."""
+    from local_pubchem_db_spark.operators import retrieval as R
+
+    name = "t_ret_ratio_idx"
+    _reset_index_tables(spark, name)
+    try:
+        p, d = R.build_postings(corpus)
+        R.save_postings(p, d, name, buckets=4)
+        _, _, (n_docs, _avg), tdf = R.load_index(spark, name)
+        q = ["spark", "dog"]
+        # constant (47): bucketed on this corpus at local parallelism
+        route_const, _ = R.choose_bm25_route(tdf, n_docs, q, parallelism=32)
+        assert route_const == "bucketed"
+        # tiny measured ratio: the SAME query flips direct
+        route_meas, _ = R.choose_bm25_route(
+            tdf, n_docs, q, parallelism=32, cost_ratio=1e-9
+        )
+        assert route_meas == "direct"
+        # persisted plumbing: write cost_ratio into stats, route through
+        # the auto path with a spy on choose_bm25_route
+        meta = R.index_meta(spark, name)
+        R._write_stats_row(spark, name, {**meta, "cost_ratio": 1e-9})
+        seen = {}
+        orig = R.choose_bm25_route
+
+        def spy(tdf_, n, terms, **kw):
+            seen.update(kw)
+            return orig(tdf_, n, terms, **kw)
+
+        try:
+            R.choose_bm25_route = spy
+            out = R.bm25_topk_auto(spark, name, q, docs=corpus, k=5)
+            out.collect()
+        finally:
+            R.choose_bm25_route = orig
+        assert seen.get("cost_ratio") == pytest.approx(1e-9)
+    finally:
+        _reset_index_tables(spark, name)
+
+
+def test_calibrate_cost_ratio_measures_and_persists(spark, corpus, tmp_path):
+    """calibrate_cost_ratio: measures a positive finite ratio on the
+    index's own corpus, persists it in <name>_stats preserving every
+    other field (n, sum_dl, corpus pointer), and the auto path reads
+    it back."""
+    from local_pubchem_db_spark.operators.retrieval import (
+        build_postings,
+        calibrate_cost_ratio,
+        index_meta,
+        save_postings,
+    )
+
+    name = "t_ret_cal_idx"
+    _reset_index_tables(spark, name)
+    loc = str(tmp_path / "corpus_cal")
+    corpus.write.parquet(loc)
+    docs = spark.read.parquet(loc)
+    try:
+        p, d = build_postings(docs)
+        save_postings(p, d, name, buckets=4, corpus_table=loc)
+        before = index_meta(spark, name)
+        ratio = calibrate_cost_ratio(spark, name, reps=1)
+        assert ratio > 0 and ratio == ratio  # positive, not NaN
+        after = index_meta(spark, name)
+        assert after["cost_ratio"] == pytest.approx(ratio)
+        for k in ("n", "sum_dl", "avgdl", "corpus_table", "buckets"):
+            assert after[k] == before[k], k
+    finally:
+        _reset_index_tables(spark, name)
+
+
+def test_stranded_termdf_swap_recovered_on_load(spark, corpus):
+    """r13 (verdict Next #5): a crash between DROP TABLE termdf and the
+    staged RENAME leaves the merged termdf under the staging name;
+    load_index must complete the rename (the staged table is the FULL
+    merged relation — the rename is pure metadata) and hand back a live
+    term_df instead of silently degrading the warm path."""
+    import warnings
+
+    from local_pubchem_db_spark.operators.retrieval import (
+        build_postings,
+        load_index,
+        save_postings,
+    )
+
+    name = "t_ret_swap_idx"
+    _reset_index_tables(spark, name)
+    try:
+        p, d = build_postings(corpus)
+        save_postings(p, d, name, buckets=4)
+        want = sorted(
+            (r["term"], r["df"])
+            for r in spark.table(f"{name}_termdf").collect()
+        )
+        # simulate the mid-swap crash window
+        spark.sql(
+            f"ALTER TABLE {name}_termdf RENAME TO {name}_termdf__staged"
+        )
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            _, _, _, tdf = load_index(spark, name)
+        assert any("staged swap" in str(w.message) for w in caught)
+        assert tdf is not None
+        assert sorted((r["term"], r["df"]) for r in tdf.collect()) == want
+        assert spark.catalog.tableExists(f"{name}_termdf")
+        assert not spark.catalog.tableExists(f"{name}_termdf__staged")
+    finally:
+        _reset_index_tables(spark, name)
+
+
+def test_consistency_marker_detects_and_repairs_crashed_append(
+    spark, corpus
+):
+    """ADVICE r12: an append that crashes AFTER the base-table appends
+    commit but BEFORE the derived merge leaves _termdf/_stats
+    describing the pre-append corpus — BM25 would silently score with
+    stale n/df/avgdl. load_index must detect the marker mismatch and
+    rebuild the derived tables to the exact from-scratch values;
+    repair=False must refuse to hand out the stale tables."""
+    import warnings
+    from unittest import mock
+
+    from local_pubchem_db_spark.operators import retrieval as R
+
+    name, ref = "t_ret_mark_idx", "t_ret_mark_ref"
+    _reset_index_tables(spark, name)
+    _reset_index_tables(spark, ref)
+    base = spark.createDataFrame(DOCS, "doc_id long, text string")
+    delta = spark.createDataFrame(DELTA_DOCS, "doc_id long, text string")
+    try:
+        p0, d0 = R.build_postings(base)
+        R.save_postings(p0, d0, name, buckets=4)
+        p1, d1 = R.build_postings(delta)
+        # crash simulation: base appends land, derived merge never runs
+        with mock.patch.object(R, "_merge_derived_tables"):
+            R.save_postings(p1, d1, name, buckets=4, mode="append")
+        stale = spark.table(f"{name}_stats").first()
+        assert stale["postings_files"] != len(
+            spark.table(f"{name}_postings").inputFiles()
+        )
+
+        # repair=False: stale derived tables must NOT be used
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            _, _, (n_deg, _a), tdf_deg = R.load_index(
+                spark, name, repair=False
+            )
+        assert any("STALE" in str(w.message) for w in caught)
+        assert tdf_deg is None
+        pu, du = R.build_postings(base.unionByName(delta))
+        R.save_postings(pu, du, ref, buckets=4)
+        want_stats = spark.table(f"{ref}_stats").first()
+        assert n_deg == want_stats["n"]  # derived live from doc_stats
+
+        # default repair: derived tables rebuilt bit-equal
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            _, _, (n_docs, avgdl), tdf = R.load_index(spark, name)
+        assert any("rebuilding" in str(w.message) for w in caught)
+        assert (n_docs, avgdl) == (want_stats["n"], want_stats["avgdl"])
+        got = sorted((r["term"], r["df"]) for r in tdf.collect())
+        want = sorted(
+            (r["term"], r["df"])
+            for r in spark.table(f"{ref}_termdf").collect()
+        )
+        assert got == want
+        # marker re-synced: the next load is clean (no warnings)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            R.load_index(spark, name)
+        assert not [w for w in caught if "rebuild" in str(w.message)]
+    finally:
+        _reset_index_tables(spark, name)
+        _reset_index_tables(spark, ref)
+
+
+def test_append_survives_stranded_staging_directory(spark, corpus):
+    """ADVICE r12: a crash mid staged-table WRITE strands the staging
+    warehouse directory with no catalog entry — DROP TABLE IF EXISTS
+    then no-ops and every later append used to die with
+    LOCATION_ALREADY_EXISTS (recoverable only by drop_index). The merge
+    must clear the orphan location and complete."""
+    import os
+
+    from local_pubchem_db_spark.operators import retrieval as R
+
+    name = "t_ret_orph_idx"
+    _reset_index_tables(spark, name)
+    base = spark.createDataFrame(DOCS, "doc_id long, text string")
+    delta = spark.createDataFrame(DELTA_DOCS, "doc_id long, text string")
+    try:
+        p0, d0 = R.build_postings(base)
+        R.save_postings(p0, d0, name, buckets=4)
+        # strand the staging DIRECTORY (no catalog entry)
+        loc = R._managed_location(spark, f"{name}_termdf__staged")
+        local = loc[5:] if loc.startswith("file:") else loc
+        os.makedirs(local, exist_ok=True)
+        with open(os.path.join(local, "stranded.bin"), "wb") as f:
+            f.write(b"\x00")
+        p1, d1 = R.build_postings(delta)
+        R.save_postings(p1, d1, name, buckets=4, mode="append")
+        got = {
+            r["term"]: r["df"]
+            for r in spark.table(f"{name}_termdf").collect()
+        }
+        assert got["dog"] == 3  # docs 0, 5 from base + delta's dog doc
+    finally:
+        _reset_index_tables(spark, name)
