@@ -209,14 +209,61 @@ def _plan_axis(df) -> str:
     return "py" if _PY_NODE_RE.search(plan) else "jvm"
 
 
+def evict_page_cache(path: str) -> int:
+    """Best-effort page-cache eviction of every file under ``path`` via
+    POSIX_FADV_DONTNEED (drops CLEAN cached pages of each file — no
+    privileges needed, unlike /proc/sys/vm/drop_caches). The cold-IO
+    axis of the scale series (r13, verdict Next #3): r12's sf100
+    improvement was confounded by reused replicas whose pages were
+    already resident — an artifact labeled ``cold: true`` had this run
+    against it immediately before, so the IO-warmth fraction of any
+    gain is measurable instead of acknowledged. Returns the number of
+    files evicted."""
+    os.sync()  # fadvise drops only clean pages
+    n = 0
+    for root, _dirs, fns in os.walk(path):
+        for fn in fns:
+            try:
+                fd = os.open(os.path.join(root, fn), os.O_RDONLY)
+                try:
+                    os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+                finally:
+                    os.close(fd)
+                n += 1
+            except OSError:
+                pass
+    return n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/session so q1 doesn't pay one-time start-up costs.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Cold-IO mode (r13): evict the sf dir's page cache and warm the
+    # JVM on a synthetic range instead of a parquet read, so the first
+    # touch of every table in the measured queries is a REAL disk read.
+    # Within the run, later reps/queries are warm — the same profile as
+    # a cold-started service; the artifact-level flag is what the
+    # series analysis compares (runs[] carries the per-rep samples).
+    cold = os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
+    if cold:
+        evicted = evict_page_cache(sf_dir)
+        print(json.dumps({"evicted_files": evicted, "dir": sf_dir}))
+        from pyspark.sql import functions as _F
+
+        (
+            spark.range(0, 1_000_000, 1, 32)
+            .groupBy((_F.col("id") % 17).alias("g"))
+            .agg(_F.sum("id"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    else:
+        # Warm the JVM/session so q1 doesn't pay one-time start-up costs.
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     # Warm the Python UDF workers too: the first pandas UDF otherwise pays
     # a one-time fork+import on every core (~1s on 32) that long-lived
@@ -449,11 +496,33 @@ def main() -> None:
                 past_cap = {"error": f"{type(e).__name__}: {e}"[:300]}
             release_shared_caches(spark)
 
+    # Self-normalizing rows (r13, verdict Next #7): calibration drifted
+    # 0.39 -> 0.51 -> 0.62 across three driver rounds, so every raw
+    # round-over-round comparison needed hand-normalization. Each row
+    # divided by ITS axis's calibration (py rows by the Python-worker
+    # probe, jvm rows by the rangescan probe) is in host-independent
+    # "calibration units" — two rounds' normalized rows compare
+    # directly, no dance.
+    queries_normalized = {
+        q: round(
+            v
+            / (
+                calibration_py
+                if axes.get(q) == "py" and calibration_py
+                else calibration
+            ),
+            3,
+        )
+        for q, v in timings.items()
+        if calibration
+    }
     out = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_normalized": queries_normalized,
+        "cold": cold,
         "calibration": calibration,
         "calibration_py": calibration_py,
         "runs": runs,
@@ -531,15 +600,25 @@ def _prepare_retrieval_index(spark, sf_dir: str, name: str):
     hybrid_warm rows; the caller drops the tables afterwards."""
     from local_pubchem_db_spark.operators.retrieval import (
         build_postings,
+        calibrate_cost_ratio,
         drop_index,
         load_index,
         save_postings,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = f"{sf_dir}/documents.parquet"
+    docs = spark.read.parquet(corpus)
     postings, doc_stats = build_postings(docs)
     drop_index(spark, name)  # clear stale catalog entries/locations
-    save_postings(postings, doc_stats, name, buckets=8)
+    # the r13 deployment shape: corpus pointer persisted (so a bare
+    # bm25_topk_auto(spark, name, terms) routes), cost ratio measured
+    # on THIS corpus/host at build time instead of the baked constant
+    save_postings(postings, doc_stats, name, buckets=8, corpus_table=corpus)
+    try:
+        ratio = calibrate_cost_ratio(spark, name, docs=docs, reps=2)
+        print(json.dumps({"index_cost_ratio": round(ratio, 2)}))
+    except Exception:  # noqa: BLE001 — calibration is best-effort here
+        pass
     return load_index(spark, name)
 
 

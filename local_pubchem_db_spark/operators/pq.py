@@ -644,3 +644,389 @@ def ivf_pq_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ index: save / load / O(delta) append + staleness signal
+# ---------------------------------------------------------------------------
+# The retrieval index got O(delta) maintenance in r12; this is the ANN
+# twin (r13, verdict Next #6): the encoded corpus persists as a
+# cluster-partitioned table (probed-cell filters prune at the I/O
+# layer), the small model (coarse centroids, PQ codebooks, optional OPQ
+# rotation) persists alongside, and new vectors are encoded against the
+# PERSISTED codebooks — no re-train, one map-only Arrow pass over the
+# delta plus a partitioned append. Because the codebooks are frozen, a
+# drifting corpus distribution degrades quantization SILENTLY — so every
+# append measures the delta's quantization error against the
+# training-time baseline and reports when a re-train is due.
+
+IVF_PQ_TABLE_SUFFIXES = ("codes", "model", "meta")
+
+# delta-vs-baseline quantization-error ratio past which an append
+# recommends re-training: 1.5x mean squared reconstruction error means
+# the frozen codebooks waste a third of their precision on the new
+# data's geometry (ADC ranking quality decays with exactly this error —
+# Jégou et al. 2011, §III).
+RETRAIN_DRIFT_RATIO = 1.5
+
+_IVF_PQ_META_SCHEMA = (
+    "m long, k long, dim long, n_cells long, n_vecs long, "
+    "residual boolean, id_col string, code_col string, "
+    "cluster_col string, vec_col string, base_mse double, "
+    "codes_files long"
+)
+_IVF_PQ_META_FIELDS = [f.split()[0] for f in _IVF_PQ_META_SCHEMA.split(", ")]
+
+
+def quantization_error(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    centroids: np.ndarray | None = None,
+    rotation: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    sample_rows: int = 65536,
+    seed: int = 7,
+) -> float:
+    """Mean squared PQ reconstruction error over a deterministic
+    hash-ordered sample of ``df`` — the codebook-staleness signal. The
+    sample is the same md5(seed:id) order ``pq_fit`` trains on, so the
+    number is reproducible across runs and partitionings. Vectors are
+    normalized (the module's cosine contract); in residual mode
+    (``centroids`` given) the error is measured on the residuals, and
+    under OPQ (``rotation``) in the rotated space — both equal the
+    original-space error (the rotation is orthogonal; the centroid
+    offset cancels). Needs ``cluster_col`` on ``df`` when residual."""
+    C = np.ascontiguousarray(codebooks, dtype=np.float64)
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    sel = [F.col(vec_col).alias("v"), key.alias("__k")]
+    if centroids is not None:
+        sel.append(F.col(cluster_col).alias("__cell"))
+    rows = df.select(*sel).orderBy("__k").limit(sample_rows).collect()
+    if not rows:
+        raise ValueError("quantization_error: empty input")
+    X = _norm_rows(np.array([list(r["v"]) for r in rows], dtype=np.float64))
+    if centroids is not None:
+        Cn = _norm_rows(np.asarray(centroids, dtype=np.float64))
+        cells = np.array([r["__cell"] for r in rows], dtype=np.int64)
+        X = X - Cn[cells]
+    if rotation is not None:
+        X = X @ np.asarray(rotation, dtype=np.float64)
+    Y = pq_reconstruct(_np_encode(X, C), C)
+    return float(((X - Y) ** 2).sum(axis=1).mean())
+
+
+def _model_rows(kind: str, M: np.ndarray):
+    """(kind, i, j, vec) rows for one 2- or 3-d model array."""
+    A = np.asarray(M, dtype=np.float64)
+    if A.ndim == 2:
+        return [(kind, int(i), 0, A[i].tolist()) for i in range(len(A))]
+    return [
+        (kind, int(i), int(j), A[i, j].tolist())
+        for i in range(A.shape[0])
+        for j in range(A.shape[1])
+    ]
+
+
+def _model_array(rows, kind: str) -> np.ndarray | None:
+    sel = [(r["i"], r["j"], r["vec"]) for r in rows if r["kind"] == kind]
+    if not sel:
+        return None
+    ni = max(i for i, _j, _v in sel) + 1
+    nj = max(j for _i, j, _v in sel) + 1
+    dim = len(sel[0][2])
+    out = np.zeros((ni, nj, dim))
+    for i, j, v in sel:
+        out[i, j] = v
+    return out[:, 0, :] if nj == 1 else out
+
+
+def _write_ivf_pq_meta(spark, name: str, values: dict) -> None:
+    row = tuple(values.get(f) for f in _IVF_PQ_META_FIELDS)
+    (
+        spark.createDataFrame([row], _IVF_PQ_META_SCHEMA)
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"{name}_meta")
+    )
+
+
+def save_ivf_pq(
+    encoded: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    name: str,
+    rotation: np.ndarray | None = None,
+    residual: bool = False,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    cluster_col: str = "cluster",
+    vec_col: str = "embedding",
+    sample_rows: int = 65536,
+) -> None:
+    """Persist an IVF-PQ index as catalog tables — the deployment shape
+    for a long-lived ANN service:
+
+    - ``<name>_codes``: the encoded corpus PARTITIONED BY the cluster
+      column, so a query's probed-cells filter is a PARTITION filter —
+      unprobed cells are never read from storage (the scale property
+      the in-memory operator documents; here it survives restarts).
+      Keep ``vec_col`` on ``encoded`` when exact re-ranking is wanted.
+    - ``<name>_model``: coarse centroids, PQ codebooks, and the OPQ
+      rotation (when given) as (kind, i, j, vec) rows — a few thousand
+      small vectors, read once per service start.
+    - ``<name>_meta``: one row of shapes, column names, ``residual``
+      (codes produced by residual-mode pq_fit/pq_encode must be probed
+      in residual mode — persisting the flag removes the footgun), the
+      corpus size, a codes-files consistency marker (mirrors the
+      retrieval index's: an append that crashes before the meta update
+      is detected at load), and ``base_mse`` — the training-time
+      quantization error ``ivf_pq_append`` measures drift against
+      (null when ``vec_col`` is absent from ``encoded``)."""
+    spark = encoded.sparkSession
+    C = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, k, dsub = C.shape
+    base_mse = None
+    if vec_col in encoded.columns:
+        base_mse = quantization_error(
+            encoded,
+            C,
+            centroids=np.asarray(centroids) if residual else None,
+            rotation=rotation,
+            id_col=id_col,
+            vec_col=vec_col,
+            cluster_col=cluster_col,
+            sample_rows=sample_rows,
+        )
+    (
+        encoded.write.mode("overwrite")
+        .partitionBy(cluster_col)
+        .format("parquet")
+        .saveAsTable(f"{name}_codes")
+    )
+    rows = _model_rows("centroid", centroids) + _model_rows("codebook", C)
+    if rotation is not None:
+        rows += _model_rows("rotation", rotation)
+    (
+        spark.createDataFrame(
+            rows, "kind string, i long, j long, vec array<double>"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"{name}_model")
+    )
+    n_vecs = spark.table(f"{name}_codes").count()
+    _write_ivf_pq_meta(
+        spark,
+        name,
+        {
+            "m": int(m),
+            "k": int(k),
+            "dim": int(m * dsub),
+            "n_cells": int(len(centroids)),
+            "n_vecs": int(n_vecs),
+            "residual": bool(residual),
+            "id_col": id_col,
+            "code_col": code_col,
+            "cluster_col": cluster_col,
+            "vec_col": vec_col if vec_col in encoded.columns else None,
+            "base_mse": base_mse,
+            "codes_files": len(spark.table(f"{name}_codes").inputFiles()),
+        },
+    )
+
+
+def drop_ivf_pq(spark, name: str) -> None:
+    """Remove every table ``save_ivf_pq(name=...)`` creates — same
+    catalog-safe semantics as the retrieval index's ``drop_index``
+    (DROP for catalog-known tables; true-orphan locations cleared
+    through the JVM Hadoop FileSystem)."""
+    from local_pubchem_db_spark.operators.retrieval import (
+        _hadoop_delete,
+        _managed_location,
+    )
+
+    for sfx in IVF_PQ_TABLE_SUFFIXES:
+        ident = f"{name}_{sfx}"
+        in_catalog = spark.catalog.tableExists(ident)
+        spark.sql(f"DROP TABLE IF EXISTS {ident}")
+        if in_catalog:
+            continue
+        try:
+            _hadoop_delete(spark, _managed_location(spark, ident))
+        except Exception:  # noqa: BLE001 — best-effort orphan cleanup
+            pass
+
+
+def load_ivf_pq(
+    spark, name: str
+) -> tuple[DataFrame, np.ndarray, np.ndarray, np.ndarray | None, dict]:
+    """``(codes, centroids, codebooks, rotation, meta)`` as persisted by
+    ``save_ivf_pq`` — the model arrays collect once per service start
+    (a few thousand rows). The codes-files consistency marker is
+    verified against the live listing: on mismatch (an append crashed
+    before its meta update) the corpus count is RECOUNTED from the
+    codes table and the meta row re-synced, with a warning — n_vecs is
+    the only derived field, so the recount IS the full repair (the
+    model arrays are append-invariant by construction)."""
+    import warnings as _warnings
+
+    codes = spark.table(f"{name}_codes")
+    model = spark.table(f"{name}_model").collect()
+    centroids = _model_array(model, "centroid")
+    codebooks = _model_array(model, "codebook")
+    rotation = _model_array(model, "rotation")
+    meta = {
+        k: v
+        for k, v in spark.table(f"{name}_meta").first().asDict().items()
+        if v is not None
+    }
+    marker = meta.get("codes_files")
+    if marker is not None and len(codes.inputFiles()) != int(marker):
+        _warnings.warn(
+            f"ivf_pq index {name!r}: codes table has "
+            f"{len(codes.inputFiles())} files but meta describes "
+            f"{marker} (a crashed append?) — recounting n_vecs",
+            stacklevel=2,
+        )
+        meta["n_vecs"] = codes.count()
+        meta["codes_files"] = len(codes.inputFiles())
+        _write_ivf_pq_meta(
+            spark, name, {f: meta.get(f) for f in _IVF_PQ_META_FIELDS}
+        )
+    return codes, centroids, codebooks, rotation, meta
+
+
+def ivf_pq_append(
+    spark,
+    name: str,
+    new_vecs: DataFrame,
+    drift_threshold: float = RETRAIN_DRIFT_RATIO,
+    sample_rows: int = 65536,
+) -> dict:
+    """O(delta) append to a persisted IVF-PQ index: assign the new
+    vectors to the FROZEN coarse centroids, encode them against the
+    FROZEN codebooks (one map-only Arrow pass — no re-train, no touch
+    of the existing corpus), append to the partitioned codes table, and
+    refresh the meta row LAST (so a crash leaves a detectable marker
+    mismatch, not silent corruption — same contract as the retrieval
+    index's append).
+
+    Contract mirror of ``save_postings(mode="append")``: the batch must
+    carry NEW ids (a re-appended id duplicates its rows in the codes
+    relation itself — dedup before ingest), and ``new_vecs`` must carry
+    the non-derived columns of the original corpus (at least the id and
+    vector columns; the cluster and code columns are derived here).
+
+    Returns the STALENESS REPORT the frozen-codebook design needs:
+    ``{"n_appended", "base_mse", "delta_mse", "drift_ratio",
+    "retrain_recommended"}`` — ``delta_mse`` is the appended batch's
+    quantization error under the persisted codebooks, measured on the
+    same deterministic sample recipe as the baseline; a ratio past
+    ``drift_threshold`` means the corpus distribution has moved off the
+    training sample and a ``pq_fit`` re-train is due (the classic
+    failure mode of incremental ANN maintenance: recall decays with no
+    error anywhere). Drift fields are None when the index was saved
+    without raw vectors (no baseline to compare against)."""
+    from pyspark.sql.types import BinaryType
+
+    from local_pubchem_db_spark.operators.clustering import assign_clusters
+
+    codes, centroids, codebooks, rotation, meta = load_ivf_pq(spark, name)
+    id_col, vec_col = meta["id_col"], meta.get("vec_col", "embedding")
+    cluster_col, code_col = meta["cluster_col"], meta["code_col"]
+    residual = bool(meta.get("residual"))
+    assigned = new_vecs.join(
+        assign_clusters(
+            new_vecs, centroids, vec_col=vec_col, id_col=id_col
+        ).withColumnRenamed("id", id_col).withColumnRenamed(
+            "cluster", cluster_col
+        ),
+        id_col,
+    )
+    delta_mse = None
+    if meta.get("base_mse") is not None:
+        delta_mse = quantization_error(
+            assigned,
+            codebooks,
+            centroids=centroids if residual else None,
+            rotation=rotation,
+            id_col=id_col,
+            vec_col=vec_col,
+            cluster_col=cluster_col,
+            sample_rows=sample_rows,
+        )
+    encoded = pq_encode(
+        assigned,
+        codebooks,
+        vec_col=vec_col,
+        out_col=code_col,
+        centroids=centroids if residual else None,
+        cluster_col=cluster_col,
+        rotation=rotation,
+        binary_codes=isinstance(
+            codes.schema[code_col].dataType, BinaryType
+        ),
+    )
+    delta = encoded.select(*codes.columns)
+    n_appended = delta.count()
+    (
+        delta.write.mode("append")
+        .partitionBy(cluster_col)
+        .format("parquet")
+        .saveAsTable(f"{name}_codes")
+    )
+    meta["n_vecs"] = int(meta.get("n_vecs", 0)) + int(n_appended)
+    meta["codes_files"] = len(spark.table(f"{name}_codes").inputFiles())
+    _write_ivf_pq_meta(
+        spark, name, {f: meta.get(f) for f in _IVF_PQ_META_FIELDS}
+    )
+    base_mse = meta.get("base_mse")
+    ratio = (
+        (delta_mse / base_mse)
+        if (delta_mse is not None and base_mse)
+        else None
+    )
+    return {
+        "n_appended": int(n_appended),
+        "base_mse": base_mse,
+        "delta_mse": delta_mse,
+        "drift_ratio": ratio,
+        "retrain_recommended": bool(ratio and ratio > drift_threshold),
+    }
+
+
+def ivf_pq_search_persisted(
+    spark,
+    name: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int | None = None,
+    index: tuple | None = None,
+) -> DataFrame:
+    """``ivf_pq_search`` over a persisted index: probes the
+    cluster-PARTITIONED codes table (unprobed cells pruned at the I/O
+    layer) with the persisted residual/rotation settings — the
+    restart-safe service entry point. ``index``: a ``load_ivf_pq``
+    tuple a long-lived service passes to skip the per-call model read."""
+    codes, centroids, codebooks, rotation, meta = (
+        index if index is not None else load_ivf_pq(spark, name)
+    )
+    return ivf_pq_search(
+        codes,
+        queries,
+        centroids,
+        codebooks,
+        id_col=meta["id_col"],
+        code_col=meta["code_col"],
+        cluster_col=meta["cluster_col"],
+        vec_col=meta.get("vec_col", "embedding"),
+        k=k,
+        nprobe=nprobe,
+        residual=bool(meta.get("residual")),
+        rerank=rerank,
+        rotation=rotation,
+    )

@@ -179,3 +179,44 @@ def test_compute_drift_per_axis_normalization():
         timings, prev, cal=0.26, prev_cal=0.2, axes=axes,
     )
     assert norm2["jvm_q"] == 1.0 and abs(norm2["py_q"] - 1.154) < 1e-3
+
+def test_queries_normalized_per_axis_and_cold_flag_in_compact(tmp_path):
+    """r13 (verdict Next #7 + #3): the compact record must carry (a)
+    queries_normalized — each row divided by ITS axis's calibration, so
+    rounds compare without hand-normalization — and (b) the cold flag
+    that labels a page-cache-evicted run in the scale series."""
+    import io
+
+    from bench import emit
+
+    out = {
+        "metric": "headline_total",
+        "value": 2.0,
+        "unit": "sec",
+        "queries": {"jvm_q": 1.0, "py_q": 1.0},
+        "queries_normalized": {"jvm_q": 2.0, "py_q": 2.5},
+        "cold": True,
+        "calibration": 0.5,
+        "calibration_py": 0.4,
+        "runs": {"jvm_q": [1.0], "py_q": [1.0]},
+        "sf": 0.1,
+    }
+    buf = io.StringIO()
+    emit(out, stream=buf)
+    last = json.loads(
+        [ln for ln in buf.getvalue().splitlines() if ln.strip()][-1]
+    )
+    assert last["queries_normalized"] == {"jvm_q": 2.0, "py_q": 2.5}
+    assert last["cold"] is True
+
+
+def test_evict_page_cache_walks_and_survives_errors(tmp_path):
+    """evict_page_cache: best-effort fadvise over every file; unreadable
+    entries are skipped, the count reports what was evicted."""
+    from bench import evict_page_cache
+
+    d = tmp_path / "sf"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.parquet").write_bytes(b"x" * 1024)
+    (d / "sub" / "b.parquet").write_bytes(b"y" * 2048)
+    assert evict_page_cache(str(d)) == 2

@@ -465,3 +465,211 @@ def test_binary_codes_opt_in_and_equivalent(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="k <= 256"):
         pq_encode(emb, np.zeros((4, 300, 16)), binary_codes=True)
+
+def _clustered_corpus(spark, seed=5, dim=32, n_clusters=12, per=40):
+    rng = np.random.default_rng(seed)
+    rows, protos = [], []
+    for c in range(n_clusters):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        protos.append(base)
+        for i in range(per):
+            v = base + 0.05 * rng.standard_normal(dim)
+            rows.append((c * 1000 + i, [float(x) for x in v]))
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        protos,
+    )
+
+
+def _fit_ivf_pq(spark, emb, n_clusters=12):
+    from local_pubchem_db_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    centroids = kmeans_fit(emb, k=n_clusters, max_iter=10)
+    assigned = emb.join(
+        assign_clusters(emb, centroids).withColumnRenamed("id", "vec_id"),
+        "vec_id",
+    )
+    cb = pq_fit(assigned, m=8, k=16, centroids=centroids)
+    enc = pq_encode(assigned, cb, centroids=centroids)
+    return centroids, cb, enc
+
+
+def test_save_load_ivf_pq_round_trip_and_pruning(spark):
+    """r13 (verdict Next #6): the persisted IVF-PQ index round-trips —
+    search over the loaded index equals the in-memory operator row for
+    row, the persisted residual flag drives the probe mode without the
+    caller restating it, and the probed-cells filter still reaches the
+    partitioned codes table as a PARTITION filter."""
+    from local_pubchem_db_spark.operators.pq import (
+        drop_ivf_pq,
+        ivf_pq_search,
+        ivf_pq_search_persisted,
+        load_ivf_pq,
+        save_ivf_pq,
+    )
+
+    name = "t_ivfpq_rt"
+    drop_ivf_pq(spark, name)
+    emb, _ = _clustered_corpus(spark)
+    centroids, cb, enc = _fit_ivf_pq(spark, emb)
+    queries = emb.filter(F.col("vec_id") % 1000 == 0)
+    try:
+        save_ivf_pq(enc, centroids, cb, name, residual=True)
+        codes, c2, cb2, rot, meta = load_ivf_pq(spark, name)
+        assert rot is None and meta["residual"] is True
+        assert meta["n_vecs"] == emb.count()
+        assert meta["base_mse"] > 0
+        np.testing.assert_allclose(c2, centroids)
+        np.testing.assert_allclose(cb2, cb)
+        want = sorted(
+            tuple(r) for r in ivf_pq_search(
+                enc, queries, centroids, cb,
+                k=5, nprobe=2, residual=True, rerank=20,
+            ).collect()
+        )
+        got_df = ivf_pq_search_persisted(
+            spark, name, queries, k=5, nprobe=2, rerank=20
+        )
+        got = sorted(tuple(r) for r in got_df.collect())
+        assert got == want
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "cluster" in plan.split("PartitionFilters", 1)[1][:300]
+    finally:
+        drop_ivf_pq(spark, name)
+
+
+def test_ivf_pq_append_finds_new_vectors_no_spurious_drift(spark):
+    """O(delta) append: new same-distribution vectors are encoded
+    against the FROZEN codebooks, land in their cells, and are
+    immediately retrievable (an exact-copy probe re-ranks them to rank
+    1); the staleness report sees no drift; meta's corpus size tracks."""
+    from local_pubchem_db_spark.operators.pq import (
+        drop_ivf_pq,
+        ivf_pq_append,
+        ivf_pq_search_persisted,
+        load_ivf_pq,
+        save_ivf_pq,
+    )
+
+    name = "t_ivfpq_app"
+    drop_ivf_pq(spark, name)
+    emb, protos = _clustered_corpus(spark)
+    centroids, cb, enc = _fit_ivf_pq(spark, emb)
+    rng = np.random.default_rng(17)
+    new_rows = [
+        (
+            50_000 + c,
+            [
+                float(x)
+                for x in protos[c] + 0.05 * rng.standard_normal(len(protos[c]))
+            ],
+        )
+        for c in range(len(protos))
+    ]
+    new_vecs = spark.createDataFrame(
+        new_rows, "vec_id long, embedding array<double>"
+    )
+    try:
+        save_ivf_pq(enc, centroids, cb, name, residual=True)
+        n0 = load_ivf_pq(spark, name)[4]["n_vecs"]
+        report = ivf_pq_append(spark, name, new_vecs)
+        assert report["n_appended"] == len(new_rows)
+        assert report["drift_ratio"] == pytest.approx(1.0, abs=0.5)
+        assert report["retrain_recommended"] is False
+        meta = load_ivf_pq(spark, name)[4]
+        assert meta["n_vecs"] == n0 + len(new_rows)
+        # an exact-copy probe (fresh id) must re-rank the appended
+        # vector to the top of its cell. rerank covers the WHOLE
+        # probed candidate set (~2 cells x 41 rows): inside one tight
+        # cluster the quantization error exceeds the intra-cluster
+        # margins, so ADC alone cannot separate the exact copy from
+        # its cell-mates — exactly the candidate-miss risk the rerank
+        # parameter exists to buy down (operator docstring).
+        probe = spark.createDataFrame(
+            [(999_999, new_rows[3][1])], "vec_id long, embedding array<double>"
+        )
+        got = ivf_pq_search_persisted(
+            spark, name, probe, k=3, nprobe=2, rerank=100
+        ).collect()
+        top = [r["neighbor_id"] for r in got if r["rank"] == 1]
+        assert top == [50_003]
+    finally:
+        drop_ivf_pq(spark, name)
+
+
+def test_ivf_pq_append_flags_distribution_drift(spark):
+    """The staleness signal: a delta from a DIFFERENT distribution
+    (uniform random vs the tight training clusters) quantizes far worse
+    under the frozen codebooks — drift_ratio blows past the threshold
+    and the report recommends a re-train. This is the failure mode of
+    incremental ANN maintenance (recall decays with no error anywhere);
+    the report makes it measurable."""
+    from local_pubchem_db_spark.operators.pq import (
+        drop_ivf_pq,
+        ivf_pq_append,
+        save_ivf_pq,
+    )
+
+    name = "t_ivfpq_drift"
+    drop_ivf_pq(spark, name)
+    emb, _ = _clustered_corpus(spark)
+    centroids, cb, enc = _fit_ivf_pq(spark, emb)
+    rng = np.random.default_rng(23)
+    drifted = spark.createDataFrame(
+        [
+            (60_000 + i, [float(x) for x in rng.standard_normal(32)])
+            for i in range(100)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    try:
+        save_ivf_pq(enc, centroids, cb, name, residual=True)
+        report = ivf_pq_append(spark, name, drifted)
+        assert report["drift_ratio"] > 1.5, report
+        assert report["retrain_recommended"] is True
+    finally:
+        drop_ivf_pq(spark, name)
+
+
+def test_ivf_pq_crashed_append_recounted_on_load(spark, monkeypatch):
+    """Consistency marker (mirrors the retrieval index): an append that
+    crashes before its meta update leaves n_vecs stale; load_ivf_pq
+    detects the codes-files mismatch, warns, and recounts from the
+    codes table — n_vecs is the only derived field, so the recount IS
+    the repair."""
+    import warnings
+
+    from local_pubchem_db_spark.operators import pq as PQ
+
+    name = "t_ivfpq_crash"
+    PQ.drop_ivf_pq(spark, name)
+    emb, protos = _clustered_corpus(spark)
+    centroids, cb, enc = _fit_ivf_pq(spark, emb)
+    new_vecs = spark.createDataFrame(
+        [(70_000, [float(x) for x in protos[0]])],
+        "vec_id long, embedding array<double>",
+    )
+    try:
+        PQ.save_ivf_pq(enc, centroids, cb, name, residual=True)
+        real = PQ._write_ivf_pq_meta
+        # crash window: the codes append lands, the meta update doesn't
+        monkeypatch.setattr(PQ, "_write_ivf_pq_meta", lambda *a, **k: None)
+        PQ.ivf_pq_append(spark, name, new_vecs)
+        monkeypatch.setattr(PQ, "_write_ivf_pq_meta", real)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            meta = PQ.load_ivf_pq(spark, name)[4]
+        assert any("recounting" in str(w.message) for w in caught)
+        assert meta["n_vecs"] == emb.count() + 1
+        # the re-synced meta makes the next load clean
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            PQ.load_ivf_pq(spark, name)
+        assert not [w for w in caught if "recounting" in str(w.message)]
+    finally:
+        PQ.drop_ivf_pq(spark, name)
