@@ -1182,6 +1182,31 @@ def q_gap_fill_locf(spark, sf_dir):
 # tools/oracle_check.py still runs every past-cap entry on every bench.
 # Near-duplicate surfaces share one query (see the r1→r2 merges in
 # each docstring) rather than spilling past the cap unchecked.
+def q_weighted_median_hist(spark, sf_dir):
+    """Exact grouped median through the PERSISTABLE histogram path
+    (operators/percentiles.py, r12-r13): the (key, value)->count
+    histogram is built once (one map-side-combinable shuffle, output =
+    distinct pairs — the telemetry-store shape) and
+    ``weighted_percentiles`` derives the statistic from cumulative
+    weights. Bit-equal to the buffer aggregate (test-pinned) and
+    hash-matched here against DuckDB's median over the RAW rows — the
+    hist tier the r13 auto model picks is itself a fully oracled
+    registry entry, not only a branch inside ts_outliers."""
+    from local_pubchem_db_spark.operators.percentiles import (
+        weighted_percentiles,
+    )
+
+    ev = events_table(spark, sf_dir).select("event_type", "value")
+    hist = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.col("value").cast("double").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return weighted_percentiles(
+        hist, ["event_type"], "v", "w", [0.5], out_col="pcts"
+    ).select("event_type", F.element_at("pcts", 1).alias("med_hist"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Tier B — reference SQL surface
     "count_star": q_count_star,
@@ -1263,6 +1288,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "projection_scan": q_projection_scan,
     # fully oracled (r11): RRF hybrid retrieval — lexical + vector ranks
     "hybrid_rrf": q_hybrid_rrf,
+    # fully oracled (r13): the weighted-histogram percentile tier
+    # end-to-end — the path the auto model can now pick on its own
+    "weighted_median_hist": q_weighted_median_hist,
 }
 
 # Shared SQL fragments for the oracles ------------------------------------
@@ -1892,5 +1920,10 @@ ORACLES: dict[str, str] = {
                h.bk IS NULL AS is_gap
         FROM grid g
         LEFT JOIN hourly h USING (event_type, bk)
+    """,
+    "weighted_median_hist": """
+        SELECT event_type, median(CAST(value AS DOUBLE)) AS med_hist
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
     """,
 }
