@@ -708,6 +708,21 @@ def load_index(
     return postings, doc_stats, (n_docs, avgdl), term_df
 
 
+def load_service_index(
+    spark, name: str, repair: bool = True
+) -> tuple[
+    DataFrame, DataFrame, tuple[int, float], DataFrame | None, dict
+]:
+    """``load_index`` plus the full ``index_meta`` dict as a FIFTH
+    element — the tuple a long-lived service hands to ``bm25_topk_auto``
+    so each query's construction issues no stats read at all (the meta
+    carries the corpus pointer, version-guard file count, and measured
+    cost ratio the router consumes). ``bm25_topk_auto`` accepts either
+    the 4-tuple or this 5-tuple."""
+    idx = load_index(spark, name, repair=repair)
+    return (*idx, index_meta(spark, name))
+
+
 def _norm_terms(query_terms: list[str]) -> list[str]:
     terms = sorted({t.strip().lower() for t in query_terms if t.strip()})
     if not terms:
@@ -1175,18 +1190,28 @@ def bm25_topk_auto(
     append to re-sync). Explicitly passed ``docs`` keeps the original
     contract: the caller owns version sync.
 
-    ``index``: the ``load_index(spark, name)`` tuple, passed by a
-    long-lived service so query construction re-reads nothing; when
-    omitted it is loaded here (one tiny stats read). The routing
-    lookup itself is a bucket-pruned |q|-row job either way. The
-    break-even uses the per-index measured ``cost_ratio`` when
+    ``index``: the ``load_index`` 4-tuple or (better) the
+    ``load_service_index`` 5-tuple, passed by a long-lived service so
+    query construction re-reads nothing — with the 5-tuple the
+    persisted meta (corpus pointer, version guard, measured cost
+    ratio) rides along and this call issues NO stats read; the
+    4-tuple pays one tiny meta read per call. The routing lookup
+    itself is a bucket-pruned |q|-row job either way. The break-even
+    uses the per-index measured ``cost_ratio`` when
     ``calibrate_cost_ratio`` persisted one, else the module constant."""
-    postings, doc_stats, (n_docs, avgdl), term_df = (
-        index if index is not None else load_index(spark, name)
-    )
+    meta = None
+    if index is not None and len(index) == 5:
+        postings, doc_stats, (n_docs, avgdl), term_df, meta = index
+    elif index is not None:
+        postings, doc_stats, (n_docs, avgdl), term_df = index
+    else:
+        postings, doc_stats, (n_docs, avgdl), term_df = load_index(
+            spark, name
+        )
     if n_docs == 0:
         return _empty_scored(postings, id_col)
-    meta = index_meta(spark, name)
+    if meta is None:
+        meta = index_meta(spark, name)
     if docs is None and meta.get("corpus_table"):
         import warnings as _warnings
 
@@ -1252,8 +1277,6 @@ def calibrate_cost_ratio(
     name: str,
     docs: DataFrame | None = None,
     probe_terms: tuple[str, ...] = ("hash", "spark", "stream", "vector"),
-    sample_docs: int = 200_000,
-    sample_rows: int = 2_000_000,
     reps: int = 2,
 ) -> float:
     """Measure THIS index's t_doc/t_row routing ratio on THIS hardware
@@ -1263,24 +1286,30 @@ def calibrate_cost_ratio(
     documents, costlier tokenization) a baked-in constant misprices the
     ``bm25_topk_auto`` break-even silently. Call once after
     ``save_postings`` — the deployment moment the verdict named, when
-    both halves of the ratio are already warm.
+    the build already paid several corpus passes; these two probes add
+    roughly one more.
 
-    Two timed probes, min-of-``reps`` each, both full-parallel so the
-    cluster factor cancels out of the ratio:
+    Two timed FULL-RELATION probes, min-of-``reps`` each, both
+    full-parallel so the cluster factor cancels out of the ratio:
 
     - t_doc: the direct route's exact scoring shape (tokenize +
-      per-term tf passes + score tree, |q| = len(probe_terms)) over a
-      deterministic hash-sampled ~``sample_docs`` documents;
+      per-term tf passes + score tree, |q| = len(probe_terms)) over
+      the whole corpus — wall / N;
     - t_row: the bucketed route's per-row shape (scan + per-doc
-      aggregation) over ~``sample_rows`` hash-sampled postings rows.
+      aggregation) over the whole postings relation — wall / rows.
 
-    The ratio is (wall_doc / n_docs_probed) / (wall_row / n_rows_probed).
-    Noise note: each probe carries ~0.1-0.3 s of fixed job overhead, so
-    the measurement is meaningful when the probes run >= ~1 s — on tiny
-    corpora the persisted ratio is dominated by overhead (harmless:
-    routing is irrelevant below the break-even scale, and
-    ``df_by_term`` <= n_docs bounds the mispricing). ``docs`` defaults
-    to the persisted corpus pointer. Returns the persisted ratio."""
+    Full relations, NOT samples, deliberately: a hash-sampled probe
+    still SCANS every row and only processes the survivors, so the
+    fixed IO is amortized over too few units — the first cut sampled
+    ~2M of sf30's 45M postings rows and measured t_row 2x too high,
+    mispricing the ratio at 23 where the honest full-relation walls
+    said ~44 (and the router then sent a query to a 5.6 s direct path
+    when 3.2 s bucketed was available). Noise note: each probe carries
+    ~0.1-0.3 s of fixed job overhead, so the ratio is meaningful when
+    the probes run >= ~1 s; on tiny corpora it is overhead-dominated
+    (harmless — routing is irrelevant below the break-even scale).
+    ``docs`` defaults to the persisted corpus pointer. Returns the
+    persisted ratio."""
     import time as _time
 
     meta = index_meta(spark, name)
@@ -1304,39 +1333,18 @@ def calibrate_cost_ratio(
         return best
 
     n_docs = int(meta.get("n") or docs.count())
-    stride = max(1, n_docs // max(sample_docs, 1))
-    dsample = (
-        docs.filter(F.pmod(F.hash(F.col(id_col)), F.lit(stride)) == 0)
-        if stride > 1
-        else docs
-    )
-    n_d = dsample.count()
-    if n_d == 0:
-        raise ValueError("calibrate_cost_ratio: empty corpus sample")
+    if n_docs == 0:
+        raise ValueError("calibrate_cost_ratio: empty corpus")
     idf = {t: 1.0 for t in probe_terms}
     wall_doc = _timed(
-        _bm25_score_direct(
-            dsample, idf, 10.0, 10, 1.2, 0.75, id_col, text_col
-        )
+        _bm25_score_direct(docs, idf, 10.0, 10, 1.2, 0.75, id_col, text_col)
     )
 
     postings = spark.table(f"{name}_postings")
-    total = postings.count()
-    pstride = max(1, total // max(sample_rows, 1))
-    psample = (
-        postings.filter(
-            F.pmod(F.hash(F.col("term"), F.col(id_col)), F.lit(pstride))
-            == 0
-        )
-        if pstride > 1
-        else postings
-    )
-    n_r = psample.count()
-    if n_r == 0:
-        raise ValueError("calibrate_cost_ratio: empty postings sample")
-    wall_row = _timed(
-        psample.groupBy(id_col).agg(F.sum("tf").alias("tf"))
-    )
-    ratio = (wall_doc / n_d) / (wall_row / n_r)
+    n_rows = postings.count()
+    if n_rows == 0:
+        raise ValueError("calibrate_cost_ratio: empty postings")
+    wall_row = _timed(postings.groupBy(id_col).agg(F.sum("tf").alias("tf")))
+    ratio = (wall_doc / n_docs) / (wall_row / n_rows)
     _write_stats_row(spark, name, {**meta, "cost_ratio": float(ratio)})
     return float(ratio)

@@ -1100,3 +1100,38 @@ def test_append_survives_stranded_staging_directory(spark, corpus):
         assert got["dog"] == 3  # docs 0, 5 from base + delta's dog doc
     finally:
         _reset_index_tables(spark, name)
+
+def test_service_index_tuple_makes_auto_construction_job_free(spark, corpus):
+    """r13: bm25_topk_auto with the load_service_index 5-tuple reads
+    nothing per call — the meta (corpus pointer, cost ratio) rides the
+    tuple, so a warm service's query construction issues ZERO jobs
+    (the r11 job-free contract, extended to the routed entry point)."""
+    from local_pubchem_db_spark.operators.retrieval import (
+        bm25_topk_auto,
+        build_postings,
+        load_service_index,
+        save_postings,
+    )
+
+    name = "t_ret_svc_idx"
+    _reset_index_tables(spark, name)
+    postings, doc_stats = build_postings(corpus)
+    try:
+        save_postings(postings, doc_stats, name, buckets=4)
+        idx = load_service_index(spark, name)
+        assert len(idx) == 5 and isinstance(idx[4], dict)
+        sc = spark.sparkContext
+        sc.setJobGroup("auto_construct", "job-free construction pin")
+        try:
+            q = bm25_topk_auto(spark, name, ["spark", "dog"], k=5, index=idx)
+        finally:
+            sc.setJobGroup("", "")
+        assert sc.statusTracker().getJobIdsForGroup("auto_construct") == []
+        got = {(r[0], round(r[1], 9)) for r in q.collect()}
+        want = {
+            (r[0], round(r[1], 9))
+            for r in bm25_topk(postings, doc_stats, ["spark", "dog"], k=5).collect()
+        }
+        assert got == want
+    finally:
+        _reset_index_tables(spark, name)
