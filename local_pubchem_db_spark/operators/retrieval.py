@@ -718,9 +718,31 @@ def load_service_index(
     so each query's construction issues no stats read at all (the meta
     carries the corpus pointer, version-guard file count, and measured
     cost ratio the router consumes). ``bm25_topk_auto`` accepts either
-    the 4-tuple or this 5-tuple."""
+    the 4-tuple or this 5-tuple.
+
+    The corpus VERSION GUARD runs here, once per load: per-query
+    guarding would pay a driver-side file listing on every call (cheap
+    against one query, real against a service's throughput), and a
+    service that caches the index has by construction pinned the
+    version it serves — re-load to re-check. ``bm25_topk_auto`` with
+    a 5-tuple therefore skips the per-call guard; with a 4-tuple or a
+    bare name it keeps it."""
     idx = load_index(spark, name, repair=repair)
-    return (*idx, index_meta(spark, name))
+    meta = index_meta(spark, name)
+    want = meta.get("corpus_files")
+    if want is not None and meta.get("corpus_table"):
+        import warnings as _warnings
+
+        have = _corpus_file_count(spark, meta["corpus_table"])
+        if have is not None and int(want) != have:
+            _warnings.warn(
+                f"index {name!r}: corpus {meta['corpus_table']!r} has "
+                f"{have} files but the index was built over {want} — "
+                "statistics describe the indexed version; append or "
+                "rebuild to re-sync",
+                stacklevel=2,
+            )
+    return (*idx, meta)
 
 
 def _norm_terms(query_terms: list[str]) -> list[str]:
@@ -1200,7 +1222,8 @@ def bm25_topk_auto(
     uses the per-index measured ``cost_ratio`` when
     ``calibrate_cost_ratio`` persisted one, else the module constant."""
     meta = None
-    if index is not None and len(index) == 5:
+    from_service = index is not None and len(index) == 5
+    if from_service:
         postings, doc_stats, (n_docs, avgdl), term_df, meta = index
     elif index is not None:
         postings, doc_stats, (n_docs, avgdl), term_df = index
@@ -1228,17 +1251,23 @@ def bm25_topk_auto(
         else:
             id_col = meta.get("corpus_id_col", id_col)
             text_col = meta.get("corpus_text_col", text_col)
+            # version guard — skipped on the 5-tuple service path: the
+            # guard ran once in load_service_index, and paying a
+            # driver-side file listing per QUERY is the wrong trade
+            # for a cached-index service (re-load to re-check)
             want = meta.get("corpus_files")
-            have = _corpus_file_count(spark, meta["corpus_table"])
-            if want is not None and have is not None and want != have:
-                _warnings.warn(
-                    f"index {name!r}: corpus {meta['corpus_table']!r} "
-                    f"has {have} files but the index was built over "
-                    f"{want} — statistics (n={n_docs}, df, avgdl) "
-                    "describe the indexed version; append or rebuild "
-                    "to re-sync",
-                    stacklevel=2,
-                )
+            if not from_service and want is not None:
+                have = _corpus_file_count(spark, meta["corpus_table"])
+                if have is not None and int(want) != have:
+                    _warnings.warn(
+                        f"index {name!r}: corpus "
+                        f"{meta['corpus_table']!r} has {have} files "
+                        f"but the index was built over {want} — "
+                        f"statistics (n={n_docs}, df, avgdl) describe "
+                        "the indexed version; append or rebuild to "
+                        "re-sync",
+                        stacklevel=2,
+                    )
     route = "bucketed"
     if docs is not None and term_df is not None:
         route, df_by_term = choose_bm25_route(

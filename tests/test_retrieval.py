@@ -1135,3 +1135,53 @@ def test_service_index_tuple_makes_auto_construction_job_free(spark, corpus):
         assert got == want
     finally:
         _reset_index_tables(spark, name)
+
+def test_version_guard_runs_at_service_load_not_per_query(spark, corpus, tmp_path):
+    """r13: the corpus version guard costs a driver-side file listing —
+    once per load_service_index, never per query on the 5-tuple path
+    (a cached-index service pinned its version; re-load to re-check).
+    The bare-name path keeps the per-call guard."""
+    import warnings
+
+    from local_pubchem_db_spark.operators import retrieval as R
+
+    name = "t_ret_guard_idx"
+    _reset_index_tables(spark, name)
+    loc = str(tmp_path / "corpus_g")
+    corpus.write.parquet(loc)
+    docs = spark.read.parquet(loc)
+    try:
+        p, d = R.build_postings(docs)
+        R.save_postings(p, d, name, buckets=4, corpus_table=loc)
+        # corpus grows after the index build
+        spark.createDataFrame(
+            [(500, "one more dog")], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(loc)
+        # load-time guard fires
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            idx = R.load_service_index(spark, name)
+        assert any("indexed version" in str(w.message) for w in caught)
+        # per-query on the 5-tuple: no listing, no warning
+        calls = []
+        orig = R._corpus_file_count
+
+        def spy(sp, tbl):
+            calls.append(tbl)
+            return orig(sp, tbl)
+
+        try:
+            R._corpus_file_count = spy
+            with warnings.catch_warnings(record=True) as caught:
+                warnings.simplefilter("always")
+                R.bm25_topk_auto(
+                    spark, name, ["dog"], k=3, index=idx
+                ).collect()
+        finally:
+            R._corpus_file_count = orig
+        assert calls == []
+        assert not [
+            w for w in caught if "indexed version" in str(w.message)
+        ]
+    finally:
+        _reset_index_tables(spark, name)
