@@ -1377,3 +1377,126 @@ def calibrate_cost_ratio(
     ratio = (wall_doc / n_docs) / (wall_row / n_rows)
     _write_stats_row(spark, name, {**meta, "cost_ratio": float(ratio)})
     return float(ratio)
+
+
+def _query_map(spark, queries: dict) -> tuple[DataFrame, list[str]]:
+    """(broadcastable (query_id, term) relation, sorted union of terms)
+    for a batch of queries. Query ids become strings (heterogeneous id
+    types in one batch would otherwise force a lossy common type)."""
+    if not queries:
+        raise ValueError("queries must be a non-empty {query_id: terms} map")
+    rows = []
+    for qid, terms in queries.items():
+        for t in _norm_terms(list(terms)):
+            rows.append((str(qid), t))
+    qmap = spark.createDataFrame(rows, "query_id string, term string")
+    return qmap, sorted({t for _q, t in rows})
+
+
+def coordination_topk_batch(
+    postings: DataFrame,
+    queries: dict,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``coordination_topk`` for a BATCH of queries in ONE pass — the
+    amortized shape a decontamination/audit sweep needs at corpus
+    scale: scoring B probe queries one at a time costs B bucket probes
+    and B scheduling rounds, while the batch costs ONE postings probe
+    pruned to the UNION of the batch's terms (still a pushed-down
+    ``IN`` — buckets and row groups outside the union are never read),
+    one broadcast of the tiny (query_id, term) map, and one
+    (query_id, doc) aggregation. Per-query ranking is the standard
+    grouped top-k window (partition = query_id), so parallelism scales
+    with the batch, and each query's result equals its single-query
+    ``coordination_topk`` exactly (integer keys; test-pinned).
+
+    Output: (query_id string, <id_col>, n_terms, total_tf, rank<=k)."""
+    qmap, all_terms = _query_map(postings.sparkSession, queries)
+    matched = _matched(postings, all_terms)
+    per = (
+        matched.join(F.broadcast(qmap), "term")
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count_distinct("term").cast("long").alias("n_terms"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_terms"), F.desc("total_tf"), F.asc(id_col)
+    )
+    return (
+        per.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bm25_topk_batch(
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    queries: dict,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+    term_df: DataFrame | None = None,
+) -> DataFrame:
+    """``bm25_topk`` for a BATCH of queries in ONE pass (see
+    ``coordination_topk_batch`` for the amortization argument): one
+    union-pruned postings probe, ONE doc-length join for the whole
+    batch (bucketed docstats -> still zero corpus-side exchange), idf
+    from the persisted ``term_df`` lookup when given (|union| rows,
+    broadcast), then one (query_id, doc) scoring aggregation and the
+    grouped top-k window. Each query's (id, score) set equals its
+    single-query ``bm25_topk`` to float round-off (same idf constants,
+    same tf_norm tree; test-pinned).
+
+    Output: (query_id string, <id_col>, score, rank<=k)."""
+    if n_docs is None or avgdl is None:
+        row = doc_stats.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        ).first()
+        n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+    spark = postings.sparkSession
+    qmap, all_terms = _query_map(spark, queries)
+    if n_docs == 0:
+        empty = _empty_scored(postings, id_col)
+        return empty.select(
+            F.lit("").alias("query_id"),
+            F.col(id_col),
+            F.col("score"),
+            F.lit(0).cast("long").alias("rank"),
+        ).limit(0)
+    matched = _matched(postings, all_terms)
+    if term_df is not None:
+        df_t = _matched(term_df, all_terms)
+    else:
+        df_t = matched.groupBy("term").agg(
+            F.count_distinct(id_col).alias("df")
+        )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    scored = (
+        matched.join(F.broadcast(df_t.withColumn("idf", idf)), "term")
+        .join(doc_stats, id_col)
+        .join(F.broadcast(qmap), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("idf") * tf_norm).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

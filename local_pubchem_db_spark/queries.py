@@ -1182,6 +1182,33 @@ def q_gap_fill_locf(spark, sf_dir):
 # tools/oracle_check.py still runs every past-cap entry on every bench.
 # Near-duplicate surfaces share one query (see the r1→r2 merges in
 # each docstring) rather than spilling past the cap unchecked.
+# the fixed 3-query batch the retrieval_batch entry scores: overlapping
+# unions, a single-term probe, and the bench's 4-term probe — one
+# postings pass serves all of them (operators/retrieval.py, r13)
+_BATCH_QUERIES = {
+    "q_lex": ["spark", "data"],
+    "q_vec": ["vector", "search"],
+    "q_all": ["hash", "spark", "stream", "vector"],
+}
+
+
+def q_retrieval_batch(spark, sf_dir):
+    """BATCHED retrieval (operators/retrieval.py, r13): three probe
+    queries scored in ONE postings pass — the amortized shape a
+    decontamination/audit sweep needs (B queries one at a time = B
+    probes; the batch = one probe pruned to the UNION of terms + a
+    broadcast (query_id, term) map + one grouped top-k window).
+    Integer-exact coordination ranking per query, so the whole batch
+    hash-matches DuckDB."""
+    from local_pubchem_db_spark.operators.retrieval import (
+        build_postings,
+        coordination_topk_batch,
+    )
+
+    postings, _ = build_postings(t(spark, sf_dir, "documents"))
+    return coordination_topk_batch(postings, _BATCH_QUERIES, k=10)
+
+
 def q_weighted_median_hist(spark, sf_dir):
     """Exact grouped median through the PERSISTABLE histogram path
     (operators/percentiles.py, r12-r13): the (key, value)->count
@@ -1291,6 +1318,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # fully oracled (r13): the weighted-histogram percentile tier
     # end-to-end — the path the auto model can now pick on its own
     "weighted_median_hist": q_weighted_median_hist,
+    # fully oracled (r13): batched retrieval — B queries, one probe
+    "retrieval_batch": q_retrieval_batch,
 }
 
 # Shared SQL fragments for the oracles ------------------------------------
@@ -1925,5 +1954,33 @@ ORACLES: dict[str, str] = {
         SELECT event_type, median(CAST(value AS DOUBLE)) AS med_hist
         FROM events WHERE value IS NOT NULL
         GROUP BY event_type
+    """,
+    "retrieval_batch": f"""
+        WITH qmap(query_id, term) AS (VALUES
+          {", ".join(f"('{q}', '{t}')" for q, ts in sorted(_BATCH_QUERIES.items()) for t in sorted(set(ts)))}
+        ),
+        toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex({_NORM_TEXT}, '\\s+')) AS term
+          FROM documents
+        ),
+        postings AS (
+          SELECT term, doc_id, count(*) AS tf
+          FROM toks WHERE term <> '' GROUP BY 1, 2
+        ),
+        per AS (
+          SELECT q.query_id, p.doc_id,
+                 CAST(count(DISTINCT p.term) AS BIGINT) AS n_terms,
+                 CAST(sum(p.tf) AS BIGINT) AS total_tf
+          FROM postings p JOIN qmap q USING (term)
+          GROUP BY 1, 2
+        )
+        SELECT query_id, doc_id, n_terms, total_tf, rank FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY n_terms DESC, total_tf DESC, doc_id
+                 ) AS BIGINT) AS rank
+          FROM per
+        ) WHERE rank <= 10
     """,
 }

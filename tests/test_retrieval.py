@@ -1185,3 +1185,94 @@ def test_version_guard_runs_at_service_load_not_per_query(spark, corpus, tmp_pat
         ]
     finally:
         _reset_index_tables(spark, name)
+
+def test_batch_coordination_equals_per_query(spark, corpus, tmp_path):
+    """r13: coordination_topk_batch scores a WHOLE query batch in one
+    union-pruned probe; each query's rows must equal its single-query
+    coordination_topk exactly (integer keys). Queries whose terms match
+    nothing produce no rows; the union IN predicate still reaches a
+    parquet scan as a pushed filter."""
+    import re
+
+    from local_pubchem_db_spark.operators.retrieval import (
+        coordination_topk,
+        coordination_topk_batch,
+    )
+
+    postings, _ = build_postings(corpus)
+    batch = {
+        "q_lex": ["spark", "dog"],
+        "q_vec": ["vector", "search"],
+        "q_all": ["hash", "spark", "stream", "vector"],
+        "q_none": ["zzz_nowhere"],
+    }
+    got = {}
+    for r in coordination_topk_batch(postings, batch, k=5).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["n_terms"], r["total_tf"], r["rank"])
+        )
+    for qid, terms in batch.items():
+        want = [
+            (r["doc_id"], r["n_terms"], r["total_tf"], r["rank"])
+            for r in coordination_topk(postings, terms, k=5).collect()
+        ]
+        assert sorted(got.get(qid, [])) == sorted(want), qid
+    assert "q_none" not in got
+
+    # the union-of-terms probe reaches a parquet-backed index's scan
+    p = str(tmp_path / "batch_postings.parquet")
+    postings.write.parquet(p)
+    plan = (
+        coordination_topk_batch(spark.read.parquet(p), batch, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "In(term" in plan, plan
+    # ONE postings scan for the whole batch — the amortization pin
+    assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
+
+
+def test_batch_bm25_equals_per_query(spark, corpus):
+    """bm25_topk_batch == per-query bm25_topk to float round-off, with
+    the persisted-index scalars and term_df plumbed (the service
+    shape): one probe, one docstats join, one scoring aggregation for
+    the whole batch."""
+    from local_pubchem_db_spark.operators.retrieval import (
+        bm25_topk_batch,
+        build_postings,
+        load_index,
+        save_postings,
+    )
+
+    name = "t_ret_batch_idx"
+    _reset_index_tables(spark, name)
+    postings, doc_stats = build_postings(corpus)
+    batch = {
+        7: ["spark", "dog"],
+        8: ["vector"],
+        9: ["quick", "search", "data"],
+    }
+    try:
+        save_postings(postings, doc_stats, name, buckets=4)
+        bp, bd, (n_docs, avgdl), tdf = load_index(spark, name)
+        got = {}
+        rows = bm25_topk_batch(
+            bp, bd, batch, k=5, n_docs=n_docs, avgdl=avgdl, term_df=tdf
+        ).collect()
+        for r in rows:
+            got.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+        for qid, terms in batch.items():
+            want = {
+                r["doc_id"]: r["score"]
+                for r in bm25_topk(
+                    bp, bd, terms, k=5,
+                    n_docs=n_docs, avgdl=avgdl, term_df=tdf,
+                ).collect()
+            }
+            have = got.get(str(qid), {})
+            assert have.keys() == want.keys(), qid
+            for d in want:
+                assert have[d] == pytest.approx(want[d], rel=1e-9), (qid, d)
+    finally:
+        _reset_index_tables(spark, name)
