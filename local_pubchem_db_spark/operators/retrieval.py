@@ -1500,3 +1500,97 @@ def bm25_topk_batch(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def mmr_rerank(
+    ranked: DataFrame,
+    embeddings: DataFrame,
+    lambda_: float = 0.7,
+    k: int = 10,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) of an ALREADY-SMALL top-N frame: greedily pick the
+    candidate maximizing ``lambda * rel(d) - (1 - lambda) * max_{s in
+    selected} cos(d, s)`` — the standard diversity pass over a
+    retrieval result, so a dedup-review or audit sample is not ten
+    near-copies of the same document. ``lambda=1`` reproduces the
+    relevance order; lower values trade relevance for diversity.
+
+    Scale contract (same as ``with_rank``): call this AFTER a top-k —
+    ``ranked`` is a k-to-few-hundred-row frame, its vectors are
+    fetched with ONE broadcast semi-join against ``embeddings`` (the
+    corpus never shuffles; a cluster-partitioned or bucketed embedding
+    table prunes), and the greedy loop itself runs driver-side on the
+    collected N x dim matrix — O(k*N) dot products on data that is
+    tiny BY CONSTRUCTION. The corpus-scale work (scoring billions of
+    documents down to N) belongs to the upstream ranker; re-ranking N
+    candidates is not a distributed problem and pretending otherwise
+    would just add exchanges.
+
+    Relevance is min-max normalized to [0, 1] within the candidate set
+    (upstream scores — BM25, RRF — have arbitrary scale vs the cosine
+    term); vectors are L2-normalized. Candidates missing from
+    ``embeddings`` are dropped (can't measure their diversity). Ties
+    break on (score, id) — deterministic. Columns: <id_col>,
+    ``mmr_score``, ``rank``."""
+    import numpy as np
+
+    if not (0.0 <= lambda_ <= 1.0):
+        raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+    cand = ranked.select(id_col, score_col)
+    with_vec = cand.join(
+        # broadcast the k-row candidate side: the corpus-sized
+        # embeddings relation is the probe and never shuffles
+        embeddings.select(id_col, vec_col).join(
+            F.broadcast(cand.select(id_col)), id_col, "left_semi"
+        ),
+        id_col,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, with_vec.schema[id_col].dataType),
+            StructField("mmr_score", DoubleType()),
+            StructField("rank", LongType()),
+        ]
+    )
+    rows = with_vec.collect()
+    if not rows:
+        return ranked.sparkSession.createDataFrame([], schema)
+    ids = [r[id_col] for r in rows]
+    rel = np.array([float(r[score_col]) for r in rows])
+    V = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    n = np.linalg.norm(V, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    V = V / n
+    lo, hi = rel.min(), rel.max()
+    rel_n = (rel - lo) / (hi - lo) if hi > lo else np.ones_like(rel)
+    sims = V @ V.T
+    # deterministic greedy: argmax of the MMR objective, ties by
+    # (higher rel, smaller id)
+    order = sorted(
+        range(len(ids)), key=lambda i: (-rel_n[i], str(ids[i]))
+    )
+    selected: list[int] = []
+    remaining = list(order)
+    out = []
+    while remaining and len(selected) < k:
+        best, best_obj = None, None
+        for i in remaining:
+            div = max((sims[i, j] for j in selected), default=0.0)
+            obj = lambda_ * rel_n[i] - (1.0 - lambda_) * div
+            if best is None or obj > best_obj + 1e-15:
+                best, best_obj = i, obj
+        selected.append(best)
+        remaining.remove(best)
+        out.append((ids[best], float(best_obj), len(selected)))
+    return ranked.sparkSession.createDataFrame(out, schema)

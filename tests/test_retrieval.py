@@ -1276,3 +1276,91 @@ def test_batch_bm25_equals_per_query(spark, corpus):
                 assert have[d] == pytest.approx(want[d], rel=1e-9), (qid, d)
     finally:
         _reset_index_tables(spark, name)
+
+def test_mmr_rerank_diversity_and_lambda_extremes(spark):
+    """MMR (r13): two near-duplicate top scorers + one diverse
+    mid-scorer. lambda=1 reproduces relevance order (both dups first);
+    lambda=0.5 interleaves the diverse doc ahead of the second dup.
+    Matches a pure-numpy greedy reference on randomized inputs, and
+    the candidate-vector fetch broadcasts the candidate side (the
+    corpus-sized embeddings relation never shuffles)."""
+    import numpy as np
+
+    from local_pubchem_db_spark.operators.retrieval import mmr_rerank
+
+    dup = [1.0, 0.0, 0.0, 0.0]
+    dup2 = [0.999, 0.04, 0.0, 0.0]
+    diverse = [0.0, 1.0, 0.0, 0.0]
+    far = [0.0, 0.0, 1.0, 0.0]
+    emb = spark.createDataFrame(
+        [(1, dup), (2, dup2), (3, diverse), (4, far), (99, far)],
+        "doc_id long, embedding array<double>",
+    )
+    ranked = spark.createDataFrame(
+        [(1, 10.0), (2, 9.5), (3, 6.0), (4, 1.0)],
+        "doc_id long, score double",
+    )
+    pure = [
+        r["doc_id"]
+        for r in mmr_rerank(ranked, emb, lambda_=1.0, k=4).orderBy("rank").collect()
+    ]
+    assert pure == [1, 2, 3, 4]
+    div = [
+        r["doc_id"]
+        for r in mmr_rerank(ranked, emb, lambda_=0.5, k=4).orderBy("rank").collect()
+    ]
+    assert div[0] == 1 and div.index(3) < div.index(2), div
+
+    # randomized equality with a numpy reference implementation
+    rng = np.random.default_rng(11)
+    n, dim = 12, 8
+    V = rng.standard_normal((n, dim))
+    scores = rng.uniform(1, 5, n)
+    emb2 = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        "doc_id long, embedding array<double>",
+    )
+    rk2 = spark.createDataFrame(
+        [(i, float(scores[i])) for i in range(n)], "doc_id long, score double"
+    )
+    lam, k = 0.6, 6
+    got = [
+        r["doc_id"]
+        for r in mmr_rerank(rk2, emb2, lambda_=lam, k=k).orderBy("rank").collect()
+    ]
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    rel = (scores - scores.min()) / (scores.max() - scores.min())
+    sims = Vn @ Vn.T
+    sel, rem = [], list(range(n))
+    while rem and len(sel) < k:
+        objs = [
+            (lam * rel[i] - (1 - lam) * max((sims[i, j] for j in sel), default=0.0), i)
+            for i in rem
+        ]
+        best = max(objs, key=lambda t: t[0])[1]
+        sel.append(best)
+        rem.remove(best)
+    assert got == sel, (got, sel)
+
+
+def test_mmr_rerank_edges(spark):
+    """Candidates missing from the embeddings relation are dropped;
+    empty candidate set returns an empty typed frame; bad lambda
+    raises."""
+    import pytest as _pt
+
+    from local_pubchem_db_spark.operators.retrieval import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "doc_id long, embedding array<double>"
+    )
+    ranked = spark.createDataFrame(
+        [(1, 2.0), (7, 9.0)], "doc_id long, score double"
+    )
+    got = mmr_rerank(ranked, emb, k=5).collect()
+    assert [r["doc_id"] for r in got] == [1]  # 7 has no vector
+    empty = mmr_rerank(ranked.filter("doc_id = 0"), emb, k=5)
+    assert empty.count() == 0
+    assert dict(empty.dtypes)["doc_id"] == "bigint"
+    with _pt.raises(ValueError):
+        mmr_rerank(ranked, emb, lambda_=1.5)
