@@ -1510,6 +1510,7 @@ def mmr_rerank(
     id_col: str = "doc_id",
     vec_col: str = "embedding",
     score_col: str = "score",
+    max_candidates: int = 10_000,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     SIGIR 1998) of an ALREADY-SMALL top-N frame: greedily pick the
@@ -1534,8 +1535,10 @@ def mmr_rerank(
     (upstream scores — BM25, RRF — have arbitrary scale vs the cosine
     term); vectors are L2-normalized. Candidates missing from
     ``embeddings`` are dropped (can't measure their diversity). Ties
-    break on (score, id) — deterministic. Columns: <id_col>,
-    ``mmr_score``, ``rank``."""
+    break on (score, id) — deterministic. ``max_candidates`` guards the
+    contract: a caller who accidentally passes an unbounded relation
+    gets a refusal with guidance, never a silent driver-side collect of
+    the corpus. Columns: <id_col>, ``mmr_score``, ``rank``."""
     import numpy as np
 
     if not (0.0 <= lambda_ <= 1.0):
@@ -1563,7 +1566,15 @@ def mmr_rerank(
             StructField("rank", LongType()),
         ]
     )
-    rows = with_vec.collect()
+    rows = with_vec.limit(max_candidates + 1).collect()
+    if len(rows) > max_candidates:
+        raise ValueError(
+            f"mmr_rerank: candidate set exceeds max_candidates="
+            f"{max_candidates} — this operator re-ranks an "
+            "ALREADY-SMALL top-N frame driver-side (the with_rank "
+            "contract); run a top-k upstream, or raise max_candidates "
+            "knowingly (O(k*N) driver work)"
+        )
     if not rows:
         return ranked.sparkSession.createDataFrame([], schema)
     ids = [r[id_col] for r in rows]

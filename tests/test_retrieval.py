@@ -1364,3 +1364,23 @@ def test_mmr_rerank_edges(spark):
     assert dict(empty.dtypes)["doc_id"] == "bigint"
     with _pt.raises(ValueError):
         mmr_rerank(ranked, emb, lambda_=1.5)
+
+def test_mmr_rerank_refuses_unbounded_candidates(spark):
+    """The driver-side contract is ENFORCED: an over-cap candidate set
+    refuses with guidance instead of silently collecting a corpus."""
+    import pytest as _pt
+
+    from local_pubchem_db_spark.operators.retrieval import mmr_rerank
+
+    n = 30
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(n)],
+        "doc_id long, embedding array<double>",
+    )
+    ranked = spark.createDataFrame(
+        [(i, float(i)) for i in range(n)], "doc_id long, score double"
+    )
+    with _pt.raises(ValueError, match="max_candidates"):
+        mmr_rerank(ranked, emb, k=3, max_candidates=10)
+    # at or under the cap it works
+    assert mmr_rerank(ranked, emb, k=3, max_candidates=n).count() == 3
