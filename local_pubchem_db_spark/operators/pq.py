@@ -660,7 +660,7 @@ def ivf_pq_search(
 # append measures the delta's quantization error against the
 # training-time baseline and reports when a re-train is due.
 
-IVF_PQ_TABLE_SUFFIXES = ("codes", "model", "meta")
+IVF_PQ_TABLE_SUFFIXES = ("codes", "model", "meta", "cells")
 
 # delta-vs-baseline quantization-error ratio past which an append
 # recommends re-training: 1.5x mean squared reconstruction error means
@@ -668,6 +668,14 @@ IVF_PQ_TABLE_SUFFIXES = ("codes", "model", "meta")
 # data's geometry (ADC ranking quality decays with exactly this error —
 # Jégou et al. 2011, §III).
 RETRAIN_DRIFT_RATIO = 1.5
+
+# largest-cell/mean-cell row ratio past which an append recommends
+# re-clustering the coarse quantizer: the probe cost of a query that
+# hits the hot cell scales with THAT cell's size, not the corpus mean
+# (nprobe cells scan serially within a probe task), so a 4x-skewed cell
+# quietly makes the worst-case query 4x the planned cost even while
+# mean recall and quantization error look fine.
+REBALANCE_SKEW_RATIO = 4.0
 
 _IVF_PQ_META_SCHEMA = (
     "m long, k long, dim long, n_cells long, n_vecs long, "
@@ -783,7 +791,14 @@ def save_ivf_pq(
       retrieval index's: an append that crashes before the meta update
       is detected at load), and ``base_mse`` — the training-time
       quantization error ``ivf_pq_append`` measures drift against
-      (null when ``vec_col`` is absent from ``encoded``)."""
+      (null when ``vec_col`` is absent from ``encoded``).
+    - ``<name>_cells``: per-cell row counts (n_cells rows) — the
+      CELL-BALANCE ledger. Appends update it with O(delta) arithmetic
+      (delta assignment counts merged in), and the append report
+      derives the skew signal from it: a probe's cost scales with the
+      LARGEST probed cell, not the mean, so a frozen coarse quantizer
+      developing a hot cell is the probe-latency twin of codebook
+      staleness (r13, gap #3 of the round notes)."""
     spark = encoded.sparkSession
     C = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, k, dsub = C.shape
@@ -817,7 +832,7 @@ def save_ivf_pq(
         .format("parquet")
         .saveAsTable(f"{name}_model")
     )
-    n_vecs = spark.table(f"{name}_codes").count()
+    n_vecs = _rebuild_cells_table(spark, name, cluster_col)
     _write_ivf_pq_meta(
         spark,
         name,
@@ -836,6 +851,63 @@ def save_ivf_pq(
             "codes_files": len(spark.table(f"{name}_codes").inputFiles()),
         },
     )
+
+
+def _rebuild_cells_table(spark, name: str, cluster_col: str) -> int:
+    """Recompute ``<name>_cells`` from the codes table (one combinable
+    aggregation — used at save time and as the crashed-append repair)
+    and return the total row count it implies."""
+    counts = (
+        spark.table(f"{name}_codes")
+        .groupBy(F.col(cluster_col).cast("int").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return _write_cells_table(
+        spark, name, {int(r["cell"]): int(r["n"]) for r in counts}
+    )
+
+
+def _write_cells_table(spark, name: str, by_cell: dict) -> int:
+    (
+        spark.createDataFrame(
+            sorted(by_cell.items()), "cell int, n long"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"{name}_cells")
+    )
+    return sum(by_cell.values())
+
+
+def ivf_pq_cell_stats(spark, name: str) -> dict:
+    """The cell-balance signal from the persisted ledger:
+    ``{"n_cells_used", "max_cell", "mean_cell", "skew",
+    "hot_cells"}`` with ``skew = max/mean`` over NON-EMPTY cells and
+    ``hot_cells`` the cell ids past ``REBALANCE_SKEW_RATIO`` x mean.
+    Empty dict when the index predates the cells ledger (re-save or
+    run one append to materialize it)."""
+    try:
+        rows = spark.table(f"{name}_cells").collect()
+    except Exception:  # noqa: BLE001 — pre-r13 index
+        return {}
+    counts = {int(r["cell"]): int(r["n"]) for r in rows if r["n"] > 0}
+    if not counts:
+        return {}
+    mean = sum(counts.values()) / len(counts)
+    mx = max(counts.values())
+    return {
+        "n_cells_used": len(counts),
+        "max_cell": mx,
+        "mean_cell": mean,
+        "skew": mx / mean if mean else None,
+        "hot_cells": sorted(
+            c
+            for c, n in counts.items()
+            if n > REBALANCE_SKEW_RATIO * mean
+        ),
+    }
 
 
 def drop_ivf_pq(spark, name: str) -> None:
@@ -891,7 +963,11 @@ def load_ivf_pq(
             f"{marker} (a crashed append?) — recounting n_vecs",
             stacklevel=2,
         )
-        meta["n_vecs"] = codes.count()
+        # the recount pass doubles as the cells-ledger rebuild (same
+        # aggregation), so the skew signal is repaired along with n_vecs
+        meta["n_vecs"] = _rebuild_cells_table(
+            spark, name, meta["cluster_col"]
+        )
         meta["codes_files"] = len(codes.inputFiles())
         _write_ivf_pq_meta(
             spark, name, {f: meta.get(f) for f in _IVF_PQ_META_FIELDS}
@@ -922,14 +998,25 @@ def ivf_pq_append(
 
     Returns the STALENESS REPORT the frozen-codebook design needs:
     ``{"n_appended", "base_mse", "delta_mse", "drift_ratio",
-    "retrain_recommended"}`` — ``delta_mse`` is the appended batch's
+    "retrain_recommended", "cell_skew", "hot_cells",
+    "rebalance_recommended"}`` — ``delta_mse`` is the appended batch's
     quantization error under the persisted codebooks, measured on the
     same deterministic sample recipe as the baseline; a ratio past
     ``drift_threshold`` means the corpus distribution has moved off the
     training sample and a ``pq_fit`` re-train is due (the classic
     failure mode of incremental ANN maintenance: recall decays with no
     error anywhere). Drift fields are None when the index was saved
-    without raw vectors (no baseline to compare against)."""
+    without raw vectors (no baseline to compare against).
+
+    The CELL-BALANCE half (r13): the per-cell ledger is merged with the
+    delta's assignment counts — O(cells + delta) arithmetic, never a
+    corpus pass — and ``cell_skew = max/mean`` over non-empty cells
+    with ``hot_cells`` past ``REBALANCE_SKEW_RATIO``x mean. A frozen
+    coarse quantizer developing a hot cell is the probe-LATENCY twin of
+    codebook staleness: a query probing that cell scans its whole cell
+    serially, so worst-case latency grows with the skew while recall
+    and quantization error look fine. An index saved before the ledger
+    existed gets it rebuilt here (one aggregation, warned)."""
     from pyspark.sql.types import BinaryType
 
     from local_pubchem_db_spark.operators.clustering import assign_clusters
@@ -971,13 +1058,45 @@ def ivf_pq_append(
         ),
     )
     delta = encoded.select(*codes.columns)
-    n_appended = delta.count()
+    # ONE aggregation over the delta serves both the append count and
+    # the cells-ledger merge (O(delta); the previous count() is folded
+    # into it)
+    delta_counts = {
+        int(r["cell"]): int(r["n"])
+        for r in delta.groupBy(
+            F.col(cluster_col).cast("int").alias("cell")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_appended = sum(delta_counts.values())
     (
         delta.write.mode("append")
         .partitionBy(cluster_col)
         .format("parquet")
         .saveAsTable(f"{name}_codes")
     )
+    try:
+        merged = {
+            int(r["cell"]): int(r["n"])
+            for r in spark.table(f"{name}_cells").collect()
+        }
+    except Exception:  # noqa: BLE001 — pre-ledger index: rebuild once
+        import warnings as _warnings
+
+        _warnings.warn(
+            f"ivf_pq index {name!r} predates the cells ledger — "
+            "rebuilding it from the codes table (one aggregation)",
+            stacklevel=2,
+        )
+        # the codes table already contains the delta here, so the
+        # rebuild is the post-append truth; skip the merge below
+        _rebuild_cells_table(spark, name, cluster_col)
+        merged = None
+    if merged is not None:
+        for c, n in delta_counts.items():
+            merged[c] = merged.get(c, 0) + n
+        _write_cells_table(spark, name, merged)
     meta["n_vecs"] = int(meta.get("n_vecs", 0)) + int(n_appended)
     meta["codes_files"] = len(spark.table(f"{name}_codes").inputFiles())
     _write_ivf_pq_meta(
@@ -989,12 +1108,16 @@ def ivf_pq_append(
         if (delta_mse is not None and base_mse)
         else None
     )
+    cells = ivf_pq_cell_stats(spark, name)
     return {
         "n_appended": int(n_appended),
         "base_mse": base_mse,
         "delta_mse": delta_mse,
         "drift_ratio": ratio,
         "retrain_recommended": bool(ratio and ratio > drift_threshold),
+        "cell_skew": cells.get("skew"),
+        "hot_cells": cells.get("hot_cells", []),
+        "rebalance_recommended": bool(cells.get("hot_cells")),
     }
 
 

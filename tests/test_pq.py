@@ -673,3 +673,102 @@ def test_ivf_pq_crashed_append_recounted_on_load(spark, monkeypatch):
         assert not [w for w in caught if "recounting" in str(w.message)]
     finally:
         PQ.drop_ivf_pq(spark, name)
+
+def test_ivf_pq_cells_ledger_exact_and_skew_flags(spark):
+    """r13: the per-cell ledger equals a from-scratch count after save
+    AND after appends (O(delta) merge == rebuild), and a hot-cell
+    append trips the rebalance signal — the probe-latency twin of
+    codebook staleness (a query probing the hot cell scans it
+    serially, so worst-case latency grows with skew while recall and
+    quantization error look fine)."""
+    from local_pubchem_db_spark.operators import pq as PQ
+
+    name = "t_ivfpq_cells"
+    PQ.drop_ivf_pq(spark, name)
+    emb, protos = _clustered_corpus(spark)
+    centroids, cb, enc = _fit_ivf_pq(spark, emb)
+    rng = np.random.default_rng(41)
+    try:
+        PQ.save_ivf_pq(enc, centroids, cb, name, residual=True)
+
+        def truth():
+            return {
+                int(r["cluster"]): r["cnt"]
+                for r in spark.table(f"{name}_cells")
+                .sparkSession.table(f"{name}_codes")
+                .groupBy("cluster")
+                .count()
+                .withColumnRenamed("count", "cnt")
+                .collect()
+            }
+
+        def ledger():
+            return {
+                int(r["cell"]): int(r["n"])
+                for r in spark.table(f"{name}_cells").collect()
+            }
+
+        assert ledger() == truth()
+        st = PQ.ivf_pq_cell_stats(spark, name)
+        assert st["skew"] < PQ.REBALANCE_SKEW_RATIO and not st["hot_cells"]
+
+        # balanced same-distribution append: ledger merges O(delta),
+        # still equals from-scratch, no flag
+        bal = spark.createDataFrame(
+            [
+                (80_000 + c, [float(x) for x in protos[c] + 0.05 * rng.standard_normal(32)])
+                for c in range(len(protos))
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        rep = PQ.ivf_pq_append(spark, name, bal)
+        assert ledger() == truth()
+        assert rep["rebalance_recommended"] is False
+
+        # hot-cell flood: 600 vectors around ONE prototype (cell mean
+        # ~41 -> that cell blows past 4x the mean)
+        hot = spark.createDataFrame(
+            [
+                (90_000 + i, [float(x) for x in protos[2] + 0.02 * rng.standard_normal(32)])
+                for i in range(600)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        rep2 = PQ.ivf_pq_append(spark, name, hot)
+        assert ledger() == truth()
+        assert rep2["rebalance_recommended"] is True
+        assert rep2["cell_skew"] > PQ.REBALANCE_SKEW_RATIO
+        assert len(rep2["hot_cells"]) >= 1
+    finally:
+        PQ.drop_ivf_pq(spark, name)
+
+
+def test_ivf_pq_append_rebuilds_missing_cells_ledger(spark):
+    """An index saved before the ledger existed (simulated by dropping
+    <name>_cells) gets it rebuilt on the next append, with a warning —
+    and the rebuilt ledger includes the delta."""
+    import warnings
+
+    from local_pubchem_db_spark.operators import pq as PQ
+
+    name = "t_ivfpq_oldcells"
+    PQ.drop_ivf_pq(spark, name)
+    emb, protos = _clustered_corpus(spark)
+    centroids, cb, enc = _fit_ivf_pq(spark, emb)
+    try:
+        PQ.save_ivf_pq(enc, centroids, cb, name, residual=True)
+        spark.sql(f"DROP TABLE {name}_cells")
+        new = spark.createDataFrame(
+            [(95_000, [float(x) for x in protos[1]])],
+            "vec_id long, embedding array<double>",
+        )
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            PQ.ivf_pq_append(spark, name, new)
+        assert any("cells ledger" in str(w.message) for w in caught)
+        total = sum(
+            int(r["n"]) for r in spark.table(f"{name}_cells").collect()
+        )
+        assert total == emb.count() + 1
+    finally:
+        PQ.drop_ivf_pq(spark, name)
