@@ -155,25 +155,44 @@ def choose_percentile_method(
     is already in the probe; no extra scan. A single statistic
     (``reuse_stats=1``) never picks hist — its saving IS the reuse.
 
-    A probe-cost note rides with ``method="auto"``: the probe itself
-    is one full scan of the relation — amortize it across a service's
-    calls or pick the tier explicitly when the shape is known.
+    Probe cost and amortization (r13, round gap #1): the probe is one
+    full scan of the relation, and its three numbers depend only on the
+    RELATION (not on the decision parameters) — so they are memoized per
+    (session, plan semanticHash, key/value columns) through the same
+    ``_memo_probe`` registry the fan-out gates use. A service calling
+    ``robust_outliers(method="auto")`` repeatedly over the same relation
+    pays the scan once per session, not per call; the memo dies with
+    ``release_shared_caches`` and carries that family's documented
+    staleness contract (a table rewritten in place mid-session serves
+    the old cardinalities until the caches are released — perf-only
+    here: both candidate tiers are exact, so a stale TIER choice can
+    never change values).
     """
+    from local_pubchem_db_spark.operators.util import _memo_probe
+
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
-    st = (
-        df.filter(F.col(value_col).isNotNull())
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.approx_count_distinct(F.struct(*key_cols)).alias("nk"),
-            F.approx_count_distinct(
-                F.struct(*key_cols, value_col)
-            ).alias("nkv"),
+
+    def compute(d: DataFrame):
+        st = (
+            d.filter(F.col(value_col).isNotNull())
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.approx_count_distinct(F.struct(*key_cols)).alias("nk"),
+                F.approx_count_distinct(
+                    F.struct(*key_cols, value_col)
+                ).alias("nkv"),
+            )
+            .first()
         )
-        .first()
-    )
-    n_rows = int(st["n_rows"] or 0)
-    nk, nkv = int(st["nk"] or 0), int(st["nkv"] or 0)
+        return (
+            int(st["n_rows"] or 0),
+            int(st["nk"] or 0),
+            int(st["nkv"] or 0),
+        )
+
+    kind = f"pct_cardinality:{','.join(key_cols)}:{value_col}"
+    n_rows, nk, nkv = _memo_probe(df, kind, compute)
 
     def _hist_upgrade(method: str) -> str:
         if (

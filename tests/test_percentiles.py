@@ -564,3 +564,49 @@ def test_weighted_percentiles_fractional_weight_raises(spark):
         for r in weighted_percentiles(as_double, ["k"], "v", "w", ps).collect()
     }
     assert got_l == got_d
+
+
+def test_auto_probe_memoized_per_relation(spark):
+    """r13 (round gap #1): auto's cardinality probe is one full scan
+    whose result depends only on the relation, so it is memoized per
+    (session, plan, columns) through the shared probe registry — a
+    service calling method="auto" repeatedly over one relation pays the
+    scan once. Pinned by tampering the memoized tuple: if the second
+    call re-ran the probe it would see the true compressed shape and
+    pick hist; serving the tampered all-distinct tuple proves the memo
+    is the source. release_shared_caches drops it (the family's
+    documented invalidation point)."""
+    from local_pubchem_db_spark.operators.percentiles import (
+        choose_percentile_method,
+    )
+    from local_pubchem_db_spark.operators.util import (
+        _PROBE_MEMO,
+        release_shared_caches,
+    )
+
+    df = _mk(spark, [(f"k{i % 5}", float(i % 10)) for i in range(10_000)])
+    kw = dict(hist_min_rows=1_000, hist_min_compression=4.0)
+    release_shared_caches(spark)
+    assert (
+        choose_percentile_method(df, ["k"], "v", reuse_stats=2, **kw)
+        == "hist"
+    )
+    memo = _PROBE_MEMO[spark]
+    keys = [k for k in memo if k[1].startswith("pct_cardinality:")]
+    assert len(keys) == 1 and keys[0][1] == "pct_cardinality:k:v"
+    memo[keys[0]] = (10_000, 5, 10_000)  # nkv == rows: no compression
+    assert (
+        choose_percentile_method(df, ["k"], "v", reuse_stats=2, **kw)
+        == "buffer"
+    )
+    # decision params are NOT part of the memo key: a different rule
+    # over the same relation reuses the same (tampered) stats
+    assert (
+        choose_percentile_method(df, ["k"], "v", reuse_stats=1, **kw)
+        == "buffer"
+    )
+    release_shared_caches(spark)
+    assert (
+        choose_percentile_method(df, ["k"], "v", reuse_stats=2, **kw)
+        == "hist"
+    )
