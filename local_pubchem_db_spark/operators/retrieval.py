@@ -234,13 +234,16 @@ def save_postings(
 # base file count the derived tables were last computed over), the
 # bucket count (so a repair can rewrite the bucketed termdf), the
 # corpus pointer (table/location + column names + file count), and the
-# measured per-index routing cost ratio. Every field past sum_dl is
-# nullable — pre-r13 indexes simply lack them and every reader treats
-# absence as "unknown".
+# measured per-index routing cost ratio plus the host fingerprint it
+# was measured on (so a consumer on different hardware can tell the
+# ratio is a different machine's measurement). Every field past sum_dl
+# is nullable — pre-r13 indexes simply lack them and every reader
+# treats absence as "unknown".
 _STATS_SCHEMA = (
     "n long, avgdl double, sum_dl decimal(38,0), postings_files long, "
     "buckets long, corpus_table string, corpus_id_col string, "
-    "corpus_text_col string, corpus_files long, cost_ratio double"
+    "corpus_text_col string, corpus_files long, cost_ratio double, "
+    "cost_ratio_host string"
 )
 _STATS_FIELDS = [f.split()[0] for f in _STATS_SCHEMA.split(", ")]
 
@@ -371,8 +374,8 @@ def index_meta(spark, name: str) -> dict:
     """The persisted ``<name>_stats`` row as a dict (missing fields —
     pre-r13 indexes — come back absent): n, avgdl, sum_dl,
     postings_files, buckets, corpus_table/corpus_id_col/
-    corpus_text_col/corpus_files, cost_ratio. Empty dict when the
-    stats table does not exist."""
+    corpus_text_col/corpus_files, cost_ratio, cost_ratio_host. Empty
+    dict when the stats table does not exist."""
     try:
         row = spark.table(f"{name}_stats").first()
     except Exception:  # noqa: BLE001 — no stats table
@@ -742,6 +745,7 @@ def load_service_index(
                 "rebuild to re-sync",
                 stacklevel=2,
             )
+    _warn_stale_cost_ratio(name, meta)
     return (*idx, meta)
 
 
@@ -1270,6 +1274,10 @@ def bm25_topk_auto(
                     )
     route = "bucketed"
     if docs is not None and term_df is not None:
+        if not from_service:
+            # service path: the staleness check ran once in
+            # load_service_index, like the version guard
+            _warn_stale_cost_ratio(name, meta)
         route, df_by_term = choose_bm25_route(
             term_df,
             n_docs,
@@ -1299,6 +1307,46 @@ def bm25_topk_auto(
         avgdl=avgdl,
         term_df=term_df,
     )
+
+
+def _host_fingerprint() -> str:
+    """A cheap identity for "the hardware the ratio was measured on":
+    hostname + ISA + core count. Deliberately coarse — it exists to
+    catch the index-moved-to-a-different-machine case (where t_doc and
+    t_row both changed and their measured ratio may no longer hold),
+    not to detect same-host load variance (which the probes absorb via
+    min-of-reps)."""
+    import os
+    import platform
+
+    return f"{platform.node()}:{platform.machine()}:{os.cpu_count()}"
+
+
+def _warn_stale_cost_ratio(name: str, meta: dict) -> None:
+    """Warn when a persisted cost ratio is about to be consumed on a
+    host other than the one it was measured on (r13, round gap #2: the
+    per-index ratio fixed the constant's corpus-regime blindness, but
+    the MEASUREMENT is still host-bound — nothing re-calibrated it).
+    The ratio is still USED: it carries the corpus regime (document
+    length, tokenizer cost) that the module constant lacks entirely, so
+    a different host's measurement beats falling back to a third
+    host's constant — but the owner should re-run
+    ``calibrate_cost_ratio`` (one call, ~one corpus pass) to re-pin it.
+    Python's default warning dedup keeps this to once per call site."""
+    host = meta.get("cost_ratio_host")
+    if meta.get("cost_ratio") is None or host is None:
+        return
+    live = _host_fingerprint()
+    if host != live:
+        import warnings as _warnings
+
+        _warnings.warn(
+            f"index {name!r}: cost_ratio {meta['cost_ratio']:.1f} was "
+            f"measured on {host!r} but this session runs on {live!r} — "
+            "the routing break-even may be mispriced; re-run "
+            "calibrate_cost_ratio on this host to re-pin it",
+            stacklevel=3,
+        )
 
 
 def calibrate_cost_ratio(
@@ -1375,7 +1423,15 @@ def calibrate_cost_ratio(
         raise ValueError("calibrate_cost_ratio: empty postings")
     wall_row = _timed(postings.groupBy(id_col).agg(F.sum("tf").alias("tf")))
     ratio = (wall_doc / n_docs) / (wall_row / n_rows)
-    _write_stats_row(spark, name, {**meta, "cost_ratio": float(ratio)})
+    _write_stats_row(
+        spark,
+        name,
+        {
+            **meta,
+            "cost_ratio": float(ratio),
+            "cost_ratio_host": _host_fingerprint(),
+        },
+    )
     return float(ratio)
 
 

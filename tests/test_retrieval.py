@@ -1384,3 +1384,61 @@ def test_mmr_rerank_refuses_unbounded_candidates(spark):
         mmr_rerank(ranked, emb, k=3, max_candidates=10)
     # at or under the cap it works
     assert mmr_rerank(ranked, emb, k=3, max_candidates=n).count() == 3
+
+
+def test_cost_ratio_host_fingerprint_staleness(spark, corpus, tmp_path):
+    """r13 (round gap #2): the persisted cost_ratio is a host-bound
+    measurement, so calibrate_cost_ratio pins the host fingerprint next
+    to it and the consumers (load_service_index once per load,
+    bm25_topk_auto's bare path once per call site) warn when the live
+    host differs — while STILL using the ratio, since a different
+    host's per-index measurement carries the corpus regime (doc length,
+    tokenizer cost) that the third-party module constant lacks."""
+    import warnings
+
+    from local_pubchem_db_spark.operators import retrieval as R
+
+    name = "t_ret_ratio_host_idx"
+    _reset_index_tables(spark, name)
+    loc = str(tmp_path / "corpus_host")
+    corpus.write.parquet(loc)
+    docs = spark.read.parquet(loc)
+    try:
+        p, d = R.build_postings(docs)
+        R.save_postings(p, d, name, buckets=4, corpus_table=loc)
+        R.calibrate_cost_ratio(spark, name, reps=1)
+        meta = R.index_meta(spark, name)
+        assert meta["cost_ratio_host"] == R._host_fingerprint()
+        # same host: no staleness warning
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            R.load_service_index(spark, name)
+        assert not [w for w in caught if "mispriced" in str(w.message)]
+        # tamper the persisted host: both consumers warn, ratio still used
+        R._write_stats_row(
+            spark,
+            name,
+            {**meta, "cost_ratio_host": "elsewhere:armv9:512"},
+        )
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            R.load_service_index(spark, name)
+        assert [w for w in caught if "mispriced" in str(w.message)]
+        seen = {}
+        orig = R.choose_bm25_route
+
+        def spy(tdf_, n, terms, **kw):
+            seen.update(kw)
+            return orig(tdf_, n, terms, **kw)
+
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            try:
+                R.choose_bm25_route = spy
+                R.bm25_topk_auto(spark, name, ["spark", "dog"], k=5).collect()
+            finally:
+                R.choose_bm25_route = orig
+        assert [w for w in caught if "mispriced" in str(w.message)]
+        assert seen.get("cost_ratio") == meta["cost_ratio"]  # still used
+    finally:
+        _reset_index_tables(spark, name)
