@@ -660,7 +660,9 @@ def ivf_pq_search(
 # append measures the delta's quantization error against the
 # training-time baseline and reports when a re-train is due.
 
-IVF_PQ_TABLE_SUFFIXES = ("codes", "model", "meta", "cells")
+IVF_PQ_TABLE_SUFFIXES = (
+    "codes", "model", "meta", "cells", "codes__split_staged"
+)
 
 # delta-vs-baseline quantization-error ratio past which an append
 # recommends re-training: 1.5x mean squared reconstruction error means
@@ -681,7 +683,7 @@ _IVF_PQ_META_SCHEMA = (
     "m long, k long, dim long, n_cells long, n_vecs long, "
     "residual boolean, id_col string, code_col string, "
     "cluster_col string, vec_col string, base_mse double, "
-    "codes_files long"
+    "codes_files long, split_cell long"
 )
 _IVF_PQ_META_FIELDS = [f.split()[0] for f in _IVF_PQ_META_SCHEMA.split(", ")]
 
@@ -820,18 +822,7 @@ def save_ivf_pq(
         .format("parquet")
         .saveAsTable(f"{name}_codes")
     )
-    rows = _model_rows("centroid", centroids) + _model_rows("codebook", C)
-    if rotation is not None:
-        rows += _model_rows("rotation", rotation)
-    (
-        spark.createDataFrame(
-            rows, "kind string, i long, j long, vec array<double>"
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .format("parquet")
-        .saveAsTable(f"{name}_model")
-    )
+    _write_model_table(spark, name, centroids, C, rotation)
     n_vecs = _rebuild_cells_table(spark, name, cluster_col)
     _write_ivf_pq_meta(
         spark,
@@ -955,6 +946,41 @@ def load_ivf_pq(
         for k, v in spark.table(f"{name}_meta").first().asDict().items()
         if v is not None
     }
+    # in-flight split marker (r13): ivf_pq_split_cell stages
+    # ``split_cell`` in the meta row BEFORE touching the model, and
+    # clears it LAST — so a crash anywhere inside a split is visible
+    # here and the split is finished (idempotent: re-assigning the
+    # split partitions' rows against the frozen persisted sub-centroids
+    # reproduces the same layout) or, if the crash landed before the
+    # model write, reverted by clearing the marker.
+    if meta.get("split_cell") is not None:
+        cell = int(meta["split_cell"])
+        n_meta = int(meta["n_cells"])
+        if centroids is not None and len(centroids) > n_meta:
+            _warnings.warn(
+                f"ivf_pq index {name!r}: split of cell {cell} was "
+                "interrupted — finishing it from the persisted "
+                "sub-centroids",
+                stacklevel=2,
+            )
+            sub_ids = [cell] + list(range(n_meta, len(centroids)))
+            meta = _apply_cell_split(
+                spark, name, meta, centroids, codebooks, rotation,
+                sub_ids,
+            )
+        else:
+            _warnings.warn(
+                f"ivf_pq index {name!r}: split marker for cell {cell} "
+                "but no staged sub-centroids (crash before the model "
+                "write) — clearing the marker, index unchanged",
+                stacklevel=2,
+            )
+            meta["split_cell"] = None
+            _write_ivf_pq_meta(
+                spark, name, {f: meta.get(f) for f in _IVF_PQ_META_FIELDS}
+            )
+        meta = {k: v for k, v in meta.items() if v is not None}
+        codes = spark.table(f"{name}_codes")
     marker = meta.get("codes_files")
     if marker is not None and len(codes.inputFiles()) != int(marker):
         _warnings.warn(
@@ -1119,6 +1145,346 @@ def ivf_pq_append(
         "hot_cells": cells.get("hot_cells", []),
         "rebalance_recommended": bool(cells.get("hot_cells")),
     }
+
+
+def _write_model_table(
+    spark,
+    name: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    rotation: np.ndarray | None,
+) -> None:
+    rows = _model_rows("centroid", centroids) + _model_rows(
+        "codebook", np.ascontiguousarray(codebooks, dtype=np.float64)
+    )
+    if rotation is not None:
+        rows += _model_rows("rotation", rotation)
+    (
+        spark.createDataFrame(
+            rows, "kind string, i long, j long, vec array<double>"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"{name}_model")
+    )
+
+
+def _apply_cell_split(
+    spark,
+    name: str,
+    meta: dict,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    rotation: np.ndarray | None,
+    sub_ids: list[int],
+) -> dict:
+    """The idempotent body of a cell split, shared by
+    ``ivf_pq_split_cell`` and ``load_ivf_pq``'s crash recovery: given
+    the FULL centroid matrix already persisted in the model table
+    (parent row replaced by sub-centroid 0, the other sub-centroids
+    appended at the tail), re-assign the rows of partitions ``sub_ids``
+    among ``centroids[sub_ids]``, re-encode in residual mode (codes are
+    residuals vs the coarse centroid, which just moved), rewrite ONLY
+    those partitions (dynamic partition overwrite — unsplit cells are
+    never read or written), merge the cells ledger, and clear the
+    in-flight marker in the meta row LAST. Deterministic given the
+    persisted model, so re-running after a crash reproduces the same
+    layout. Returns the refreshed meta dict."""
+    from pyspark.sql.types import BinaryType
+
+    from local_pubchem_db_spark.operators.clustering import assign_clusters
+
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    cluster_col, code_col = meta["cluster_col"], meta["code_col"]
+    tbl = f"{name}_codes"
+    codes = spark.table(tbl)
+    rows = codes.filter(
+        F.col(cluster_col).isin([int(i) for i in sub_ids])
+    )
+    sub_assign = (
+        assign_clusters(
+            rows,
+            centroids[np.asarray(sub_ids)],
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+        .withColumnRenamed("cluster", "__sub")
+        .withColumnRenamed("id", id_col)
+    )
+    idmap = F.array(*[F.lit(int(i)) for i in sub_ids])
+    assigned = (
+        rows.drop(cluster_col)
+        .join(sub_assign, id_col)
+        .withColumn(
+            cluster_col,
+            F.element_at(idmap, F.col("__sub") + 1).cast("int"),
+        )
+        .drop("__sub")
+    )
+    if bool(meta.get("residual")):
+        assigned = pq_encode(
+            assigned.drop(code_col),
+            codebooks,
+            vec_col=vec_col,
+            out_col=code_col,
+            centroids=centroids,
+            cluster_col=cluster_col,
+            rotation=rotation,
+            binary_codes=isinstance(
+                codes.schema[code_col].dataType, BinaryType
+            ),
+        )
+    # Stage the re-assigned rows in a table of their own first: the
+    # INSERT OVERWRITE below cannot read from the table it overwrites
+    # (Spark's self-overwrite analysis rule), and the staging write is
+    # O(cell) anyway. Mirrors the retrieval index's staged-swap
+    # handling, including clearing a crash-stranded staging location
+    # with no catalog entry (ADVICE r12).
+    from local_pubchem_db_spark.operators.retrieval import (
+        _hadoop_delete,
+        _managed_location,
+    )
+
+    staged = f"{name}_codes__split_staged"
+    spark.sql(f"DROP TABLE IF EXISTS {staged}")
+    if not spark.catalog.tableExists(staged):
+        try:
+            _hadoop_delete(spark, _managed_location(spark, staged))
+        except Exception:  # noqa: BLE001 — best-effort orphan cleanup
+            pass
+    (
+        assigned.select(*codes.columns)
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(staged)
+    )
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # positional insertInto: the catalog schema lists the partition
+        # column last, so select in table order
+        spark.table(staged).select(*codes.columns).write.insertInto(
+            tbl, overwrite=True
+        )
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.sql(f"DROP TABLE IF EXISTS {staged}")
+    counts = {
+        int(r["cell"]): int(r["n"])
+        for r in spark.table(tbl)
+        .filter(F.col(cluster_col).isin([int(i) for i in sub_ids]))
+        .groupBy(F.col(cluster_col).cast("int").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # dynamic overwrite only touches partitions PRESENT in the output:
+    # a sub-cell that attracted zero rows (possible for the parent id
+    # when every row sits nearer another sub-centroid) keeps its stale
+    # files — clear such partitions explicitly
+    for sid in sub_ids:
+        if counts.get(int(sid), 0) == 0 and _partition_has_files(
+            spark, tbl, cluster_col, int(sid)
+        ):
+            _drop_codes_partition(spark, tbl, cluster_col, int(sid))
+    try:
+        merged = {
+            int(r["cell"]): int(r["n"])
+            for r in spark.table(f"{name}_cells").collect()
+        }
+        for sid in sub_ids:
+            merged.pop(int(sid), None)
+        merged.update(counts)
+        _write_cells_table(spark, name, merged)
+    except Exception:  # noqa: BLE001 — pre-ledger index: full rebuild
+        _rebuild_cells_table(spark, name, cluster_col)
+    meta = dict(meta)
+    meta["n_cells"] = int(len(centroids))
+    meta["codes_files"] = len(spark.table(tbl).inputFiles())
+    meta["split_cell"] = None
+    _write_ivf_pq_meta(
+        spark, name, {f: meta.get(f) for f in _IVF_PQ_META_FIELDS}
+    )
+    return meta
+
+
+def _partition_has_files(spark, tbl: str, cluster_col: str, cell: int) -> bool:
+    try:
+        return bool(
+            spark.table(tbl)
+            .filter(F.col(cluster_col) == cell)
+            .inputFiles()
+        )
+    except Exception:  # noqa: BLE001 — listing probe
+        return True
+
+
+def _drop_codes_partition(spark, tbl: str, cluster_col: str, cell: int) -> None:
+    """Remove one stale partition's data: partition DDL where the
+    catalog supports it, else a direct Hadoop delete of the partition
+    DIRECTORY (resolved from the partition's own input files, never a
+    guessed path, and only when the directory name proves it is that
+    partition) + refresh — the same JVM delete path drop_index uses."""
+    try:
+        spark.sql(
+            f"ALTER TABLE {tbl} DROP IF EXISTS PARTITION "
+            f"({cluster_col}={cell})"
+        )
+        spark.catalog.refreshTable(tbl)
+        if not _partition_has_files(spark, tbl, cluster_col, cell):
+            return
+    except Exception:  # noqa: BLE001 — catalog without partition DDL
+        pass
+    from local_pubchem_db_spark.operators.retrieval import _hadoop_delete
+
+    files = (
+        spark.table(tbl).filter(F.col(cluster_col) == cell).inputFiles()
+    )
+    dirs = {f.rsplit("/", 1)[0] for f in files}
+    for d in dirs:
+        if d.rstrip("/").endswith(f"{cluster_col}={cell}"):
+            _hadoop_delete(spark, d)
+    spark.catalog.refreshTable(tbl)
+
+
+def ivf_pq_split_cell(
+    spark,
+    name: str,
+    cell: int | None = None,
+    parts: int = 2,
+    max_iter: int = 10,
+) -> dict:
+    """Split ONE cell of a persisted IVF-PQ index into ``parts``
+    sub-cells — the O(hot-cell) act the cell-balance ledger's
+    ``rebalance_recommended`` signal calls for (r13; previously the
+    only remedy was a full re-train/re-save, O(corpus)). A hot cell
+    under a frozen coarse quantizer is a probe-LATENCY defect: a query
+    probing it scans the whole cell serially, so worst-case latency
+    grows with the skew while recall and quantization error look fine.
+
+    Everything touched is proportional to the CELL, never the corpus:
+
+    - sub-centroids: distributed k-means over the cell's rows only
+      (``kmeans_fit`` — the probed-cell partition filter prunes the
+      scan to the cell);
+    - the parent centroid row is REPLACED by sub-centroid 0 and the
+      rest append at the matrix tail (cluster id == centroid row index
+      is the module invariant, so existing ids stay valid and search /
+      append code paths need no change — they just see more cells);
+    - the cell's rows re-assign among the sub-centroids and re-encode
+      when the index is residual-mode (residuals are taken against the
+      coarse centroid, which just moved); unsplit cells are never read
+      or written (dynamic partition overwrite);
+    - the cells ledger and meta update in O(parts).
+
+    CRASH CONTRACT (mirrors the retrieval index's staged swap): the
+    split stages ``split_cell`` in the meta row FIRST, then writes the
+    model, then the partitions, then clears the marker LAST —
+    ``load_ivf_pq`` finishes an interrupted split from the persisted
+    sub-centroids (idempotent re-assignment) or reverts a marker with
+    no staged model. Assignment semantics caveat, stated honestly: the
+    cell's vectors re-assign among the CELL'S sub-centroids only (their
+    true global argmin could be another cell's centroid — same
+    inherited-boundary property every IVF split has); probing is
+    unchanged and global, and sub-centroids lie inside the parent's
+    region, so queries that probed the parent rank them high. Recall
+    on split cells is test-pinned via exact-copy probes.
+
+    ``cell=None`` splits the LARGEST cell. Requires the index to carry
+    raw vectors (``vec_col`` persisted at save — the same precondition
+    as re-ranking). Returns ``{"cell", "sub_ids", "counts",
+    "n_cells", "cell_skew", "hot_cells"}``."""
+    codes, centroids, codebooks, rotation, meta = load_ivf_pq(spark, name)
+    if parts < 2:
+        raise ValueError(f"parts must be >= 2, got {parts}")
+    vec_col = meta.get("vec_col")
+    if not vec_col or vec_col not in codes.columns:
+        raise ValueError(
+            f"ivf_pq_split_cell needs raw vectors in {name}_codes "
+            "(save_ivf_pq with vec_col present) — splitting re-assigns "
+            "and re-encodes the cell's vectors"
+        )
+    cluster_col, id_col = meta["cluster_col"], meta["id_col"]
+    if cell is None:
+        ledger = {
+            int(r["cell"]): int(r["n"])
+            for r in spark.table(f"{name}_cells").collect()
+        }
+        if not ledger:
+            raise ValueError(f"ivf_pq index {name!r}: empty cells ledger")
+        cell = max(ledger, key=ledger.get)
+    cell = int(cell)
+    if not 0 <= cell < len(centroids):
+        raise ValueError(
+            f"cell {cell} out of range (index has {len(centroids)} cells)"
+        )
+    from local_pubchem_db_spark.operators.clustering import kmeans_fit
+
+    cell_rows = codes.filter(F.col(cluster_col) == cell)
+    sub = kmeans_fit(
+        cell_rows, vec_col=vec_col, id_col=id_col, k=parts,
+        max_iter=max_iter,
+    )
+    n_old = len(centroids)
+    new_centroids = np.vstack([np.asarray(centroids, dtype=np.float64),
+                               sub[1:]])
+    new_centroids[cell] = sub[0]
+    sub_ids = [cell] + list(range(n_old, n_old + parts - 1))
+    # stage the in-flight marker FIRST (n_cells stays old: recovery
+    # derives the tail ids from n_cells vs the model's row count)
+    _write_ivf_pq_meta(
+        spark,
+        name,
+        {**{f: meta.get(f) for f in _IVF_PQ_META_FIELDS},
+         "split_cell": cell},
+    )
+    _write_model_table(spark, name, new_centroids, codebooks, rotation)
+    meta = _apply_cell_split(
+        spark, name, {**meta, "split_cell": cell}, new_centroids,
+        codebooks, rotation, sub_ids,
+    )
+    stats = ivf_pq_cell_stats(spark, name)
+    ledger = {
+        int(r["cell"]): int(r["n"])
+        for r in spark.table(f"{name}_cells").collect()
+    }
+    return {
+        "cell": cell,
+        "sub_ids": sub_ids,
+        "counts": {s: ledger.get(int(s), 0) for s in sub_ids},
+        "n_cells": int(meta["n_cells"]),
+        "cell_skew": stats.get("skew"),
+        "hot_cells": stats.get("hot_cells", []),
+    }
+
+
+def ivf_pq_rebalance(
+    spark,
+    name: str,
+    parts: int = 2,
+    max_splits: int = 8,
+) -> list[dict]:
+    """Drive ``ivf_pq_split_cell`` from the ledger's own signal: split
+    the hottest cell while ``hot_cells`` is non-empty (hot = past
+    ``REBALANCE_SKEW_RATIO`` x mean), up to ``max_splits`` (splits can
+    shift the mean, so a bound keeps the loop honest rather than
+    chasing a moving threshold). Total work is the sum of the split
+    cells' sizes — never a corpus pass. Returns the per-split reports."""
+    reports: list[dict] = []
+    for _ in range(max_splits):
+        stats = ivf_pq_cell_stats(spark, name)
+        if not stats or not stats.get("hot_cells"):
+            break
+        ledger = {
+            int(r["cell"]): int(r["n"])
+            for r in spark.table(f"{name}_cells").collect()
+        }
+        hottest = max(stats["hot_cells"], key=lambda c: ledger.get(c, 0))
+        reports.append(
+            ivf_pq_split_cell(spark, name, cell=hottest, parts=parts)
+        )
+    return reports
 
 
 def ivf_pq_search_persisted(

@@ -772,3 +772,207 @@ def test_ivf_pq_append_rebuilds_missing_cells_ledger(spark):
         assert total == emb.count() + 1
     finally:
         PQ.drop_ivf_pq(spark, name)
+
+
+def test_ivf_pq_split_cell_rebalances_hot_cell(spark):
+    """r13 (round gap #3 sliver): ivf_pq_split_cell ACTS on the
+    ledger's rebalance signal in O(hot cell) — sub-centroids trained on
+    the cell only, parent centroid row replaced in place (cluster id ==
+    centroid row index stays the module invariant), only the split
+    partitions rewritten, ledger/meta O(parts). ivf_pq_rebalance drives
+    the loop from the signal itself. Pinned: ledger == from-scratch
+    truth after every step, totals preserved, residual codes re-encoded
+    against the moved centroid (numpy-exact), exact-copy probe found at
+    rank 1 (rerank sized to the candidate set — the documented
+    tight-cluster ADC caveat), partition pruning intact, and the
+    rebalance loop strictly shrinks the max cell."""
+    from local_pubchem_db_spark.operators import pq as PQ
+
+    name = "t_ivfpq_split"
+    PQ.drop_ivf_pq(spark, name)
+    emb, protos = _clustered_corpus(spark)
+    centroids, cb, enc = _fit_ivf_pq(spark, emb)
+    rng = np.random.default_rng(17)
+    d1 = rng.standard_normal(32); d1 /= np.linalg.norm(d1)
+    d2 = rng.standard_normal(32); d2 /= np.linalg.norm(d2)
+
+    def truth():
+        return {
+            int(r["cluster"]): r["count"]
+            for r in spark.table(f"{name}_codes")
+            .groupBy("cluster").count().collect()
+        }
+
+    def ledger():
+        return {
+            int(r["cell"]): int(r["n"])
+            for r in spark.table(f"{name}_cells").collect()
+        }
+
+    try:
+        PQ.save_ivf_pq(enc, centroids, cb, name, residual=True)
+        # bimodal flood into one cell: two offset directions so the
+        # split has real structure to find
+        hot = spark.createDataFrame(
+            [
+                (
+                    90_000 + i,
+                    [
+                        float(x)
+                        for x in protos[2]
+                        + 0.08 * (d1 if i % 2 else d2)
+                        + 0.01 * rng.standard_normal(32)
+                    ],
+                )
+                for i in range(600)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        rep0 = PQ.ivf_pq_append(spark, name, hot)
+        assert rep0["rebalance_recommended"] is True
+        pre = ledger()
+        hot_cell = max(pre, key=pre.get)
+        total = sum(pre.values())
+
+        rep = PQ.ivf_pq_split_cell(spark, name, parts=2)
+        assert rep["cell"] == hot_cell
+        assert rep["n_cells"] == len(centroids) + 1
+        assert sum(rep["counts"].values()) == pre[hot_cell]
+        post = ledger()
+        assert post == truth() and sum(post.values()) == total
+        codes, c2, cb2, _rot, meta = PQ.load_ivf_pq(spark, name)
+        assert len(c2) == meta["n_cells"] == len(centroids) + 1
+        assert meta.get("split_cell") is None
+        assert meta["n_vecs"] == total
+        # untouched centroid rows identical; parent row replaced
+        keep = [i for i in range(len(centroids)) if i != hot_cell]
+        np.testing.assert_allclose(c2[keep], np.asarray(centroids)[keep])
+
+        # residual codes re-encoded against the MOVED centroid:
+        # numpy-exact recompute for a handful of rows of each sub-cell
+        from local_pubchem_db_spark.operators.pq import (
+            _norm_rows,
+            _np_encode,
+        )
+
+        Cn = _norm_rows(np.asarray(c2, dtype=np.float64))
+        sample = (
+            codes.filter(F.col("cluster").isin(rep["sub_ids"]))
+            .orderBy("vec_id").limit(8).collect()
+        )
+        for r in sample:
+            v = _norm_rows(
+                np.array([r["embedding"]], dtype=np.float64)
+            )
+            want = _np_encode(v - Cn[[int(r["cluster"])]], cb2)[0]
+            assert list(r["pq_code"]) == [int(x) for x in want]
+
+        # exact-copy probe of a flood vector, fresh query id; rerank
+        # covers the probed candidate set so ADC tie-compression inside
+        # the tight cluster cannot evict the true copy
+        probe_vec = hot.filter(F.col("vec_id") == 90_001).first()[
+            "embedding"
+        ]
+        q = spark.createDataFrame(
+            [(999_999, probe_vec)], "vec_id long, embedding array<double>"
+        )
+        res = PQ.ivf_pq_search_persisted(
+            spark, name, q, k=3, nprobe=3, rerank=700
+        )
+        got = res.collect()
+        assert got[0]["neighbor_id"] == 90_001 and got[0]["rank"] == 1
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+
+        # the rebalance loop: splits the hottest cell while the signal
+        # fires, never a corpus pass; max cell strictly shrinks
+        pre_max = max(ledger().values())
+        reports = PQ.ivf_pq_rebalance(spark, name, parts=2, max_splits=6)
+        assert reports  # the 640-row sub-cell was still hot
+        post2 = ledger()
+        assert post2 == truth() and sum(post2.values()) == total
+        assert max(post2.values()) < pre_max
+        # appends keep working against the grown centroid matrix
+        extra = spark.createDataFrame(
+            [(95_000, [float(x) for x in protos[0]])],
+            "vec_id long, embedding array<double>",
+        )
+        rep3 = PQ.ivf_pq_append(spark, name, extra)
+        assert rep3["n_appended"] == 1
+        assert ledger() == truth()
+    finally:
+        PQ.drop_ivf_pq(spark, name)
+
+
+def test_ivf_pq_split_crash_recovery(spark, monkeypatch):
+    """The split's crash contract: the marker stages FIRST and clears
+    LAST, so load_ivf_pq can (a) FINISH a split that crashed after the
+    model write — idempotent re-assignment from the persisted
+    sub-centroids — and (b) REVERT a marker with no staged model. Both
+    paths pinned, plus the invariant that nothing is lost or doubled."""
+    import warnings
+
+    from local_pubchem_db_spark.operators import pq as PQ
+
+    name = "t_ivfpq_splitcrash"
+    PQ.drop_ivf_pq(spark, name)
+    emb, protos = _clustered_corpus(spark)
+    centroids, cb, enc = _fit_ivf_pq(spark, emb)
+    try:
+        PQ.save_ivf_pq(enc, centroids, cb, name, residual=True)
+        total = int(PQ.load_ivf_pq(spark, name)[4]["n_vecs"])
+
+        # (b) marker with no staged model: revert, index unchanged
+        meta = PQ.load_ivf_pq(spark, name)[4]
+        PQ._write_ivf_pq_meta(
+            spark, name,
+            {**{f: meta.get(f) for f in PQ._IVF_PQ_META_FIELDS},
+             "split_cell": 3},
+        )
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            _c, c2, _cb, _r, meta2 = PQ.load_ivf_pq(spark, name)
+        assert any("clearing the marker" in str(w.message) for w in caught)
+        assert meta2.get("split_cell") is None
+        assert len(c2) == len(centroids)
+
+        # (a) crash after the model write, before the partition
+        # rewrite: marker set, sub-centroids persisted, codes untouched
+        boom = RuntimeError("injected crash")
+
+        def crash(*a, **kw):
+            raise boom
+
+        monkeypatch.setattr(PQ, "_apply_cell_split", crash)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            PQ.ivf_pq_split_cell(spark, name, cell=2, parts=2)
+        monkeypatch.undo()
+        # recovery on next load: warns, finishes, everything consistent
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            codes, c3, _cb3, _r3, meta3 = PQ.load_ivf_pq(spark, name)
+        assert any(
+            "finishing it from the persisted" in str(w.message)
+            for w in caught
+        )
+        assert meta3.get("split_cell") is None
+        assert meta3["n_cells"] == len(c3) == len(centroids) + 1
+        truth = {
+            int(r["cluster"]): r["count"]
+            for r in spark.table(f"{name}_codes")
+            .groupBy("cluster").count().collect()
+        }
+        ledger = {
+            int(r["cell"]): int(r["n"])
+            for r in spark.table(f"{name}_cells").collect()
+        }
+        assert ledger == truth and sum(ledger.values()) == total
+        # a second load is quiet — recovery is not re-triggered
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            PQ.load_ivf_pq(spark, name)
+        assert not [
+            w for w in caught if "finishing" in str(w.message)
+        ]
+    finally:
+        PQ.drop_ivf_pq(spark, name)
