@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1628,8 +1629,10 @@ def mmr_rerank(
             f"mmr_rerank: candidate set exceeds max_candidates="
             f"{max_candidates} — this operator re-ranks an "
             "ALREADY-SMALL top-N frame driver-side (the with_rank "
-            "contract); run a top-k upstream, or raise max_candidates "
-            "knowingly (O(k*N) driver work)"
+            "contract); run a top-k upstream, use "
+            "mmr_rerank_distributed (the candidate relation stays on "
+            "the cluster), or raise max_candidates knowingly "
+            "(O(k*N) driver work)"
         )
     if not rows:
         return ranked.sparkSession.createDataFrame([], schema)
@@ -1661,3 +1664,150 @@ def mmr_rerank(
         remaining.remove(best)
         out.append((ids[best], float(best_obj), len(selected)))
     return ranked.sparkSession.createDataFrame(out, schema)
+
+
+def mmr_rerank_distributed(
+    ranked: DataFrame,
+    embeddings: DataFrame,
+    lambda_: float = 0.7,
+    k: int = 10,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """``mmr_rerank`` for candidate sets too large to collect — the
+    path ``max_candidates`` refuses (r13, round gap #4): a broad recall
+    stage handing 10^5-10^6 candidates per audit sample to MMR would
+    need an N x dim driver matrix and an O(N^2) similarity matrix
+    driver-side; here the candidate relation NEVER leaves the cluster.
+
+    The greedy objective is unchanged, the loop becomes k rounds of
+    distributed argmax with an INCREMENTAL diversity column: ``div_i =
+    max_{s in selected} cos(i, s)`` only grows as the selected set
+    grows, so each round (a) takes the objective's top-1 row — a
+    ``TakeOrderedAndProject``, per-partition top-1 then a 1-row merge,
+    never a full sort — and (b) folds the ONE newly selected vector
+    into ``div`` with a broadcast Arrow pass (one dot product per
+    candidate per round; the O(N^2) pairwise matrix is never formed).
+    Total work O(k * N) — the same arithmetic as the driver loop,
+    distributed; k scheduling rounds is the honest price, so BELOW
+    ~10^4 candidates the collected loop is faster (its docstring says
+    so) and this operator is the wrong trade. Each round's relation is
+    persisted and the previous unpersisted — memory high-water is one
+    (id, rel, nvec, div) row per candidate.
+
+    Equality: selection, scores, and ranks match ``mmr_rerank`` on the
+    same input (test-pinned at both lambda extremes and between);
+    tie-breaks follow the same (objective, relevance, id-string) order,
+    so only candidates within float round-off of each other can ever
+    differ. Columns: <id_col>, ``mmr_score``, ``rank``."""
+    import numpy as np
+
+    if not (0.0 <= lambda_ <= 1.0):
+        raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+    spark = ranked.sparkSession
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, ranked.schema[id_col].dataType),
+            StructField("mmr_score", DoubleType()),
+            StructField("rank", LongType()),
+        ]
+    )
+    cand = ranked.select(id_col, score_col)
+    with_vec = cand.join(
+        embeddings.select(id_col, vec_col).join(
+            F.broadcast(cand.select(id_col)), id_col, "left_semi"
+        ),
+        id_col,
+    )
+    bounds = with_vec.agg(
+        F.min(score_col).alias("lo"), F.max(score_col).alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        return spark.createDataFrame([], schema)
+    rel_n = (
+        (F.col(score_col).cast("double") - F.lit(float(lo)))
+        / F.lit(float(hi) - float(lo))
+        if hi > lo
+        else F.lit(1.0)
+    )
+
+    @pandas_udf("array<double>")
+    def l2norm(v: pd.Series) -> pd.Series:
+        V = np.array(v.tolist(), dtype=np.float64)
+        n = np.linalg.norm(V, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0
+        return pd.Series(list(V / n))
+
+    cur = (
+        with_vec.select(
+            id_col,
+            rel_n.alias("__rel"),
+            l2norm(F.col(vec_col)).alias("__nvec"),
+            F.lit(0.0).alias("__div"),
+        )
+        .persist()
+    )
+    out: list[tuple] = []
+    prev = None
+    try:
+        for rank in range(1, k + 1):
+            obj = (
+                F.lit(lambda_) * F.col("__rel")
+                - F.lit(1.0 - lambda_) * F.col("__div")
+            ).alias("__obj")
+            top = (
+                cur.select(id_col, obj, "__rel", "__nvec")
+                .orderBy(
+                    F.desc("__obj"),
+                    F.desc("__rel"),
+                    F.asc(F.col(id_col).cast("string")),
+                )
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            row = top[0]
+            out.append((row[id_col], float(row["__obj"]), rank))
+            if rank == k:
+                break
+            sel = np.asarray(row["__nvec"], dtype=np.float64)
+            bsel = spark.sparkContext.broadcast(sel)
+
+            @pandas_udf("double")
+            def cos_sel(v: pd.Series) -> pd.Series:
+                V = np.array(v.tolist(), dtype=np.float64)
+                return pd.Series(V @ bsel.value)
+
+            # first fold ASSIGNS (cosine can be negative; the 0.0 init
+            # only stands in for "nothing selected yet", exactly like
+            # the driver loop's max(..., default=0.0)); later folds
+            # take the running max
+            upd = (
+                cos_sel(F.col("__nvec"))
+                if rank == 1
+                else F.greatest(F.col("__div"), cos_sel(F.col("__nvec")))
+            )
+            nxt = (
+                cur.filter(F.col(id_col) != F.lit(row[id_col]))
+                .withColumn("__div", upd)
+                .persist()
+            )
+            if prev is not None:
+                prev.unpersist(False)
+            prev, cur = cur, nxt
+    finally:
+        cur.unpersist(False)
+        if prev is not None:
+            prev.unpersist(False)
+    return spark.createDataFrame(out, schema)

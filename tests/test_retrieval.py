@@ -1442,3 +1442,63 @@ def test_cost_ratio_host_fingerprint_staleness(spark, corpus, tmp_path):
         assert seen.get("cost_ratio") == meta["cost_ratio"]  # still used
     finally:
         _reset_index_tables(spark, name)
+
+
+def test_mmr_rerank_distributed_equals_driver_loop(spark):
+    """r13 (round gap #4): the distributed MMR — k rounds of
+    TakeOrdered top-1 over an incrementally maintained diversity
+    column — selects the SAME documents in the SAME order with the
+    same scores as the collected driver loop, at both lambda extremes
+    and between, on a randomized candidate set large enough to have
+    real structure. The candidate relation never leaves the cluster
+    (no N x dim collect, no N^2 similarity matrix)."""
+    import numpy as np
+
+    from local_pubchem_db_spark.operators.retrieval import (
+        mmr_rerank,
+        mmr_rerank_distributed,
+    )
+
+    rng = np.random.default_rng(23)
+    n, dim = 120, 16
+    V = rng.standard_normal((n, dim))
+    scores = rng.uniform(1, 9, n)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        "doc_id long, embedding array<double>",
+    )
+    rk = spark.createDataFrame(
+        [(i, float(scores[i])) for i in range(n)],
+        "doc_id long, score double",
+    )
+    for lam in (1.0, 0.6, 0.0):
+        want = (
+            mmr_rerank(rk, emb, lambda_=lam, k=8, max_candidates=500)
+            .orderBy("rank")
+            .collect()
+        )
+        got = (
+            mmr_rerank_distributed(rk, emb, lambda_=lam, k=8)
+            .orderBy("rank")
+            .collect()
+        )
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], lam
+        assert [r["rank"] for r in got] == [r["rank"] for r in want]
+        np.testing.assert_allclose(
+            [r["mmr_score"] for r in got],
+            [r["mmr_score"] for r in want],
+            atol=1e-12,
+        )
+    # k past the candidate count: returns everything, once
+    small = rk.filter("doc_id < 3")
+    out = mmr_rerank_distributed(small, emb, lambda_=0.5, k=50).collect()
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 2]
+    # empty input -> empty typed frame; bad lambda raises
+    assert (
+        mmr_rerank_distributed(rk.filter("doc_id < 0"), emb, k=3).count()
+        == 0
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="lambda_"):
+        mmr_rerank_distributed(rk, emb, lambda_=-0.1)
