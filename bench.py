@@ -56,7 +56,7 @@ HEADLINE = [
 ]
 
 
-def calibration_run(spark) -> float:
+def calibration_run(spark, scale: int = 1) -> float:
     """ONE pinned workload, timed: a fixed 600k-row range scan-agg —
     no UDFs, no files, no cache, byte-identical every round — so the
     artifact carries a measurement of the HOST, not the engine. The r7
@@ -71,7 +71,7 @@ def calibration_run(spark) -> float:
 
     t0 = _time.perf_counter()
     (
-        spark.range(0, 600_000, 1, 32)
+        spark.range(0, 600_000 * scale, 1, 32)
         .select(
             ((F.col("id") * 2654435761) % 1048576).alias("k"),
             (F.col("id") % 97).alias("g"),
@@ -85,7 +85,7 @@ def calibration_run(spark) -> float:
     return round(_time.perf_counter() - t0, 4)
 
 
-def calibration_py_run(spark) -> float:
+def calibration_py_run(spark, scale: int = 1) -> float:
     """Second calibration axis (r10): the PYTHON-WORKER path. The r10
     session showed untouched pandas-UDF/multi-stage queries drifting
     1.15-1.5x at EQUAL JVM calibration — the pure-JVM rangescan
@@ -104,7 +104,7 @@ def calibration_py_run(spark) -> float:
 
     t0 = _time.perf_counter()
     (
-        spark.range(0, 256_000, 1, 32)
+        spark.range(0, 256_000 * scale, 1, 32)
         .select(_cal("id").alias("k"))
         .agg(F.sum("k"), F.count(F.lit(1)))
         .write.format("noop")
@@ -112,6 +112,41 @@ def calibration_py_run(spark) -> float:
         .save()
     )
     return round(_time.perf_counter() - t0, 4)
+
+
+def decompose_calibration(
+    t1: float, t_big: float, scale_big: int
+) -> dict | None:
+    """Split a calibration probe into fixed job overhead (intercept)
+    and per-unit compute cost (slope) from the SAME workload timed at
+    1x and ``scale_big``x rows (r13, round gap #5): with a ~0.3 s probe
+    on a fast host, fixed overhead is a large fraction of the probe, so
+    dividing rows by the whole probe OVER-corrects — every untouched
+    row showed ~1.4x normalized vs the previous round while raw rows
+    were flat (the §8d signature; the sf0.01 smoke here measured the
+    probe as ~0.5 s intercept + ~0.04 s compute, i.e. >90% overhead).
+    Modeling ``t = intercept + slope * units`` gives ``slope =
+    (t_big - t1) / (scale_big - 1)`` — a pure compute-speed measure a
+    fast host actually scales; normalizing by IT removes the
+    over-correction while the intercept stays visible in the artifact.
+    ``scale_big`` must put the DIFFERENCE of the two probes in the
+    compute-dominated regime: both probes measured >90% fixed overhead
+    on this host (the 600k-row range-agg computes in single-digit ms on
+    32 cores), so at 4-256x the difference is comparable to per-probe
+    noise and the slope is mush — the callers use 2048x for the JVM
+    probe (~1 s of extra compute) and 256x for the Python-worker probe,
+    measured to give a difference ~10x the per-probe noise. None when
+    noise inverts the probes (t_big <= t1) — consumers fall back to
+    whole-probe normalization."""
+    if t1 is None or t_big is None or t_big <= t1 or t1 <= 0:
+        return None
+    slope = (t_big - t1) / float(scale_big - 1)
+    # 6 decimals: the JVM slope lands near 5e-4 s/unit, where 4-decimal
+    # rounding would quantize away ~3% of the measurement
+    return {
+        "slope": round(slope, 6),
+        "intercept": round(t1 - slope, 4),
+    }
 
 
 def compute_drift(
@@ -292,10 +327,35 @@ def main() -> None:
 
     # Host calibration, min-of-REPS like every other row (first sample
     # pays the agg's one-time codegen compile; the min is the host).
-    cal_runs = [calibration_run(spark) for _ in range(max(REPS, 3))]
+    # two-point decomposition (r13): the same probes at a
+    # compute-dominated second point give slope (per-unit compute, the
+    # honest host-speed divisor) and intercept (fixed job overhead) —
+    # see decompose_calibration for the scale sizing. The 1x and big
+    # samples INTERLEAVE so both points see the same load profile:
+    # sequential blocks let a load burst inflate one point only,
+    # inverting the difference (observed in the first sf0.01 smoke).
+    CAL_JVM_BIG, CAL_PY_BIG = 2048, 256
+    cal_runs: list[float] = []
+    cal_big_runs: list[float] = []
+    cal_py_runs: list[float] = []
+    cal_py_big_runs: list[float] = []
+    for _ in range(max(REPS, 3)):
+        cal_runs.append(calibration_run(spark))
+        cal_big_runs.append(calibration_run(spark, scale=CAL_JVM_BIG))
+        cal_py_runs.append(calibration_py_run(spark))
+        cal_py_big_runs.append(
+            calibration_py_run(spark, scale=CAL_PY_BIG)
+        )
     calibration = min(cal_runs)
-    cal_py_runs = [calibration_py_run(spark) for _ in range(max(REPS, 3))]
     calibration_py = min(cal_py_runs)
+    cal_decomp = {
+        "jvm": decompose_calibration(
+            calibration, min(cal_big_runs), CAL_JVM_BIG
+        ),
+        "py": decompose_calibration(
+            calibration_py, min(cal_py_big_runs), CAL_PY_BIG
+        ),
+    }
     for name in HEADLINE:
         fn = QUERIES[name]
         samples = []
@@ -528,15 +588,35 @@ def main() -> None:
         for q, v in timings.items()
         if calibration
     }
+    # slope-normalized rows (r13, round gap #5): divide by the per-unit
+    # compute cost instead of the whole probe, so a fast host's large
+    # fixed-overhead FRACTION stops over-correcting every row (the §8d
+    # signature: uniform ~1.4x normalized on flat raw rows). Falls back
+    # to the whole-probe block when noise defeated the decomposition.
+    queries_normalized_slope = {
+        q: round(
+            v
+            / (
+                cal_decomp["py"]["slope"]
+                if axes.get(q) == "py" and cal_decomp["py"]
+                else cal_decomp["jvm"]["slope"]
+            ),
+            3,
+        )
+        for q, v in timings.items()
+        if cal_decomp["jvm"]
+    }
     out = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_normalized": queries_normalized,
+        "queries_normalized_slope": queries_normalized_slope,
         "cold": cold,
         "calibration": calibration,
         "calibration_py": calibration_py,
+        "calibration_decomposed": cal_decomp,
         "runs": runs,
         "calibration_runs": cal_runs,
         "calibration_py_runs": cal_py_runs,

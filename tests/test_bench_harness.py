@@ -220,3 +220,60 @@ def test_evict_page_cache_walks_and_survives_errors(tmp_path):
     (d / "a.parquet").write_bytes(b"x" * 1024)
     (d / "sub" / "b.parquet").write_bytes(b"y" * 2048)
     assert evict_page_cache(str(d)) == 2
+
+
+def test_decompose_calibration_slope_intercept_and_fallback():
+    """r13 (round gap #5): the two-point decomposition models
+    t = intercept + slope * units from the same probe at 1x and 4x —
+    slope is the marginal cost of three more units, the pure
+    compute-speed divisor that stops a fast host's fixed-overhead
+    FRACTION from over-correcting every normalized row (the §8d
+    signature). Noise-inverted probes (t4 <= t1) decompose to None so
+    consumers fall back to whole-probe normalization."""
+    from bench import decompose_calibration
+
+    d = decompose_calibration(0.40, 1.00, scale_big=4)
+    assert d == {"slope": 0.2, "intercept": 0.2}
+    # pure-compute probe (no overhead): intercept ~ 0
+    d2 = decompose_calibration(0.25, 1.00, scale_big=4)
+    assert d2["slope"] == 0.25 and d2["intercept"] == 0.0
+    # 16x denominator: slope = (t16 - t1) / 15
+    d3 = decompose_calibration(0.5, 2.0, 16)
+    assert d3["slope"] == 0.1 and d3["intercept"] == 0.4
+    assert decompose_calibration(0.5, 0.5, 16) is None
+    assert decompose_calibration(0.5, 0.4, 16) is None
+    assert decompose_calibration(None, 1.0, 16) is None
+    assert decompose_calibration(0.0, 1.0, 16) is None
+
+
+def test_queries_normalized_slope_rides_compact_record():
+    """The slope-normalized block and the decomposition itself belong
+    to the COMPACT (driver-parsed) record, like queries_normalized —
+    they are the cross-round comparators, not per-rep diagnostics."""
+    import io
+
+    from bench import emit
+
+    out = {
+        "metric": "headline_total",
+        "value": 2.0,
+        "unit": "sec",
+        "queries": {"q": 1.0},
+        "queries_normalized": {"q": 2.0},
+        "queries_normalized_slope": {"q": 5.0},
+        "calibration_decomposed": {
+            "jvm": {"slope": 0.2, "intercept": 0.3},
+            "py": None,
+        },
+        "calibration": 0.5,
+        "runs": {"q": [1.0]},
+        "sf": 0.1,
+    }
+    buf = io.StringIO()
+    emit(out, stream=buf)
+    last = json.loads(
+        [ln for ln in buf.getvalue().splitlines() if ln.strip()][-1]
+    )
+    assert last["queries_normalized_slope"] == {"q": 5.0}
+    assert last["calibration_decomposed"]["jvm"]["slope"] == 0.2
+    assert "runs" not in last
