@@ -451,6 +451,15 @@ def main() -> None:
         errors["ivf_pq_persisted"] = f"{type(e).__name__}: {e}"[:500]
     release_shared_caches(spark)
 
+    # MMR diversity pass (r13): the newest retrieval component under
+    # the same drift protection (r7 What's missing #1 — a component
+    # with no bench row regresses silently).
+    try:
+        _bench_mmr_rerank(spark, sf_dir, REPS, timings, runs, axes)
+    except Exception as e:  # noqa: BLE001
+        errors["mmr_rerank"] = f"{type(e).__name__}: {e}"[:500]
+    release_shared_caches(spark)
+
     # Warm-postings retrieval (r10, verdict Next #3): the retrieval_topk
     # aux row times the direct (index-free) route only — the amortized
     # postings path, the shape a query service actually runs (index
@@ -531,7 +540,7 @@ def main() -> None:
     AUX = ("ivf_pq_search", "ivf_pq_persisted", "gap_fill",
            "retrieval_topk", "ts_outliers", "token_drift",
            "pct_selection", "retrieval_warm", "retrieval_bucketed",
-           "hybrid_warm")
+           "hybrid_warm", "mmr_rerank")
     total = round(
         sum(
             v
@@ -855,6 +864,48 @@ def _bench_ivf_pq_persisted(
         runs["ivf_pq_persisted"] = samples
     finally:
         drop_ivf_pq(spark, name)
+
+
+def _bench_mmr_rerank(
+    spark, sf_dir: str, reps: int, timings, runs, axes
+) -> None:
+    """The MMR diversity pass over a 200-candidate top-N (r13): the
+    scale-sensitive half is the broadcast semi-join that fetches the
+    candidates' vectors from the sf-scaled embeddings relation (the
+    corpus side never shuffles); the greedy loop itself is O(k*N) on
+    data tiny by construction. Candidates carry a deterministic
+    hash-derived relevance so the row is byte-identical every round.
+    Timed inside the call — mmr_rerank materializes eagerly."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from local_pubchem_db_spark.operators.retrieval import mmr_rerank
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ranked = (
+        emb.select("vec_id")
+        .orderBy("vec_id")
+        .limit(200)
+        .select(
+            "vec_id",
+            (F.pmod(F.hash(F.col("vec_id")), F.lit(1000)))
+            .cast("double")
+            .alias("score"),
+        )
+    )
+    samples = []
+    for _ in range(reps):
+        t0 = _time.perf_counter()
+        df = mmr_rerank(
+            ranked, emb, lambda_=0.7, k=20, id_col="vec_id",
+            max_candidates=500,
+        )
+        df.write.format("noop").mode("overwrite").save()
+        samples.append(round(_time.perf_counter() - t0, 3))
+    axes["mmr_rerank"] = "jvm"  # fetch join + driver loop, no UDF path
+    timings["mmr_rerank"] = min(samples)
+    runs["mmr_rerank"] = samples
 
 
 def _bench_retrieval_warm(
