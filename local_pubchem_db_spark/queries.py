@@ -1234,6 +1234,31 @@ def q_weighted_median_hist(spark, sf_dir):
     ).select("event_type", F.element_at("pcts", 1).alias("med_hist"))
 
 
+def q_retrieval_mmr(spark, sf_dir):
+    """MMR diversity re-ranking (operators/retrieval.py, r13): the
+    greedy lambda*rel − (1−lambda)*max-cos selection over a 40-candidate
+    frame from the embeddings table, lambda=0.5, k=10. Relevance is a
+    deterministic exact-integer signal (vec_id % 17) so the min-max
+    normalization is bit-identical across engines; the oracle replays
+    the greedy loop itself as a DuckDB RECURSIVE CTE (LATERAL top-1 per
+    step, selected vectors accumulated as a list, max-sim via a list
+    comprehension over list_cosine_similarity). Only (vec_id, rank) is
+    returned: the SELECTION hash-matches; the mmr_score doubles would
+    compare numpy and DuckDB cosine reductions bit-for-bit, which is
+    the same float-boundary sensitivity hybrid_rrf documents — if this
+    query flakes on new data, check for an argmax near-tie before
+    suspecting the operator."""
+    from local_pubchem_db_spark.operators.retrieval import mmr_rerank
+
+    emb = t(spark, sf_dir, "embeddings")
+    ranked = emb.filter(F.col("vec_id") < 40).select(
+        "vec_id", (F.col("vec_id") % 17).cast("double").alias("score")
+    )
+    return mmr_rerank(
+        ranked, emb, lambda_=0.5, k=10, id_col="vec_id"
+    ).select("vec_id", "rank")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Tier B — reference SQL surface
     "count_star": q_count_star,
@@ -1320,6 +1345,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_median_hist": q_weighted_median_hist,
     # fully oracled (r13): batched retrieval — B queries, one probe
     "retrieval_batch": q_retrieval_batch,
+    # fully oracled (r13): MMR diversity selection vs a recursive-CTE
+    # greedy replay in DuckDB
+    "retrieval_mmr": q_retrieval_mmr,
 }
 
 # Shared SQL fragments for the oracles ------------------------------------
@@ -1982,5 +2010,38 @@ ORACLES: dict[str, str] = {
                  ) AS BIGINT) AS rank
           FROM per
         ) WHERE rank <= 10
+    """,
+    "retrieval_mmr": """
+        WITH RECURSIVE cand AS (
+          SELECT vec_id, (vec_id % 17)::DOUBLE AS rel, embedding AS vec
+          FROM embeddings WHERE vec_id < 40
+        ),
+        b AS (SELECT min(rel) AS lo, max(rel) AS hi FROM cand),
+        cn AS (
+          SELECT vec_id,
+                 CASE WHEN hi > lo THEN (rel - lo)/(hi - lo)
+                      ELSE 1.0 END AS rel_n,
+                 vec FROM cand, b
+        ),
+        mmr(rank, vec_id, sel_vecs, sel_ids) AS (
+          (SELECT 1, vec_id, [vec], [vec_id] FROM cn
+           ORDER BY 0.5*rel_n DESC, rel_n DESC, vec_id::VARCHAR LIMIT 1)
+          UNION ALL
+          SELECT m.rank + 1, x.vec_id,
+                 list_append(m.sel_vecs, x.vec),
+                 list_append(m.sel_ids, x.vec_id)
+          FROM mmr m, LATERAL (
+            SELECT c.vec_id, c.vec
+            FROM cn c WHERE NOT list_contains(m.sel_ids, c.vec_id)
+            ORDER BY 0.5*c.rel_n
+                     - 0.5*list_max([list_cosine_similarity(s, c.vec)
+                                     for s in m.sel_vecs]) DESC,
+                     c.rel_n DESC, c.vec_id::VARCHAR
+            LIMIT 1
+          ) x
+          WHERE m.rank < 10
+        )
+        SELECT vec_id, CAST(rank AS BIGINT) AS rank
+        FROM mmr ORDER BY rank
     """,
 }
