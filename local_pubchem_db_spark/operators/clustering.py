@@ -61,23 +61,104 @@ def _partial_sums(centroids: np.ndarray):
     return fn
 
 
+def _farthest_point_init(base: DataFrame, k: int) -> np.ndarray:
+    """Deterministic farthest-point seeding (the greedy 2-approximation
+    behind k-means++'s intuition, derandomized): seed 0 is the
+    lowest-id vector; each next seed is the vector MAXIMIZING its
+    minimum cosine distance to the chosen set, ties broken by lowest
+    id. One distributed pass per seed — per partition, a matmul picks
+    the local best candidate, the driver reduces the partition bests.
+
+    Why it exists (r13, measured by tools/measure_r13_split.py): the
+    default lowest-id init puts ALL seeds inside whichever mode owns
+    the smallest ids — for a flooded IVF cell that is the original
+    base blob, so Lloyd peels splinters instead of separating the
+    flood's modes and the rebalance loop spins against its max_splits
+    bound. Farthest-point seeds land one-per-mode by construction."""
+    rows = base.orderBy("id").limit(1).collect()
+    if not rows:
+        raise ValueError("need >= 1 vector for farthest-point init")
+    chosen = [np.asarray(list(rows[0]["v"]), dtype=np.float64)]
+    chosen_ids = {int(rows[0]["id"])}
+    for _ in range(k - 1):
+        Cn = _norm_rows(np.stack(chosen))
+        bc = base.sparkSession.sparkContext.broadcast((Cn, chosen_ids))
+
+        def local_best(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C, taken = bc.value
+            best = None  # (dist desc, id asc, vec)
+            for pdf in batches:
+                # exclude already-chosen ids so exhaustion (fewer rows
+                # than k) is detectable instead of silently duplicating
+                # seeds — exact-duplicate VECTORS remain choosable
+                pdf = pdf[~pdf["id"].isin(taken)]
+                if not len(pdf):
+                    continue
+                V = np.array(pdf["v"].tolist(), dtype=np.float64)
+                ids = pdf["id"].to_numpy()
+                d = 1.0 - (_norm_rows(V) @ C.T).max(axis=1)
+                # per-batch best with deterministic tie-break on id
+                order = np.lexsort((ids, -d))
+                i = order[0]
+                cand = (float(d[i]), ids[i], V[i])
+                if (
+                    best is None
+                    or cand[0] > best[0]
+                    or (cand[0] == best[0] and cand[1] < best[1])
+                ):
+                    best = cand
+            if best is not None:
+                yield pd.DataFrame(
+                    {
+                        "dist": [best[0]],
+                        "id": [int(best[1])],
+                        "vec": [best[2].tolist()],
+                    }
+                )
+
+        cands = base.mapInPandas(
+            local_best, "dist double, id long, vec array<double>"
+        ).collect()
+        if not cands:
+            break
+        top = sorted(cands, key=lambda r: (-r["dist"], r["id"]))[0]
+        chosen.append(np.asarray(list(top["vec"]), dtype=np.float64))
+        chosen_ids.add(int(top["id"]))
+    if len(chosen) < k:
+        raise ValueError(f"need >= {k} vectors, got {len(chosen)}")
+    return np.stack(chosen)
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 8,
     max_iter: int = 10,
+    init: str = "lowest",
 ) -> np.ndarray:
     """Lloyd's k-means on cosine similarity; returns the (k, dim) centroid
-    matrix. Deterministic: init = the k lowest-id vectors; partial-sum
+    matrix. Deterministic either way: ``init="lowest"`` (default,
+    unchanged) seeds with the k lowest-id vectors; ``init="farthest"``
+    seeds by greedy farthest-point (k-1 extra distributed passes) — the
+    right choice when the smallest ids all sit inside ONE mode, e.g.
+    splitting a flooded IVF cell (see _farthest_point_init). Partial-sum
     reduction happens in sorted order on the driver."""
+    if init not in ("lowest", "farthest"):
+        raise ValueError(f"init must be 'lowest' or 'farthest', got {init!r}")
     base = fan_out(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     ).persist()
-    init_rows = base.orderBy("id").limit(k).collect()
-    if len(init_rows) < k:
-        raise ValueError(f"need >= {k} vectors, got {len(init_rows)}")
-    centroids = np.array([list(r["v"]) for r in init_rows], dtype=np.float64)
+    if init == "farthest":
+        centroids = _farthest_point_init(base, k)
+    else:
+        init_rows = base.orderBy("id").limit(k).collect()
+        if len(init_rows) < k:
+            base.unpersist()
+            raise ValueError(f"need >= {k} vectors, got {len(init_rows)}")
+        centroids = np.array(
+            [list(r["v"]) for r in init_rows], dtype=np.float64
+        )
     dim = centroids.shape[1]
     schema = "cluster int, n long, vsum array<double>"
     for _ in range(max_iter):

@@ -202,6 +202,40 @@ def opq_fit(
     return R, C
 
 
+def _hash_sample_rows(df: DataFrame, sel: list, sample_rows: int) -> list:
+    """Collect the ``sample_rows`` smallest-``__k`` rows of
+    ``df.select(*sel)`` (one expr aliased ``__k``, an md5 hex string)
+    WITHOUT shipping partitions x sample_rows rows to the driver.
+
+    The naive ``orderBy(__k).limit(n).collect()`` plans as a
+    TakeOrdered whose per-partition top-n ALL travel to the driver —
+    up to P x n rows, which already overflowed the default 1 GiB
+    driver result cap on a 2M-row x 64-dim corpus at 32 partitions
+    (r13, found by tools/measure_r13_split.py), and grows with the
+    cluster at 100 TB. Since md5 keys are uniform, a prefix-threshold
+    prefilter keeps an expected 8x the target before the TakeOrdered,
+    bounding the driver transfer at ~8 x n rows REGARDLESS of
+    partition count, for the price of one count pass (gated: relations
+    within 4x of the sample size keep the old single-pass plan —
+    there, P x n can't exceed ~4n anyway). Correctness never rides the
+    8x margin: if the filter under-delivers (astronomically unlikely;
+    possible only on adversarial key distributions md5 rules out), the
+    unfiltered exact plan runs as the fallback."""
+    base = df.select(*sel)
+    n_total = base.count()
+    if n_total > 4 * sample_rows:
+        frac = min(1.0, 8.0 * sample_rows / n_total)
+        thr = int(frac * 16**8) + 1
+        cand = base.filter(
+            F.conv(F.substring("__k", 1, 8), 16, 10).cast("long")
+            < F.lit(thr)
+        )
+        rows = cand.orderBy("__k").limit(sample_rows).collect()
+        if len(rows) >= min(sample_rows, n_total):
+            return rows
+    return base.orderBy("__k").limit(sample_rows).collect()
+
+
 def _fit_sample(
     df: DataFrame,
     id_col: str,
@@ -217,7 +251,7 @@ def _fit_sample(
     sel = [F.col(vec_col).alias("v"), key.alias("__k")]
     if centroids is not None:
         sel.append(F.col(cluster_col).alias("__cell"))
-    rows = df.select(*sel).orderBy("__k").limit(sample_rows).collect()
+    rows = _hash_sample_rows(df, sel, sample_rows)
     if not rows:
         raise ValueError("empty input")
     X = _norm_rows(np.array([list(r["v"]) for r in rows], dtype=np.float64))
@@ -679,6 +713,14 @@ RETRAIN_DRIFT_RATIO = 1.5
 # mean recall and quantization error look fine.
 REBALANCE_SKEW_RATIO = 4.0
 
+# a split "separated" its cell when the largest sub-cell kept at most
+# this fraction of the rows; above it the cell is effectively one tight
+# blob (a near-duplicate flood) that clustering cannot balance — the
+# rebalance loop stops re-splitting such cells and the report points at
+# dedup instead (r13, measured: a 0.002-cosine-radius flood of 160k
+# vectors kept 90%+ together under farthest-point k-means, correctly).
+SPLIT_SEPARATION_MAX = 0.9
+
 _IVF_PQ_META_SCHEMA = (
     "m long, k long, dim long, n_cells long, n_vecs long, "
     "residual boolean, id_col string, code_col string, "
@@ -713,7 +755,7 @@ def quantization_error(
     sel = [F.col(vec_col).alias("v"), key.alias("__k")]
     if centroids is not None:
         sel.append(F.col(cluster_col).alias("__cell"))
-    rows = df.select(*sel).orderBy("__k").limit(sample_rows).collect()
+    rows = _hash_sample_rows(df, sel, sample_rows)
     if not rows:
         raise ValueError("quantization_error: empty input")
     X = _norm_rows(np.array([list(r["v"]) for r in rows], dtype=np.float64))
@@ -1422,9 +1464,13 @@ def ivf_pq_split_cell(
     from local_pubchem_db_spark.operators.clustering import kmeans_fit
 
     cell_rows = codes.filter(F.col(cluster_col) == cell)
+    # farthest-point seeding, not lowest-id (r13, measured): a flooded
+    # cell's smallest ids all sit in the ORIGINAL blob, so lowest-id
+    # seeds make Lloyd peel splinters instead of separating the
+    # flood's modes — the rebalance loop then spins against its bound
     sub = kmeans_fit(
         cell_rows, vec_col=vec_col, id_col=id_col, k=parts,
-        max_iter=max_iter,
+        max_iter=max_iter, init="farthest",
     )
     n_old = len(centroids)
     new_centroids = np.vstack([np.asarray(centroids, dtype=np.float64),
@@ -1449,13 +1495,27 @@ def ivf_pq_split_cell(
         int(r["cell"]): int(r["n"])
         for r in spark.table(f"{name}_cells").collect()
     }
+    counts = {s: ledger.get(int(s), 0) for s in sub_ids}
+    total = sum(counts.values())
+    # separation diagnostic (r13, found by measure_r13_split): a hot
+    # cell that is ONE tight blob — near-duplicate floods are exactly
+    # this shape — cannot be balanced by ANY clustering; k-means
+    # correctly keeps the blob together and the split only peels
+    # outliers. Flag it so the caller (and ivf_pq_rebalance's loop)
+    # stop re-splitting: the latency remedy for a duplicate-heavy
+    # cell is DEDUP (operators/dedup.py, cosine_neardup /
+    # semantic_dedup), not more centroids.
+    separated = bool(
+        total and max(counts.values()) <= SPLIT_SEPARATION_MAX * total
+    )
     return {
         "cell": cell,
         "sub_ids": sub_ids,
-        "counts": {s: ledger.get(int(s), 0) for s in sub_ids},
+        "counts": counts,
         "n_cells": int(meta["n_cells"]),
         "cell_skew": stats.get("skew"),
         "hot_cells": stats.get("hot_cells", []),
+        "separated": separated,
     }
 
 
@@ -1469,21 +1529,34 @@ def ivf_pq_rebalance(
     the hottest cell while ``hot_cells`` is non-empty (hot = past
     ``REBALANCE_SKEW_RATIO`` x mean), up to ``max_splits`` (splits can
     shift the mean, so a bound keeps the loop honest rather than
-    chasing a moving threshold). Total work is the sum of the split
-    cells' sizes — never a corpus pass. Returns the per-split reports."""
+    chasing a moving threshold). A cell whose split does NOT separate
+    (one sub-cell kept >90% of the rows — a near-duplicate blob no
+    clustering can balance) is excluded from further splits along with
+    its dominant descendant, and its report says so: the latency
+    remedy there is dedup, not more centroids (r13, measured). Total
+    work is the sum of the split cells' sizes — never a corpus pass.
+    Returns the per-split reports."""
     reports: list[dict] = []
+    unsplittable: set[int] = set()
     for _ in range(max_splits):
         stats = ivf_pq_cell_stats(spark, name)
-        if not stats or not stats.get("hot_cells"):
+        candidates = [
+            c for c in (stats.get("hot_cells") or [])
+            if c not in unsplittable
+        ]
+        if not candidates:
             break
         ledger = {
             int(r["cell"]): int(r["n"])
             for r in spark.table(f"{name}_cells").collect()
         }
-        hottest = max(stats["hot_cells"], key=lambda c: ledger.get(c, 0))
-        reports.append(
-            ivf_pq_split_cell(spark, name, cell=hottest, parts=parts)
-        )
+        hottest = max(candidates, key=lambda c: ledger.get(c, 0))
+        rep = ivf_pq_split_cell(spark, name, cell=hottest, parts=parts)
+        reports.append(rep)
+        if not rep["separated"]:
+            # the blob survives under whichever sub-id kept it
+            dominant = max(rep["counts"], key=rep["counts"].get)
+            unsplittable.update({hottest, int(dominant)})
     return reports
 
 

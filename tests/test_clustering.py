@@ -146,3 +146,63 @@ def test_semantic_dedup_no_pairs_keeps_all(spark, dup_groups):
     # threshold above any achievable cosine between distinct noisy vectors
     kept = semantic_dedup(df, k=4, threshold=1.0 - 1e-12)
     assert kept.count() == 9
+
+
+def test_kmeans_farthest_init_separates_modes(spark):
+    """r13 (split measurement finding): lowest-id seeding puts every
+    seed inside whichever mode owns the smallest ids, so Lloyd peels
+    splinters off a flooded cell instead of separating its modes.
+    Farthest-point seeding is deterministic (greedy max-min cosine
+    distance, ties by lowest id) and lands one seed per mode by
+    construction: on a 3-mode corpus whose smallest ids ALL sit in
+    mode 0, farthest init recovers the 3 modes BY SEEDING — no
+    reliance on Lloyd escaping a degenerate start (which it sometimes
+    does on toy data and did not on the measured flooded cell)."""
+    import numpy as np
+
+    from local_pubchem_db_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    rng = np.random.default_rng(3)
+    dim = 16
+    modes = rng.standard_normal((3, dim))
+    modes /= np.linalg.norm(modes, axis=1, keepdims=True)
+    rows = []
+    # ids 0..199: mode 0 only; modes 1 and 2 start at id 1000
+    for i in range(200):
+        rows.append((i, (modes[0] + 0.02 * rng.standard_normal(dim)).tolist()))
+    for i in range(200):
+        rows.append(
+            (1000 + i, (modes[1 + i % 2] + 0.02 * rng.standard_normal(dim)).tolist())
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def mode_coverage(cents):
+        # how many true modes have a centroid within cos > 0.95
+        Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        return sum((Cn @ m >= 0.95).any() for m in modes)
+
+    far = kmeans_fit(emb, k=3, max_iter=10, init="farthest")
+    assert mode_coverage(far) == 3
+    # the seeds THEMSELVES cover the modes (max_iter=0-equivalent
+    # check: one seed per mode before Lloyd runs at all)
+    from local_pubchem_db_spark.operators.clustering import (
+        _farthest_point_init,
+        fan_out,
+    )
+
+    base = fan_out(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    )
+    seeds = _farthest_point_init(base, 3)
+    assert mode_coverage(seeds) == 3
+    # deterministic: same seeds, same result
+    far2 = kmeans_fit(emb.repartition(13), k=3, max_iter=10, init="farthest")
+    np.testing.assert_allclose(far, far2)
+    # assignment works off the farthest-init centroids
+    n_assigned = assign_clusters(emb, far).count()
+    assert n_assigned == 400
+    with pytest.raises(ValueError, match="init"):
+        kmeans_fit(emb, k=3, init="bogus")

@@ -976,3 +976,94 @@ def test_ivf_pq_split_crash_recovery(spark, monkeypatch):
         ]
     finally:
         PQ.drop_ivf_pq(spark, name)
+
+
+def test_hash_sample_prefilter_exact_and_fallback(spark):
+    """r13: the training/drift sample's TakeOrdered ships per-partition
+    top-n to the driver (P x n rows — overflowed the 1 GiB driver cap
+    at 2M x 64-dim / 32 partitions, found by the split measurement), so
+    past a 4x gate a uniform-hash prefix threshold cuts candidates to
+    ~8x the target first. Exactness never rides the 8x margin: >= n
+    kept keys below the threshold PROVES the filtered top-n equals the
+    global top-n, and an under-delivering filter falls back to the
+    exact unfiltered plan — pinned with adversarial constant-prefix
+    keys that defeat the threshold entirely."""
+    from local_pubchem_db_spark.operators.pq import _hash_sample_rows
+
+    df = spark.range(300_000).select(F.col("id").alias("vec_id"))
+    key = F.md5(F.concat(F.lit("7:"), F.col("vec_id").cast("string")))
+    sel = [F.col("vec_id").alias("v"), key.alias("__k")]
+    got = _hash_sample_rows(df, sel, 1000)
+    want = df.select(*sel).orderBy("__k").limit(1000).collect()
+    assert [r["__k"] for r in got] == [r["__k"] for r in want]
+    # adversarial keys above every threshold: filter keeps nothing,
+    # fallback returns the exact answer anyway
+    sel2 = [
+        F.col("vec_id").alias("v"),
+        F.format_string("ffffffff%08d", F.col("vec_id")).alias("__k"),
+    ]
+    got2 = _hash_sample_rows(df, sel2, 1000)
+    assert [r["v"] for r in got2] == list(range(1000))
+    # under the 4x gate: single-pass path, same answer
+    small = spark.range(2_000).select(F.col("id").alias("vec_id"))
+    got3 = _hash_sample_rows(
+        small,
+        [F.col("vec_id").alias("v"),
+         F.md5(F.col("vec_id").cast("string")).alias("__k")],
+        1000,
+    )
+    assert len(got3) == 1000
+
+
+def test_ivf_pq_rebalance_stops_on_unsplittable_blob(spark):
+    """r13 (split measurement finding): a hot cell that is ONE tight
+    near-duplicate blob cannot be balanced by clustering — k-means
+    correctly keeps the blob together, the split reports
+    separated=False, and the rebalance loop EXCLUDES the cell and its
+    dominant descendant instead of spinning against max_splits. The
+    remedy for that shape is dedup, which the report's docstring points
+    at."""
+    from local_pubchem_db_spark.operators import pq as PQ
+
+    name = "t_ivfpq_blob"
+    PQ.drop_ivf_pq(spark, name)
+    emb, protos = _clustered_corpus(spark)
+    centroids, cb, enc = _fit_ivf_pq(spark, emb)
+    rng = np.random.default_rng(29)
+    try:
+        PQ.save_ivf_pq(enc, centroids, cb, name, residual=True)
+        # unimodal ultra-tight flood: 600 vectors within 0.005 of one
+        # prototype — a duplicate-blob in embedding space
+        blob = spark.createDataFrame(
+            [
+                (
+                    90_000 + i,
+                    [
+                        float(x)
+                        for x in protos[4]
+                        + 0.005 * rng.standard_normal(32)
+                    ],
+                )
+                for i in range(600)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        rep0 = PQ.ivf_pq_append(spark, name, blob)
+        assert rep0["rebalance_recommended"] is True
+        reports = PQ.ivf_pq_rebalance(spark, name, parts=3, max_splits=6)
+        # the loop must NOT burn all its splits on the blob
+        assert 1 <= len(reports) < 6
+        assert any(r["separated"] is False for r in reports)
+        # ledger still exact, nothing lost
+        truth = {
+            int(r["cluster"]): r["count"]
+            for r in spark.table(f"{name}_codes")
+            .groupBy("cluster").count().collect()
+        }
+        ledger = {
+            int(r["cell"]): int(r["n"])
+            for r in spark.table(f"{name}_cells").collect()
+        }
+        assert ledger == truth
+    finally:
+        PQ.drop_ivf_pq(spark, name)
