@@ -149,6 +149,24 @@ def decompose_calibration(
     }
 
 
+def slope_normalized(
+    timings: dict, axes: dict, cal_decomp: dict
+) -> dict:
+    """Per-row slope normalization with a PER-AXIS fallback: a row
+    whose OWN axis failed to decompose is OMITTED from this block
+    (consumers fall back to the whole-probe queries_normalized for it)
+    rather than silently normalized by the other axis's slope — the
+    two slopes differ ~5x, so cross-axis substitution would record a
+    scale shift indistinguishable from a huge regression on an
+    untouched query (r13 review finding)."""
+    out = {}
+    for q, v in timings.items():
+        d = cal_decomp.get("py" if axes.get(q) == "py" else "jvm")
+        if d and d.get("slope"):
+            out[q] = round(v / d["slope"], 3)
+    return out
+
+
 def compute_drift(
     timings: dict,
     prev_queries: dict,
@@ -600,21 +618,9 @@ def main() -> None:
     # slope-normalized rows (r13, round gap #5): divide by the per-unit
     # compute cost instead of the whole probe, so a fast host's large
     # fixed-overhead FRACTION stops over-correcting every row (the §8d
-    # signature: uniform ~1.4x normalized on flat raw rows). Falls back
-    # to the whole-probe block when noise defeated the decomposition.
-    queries_normalized_slope = {
-        q: round(
-            v
-            / (
-                cal_decomp["py"]["slope"]
-                if axes.get(q) == "py" and cal_decomp["py"]
-                else cal_decomp["jvm"]["slope"]
-            ),
-            3,
-        )
-        for q, v in timings.items()
-        if cal_decomp["jvm"]
-    }
+    # signature: uniform ~1.4x normalized on flat raw rows). Per-axis
+    # fallback semantics in slope_normalized.
+    queries_normalized_slope = slope_normalized(timings, axes, cal_decomp)
     out = {
         "metric": "headline_total",
         "value": total,

@@ -149,16 +149,24 @@ def kmeans_fit(
     base = fan_out(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     ).persist()
-    if init == "farthest":
-        centroids = _farthest_point_init(base, k)
-    else:
-        init_rows = base.orderBy("id").limit(k).collect()
-        if len(init_rows) < k:
-            base.unpersist()
-            raise ValueError(f"need >= {k} vectors, got {len(init_rows)}")
-        centroids = np.array(
-            [list(r["v"]) for r in init_rows], dtype=np.float64
-        )
+    try:
+        if init == "farthest":
+            centroids = _farthest_point_init(base, k)
+        else:
+            init_rows = base.orderBy("id").limit(k).collect()
+            if len(init_rows) < k:
+                raise ValueError(
+                    f"need >= {k} vectors, got {len(init_rows)}"
+                )
+            centroids = np.array(
+                [list(r["v"]) for r in init_rows], dtype=np.float64
+            )
+    except Exception:
+        # don't leak the persisted relation on a failed init (e.g. a
+        # cell smaller than `parts`): repeated failed splits in a
+        # long-lived service would otherwise pin dead cache entries
+        base.unpersist()
+        raise
     dim = centroids.shape[1]
     schema = "cluster int, n long, vsum array<double>"
     for _ in range(max_iter):

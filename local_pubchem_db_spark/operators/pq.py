@@ -695,7 +695,8 @@ def ivf_pq_search(
 # training-time baseline and reports when a re-train is due.
 
 IVF_PQ_TABLE_SUFFIXES = (
-    "codes", "model", "meta", "cells", "codes__split_staged"
+    "codes", "model", "meta", "cells", "codes__split_staged",
+    "model__staged",
 )
 
 # delta-vs-baseline quantization-error ratio past which an append
@@ -978,6 +979,7 @@ def load_ivf_pq(
     model arrays are append-invariant by construction)."""
     import warnings as _warnings
 
+    _recover_staged_model(spark, name)
     codes = spark.table(f"{name}_codes")
     model = spark.table(f"{name}_model").collect()
     centroids = _model_array(model, "centroid")
@@ -1196,11 +1198,34 @@ def _write_model_table(
     codebooks: np.ndarray,
     rotation: np.ndarray | None,
 ) -> None:
+    """Replace ``<name>_model`` through a STAGED table + metadata-only
+    rename, never an in-place overwrite: the model is the ONLY copy of
+    the centroids/codebooks (codes are quantized — nothing derives the
+    model back), and ``saveAsTable(mode="overwrite")`` drops the table
+    before the new data commits, so a crash in that window would lose
+    the index outright (r13 review finding). A crash around the swap
+    instead leaves either the old model (staged write incomplete) or a
+    completed staged copy that ``_recover_staged_model`` — called at
+    every load — finishes renaming. Mirrors the retrieval index's
+    termdf swap, including clearing a crash-stranded staging location
+    with no catalog entry."""
+    from local_pubchem_db_spark.operators.retrieval import (
+        _hadoop_delete,
+        _managed_location,
+    )
+
     rows = _model_rows("centroid", centroids) + _model_rows(
         "codebook", np.ascontiguousarray(codebooks, dtype=np.float64)
     )
     if rotation is not None:
         rows += _model_rows("rotation", rotation)
+    staged = f"{name}_model__staged"
+    spark.sql(f"DROP TABLE IF EXISTS {staged}")
+    if not spark.catalog.tableExists(staged):
+        try:
+            _hadoop_delete(spark, _managed_location(spark, staged))
+        except Exception:  # noqa: BLE001 — best-effort orphan cleanup
+            pass
     (
         spark.createDataFrame(
             rows, "kind string, i long, j long, vec array<double>"
@@ -1208,8 +1233,31 @@ def _write_model_table(
         .coalesce(1)
         .write.mode("overwrite")
         .format("parquet")
-        .saveAsTable(f"{name}_model")
+        .saveAsTable(staged)
     )
+    spark.sql(f"DROP TABLE IF EXISTS {name}_model")
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {name}_model")
+
+
+def _recover_staged_model(spark, name: str) -> None:
+    """Finish a model swap a crash interrupted: the staged table is
+    the FULL new model, so completing the rename (or re-running it
+    after the DROP already happened) restores a consistent index. A
+    staged table alongside a LIVE model means the crash hit between
+    the staged write and the DROP — the staged copy is the newer
+    model, so the swap is completed the same way."""
+    staged = f"{name}_model__staged"
+    if not spark.catalog.tableExists(staged):
+        return
+    import warnings as _warnings
+
+    _warnings.warn(
+        f"ivf_pq index {name!r}: completing an interrupted model swap "
+        "from the staged table",
+        stacklevel=2,
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {name}_model")
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {name}_model")
 
 
 def _apply_cell_split(
@@ -1449,10 +1497,17 @@ def ivf_pq_split_cell(
         )
     cluster_col, id_col = meta["cluster_col"], meta["id_col"]
     if cell is None:
-        ledger = {
-            int(r["cell"]): int(r["n"])
-            for r in spark.table(f"{name}_cells").collect()
-        }
+        try:
+            ledger = {
+                int(r["cell"]): int(r["n"])
+                for r in spark.table(f"{name}_cells").collect()
+            }
+        except Exception:  # noqa: BLE001 — pre-ledger index: build it
+            _rebuild_cells_table(spark, name, cluster_col)
+            ledger = {
+                int(r["cell"]): int(r["n"])
+                for r in spark.table(f"{name}_cells").collect()
+            }
         if not ledger:
             raise ValueError(f"ivf_pq index {name!r}: empty cells ledger")
         cell = max(ledger, key=ledger.get)

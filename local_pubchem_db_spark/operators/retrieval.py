@@ -1559,6 +1559,41 @@ def bm25_topk_batch(
     )
 
 
+def _mmr_candidates(
+    ranked: DataFrame,
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    score_col: str,
+):
+    """Shared by both MMR variants: fetch the candidates' vectors with
+    ONE broadcast semi-join (the corpus-sized embeddings relation is
+    the probe side and never shuffles; a partitioned/bucketed embedding
+    table prunes), plus the (id, mmr_score, rank) result schema."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cand = ranked.select(id_col, score_col)
+    with_vec = cand.join(
+        embeddings.select(id_col, vec_col).join(
+            F.broadcast(cand.select(id_col)), id_col, "left_semi"
+        ),
+        id_col,
+    )
+    schema = StructType(
+        [
+            StructField(id_col, with_vec.schema[id_col].dataType),
+            StructField("mmr_score", DoubleType()),
+            StructField("rank", LongType()),
+        ]
+    )
+    return with_vec, schema
+
+
 def mmr_rerank(
     ranked: DataFrame,
     embeddings: DataFrame,
@@ -1600,28 +1635,8 @@ def mmr_rerank(
 
     if not (0.0 <= lambda_ <= 1.0):
         raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
-    cand = ranked.select(id_col, score_col)
-    with_vec = cand.join(
-        # broadcast the k-row candidate side: the corpus-sized
-        # embeddings relation is the probe and never shuffles
-        embeddings.select(id_col, vec_col).join(
-            F.broadcast(cand.select(id_col)), id_col, "left_semi"
-        ),
-        id_col,
-    )
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
-
-    schema = StructType(
-        [
-            StructField(id_col, with_vec.schema[id_col].dataType),
-            StructField("mmr_score", DoubleType()),
-            StructField("rank", LongType()),
-        ]
+    with_vec, schema = _mmr_candidates(
+        ranked, embeddings, id_col, vec_col, score_col
     )
     rows = with_vec.limit(max_candidates + 1).collect()
     if len(rows) > max_candidates:
@@ -1698,35 +1713,25 @@ def mmr_rerank_distributed(
 
     Equality: selection, scores, and ranks match ``mmr_rerank`` on the
     same input (test-pinned at both lambda extremes and between);
-    tie-breaks follow the same (objective, relevance, id-string) order,
-    so only candidates within float round-off of each other can ever
-    differ. Columns: <id_col>, ``mmr_score``, ``rank``."""
+    tie-breaks follow the same (objective, relevance, id-string)
+    order. One stated divergence: the driver loop's argmax is
+    epsilon-tolerant (strictly-greater by 1e-15 — objectives closer
+    than that count as tied and break on relevance/id), while this
+    orderBy compares objectives exactly, so two candidates whose
+    objectives differ by a nonzero sub-1e-15 amount can be picked in
+    the opposite order — e.g. duplicate embeddings with equal scores —
+    and a divergent pick cascades through later rounds' diversity
+    terms. Don't rely on cross-variant equality under such near-ties.
+    Columns: <id_col>, ``mmr_score``, ``rank``."""
     import numpy as np
 
     if not (0.0 <= lambda_ <= 1.0):
         raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
     spark = ranked.sparkSession
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
 
-    schema = StructType(
-        [
-            StructField(id_col, ranked.schema[id_col].dataType),
-            StructField("mmr_score", DoubleType()),
-            StructField("rank", LongType()),
-        ]
-    )
-    cand = ranked.select(id_col, score_col)
-    with_vec = cand.join(
-        embeddings.select(id_col, vec_col).join(
-            F.broadcast(cand.select(id_col)), id_col, "left_semi"
-        ),
-        id_col,
+    with_vec, schema = _mmr_candidates(
+        ranked, embeddings, id_col, vec_col, score_col
     )
     bounds = with_vec.agg(
         F.min(score_col).alias("lo"), F.max(score_col).alias("hi")

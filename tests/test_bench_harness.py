@@ -277,3 +277,24 @@ def test_queries_normalized_slope_rides_compact_record():
     assert last["queries_normalized_slope"] == {"q": 5.0}
     assert last["calibration_decomposed"]["jvm"]["slope"] == 0.2
     assert "runs" not in last
+
+
+def test_slope_normalized_per_axis_fallback():
+    """r13 review finding: a row whose OWN axis failed to decompose
+    must be OMITTED from the slope block (whole-probe normalization is
+    its fallback), never normalized by the other axis's ~5x-different
+    slope — that cross-axis substitution would record a scale shift
+    indistinguishable from a huge regression on an untouched query."""
+    from bench import slope_normalized
+
+    timings = {"j": 1.0, "p": 1.0}
+    axes = {"j": "jvm", "p": "py"}
+    both = {"jvm": {"slope": 0.001}, "py": {"slope": 0.005}}
+    assert slope_normalized(timings, axes, both) == {
+        "j": 1000.0, "p": 200.0
+    }
+    py_failed = {"jvm": {"slope": 0.001}, "py": None}
+    assert slope_normalized(timings, axes, py_failed) == {"j": 1000.0}
+    jvm_failed = {"jvm": None, "py": {"slope": 0.005}}
+    assert slope_normalized(timings, axes, jvm_failed) == {"p": 200.0}
+    assert slope_normalized(timings, axes, {"jvm": None, "py": None}) == {}

@@ -1067,3 +1067,61 @@ def test_ivf_pq_rebalance_stops_on_unsplittable_blob(spark):
         assert ledger == truth
     finally:
         PQ.drop_ivf_pq(spark, name)
+
+
+def test_ivf_pq_model_swap_crash_windows(spark, monkeypatch):
+    """r13 review finding: the model table is the ONLY copy of the
+    centroids/codebooks, so it must never be overwritten in place —
+    a crash inside saveAsTable(overwrite) would lose the index. The
+    swap now stages + renames; every crash window is recoverable:
+    (a) crash between the staged write and the DROP (staged + live
+    model coexist) and (b) crash between DROP and RENAME (model
+    missing) both complete to the NEW model at the next load."""
+    import warnings
+
+    from local_pubchem_db_spark.operators import pq as PQ
+
+    name = "t_ivfpq_modelswap"
+    PQ.drop_ivf_pq(spark, name)
+    emb, _protos = _clustered_corpus(spark)
+    centroids, cb, enc = _fit_ivf_pq(spark, emb)
+    try:
+        PQ.save_ivf_pq(enc, centroids, cb, name, residual=True)
+        # (a): stage a NEW model (one centroid perturbed) without
+        # completing the swap — both tables exist
+        c2 = np.asarray(centroids, dtype=np.float64).copy()
+        c2[0] = c2[0] + 0.25
+        rows = PQ._model_rows("centroid", c2) + PQ._model_rows(
+            "codebook", np.ascontiguousarray(cb, dtype=np.float64)
+        )
+        (
+            spark.createDataFrame(
+                rows, "kind string, i long, j long, vec array<double>"
+            )
+            .coalesce(1).write.mode("overwrite").format("parquet")
+            .saveAsTable(f"{name}_model__staged")
+        )
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            _c, got, _cb, _r, _m = PQ.load_ivf_pq(spark, name)
+        assert any("model swap" in str(w.message) for w in caught)
+        np.testing.assert_allclose(got, c2)  # the staged copy won
+        assert not spark.catalog.tableExists(f"{name}_model__staged")
+        # (b): DROP the model, leave only a staged copy
+        c3 = c2.copy()
+        c3[1] = c3[1] - 0.25
+        rows = PQ._model_rows("centroid", c3) + PQ._model_rows(
+            "codebook", np.ascontiguousarray(cb, dtype=np.float64)
+        )
+        (
+            spark.createDataFrame(
+                rows, "kind string, i long, j long, vec array<double>"
+            )
+            .coalesce(1).write.mode("overwrite").format("parquet")
+            .saveAsTable(f"{name}_model__staged")
+        )
+        spark.sql(f"DROP TABLE {name}_model")
+        _c, got3, _cb3, _r3, _m3 = PQ.load_ivf_pq(spark, name)
+        np.testing.assert_allclose(got3, c3)
+    finally:
+        PQ.drop_ivf_pq(spark, name)
