@@ -221,7 +221,12 @@ def _hash_sample_rows(df: DataFrame, sel: list, sample_rows: int) -> list:
     8x margin: if the filter under-delivers (astronomically unlikely;
     possible only on adversarial key distributions md5 rules out), the
     unfiltered exact plan runs as the fallback."""
-    base = df.select(*sel)
+    # null keys (a null id makes md5(concat(...)) null) would sort
+    # FIRST under the naive plan but be dropped by the prefilter's
+    # comparison — exclude them explicitly so the gated and ungated
+    # paths sample the same rows; a vector with no id has no
+    # deterministic place in a hash-ordered sample anyway
+    base = df.select(*sel).filter(F.col("__k").isNotNull())
     n_total = base.count()
     if n_total > 4 * sample_rows:
         frac = min(1.0, 8.0 * sample_rows / n_total)
@@ -715,12 +720,22 @@ RETRAIN_DRIFT_RATIO = 1.5
 REBALANCE_SKEW_RATIO = 4.0
 
 # a split "separated" its cell when the largest sub-cell kept at most
-# this fraction of the rows; above it the cell is effectively one tight
-# blob (a near-duplicate flood) that clustering cannot balance — the
-# rebalance loop stops re-splitting such cells and the report points at
-# dedup instead (r13, measured: a 0.002-cosine-radius flood of 160k
-# vectors kept 90%+ together under farthest-point k-means, correctly).
+# this fraction of the rows. NOT separating is necessary but NOT
+# sufficient evidence of an unsplittable blob: a split that peels a
+# small real cluster (say the 6% original-corpus rows off a flooded
+# cell, or a second proto-cluster the coarse quantizer had merged in)
+# fails this bar while its dominant remainder may still have structure
+# a further split finds. Geometric tests were tried and rejected — the
+# natural reference (distance to the nearest other sub-centroid) is
+# dominated by whatever far-away cluster the split peeled, making any
+# remainder look "tight". The verdict is therefore BEHAVIORAL and
+# self-measuring: a strike is recorded when a split fails this bar,
+# strikes inherit down the dominant-descendant lineage, and
+# SPLIT_STRIKES_LIMIT consecutive futile splits on one lineage flag it
+# no_split (persisted). Total futile work is bounded at the limit,
+# ever — not per rebalance call.
 SPLIT_SEPARATION_MAX = 0.9
+SPLIT_STRIKES_LIMIT = 2
 
 _IVF_PQ_META_SCHEMA = (
     "m long, k long, dim long, n_cells long, n_vecs long, "
@@ -890,7 +905,9 @@ def save_ivf_pq(
 def _rebuild_cells_table(spark, name: str, cluster_col: str) -> int:
     """Recompute ``<name>_cells`` from the codes table (one combinable
     aggregation — used at save time and as the crashed-append repair)
-    and return the total row count it implies."""
+    and return the total row count it implies. A rebuild derives ONLY
+    counts — persisted no-split flags are lost (the diagnostic is
+    re-learned by the next failed split, one O(cell) pass)."""
     counts = (
         spark.table(f"{name}_codes")
         .groupBy(F.col(cluster_col).cast("int").alias("cell"))
@@ -902,10 +919,37 @@ def _rebuild_cells_table(spark, name: str, cluster_col: str) -> int:
     )
 
 
-def _write_cells_table(spark, name: str, by_cell: dict) -> int:
+def _read_cells_table(spark, name: str) -> tuple[dict, set, dict]:
+    """(counts, no_split cell ids, strike counts) from the persisted
+    ledger — the flag/strike columns are absent on pre-flag ledgers
+    and read as False / 0."""
+    counts, flagged, strikes = {}, set(), {}
+    for r in spark.table(f"{name}_cells").collect():
+        d = r.asDict()
+        c = int(d["cell"])
+        counts[c] = int(d["n"])
+        if d.get("no_split"):
+            flagged.add(c)
+        if d.get("strikes"):
+            strikes[c] = int(d["strikes"])
+    return counts, flagged, strikes
+
+
+def _write_cells_table(
+    spark,
+    name: str,
+    by_cell: dict,
+    no_split: set | frozenset = frozenset(),
+    strikes: dict | None = None,
+) -> int:
+    strikes = strikes or {}
     (
         spark.createDataFrame(
-            sorted(by_cell.items()), "cell int, n long"
+            [
+                (c, n, c in no_split, int(strikes.get(c, 0)))
+                for c, n in sorted(by_cell.items())
+            ],
+            "cell int, n long, no_split boolean, strikes long",
         )
         .coalesce(1)
         .write.mode("overwrite")
@@ -917,16 +961,19 @@ def _write_cells_table(spark, name: str, by_cell: dict) -> int:
 
 def ivf_pq_cell_stats(spark, name: str) -> dict:
     """The cell-balance signal from the persisted ledger:
-    ``{"n_cells_used", "max_cell", "mean_cell", "skew",
-    "hot_cells"}`` with ``skew = max/mean`` over NON-EMPTY cells and
-    ``hot_cells`` the cell ids past ``REBALANCE_SKEW_RATIO`` x mean.
-    Empty dict when the index predates the cells ledger (re-save or
-    run one append to materialize it)."""
+    ``{"n_cells_used", "max_cell", "mean_cell", "skew", "hot_cells",
+    "unsplittable"}`` with ``skew = max/mean`` over NON-EMPTY cells,
+    ``hot_cells`` the cell ids past ``REBALANCE_SKEW_RATIO`` x mean
+    (hotness is a LATENCY fact, so flagged cells stay listed), and
+    ``unsplittable`` the persisted no-split verdicts (cells a split
+    could not separate — duplicate blobs; the remedy is dedup). Empty
+    dict when the index predates the cells ledger (re-save or run one
+    append to materialize it)."""
     try:
-        rows = spark.table(f"{name}_cells").collect()
+        counts, flagged, _strikes = _read_cells_table(spark, name)
     except Exception:  # noqa: BLE001 — pre-r13 index
         return {}
-    counts = {int(r["cell"]): int(r["n"]) for r in rows if r["n"] > 0}
+    counts = {c: n for c, n in counts.items() if n > 0}
     if not counts:
         return {}
     mean = sum(counts.values()) / len(counts)
@@ -941,6 +988,7 @@ def ivf_pq_cell_stats(spark, name: str) -> dict:
             for c, n in counts.items()
             if n > REBALANCE_SKEW_RATIO * mean
         ),
+        "unsplittable": sorted(flagged),
     }
 
 
@@ -1147,10 +1195,7 @@ def ivf_pq_append(
         .saveAsTable(f"{name}_codes")
     )
     try:
-        merged = {
-            int(r["cell"]): int(r["n"])
-            for r in spark.table(f"{name}_cells").collect()
-        }
+        merged, flagged, strikes = _read_cells_table(spark, name)
     except Exception:  # noqa: BLE001 — pre-ledger index: rebuild once
         import warnings as _warnings
 
@@ -1166,7 +1211,9 @@ def ivf_pq_append(
     if merged is not None:
         for c, n in delta_counts.items():
             merged[c] = merged.get(c, 0) + n
-        _write_cells_table(spark, name, merged)
+        _write_cells_table(
+            spark, name, merged, no_split=flagged, strikes=strikes
+        )
     meta["n_vecs"] = int(meta.get("n_vecs", 0)) + int(n_appended)
     meta["codes_files"] = len(spark.table(f"{name}_codes").inputFiles())
     _write_ivf_pq_meta(
@@ -1209,23 +1256,13 @@ def _write_model_table(
     every load — finishes renaming. Mirrors the retrieval index's
     termdf swap, including clearing a crash-stranded staging location
     with no catalog entry."""
-    from local_pubchem_db_spark.operators.retrieval import (
-        _hadoop_delete,
-        _managed_location,
-    )
-
     rows = _model_rows("centroid", centroids) + _model_rows(
         "codebook", np.ascontiguousarray(codebooks, dtype=np.float64)
     )
     if rotation is not None:
         rows += _model_rows("rotation", rotation)
     staged = f"{name}_model__staged"
-    spark.sql(f"DROP TABLE IF EXISTS {staged}")
-    if not spark.catalog.tableExists(staged):
-        try:
-            _hadoop_delete(spark, _managed_location(spark, staged))
-        except Exception:  # noqa: BLE001 — best-effort orphan cleanup
-            pass
+    _clear_staging(spark, staged)
     (
         spark.createDataFrame(
             rows, "kind string, i long, j long, vec array<double>"
@@ -1239,25 +1276,71 @@ def _write_model_table(
     spark.sql(f"ALTER TABLE {staged} RENAME TO {name}_model")
 
 
+def _clear_staging(spark, ident: str) -> None:
+    """DROP a staging table and, when it was NOT catalog-known (a
+    crash stranded the warehouse DIRECTORY with no catalog entry —
+    LOCATION_ALREADY_EXISTS on the next write otherwise), clear the
+    conventional location through the JVM Hadoop FileSystem. Existence
+    is captured BEFORE the DROP (after it the check is vacuously
+    true — r13 review finding)."""
+    from local_pubchem_db_spark.operators.retrieval import (
+        _hadoop_delete,
+        _managed_location,
+    )
+
+    known = spark.catalog.tableExists(ident)
+    spark.sql(f"DROP TABLE IF EXISTS {ident}")
+    if not known:
+        try:
+            _hadoop_delete(spark, _managed_location(spark, ident))
+        except Exception:  # noqa: BLE001 — best-effort orphan cleanup
+            pass
+
+
 def _recover_staged_model(spark, name: str) -> None:
-    """Finish a model swap a crash interrupted: the staged table is
-    the FULL new model, so completing the rename (or re-running it
-    after the DROP already happened) restores a consistent index. A
-    staged table alongside a LIVE model means the crash hit between
-    the staged write and the DROP — the staged copy is the newer
-    model, so the swap is completed the same way."""
+    """Resolve a model swap a crash interrupted, WITHOUT ever creating
+    a window where no copy of the model exists (r13 review finding:
+    the first cut ran DROP live + RENAME staged on every coexist,
+    which two racing loaders could interleave into deleting both).
+
+    - staged present, live model MISSING (crash between the swap's
+      DROP and RENAME): complete the rename — the staged table is the
+      full new model and the rename is metadata. Losing a race to
+      another loader is tolerated: if the rename fails but the live
+      model exists afterwards, someone else finished it.
+    - staged present ALONGSIDE a live model (crash between the staged
+      write and the DROP): REVERT by dropping the staged copy. The
+      live model + the split marker are a consistent pre-swap state
+      the marker logic already reverts, and never touching the live
+      table means no interleaving can delete the only copy. The cost
+      is re-running the interrupted split's k-means — crash recovery
+      buys safety with recomputation, never the reverse. (A full
+      save_ivf_pq interrupted in this window keeps its OLD model —
+      same as the pre-split-era behavior; re-run the save.)"""
     staged = f"{name}_model__staged"
     if not spark.catalog.tableExists(staged):
         return
     import warnings as _warnings
 
+    if spark.catalog.tableExists(f"{name}_model"):
+        _warnings.warn(
+            f"ivf_pq index {name!r}: dropping a staged model copy from "
+            "an interrupted swap (live model kept — the marker logic "
+            "reverts the in-flight split)",
+            stacklevel=2,
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {staged}")
+        return
     _warnings.warn(
         f"ivf_pq index {name!r}: completing an interrupted model swap "
         "from the staged table",
         stacklevel=2,
     )
-    spark.sql(f"DROP TABLE IF EXISTS {name}_model")
-    spark.sql(f"ALTER TABLE {staged} RENAME TO {name}_model")
+    try:
+        spark.sql(f"ALTER TABLE {staged} RENAME TO {name}_model")
+    except Exception:  # noqa: BLE001 — lost a recovery race
+        if not spark.catalog.tableExists(f"{name}_model"):
+            raise
 
 
 def _apply_cell_split(
@@ -1331,18 +1414,8 @@ def _apply_cell_split(
     # O(cell) anyway. Mirrors the retrieval index's staged-swap
     # handling, including clearing a crash-stranded staging location
     # with no catalog entry (ADVICE r12).
-    from local_pubchem_db_spark.operators.retrieval import (
-        _hadoop_delete,
-        _managed_location,
-    )
-
     staged = f"{name}_codes__split_staged"
-    spark.sql(f"DROP TABLE IF EXISTS {staged}")
-    if not spark.catalog.tableExists(staged):
-        try:
-            _hadoop_delete(spark, _managed_location(spark, staged))
-        except Exception:  # noqa: BLE001 — best-effort orphan cleanup
-            pass
+    _clear_staging(spark, staged)
     (
         assigned.select(*codes.columns)
         .write.mode("overwrite")
@@ -1379,14 +1452,17 @@ def _apply_cell_split(
         ):
             _drop_codes_partition(spark, tbl, cluster_col, int(sid))
     try:
-        merged = {
-            int(r["cell"]): int(r["n"])
-            for r in spark.table(f"{name}_cells").collect()
-        }
+        merged, flagged, strikes = _read_cells_table(spark, name)
         for sid in sub_ids:
             merged.pop(int(sid), None)
+            # a fresh split resets the verdict (not the strike count —
+            # the lineage rule in ivf_pq_split_cell updates strikes
+            # from the OUTCOME of this split, after the merge)
+            flagged.discard(int(sid))
         merged.update(counts)
-        _write_cells_table(spark, name, merged)
+        _write_cells_table(
+            spark, name, merged, no_split=flagged, strikes=strikes
+        )
     except Exception:  # noqa: BLE001 — pre-ledger index: full rebuild
         _rebuild_cells_table(spark, name, cluster_col)
     meta = dict(meta)
@@ -1484,7 +1560,10 @@ def ivf_pq_split_cell(
     ``cell=None`` splits the LARGEST cell. Requires the index to carry
     raw vectors (``vec_col`` persisted at save — the same precondition
     as re-ranking). Returns ``{"cell", "sub_ids", "counts",
-    "n_cells", "cell_skew", "hot_cells"}``."""
+    "n_cells", "cell_skew", "hot_cells", "separated"}`` —
+    ``separated=False`` means the cell is one tight blob clustering
+    cannot balance (persisted as the ledger's ``no_split`` verdict;
+    the remedy is dedup)."""
     codes, centroids, codebooks, rotation, meta = load_ivf_pq(spark, name)
     if parts < 2:
         raise ValueError(f"parts must be >= 2, got {parts}")
@@ -1498,19 +1577,18 @@ def ivf_pq_split_cell(
     cluster_col, id_col = meta["cluster_col"], meta["id_col"]
     if cell is None:
         try:
-            ledger = {
-                int(r["cell"]): int(r["n"])
-                for r in spark.table(f"{name}_cells").collect()
-            }
+            ledger, flagged, _st = _read_cells_table(spark, name)
         except Exception:  # noqa: BLE001 — pre-ledger index: build it
             _rebuild_cells_table(spark, name, cluster_col)
-            ledger = {
-                int(r["cell"]): int(r["n"])
-                for r in spark.table(f"{name}_cells").collect()
-            }
+            ledger, flagged, _st = _read_cells_table(spark, name)
         if not ledger:
             raise ValueError(f"ivf_pq index {name!r}: empty cells ledger")
-        cell = max(ledger, key=ledger.get)
+        # prefer the largest cell WITHOUT a persisted no-split verdict;
+        # if every cell is flagged, fall back to the global largest
+        # (the caller asked for a split — the fresh attempt resets the
+        # verdict, and data may have changed since it was recorded)
+        unflagged = {c: n for c, n in ledger.items() if c not in flagged}
+        cell = max(unflagged or ledger, key=(unflagged or ledger).get)
     cell = int(cell)
     if not 0 <= cell < len(centroids):
         raise ValueError(
@@ -1556,13 +1634,39 @@ def ivf_pq_split_cell(
     # cell that is ONE tight blob — near-duplicate floods are exactly
     # this shape — cannot be balanced by ANY clustering; k-means
     # correctly keeps the blob together and the split only peels
-    # outliers. Flag it so the caller (and ivf_pq_rebalance's loop)
-    # stop re-splitting: the latency remedy for a duplicate-heavy
-    # cell is DEDUP (operators/dedup.py, cosine_neardup /
-    # semantic_dedup), not more centroids.
+    # whatever genuinely-distinct rows share the cell. The verdict is
+    # BEHAVIORAL (see SPLIT_STRIKES_LIMIT — geometric references were
+    # tried and rejected): a non-separated split records a STRIKE on
+    # the dominant descendant, inherited from the cell's own strike
+    # count; at the limit the lineage is flagged no_split in the
+    # ledger, so every future rebalance — this loop or a later call
+    # in a long-lived service — skips it instead of re-paying an
+    # O(blob) split per call (r13 review). A separated split resets
+    # the lineage. The latency remedy for a flagged cell is DEDUP
+    # (operators/dedup.py, cosine_neardup / semantic_dedup), not more
+    # centroids; an explicit ``cell=`` split of a flagged cell is
+    # honored (the caller overrides; data may have changed) and its
+    # outcome re-judges the verdict.
     separated = bool(
         total and max(counts.values()) <= SPLIT_SEPARATION_MAX * total
     )
+    if total:
+        merged, flagged, strikes = _read_cells_table(spark, name)
+        dominant = int(max(counts, key=counts.get))
+        if separated:
+            for sid in sub_ids:
+                strikes.pop(int(sid), None)
+                flagged.discard(int(sid))
+        else:
+            # the lineage's strike moves WITH the blob: the dominant
+            # descendant inherits the split cell's count plus one
+            inherited = strikes.pop(int(cell), 0) + 1
+            strikes[dominant] = inherited
+            if inherited >= SPLIT_STRIKES_LIMIT:
+                flagged.update({int(cell), dominant})
+        _write_cells_table(
+            spark, name, merged, no_split=flagged, strikes=strikes
+        )
     return {
         "cell": cell,
         "sub_ids": sub_ids,
@@ -1584,34 +1688,31 @@ def ivf_pq_rebalance(
     the hottest cell while ``hot_cells`` is non-empty (hot = past
     ``REBALANCE_SKEW_RATIO`` x mean), up to ``max_splits`` (splits can
     shift the mean, so a bound keeps the loop honest rather than
-    chasing a moving threshold). A cell whose split does NOT separate
-    (one sub-cell kept >90% of the rows — a near-duplicate blob no
-    clustering can balance) is excluded from further splits along with
-    its dominant descendant, and its report says so: the latency
-    remedy there is dedup, not more centroids (r13, measured). Total
-    work is the sum of the split cells' sizes — never a corpus pass.
-    Returns the per-split reports."""
+    chasing a moving threshold). Futility is judged by the persisted
+    two-strike lineage rule (see ``SPLIT_STRIKES_LIMIT``): a split
+    that does not separate (one sub-cell kept >90% of the rows)
+    strikes its dominant descendant, a second consecutive futile
+    split flags the lineage ``no_split`` IN THE LEDGER, and every
+    future rebalance — this loop or a later call in a long-lived
+    service — skips it instead of re-paying an O(blob) split per call
+    (r13 review finding). The remedy for a flagged near-duplicate
+    blob is dedup, not more centroids (r13, measured). Total work is
+    the sum of the split cells' sizes — never a corpus pass. Returns
+    the per-split reports."""
     reports: list[dict] = []
-    unsplittable: set[int] = set()
     for _ in range(max_splits):
         stats = ivf_pq_cell_stats(spark, name)
+        skip = set(stats.get("unsplittable") or [])
         candidates = [
-            c for c in (stats.get("hot_cells") or [])
-            if c not in unsplittable
+            c for c in (stats.get("hot_cells") or []) if c not in skip
         ]
         if not candidates:
             break
-        ledger = {
-            int(r["cell"]): int(r["n"])
-            for r in spark.table(f"{name}_cells").collect()
-        }
+        ledger, _flags, _st = _read_cells_table(spark, name)
         hottest = max(candidates, key=lambda c: ledger.get(c, 0))
-        rep = ivf_pq_split_cell(spark, name, cell=hottest, parts=parts)
-        reports.append(rep)
-        if not rep["separated"]:
-            # the blob survives under whichever sub-id kept it
-            dominant = max(rep["counts"], key=rep["counts"].get)
-            unsplittable.update({hottest, int(dominant)})
+        reports.append(
+            ivf_pq_split_cell(spark, name, cell=hottest, parts=parts)
+        )
     return reports
 
 

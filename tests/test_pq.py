@@ -1013,6 +1013,20 @@ def test_hash_sample_prefilter_exact_and_fallback(spark):
         1000,
     )
     assert len(got3) == 1000
+    # null keys (null ids) are excluded on BOTH paths — the naive plan
+    # would otherwise sort them FIRST while the prefilter drops them,
+    # a silent sample-recipe divergence across the gate (r13 review)
+    withnull = spark.createDataFrame(
+        [(None,)] + [(i,) for i in range(300_000)], "vec_id long"
+    )
+    keyed = [
+        F.col("vec_id").alias("v"),
+        F.md5(F.col("vec_id").cast("string")).alias("__k"),
+    ]
+    big = _hash_sample_rows(withnull, keyed, 1000)
+    assert all(r["v"] is not None for r in big)
+    small_n = _hash_sample_rows(withnull.limit(3_000), keyed, 1000)
+    assert all(r["v"] is not None for r in small_n)
 
 
 def test_ivf_pq_rebalance_stops_on_unsplittable_blob(spark):
@@ -1054,6 +1068,24 @@ def test_ivf_pq_rebalance_stops_on_unsplittable_blob(spark):
         # the loop must NOT burn all its splits on the blob
         assert 1 <= len(reports) < 6
         assert any(r["separated"] is False for r in reports)
+        # the verdict is PERSISTED: stats expose it, a SECOND rebalance
+        # call performs zero splits (r13 review: a per-invocation
+        # memory re-paid the futile O(blob) split every call), and an
+        # append carries the flag through its ledger merge
+        stats = PQ.ivf_pq_cell_stats(spark, name)
+        assert stats["unsplittable"]
+        assert PQ.ivf_pq_rebalance(spark, name, parts=3, max_splits=6) == []
+        PQ.ivf_pq_append(
+            spark,
+            name,
+            spark.createDataFrame(
+                [(95_000, [float(x) for x in protos[0]])],
+                "vec_id long, embedding array<double>",
+            ),
+        )
+        assert PQ.ivf_pq_cell_stats(spark, name)["unsplittable"] == (
+            stats["unsplittable"]
+        )
         # ledger still exact, nothing lost
         truth = {
             int(r["cluster"]): r["count"]
@@ -1070,13 +1102,17 @@ def test_ivf_pq_rebalance_stops_on_unsplittable_blob(spark):
 
 
 def test_ivf_pq_model_swap_crash_windows(spark, monkeypatch):
-    """r13 review finding: the model table is the ONLY copy of the
+    """r13 review findings: the model table is the ONLY copy of the
     centroids/codebooks, so it must never be overwritten in place —
-    a crash inside saveAsTable(overwrite) would lose the index. The
-    swap now stages + renames; every crash window is recoverable:
-    (a) crash between the staged write and the DROP (staged + live
-    model coexist) and (b) crash between DROP and RENAME (model
-    missing) both complete to the NEW model at the next load."""
+    a crash inside saveAsTable(overwrite) would lose the index — and
+    recovery must never open a window where NO copy exists (two
+    racing loaders interleaving DROP+RENAME could delete both). The
+    swap stages + renames; (a) a crash between the staged write and
+    the DROP (staged + live coexist) REVERTS — the live model is kept,
+    the staged copy dropped, the split marker logic reverts the
+    in-flight split (safety over recomputation); (b) a crash between
+    DROP and RENAME (model missing) completes the rename to the NEW
+    model."""
     import warnings
 
     from local_pubchem_db_spark.operators import pq as PQ
@@ -1104,8 +1140,10 @@ def test_ivf_pq_model_swap_crash_windows(spark, monkeypatch):
         with warnings.catch_warnings(record=True) as caught:
             warnings.simplefilter("always")
             _c, got, _cb, _r, _m = PQ.load_ivf_pq(spark, name)
-        assert any("model swap" in str(w.message) for w in caught)
-        np.testing.assert_allclose(got, c2)  # the staged copy won
+        assert any("staged model copy" in str(w.message) for w in caught)
+        # revert: the LIVE model wins — recovery never touches the only
+        # live copy, so no interleaving can delete it
+        np.testing.assert_allclose(got, np.asarray(centroids))
         assert not spark.catalog.tableExists(f"{name}_model__staged")
         # (b): DROP the model, leave only a staged copy
         c3 = c2.copy()
