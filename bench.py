@@ -995,7 +995,16 @@ def _bench_ivf_pq(spark, sf_dir: str, reps: int, timings, runs, axes) -> None:
 
 
 # Fields that belong to the diagnostics line, not the compact tail record.
+# The three r13 normalized/decomposed blocks live HERE, not in the compact
+# record: 27 long-named rows x 3 blocks pushed the final line past the
+# driver's 2,000-byte tail and BENCH_r13.json recorded parsed:null — the
+# exact round-6 failure mode the module docstring warns about. They persist
+# in the per-sf artifact and the diagnostics line, which is where
+# round-over-round normalized comparisons read them from anyway.
 _DIAG_KEYS = (
+    "queries_normalized",
+    "queries_normalized_slope",
+    "calibration_decomposed",
     "runs",
     "calibration_runs",
     "calibration_py_runs",
