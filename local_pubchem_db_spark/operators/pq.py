@@ -741,7 +741,7 @@ _IVF_PQ_META_SCHEMA = (
     "m long, k long, dim long, n_cells long, n_vecs long, "
     "residual boolean, id_col string, code_col string, "
     "cluster_col string, vec_col string, base_mse double, "
-    "codes_files long, split_cell long"
+    "codes_files long, split_cell long, save_pending boolean"
 )
 _IVF_PQ_META_FIELDS = [f.split()[0] for f in _IVF_PQ_META_SCHEMA.split(", ")]
 
@@ -874,6 +874,34 @@ def save_ivf_pq(
             cluster_col=cluster_col,
             sample_rows=sample_rows,
         )
+    # SAVE-INTENT MARKER, written FIRST and cleared by the final meta
+    # write (r14 crash sweep): a full save rewrites the CODES before it
+    # swaps the model, so a crash anywhere between the codes overwrite
+    # and the final meta write can leave new codes with the old model —
+    # a mismatch the codes_files recount repair would otherwise
+    # misclassify as a crashed append and "repair" into silent
+    # corruption. With the marker, load_ivf_pq REFUSES the half-saved
+    # index with re-run guidance (the old state is unrecoverable once
+    # the codes overwrite starts; honesty is the only safe contract).
+    prior_meta: dict = {}
+    try:
+        prior_meta = {
+            k: v
+            for k, v in spark.table(f"{name}_meta").first()
+            .asDict()
+            .items()
+            if v is not None
+        }
+    except Exception:  # noqa: BLE001 — fresh name: minimal marker row
+        pass
+    _write_ivf_pq_meta(
+        spark,
+        name,
+        {
+            **{f: prior_meta.get(f) for f in _IVF_PQ_META_FIELDS},
+            "save_pending": True,
+        },
+    )
     (
         encoded.write.mode("overwrite")
         .partitionBy(cluster_col)
@@ -1038,6 +1066,17 @@ def load_ivf_pq(
         for k, v in spark.table(f"{name}_meta").first().asDict().items()
         if v is not None
     }
+    # save-intent marker (r14 crash sweep): a save_ivf_pq that started
+    # rewriting this index and never reached its final meta write may
+    # have left codes and model from DIFFERENT saves; no repair can
+    # reconstruct the overwritten state, so refuse with the remedy.
+    if meta.get("save_pending"):
+        raise ValueError(
+            f"ivf_pq index {name!r}: an interrupted save_ivf_pq left "
+            "this index half-written (save_pending marker set) — the "
+            "codes and model may come from different saves. Re-run "
+            "save_ivf_pq to restore consistency."
+        )
     # in-flight split marker (r13): ivf_pq_split_cell stages
     # ``split_cell`` in the meta row BEFORE touching the model, and
     # clears it LAST — so a crash anywhere inside a split is visible
@@ -1323,10 +1362,68 @@ def _recover_staged_model(spark, name: str) -> None:
     import warnings as _warnings
 
     if spark.catalog.tableExists(f"{name}_model"):
+        # Which operation staged this copy decides whether reverting is
+        # safe (ADVICE r13): a SPLIT writes its marker before the model,
+        # so marker present -> live model + marker are a consistent
+        # pre-swap state and dropping the staged copy is a clean revert.
+        # No marker -> an interrupted save_ivf_pq, which rewrites the
+        # CODES before swapping the model — the live codes may already
+        # be encoded against the staged (newer) model, and silently
+        # dropping it would leave a cleanly-loading index with
+        # mismatched codes/codebooks.
+        marker = codes_files_meta = pending = None
+        try:
+            row = spark.table(f"{name}_meta").first().asDict()
+            marker = row.get("split_cell")
+            codes_files_meta = row.get("codes_files")
+            pending = row.get("save_pending")
+        except Exception:  # noqa: BLE001 — pre-meta or missing table
+            pass
+        if pending:
+            # the save-intent marker proves this staged copy belongs to
+            # an interrupted save_ivf_pq — keep BOTH copies and refuse,
+            # same contract as load's own save_pending check
+            raise ValueError(
+                f"ivf_pq index {name!r}: an interrupted save_ivf_pq "
+                "left this index half-written (save_pending marker set "
+                "with a staged model coexisting) — re-run save_ivf_pq "
+                "to restore consistency."
+            )
+        if marker is not None:
+            _warnings.warn(
+                f"ivf_pq index {name!r}: dropping a staged model copy "
+                "from an interrupted swap (live model kept — the marker "
+                "logic reverts the in-flight split)",
+                stacklevel=2,
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {staged}")
+            return
+        if codes_files_meta is not None:
+            try:
+                live_files = len(
+                    spark.table(f"{name}_codes").inputFiles()
+                )
+            except Exception:  # noqa: BLE001 — codes table unreadable
+                live_files = None
+            if live_files is not None and live_files != int(
+                codes_files_meta
+            ):
+                raise ValueError(
+                    f"ivf_pq index {name!r}: a staged model coexists "
+                    "with the live model, no split is in flight, and "
+                    "the codes table does not match the meta "
+                    "consistency marker — an interrupted save_ivf_pq "
+                    "already rewrote the codes against the staged "
+                    "(newer) model. Re-run save_ivf_pq to restore "
+                    "consistency; dropping the staged copy would leave "
+                    "the codes silently mismatched with the model."
+                )
         _warnings.warn(
             f"ivf_pq index {name!r}: dropping a staged model copy from "
-            "an interrupted swap (live model kept — the marker logic "
-            "reverts the in-flight split)",
+            "an interrupted save_ivf_pq (live model kept). The codes "
+            "table may hold rows encoded against the NEWER staged "
+            "model — re-run the save if the interrupted operation was "
+            "save_ivf_pq",
             stacklevel=2,
         )
         spark.sql(f"DROP TABLE IF EXISTS {staged}")
@@ -1422,6 +1519,23 @@ def _apply_cell_split(
         .format("parquet")
         .saveAsTable(staged)
     )
+    # Expected per-sub-cell counts come from the STAGED table, BEFORE the
+    # overwrite (ADVICE r13 high): counting the live table afterwards is
+    # self-masking for the exact case the stale-partition gate targets —
+    # when sub-centroid 0 (the parent cell id) attracts zero re-assigned
+    # rows, the dynamic overwrite never touches the parent's partition,
+    # so its untouched stale rows make the post-overwrite count nonzero,
+    # the ==0 gate never fires, and the index silently keeps every
+    # original cell row twice. The staged table holds exactly the rows
+    # being written, so its counts are ground truth for both the gate
+    # and the ledger merge; n_cells-bounded collect.
+    counts = {
+        int(r["cell"]): int(r["n"])
+        for r in spark.table(staged)
+        .groupBy(F.col(cluster_col).cast("int").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     conf = spark.conf
     prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -1434,18 +1548,11 @@ def _apply_cell_split(
     finally:
         conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     spark.sql(f"DROP TABLE IF EXISTS {staged}")
-    counts = {
-        int(r["cell"]): int(r["n"])
-        for r in spark.table(tbl)
-        .filter(F.col(cluster_col).isin([int(i) for i in sub_ids]))
-        .groupBy(F.col(cluster_col).cast("int").alias("cell"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
     # dynamic overwrite only touches partitions PRESENT in the output:
     # a sub-cell that attracted zero rows (possible for the parent id
     # when every row sits nearer another sub-centroid) keeps its stale
-    # files — clear such partitions explicitly
+    # files — clear such partitions explicitly, gated on the EXPECTED
+    # count so a stale parent partition cannot vouch for itself
     for sid in sub_ids:
         if counts.get(int(sid), 0) == 0 and _partition_has_files(
             spark, tbl, cluster_col, int(sid)
@@ -1520,6 +1627,7 @@ def ivf_pq_split_cell(
     cell: int | None = None,
     parts: int = 2,
     max_iter: int = 10,
+    blob_sample: int = 256,
 ) -> dict:
     """Split ONE cell of a persisted IVF-PQ index into ``parts``
     sub-cells — the O(hot-cell) act the cell-balance ledger's
@@ -1563,7 +1671,13 @@ def ivf_pq_split_cell(
     "n_cells", "cell_skew", "hot_cells", "separated"}`` —
     ``separated=False`` means the cell is one tight blob clustering
     cannot balance (persisted as the ledger's ``no_split`` verdict;
-    the remedy is dedup)."""
+    the remedy is dedup). When the verdict fires, the report carries
+    the remedy's INPUT (r14, verdict Next #5): ``no_split_flagged`` —
+    the flagged dominant descendant — and ``blob_sample_ids``, up to
+    ``blob_sample`` ids from that cell (one partition-pruned limit
+    scan), so the named remedy is one call away:
+    ``dedup_keep_ids(corpus.join(ids_df, id_col), pairs, id_col)`` or
+    ``semantic_dedup`` over ``corpus.join(ids_df, id_col)``."""
     codes, centroids, codebooks, rotation, meta = load_ivf_pq(spark, name)
     if parts < 2:
         raise ValueError(f"parts must be >= 2, got {parts}")
@@ -1650,6 +1764,8 @@ def ivf_pq_split_cell(
     separated = bool(
         total and max(counts.values()) <= SPLIT_SEPARATION_MAX * total
     )
+    no_split_flagged = None
+    blob_sample_ids = None
     if total:
         merged, flagged, strikes = _read_cells_table(spark, name)
         dominant = int(max(counts, key=counts.get))
@@ -1663,7 +1779,29 @@ def ivf_pq_split_cell(
             inherited = strikes.pop(int(cell), 0) + 1
             strikes[dominant] = inherited
             if inherited >= SPLIT_STRIKES_LIMIT:
-                flagged.update({int(cell), dominant})
+                # flag ONLY the dominant descendant — it carries the
+                # lineage. The parent id may now be a small peeled
+                # sub-cell that was never shown unsplittable; flagging
+                # it too would make future rebalances wrongly skip it
+                # (ADVICE r13). When the parent IS dominant it is
+                # flagged as the dominant, not as the parent.
+                flagged.add(dominant)
+                no_split_flagged = dominant
+                # hand the caller the blob (r14, verdict Next #5): the
+                # verdict names dedup as the remedy, so the report
+                # carries a bounded id sample of the flagged cell —
+                # one partition-pruned limit scan of rows this split
+                # just rewrote — making the remedy one call:
+                # dedup_keep_ids(corpus.join(sample, id), pairs, id)
+                # (or semantic_dedup over corpus.join(sample)).
+                blob_sample_ids = [
+                    r[0]
+                    for r in spark.table(f"{name}_codes")
+                    .filter(F.col(cluster_col) == dominant)
+                    .select(id_col)
+                    .limit(int(blob_sample))
+                    .collect()
+                ]
         _write_cells_table(
             spark, name, merged, no_split=flagged, strikes=strikes
         )
@@ -1675,6 +1813,8 @@ def ivf_pq_split_cell(
         "cell_skew": stats.get("skew"),
         "hot_cells": stats.get("hot_cells", []),
         "separated": separated,
+        "no_split_flagged": no_split_flagged,
+        "blob_sample_ids": blob_sample_ids,
     }
 
 
@@ -1683,6 +1823,7 @@ def ivf_pq_rebalance(
     name: str,
     parts: int = 2,
     max_splits: int = 8,
+    blob_sample: int = 256,
 ) -> list[dict]:
     """Drive ``ivf_pq_split_cell`` from the ledger's own signal: split
     the hottest cell while ``hot_cells`` is non-empty (hot = past
@@ -1711,7 +1852,13 @@ def ivf_pq_rebalance(
         ledger, _flags, _st = _read_cells_table(spark, name)
         hottest = max(candidates, key=lambda c: ledger.get(c, 0))
         reports.append(
-            ivf_pq_split_cell(spark, name, cell=hottest, parts=parts)
+            ivf_pq_split_cell(
+                spark,
+                name,
+                cell=hottest,
+                parts=parts,
+                blob_sample=blob_sample,
+            )
         )
     return reports
 

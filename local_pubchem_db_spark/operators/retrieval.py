@@ -713,7 +713,7 @@ def load_index(
 
 
 def load_service_index(
-    spark, name: str, repair: bool = True
+    spark, name: str, repair: bool = True, recalibrate: str = "never"
 ) -> tuple[
     DataFrame, DataFrame, tuple[int, float], DataFrame | None, dict
 ]:
@@ -730,7 +730,23 @@ def load_service_index(
     service that caches the index has by construction pinned the
     version it serves — re-load to re-check. ``bm25_topk_auto`` with
     a 5-tuple therefore skips the per-call guard; with a 4-tuple or a
-    bare name it keeps it."""
+    bare name it keeps it.
+
+    ``recalibrate`` (r14, verdict Next #6) makes the stale-cost-ratio
+    warning ACTIONABLE in-band: ``"never"`` (default) preserves the
+    no-surprise contract — a host-fingerprint mismatch only warns;
+    ``"stale"`` consents to ONE ``calibrate_cost_ratio`` corpus pass
+    when (and only when) the persisted ratio was measured on a
+    different host, re-pinning ``cost_ratio``/``cost_ratio_host`` at
+    this maintenance moment; ``"always"`` re-measures unconditionally
+    (also the way to get a first ratio onto a pointer-carrying index
+    that never had one). Recalibration needs the persisted corpus
+    pointer; without one it degrades to the warning."""
+    if recalibrate not in ("never", "stale", "always"):
+        raise ValueError(
+            "recalibrate must be 'never', 'stale' or 'always', "
+            f"got {recalibrate!r}"
+        )
     idx = load_index(spark, name, repair=repair)
     meta = index_meta(spark, name)
     want = meta.get("corpus_files")
@@ -746,6 +762,35 @@ def load_service_index(
                 "rebuild to re-sync",
                 stacklevel=2,
             )
+    if recalibrate != "never":
+        import warnings as _warnings
+
+        need = recalibrate == "always" or (
+            meta.get("cost_ratio") is not None
+            and meta.get("cost_ratio_host") is not None
+            and meta["cost_ratio_host"] != _host_fingerprint()
+        )
+        if need:
+            try:
+                _warnings.warn(
+                    f"index {name!r}: recalibrate={recalibrate!r} — "
+                    "running the consent-gated calibrate_cost_ratio "
+                    "corpus pass to re-pin the routing ratio on this "
+                    "host",
+                    stacklevel=2,
+                )
+                calibrate_cost_ratio(spark, name)
+            except ValueError as e:
+                # no corpus pointer / empty relations: fall back to
+                # the warning-only contract rather than failing a load
+                _warnings.warn(
+                    f"index {name!r}: recalibration skipped ({e})",
+                    stacklevel=2,
+                )
+                _warn_stale_cost_ratio(name, meta)
+            else:
+                meta = index_meta(spark, name)
+            return (*idx, meta)
     _warn_stale_cost_ratio(name, meta)
     return (*idx, meta)
 
@@ -1559,6 +1604,143 @@ def bm25_topk_batch(
     )
 
 
+def rrf_fuse_batch(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    query_col: str = "query_id",
+    k: int = 60,
+    top_n: int = 10,
+) -> DataFrame:
+    """``rrf_fuse`` for a BATCH of queries in one plan: each input is a
+    per-query ranked relation carrying (<query_col>, <id_col>, rank),
+    e.g. ``bm25_topk_batch`` / ``coordination_topk_batch`` output or
+    ``ivf_pq_search`` over a batch of probe vectors. The fusion joins
+    on (query, doc), sums the reciprocal-rank contributions, and ranks
+    within each query via one grouped window — so B queries cost one
+    fused plan, not B driver round-trips, and parallelism scales with
+    the batch. ``query_col`` is cast to string on every input (lexical
+    batch ids are strings by the ``_query_map`` contract; ANN probe
+    ids are usually longs — a lossy common type would silently drop
+    matches otherwise). Per-query equality with ``rrf_fuse`` is
+    test-pinned: same contributions, same (score desc, id asc) order,
+    same ``top_n`` cut. Columns: <query_col>, <id_col>, ``rrf_score``,
+    ``rank``."""
+    from functools import reduce
+
+    if not rankings:
+        raise ValueError("rrf_fuse_batch needs at least one ranking")
+    tagged = [
+        r.select(
+            F.col(query_col).cast("string").alias(query_col),
+            F.col(id_col),
+            (
+                F.lit(1.0)
+                / (F.lit(float(k)) + F.col("rank").cast("double"))
+            ).alias(f"__rrf_{i}"),
+        )
+        for i, r in enumerate(rankings)
+    ]
+    joined = reduce(
+        lambda a, b: a.join(b, [query_col, id_col], "full_outer"), tagged
+    )
+    score = None
+    for i in range(len(tagged)):
+        term = F.coalesce(F.col(f"__rrf_{i}"), F.lit(0.0))
+        score = term if score is None else score + term
+    fused = joined.select(
+        F.col(query_col), F.col(id_col), score.alias("rrf_score")
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_score"), F.asc(id_col)
+    )
+    return fused.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= top_n)
+
+
+def hybrid_topk_batch(
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    queries: dict,
+    encoded: DataFrame,
+    probes: DataFrame,
+    centroids,
+    codebooks,
+    k_lex: int = 20,
+    k_vec: int = 20,
+    top_n: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+    term_df: DataFrame | None = None,
+    nprobe: int = 2,
+    residual: bool = False,
+    rerank: int | None = None,
+    rotation=None,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """The batched HYBRID deployment shape (r14, verdict Next #5): B
+    queries through BM25 + IVF-PQ + RRF with ONE postings probe, ONE
+    PQ probe batch, and ONE fused plan.
+
+    ``queries`` maps query_id -> term list (the lexical half);
+    ``probes`` is a (<vec_id_col>, <vec_col>) relation whose ids are
+    the SAME query ids (string-compared — heterogeneous id types fuse
+    correctly). The lexical half runs ``bm25_topk_batch`` (one
+    union-pruned pushed-down IN probe, broadcast (query_id, term) map,
+    bucketed docstats join, grouped top-k window); the vector half is
+    ``ivf_pq_search``, which is ALREADY batch-shaped — its probe
+    matrix carries all B query vectors through one probed-cells
+    partition-pruned scan; the fusion is ``rrf_fuse_batch``'s grouped
+    window. Per-query equality with the single-query composition
+    (``with_rank(bm25_topk(...))`` + one-probe ``ivf_pq_search`` +
+    ``rrf_fuse``) is test-pinned.
+
+    A query present in only one half still fuses (the RRF join is
+    full-outer per query); pass the same id under both halves for the
+    standard both-modality shape. Columns: ``query_id``, <id_col>,
+    ``rrf_score``, ``rank``."""
+    from local_pubchem_db_spark.operators.pq import ivf_pq_search
+
+    lex = bm25_topk_batch(
+        postings,
+        doc_stats,
+        queries,
+        k=k_lex,
+        k1=k1,
+        b=b,
+        id_col=id_col,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        term_df=term_df,
+    ).select("query_id", id_col, "rank")
+    vec = ivf_pq_search(
+        encoded,
+        probes,
+        centroids,
+        codebooks,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+        k=k_vec,
+        nprobe=nprobe,
+        residual=residual,
+        rerank=rerank,
+        rotation=rotation,
+    ).select(
+        F.col("query_id"),
+        F.col("neighbor_id").alias(id_col),
+        "rank",
+    )
+    return rrf_fuse_batch(
+        [lex, vec], id_col=id_col, query_col="query_id",
+        k=rrf_k, top_n=top_n,
+    )
+
+
 def _mmr_candidates(
     ranked: DataFrame,
     embeddings: DataFrame,
@@ -1569,7 +1751,17 @@ def _mmr_candidates(
     """Shared by both MMR variants: fetch the candidates' vectors with
     ONE broadcast semi-join (the corpus-sized embeddings relation is
     the probe side and never shuffles; a partitioned/bucketed embedding
-    table prunes), plus the (id, mmr_score, rank) result schema."""
+    table prunes), plus the (id, mmr_score, rank) result schema.
+
+    Null-id / null-score candidates are dropped HERE so both variants
+    see the same candidate set (ADVICE r13): a null id cannot survive
+    the selected-set exclusion filter and a null score has no place in
+    a relevance order — previously the driver loop raised on
+    ``float(None)`` while the distributed loop silently sorted the row
+    last and never selected it. An unscored candidate is an upstream
+    ranker bug either way; dropping it is the documented, identical
+    behavior on both paths (the inner join below already drops
+    candidates with no embedding row, which a null id always is)."""
     from pyspark.sql.types import (
         DoubleType,
         LongType,
@@ -1577,7 +1769,9 @@ def _mmr_candidates(
         StructType,
     )
 
-    cand = ranked.select(id_col, score_col)
+    cand = ranked.select(id_col, score_col).filter(
+        F.col(id_col).isNotNull() & F.col(score_col).isNotNull()
+    )
     with_vec = cand.join(
         embeddings.select(id_col, vec_col).join(
             F.broadcast(cand.select(id_col)), id_col, "left_semi"

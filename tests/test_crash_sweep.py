@@ -1,0 +1,435 @@
+"""Systematic kill-point fault injection for the staged-swap family
+(r14, verdict Next #2).
+
+Every crash-safety defect found in r12/r13 — the in-place model
+overwrite, the racing-loaders double-delete, the stale-parent
+partition, the save-path codes/model mismatch — was a "kill between
+steps X and Y" case nobody had enumerated. This harness enumerates
+them: it runs each staged operation (full index save, O(delta) append,
+cell split, retrieval append with its termdf merge) aborting
+immediately BEFORE every catalog mutation it performs (DDL through
+``spark.sql``, ``saveAsTable``, ``insertInto``, orphan-directory
+Hadoop deletes), then asserts the load-side invariants after every
+kill:
+
+- a live copy of the single-source-of-truth model always exists
+  (live table or staged copy — never zero);
+- recovery is reachable: either ``load_*`` succeeds directly, or it
+  raises the DOCUMENTED refusal whose stated remedy (re-run the save)
+  then succeeds;
+- recovery is idempotent: a second load agrees with the first and
+  performs no further repair that changes the answer;
+- the recovered index is self-consistent: ledger == codes truth,
+  meta counts == table counts, derived retrieval tables == a
+  recomputation over the base tables, no marker left behind;
+- totals are atomic at the operation level: the corpus row count is
+  the pre-op or the post-op value, never a partial mix (the one
+  documented exception: the retrieval append's two base tables
+  commit in separate jobs, so a crash between them tears the base
+  pair — the derived tables must still be exactly f(base)).
+
+The sweep stops at the first kill index the operation completes
+under, so adding a mutation to any staged operation automatically
+extends the sweep — no hand-enumerated kill list to rot.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+from pyspark.sql.readwriter import DataFrameWriter
+
+from local_pubchem_db_spark.operators import pq as PQ
+from local_pubchem_db_spark.operators import retrieval as R
+from local_pubchem_db_spark.operators.clustering import assign_clusters
+from local_pubchem_db_spark.operators.pq import pq_encode, pq_fit
+
+
+class InjectedCrash(RuntimeError):
+    """The simulated process death — never caught by library code."""
+
+
+_MUTATING_SQL = ("drop", "alter", "create", "insert", "truncate")
+
+
+class _KillSwitch:
+    def __init__(self, kill_at: int):
+        self.kill_at = kill_at
+        self.count = 0
+        self.fired = False
+        self.log: list[str] = []
+
+    def step(self, desc: str) -> None:
+        self.count += 1
+        self.log.append(desc)
+        if self.count == self.kill_at:
+            self.fired = True
+            raise InjectedCrash(
+                f"killed before mutation #{self.count}: {desc}"
+            )
+
+
+def run_with_kill(op, kill_at: int) -> tuple[bool, list[str]]:
+    """Run ``op()`` crashing immediately before its ``kill_at``-th
+    catalog mutation. Returns (whether the kill fired, mutation log).
+    Mutations counted: mutating ``spark.sql`` statements, ``saveAsTable``,
+    ``insertInto``, and ``_hadoop_delete`` (orphan cleanup)."""
+    ks = _KillSwitch(kill_at)
+    orig_sql = SparkSession.sql
+    orig_save = DataFrameWriter.saveAsTable
+    orig_insert = DataFrameWriter.insertInto
+    orig_hdel = R._hadoop_delete
+
+    def sql(self, q, *a, **kw):
+        if str(q).lstrip().lower().startswith(_MUTATING_SQL):
+            ks.step(f"sql: {str(q).strip()[:72]}")
+        return orig_sql(self, q, *a, **kw)
+
+    def save(self, name=None, *a, **kw):
+        ks.step(f"saveAsTable: {name}")
+        return orig_save(self, name, *a, **kw)
+
+    def ins(self, name, *a, **kw):
+        ks.step(f"insertInto: {name}")
+        return orig_insert(self, name, *a, **kw)
+
+    def hdel(spark_, uri):
+        ks.step(f"hadoop_delete: .../{str(uri).rsplit('/', 1)[-1]}")
+        return orig_hdel(spark_, uri)
+
+    SparkSession.sql = sql
+    DataFrameWriter.saveAsTable = save
+    DataFrameWriter.insertInto = ins
+    R._hadoop_delete = hdel
+    try:
+        try:
+            op()
+        except InjectedCrash:
+            pass
+    finally:
+        SparkSession.sql = orig_sql
+        DataFrameWriter.saveAsTable = orig_save
+        DataFrameWriter.insertInto = orig_insert
+        R._hadoop_delete = orig_hdel
+    return ks.fired, ks.log
+
+
+def sweep_kill_points(build, op, check, max_kills: int = 64) -> int:
+    """For kill_at = 1, 2, ...: rebuild pristine state, run ``op`` with
+    the kill injected, run ``check`` (which must prove the recovery
+    invariants). Stops at the first kill_at the op completes under
+    (``check`` runs on the completed state too). Returns the number of
+    kill points actually swept."""
+    for kill_at in range(1, max_kills + 1):
+        build()
+        fired, log = run_with_kill(op, kill_at)
+        try:
+            check(crashed=fired)
+        except AssertionError as e:  # pragma: no cover — diagnostics
+            raise AssertionError(
+                f"invariant broken at kill point {kill_at} "
+                f"({log[-1] if fired else 'completed'}): {e}"
+            ) from e
+        if not fired:
+            swept = kill_at - 1
+            assert swept >= 2, f"suspiciously few mutations: {log}"
+            return swept
+    pytest.fail(f"operation exceeded {max_kills} mutations")
+
+
+# --------------------------------------------------------------------
+# IVF-PQ family
+# --------------------------------------------------------------------
+
+_DIM = 8
+
+
+def _pq_fixture(spark, seed: int = 3):
+    """(enc_rows, enc_schema, centroids, codebooks, protos): a tiny
+    3-cell corpus — cell of proto 0 is BIMODAL (so a split separates) —
+    materialized driver-side once so every sweep iteration rebuilds the
+    identical index cheaply."""
+    rng = np.random.default_rng(seed)
+    protos = rng.standard_normal((3, _DIM))
+    protos /= np.linalg.norm(protos, axis=1, keepdims=True)
+    d = rng.standard_normal(_DIM)
+    d /= np.linalg.norm(d)
+    rows = []
+    vid = 0
+    for c in range(3):
+        per = 20 if c == 0 else 10
+        for i in range(per):
+            off = (0.2 * d if i % 2 else -0.2 * d) if c == 0 else 0.0
+            v = protos[c] + off + 0.02 * rng.standard_normal(_DIM)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = protos.copy()
+    assigned = emb.join(
+        assign_clusters(emb, centroids).withColumnRenamed("id", "vec_id"),
+        "vec_id",
+    )
+    cb = pq_fit(assigned, m=2, k=4, centroids=centroids)
+    enc = pq_encode(assigned, cb, centroids=centroids)
+    return enc.collect(), enc.schema, centroids, cb
+
+
+def _load_quiet(spark, name):
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return PQ.load_ivf_pq(spark, name)
+
+
+def _check_pq_index(spark, name, allowed_totals, rerun=None):
+    """The PQ-side load invariants after a kill (or a clean run)."""
+    # never zero copies of the model
+    assert spark.catalog.tableExists(
+        f"{name}_model"
+    ) or spark.catalog.tableExists(f"{name}_model__staged"), (
+        "no model copy exists"
+    )
+    try:
+        _c, C, _cb, _rot, meta = _load_quiet(spark, name)
+    except ValueError as e:
+        # only the documented refusal, and only when a remedy is given
+        assert "save_ivf_pq" in str(e), f"undocumented refusal: {e}"
+        assert rerun is not None, f"refusal with no remedy swept: {e}"
+        rerun()
+        _c, C, _cb, _rot, meta = _load_quiet(spark, name)
+    # idempotent: a second load agrees (and performs no new repair
+    # that changes the answer)
+    _c2, C2, _cb2, _rot2, meta2 = _load_quiet(spark, name)
+    assert meta2["n_vecs"] == meta["n_vecs"]
+    assert meta2["n_cells"] == meta["n_cells"] == len(C) == len(C2)
+    assert meta.get("split_cell") is None
+    assert not meta.get("save_pending")
+    total = spark.table(f"{name}_codes").count()
+    assert total == meta["n_vecs"], "meta n_vecs != codes count"
+    assert total in allowed_totals, (total, allowed_totals)
+    truth = {
+        int(r["cluster"]): int(r["count"])
+        for r in spark.table(f"{name}_codes")
+        .groupBy("cluster")
+        .count()
+        .collect()
+    }
+    ledger = {
+        int(r["cell"]): int(r["n"])
+        for r in spark.table(f"{name}_cells").collect()
+        if int(r["n"]) > 0
+    }
+    assert ledger == truth, "cells ledger != codes truth"
+
+
+def test_sweep_save_ivf_pq_over_existing(spark):
+    """Every kill point inside a full save over an existing index: the
+    index is either the old state, the new state, or REFUSES with the
+    documented re-run remedy (a half-save is unrecoverable by
+    construction — the codes overwrite destroys the old state); after
+    the remedy it IS the new state. Never a silently mixed index."""
+    rows, schema, centroids, cb = _pq_fixture(spark)
+    name = "t_sweep_save"
+    total = len(rows)
+
+    def enc_df():
+        return spark.createDataFrame(rows, schema)
+
+    def build():
+        PQ.drop_ivf_pq(spark, name)
+        PQ.save_ivf_pq(enc_df(), centroids, cb, name, residual=True)
+
+    def op():
+        PQ.save_ivf_pq(enc_df(), centroids, cb, name, residual=True)
+
+    def check(crashed):
+        _check_pq_index(spark, name, {total}, rerun=op)
+
+    swept = sweep_kill_points(build, op, check)
+    assert swept >= 5  # codes, staged model, drop, rename, cells, meta
+    PQ.drop_ivf_pq(spark, name)
+
+
+def test_sweep_ivf_pq_append(spark):
+    """Every kill point inside an O(delta) append: totals are pre- or
+    post-append (the insertInto commit is the atom), the consistency
+    marker repair recounts, the ledger never drifts from the codes."""
+    rows, schema, centroids, cb = _pq_fixture(spark)
+    name = "t_sweep_append"
+    base_total = len(rows)
+    rng = np.random.default_rng(11)
+    delta = [
+        (
+            1_000 + i,
+            [
+                float(x)
+                for x in centroids[1] + 0.02 * rng.standard_normal(_DIM)
+            ],
+        )
+        for i in range(8)
+    ]
+
+    def build():
+        PQ.drop_ivf_pq(spark, name)
+        PQ.save_ivf_pq(
+            spark.createDataFrame(rows, schema),
+            centroids,
+            cb,
+            name,
+            residual=True,
+        )
+
+    def op():
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            PQ.ivf_pq_append(
+                spark,
+                name,
+                spark.createDataFrame(
+                    delta, "vec_id long, embedding array<double>"
+                ),
+            )
+
+    def check(crashed):
+        _check_pq_index(
+            spark, name, {base_total, base_total + len(delta)}
+        )
+
+    sweep_kill_points(build, op, check)
+    PQ.drop_ivf_pq(spark, name)
+
+
+def test_sweep_ivf_pq_split_cell(spark):
+    """Every kill point inside a cell split: the corpus total is ALWAYS
+    preserved (a split moves rows, never adds or removes), recovery
+    either finishes the split from the persisted sub-centroids or
+    reverts the marker, and a probe of the split cell still finds its
+    own vector."""
+    rows, schema, centroids, cb = _pq_fixture(spark)
+    name = "t_sweep_split"
+    total = len(rows)
+    probe_vec = rows[0]["embedding"]
+
+    def build():
+        PQ.drop_ivf_pq(spark, name)
+        PQ.save_ivf_pq(
+            spark.createDataFrame(rows, schema),
+            centroids,
+            cb,
+            name,
+            residual=True,
+        )
+
+    def op():
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            PQ.ivf_pq_split_cell(spark, name, cell=0, parts=2)
+
+    def check(crashed):
+        _check_pq_index(spark, name, {total})
+        q = spark.createDataFrame(
+            [(9_999, probe_vec)], "vec_id long, embedding array<double>"
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            got = PQ.ivf_pq_search_persisted(
+                spark, name, q, k=1, nprobe=4, rerank=total
+            ).collect()
+        assert got and got[0]["neighbor_id"] == rows[0]["vec_id"]
+
+    swept = sweep_kill_points(build, op, check)
+    assert swept >= 8  # marker, model swap (4), staging, insert, ledger
+    PQ.drop_ivf_pq(spark, name)
+
+
+# --------------------------------------------------------------------
+# Retrieval (BM25) index family
+# --------------------------------------------------------------------
+
+_BASE_DOCS = [
+    (i, f"spark shuffles data across executors batch {i} alpha")
+    for i in range(8)
+] + [(8, "the quick dog"), (9, "a lazy dog sleeps"), (10, "gamma rays")]
+_DELTA_DOCS = [
+    (100 + i, f"delta document about joins and dogs number {i}")
+    for i in range(5)
+]
+
+
+def _retrieval_truth(spark, name):
+    """Recompute the derived relations from the live base tables."""
+    postings = spark.table(f"{name}_postings")
+    doc_stats = spark.table(f"{name}_docstats")
+    tdf = sorted(
+        (r["term"], int(r["df"]))
+        for r in postings.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .collect()
+    )
+    n = doc_stats.count()
+    sum_dl = doc_stats.agg(
+        F.sum(F.col("dl").cast("decimal(38,0)")).alias("s")
+    ).first()["s"]
+    return tdf, n, sum_dl
+
+
+def test_sweep_retrieval_append_termdf_merge(spark):
+    """Every kill point inside save_postings(mode='append'), including
+    the staged termdf swap: load_index always comes back consistent —
+    the derived tables exactly equal a recomputation over the live base
+    tables (marker-mismatch repair), the termdf swap never leaves the
+    warm path silently degraded, and doc counts are pre- or post-append
+    per base table (the two base appends are separate commits — the
+    documented tear; derived consistency is the invariant)."""
+    from local_pubchem_db_spark.operators.retrieval import (
+        build_postings,
+        drop_index,
+        load_index,
+        save_postings,
+    )
+
+    name = "t_sweep_ret"
+    base = spark.createDataFrame(_BASE_DOCS, "doc_id long, text string")
+    delta = spark.createDataFrame(_DELTA_DOCS, "doc_id long, text string")
+    nb, nd = len(_BASE_DOCS), len(_DELTA_DOCS)
+
+    def build():
+        drop_index(spark, name)
+        p0, d0 = build_postings(base)
+        save_postings(p0, d0, name, buckets=2)
+
+    def op():
+        p1, d1 = build_postings(delta)
+        save_postings(p1, d1, name, buckets=2, mode="append")
+
+    def check(crashed):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            postings, doc_stats, (n, avgdl), tdf = load_index(spark, name)
+        want_tdf, want_n, want_sum = _retrieval_truth(spark, name)
+        assert n == want_n
+        assert n in {nb, nb + nd}
+        pdocs = postings.select("doc_id").distinct().count()
+        assert pdocs in {nb, nb + nd}
+        if want_n:
+            assert avgdl == pytest.approx(float(want_sum) / want_n)
+        # the warm path must be intact post-recovery, and exact
+        assert tdf is not None, "termdf silently degraded"
+        got_tdf = sorted(
+            (r["term"], int(r["df"])) for r in tdf.collect()
+        )
+        assert got_tdf == want_tdf
+        # idempotent: a second load changes nothing
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            _p2, _d2, (n2, avgdl2), tdf2 = load_index(spark, name)
+        assert (n2, avgdl2) == (n, avgdl) and tdf2 is not None
+
+    swept = sweep_kill_points(build, op, check)
+    assert swept >= 6  # 2 base appends, staged drop+write, drop, rename
+    from local_pubchem_db_spark.operators.retrieval import drop_index as di
+
+    di(spark, name)

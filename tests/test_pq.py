@@ -1029,6 +1029,83 @@ def test_hash_sample_prefilter_exact_and_fallback(spark):
     assert all(r["v"] is not None for r in small_n)
 
 
+def test_apply_cell_split_drops_stale_parent_when_parent_attracts_zero(spark):
+    """ADVICE r13 (high): _apply_cell_split's stale-partition gate must
+    be computed from the STAGED rows BEFORE the dynamic overwrite. When
+    sub-centroid 0 — the parent cell id — attracts zero re-assigned
+    rows, the overwrite never touches the parent's partition, so a
+    post-overwrite count sees the untouched STALE rows, the ==0 gate
+    never fires, and the index keeps every original cell row twice
+    (stale parent partition + new sub-cell partitions) with an inflated
+    ledger. This drives exactly that geometry through the shared split
+    body (the same function the crash-recovery replay calls with a
+    persisted model, where sub-centroid 0 can land anywhere): parent
+    sub-centroid far from all data, both real modes captured by the two
+    appended sub-centroids."""
+    from local_pubchem_db_spark.operators import pq as PQ
+
+    name = "t_ivfpq_staleparent"
+    PQ.drop_ivf_pq(spark, name)
+    emb, protos = _clustered_corpus(spark, n_clusters=4)
+    centroids, cb, enc = _fit_ivf_pq(spark, emb, n_clusters=4)
+    try:
+        PQ.save_ivf_pq(enc, centroids, cb, name, residual=True)
+        _codes, c0, _cb0, _rot0, meta = PQ.load_ivf_pq(spark, name)
+        total = int(meta["n_vecs"])
+        pre = {
+            int(r["cell"]): int(r["n"])
+            for r in spark.table(f"{name}_cells").collect()
+        }
+        cell = max(pre, key=pre.get)
+        dim = len(c0[0])
+        # contrived sub-centroids: parent (sub-centroid 0) parked far
+        # from every unit-norm vector; the two appended sub-centroids
+        # bracket the cell's actual data, so assign_clusters sends ZERO
+        # rows back to the parent id
+        far = np.full(dim, 50.0)
+        near = np.asarray(c0[cell], dtype=np.float64)
+        new_centroids = np.vstack(
+            [np.asarray(c0, dtype=np.float64), near * 0.99, near * 1.01]
+        )
+        new_centroids[cell] = far
+        n_old = len(c0)
+        sub_ids = [cell, n_old, n_old + 1]
+        # persist marker + model exactly as ivf_pq_split_cell does, then
+        # run the shared split body
+        PQ._write_ivf_pq_meta(
+            spark, name,
+            {**{f: meta.get(f) for f in PQ._IVF_PQ_META_FIELDS},
+             "split_cell": cell},
+        )
+        PQ._write_model_table(spark, name, new_centroids, cb, None)
+        PQ._apply_cell_split(
+            spark, name, {**meta, "split_cell": cell}, new_centroids,
+            cb, None, sub_ids,
+        )
+        truth = {
+            int(r["cluster"]): int(r["count"])
+            for r in spark.table(f"{name}_codes")
+            .groupBy("cluster").count().collect()
+        }
+        # THE regression assertions: nothing doubled, the stale parent
+        # partition is gone (both its rows and its ledger entry), and
+        # the two new sub-cells hold exactly the old cell's rows
+        assert sum(truth.values()) == total
+        assert cell not in truth
+        assert truth[n_old] + truth[n_old + 1] == pre[cell]
+        ledger = {
+            int(r["cell"]): int(r["n"])
+            for r in spark.table(f"{name}_cells").collect()
+        }
+        assert ledger == truth
+        # and the index still loads cleanly with the marker cleared
+        _c, c2, _cb2, _r2, meta2 = PQ.load_ivf_pq(spark, name)
+        assert meta2.get("split_cell") is None
+        assert meta2["n_cells"] == len(c2) == n_old + 2
+    finally:
+        PQ.drop_ivf_pq(spark, name)
+
+
 def test_ivf_pq_rebalance_stops_on_unsplittable_blob(spark):
     """r13 (split measurement finding): a hot cell that is ONE tight
     near-duplicate blob cannot be balanced by clustering — k-means
@@ -1101,6 +1178,193 @@ def test_ivf_pq_rebalance_stops_on_unsplittable_blob(spark):
         PQ.drop_ivf_pq(spark, name)
 
 
+def test_no_split_report_hands_blob_to_dedup(spark):
+    """r14 (verdict Next #5): when the two-strike no-split verdict
+    fires, the report must hand the caller its blob — the flagged cell
+    id plus a bounded sample of the cell's ids — so the named remedy
+    (dedup) is one call, not a second investigation. End-to-end: a
+    duplicate flood gets flagged, the report's ids feed
+    ivf_within_partition_pairs + dedup_keep_ids directly, the index is
+    rebuilt from the survivors, and the re-checked cell is COLD."""
+    from local_pubchem_db_spark.operators import pq as PQ
+    from local_pubchem_db_spark.operators.clustering import (
+        assign_clusters,
+    )
+    from local_pubchem_db_spark.operators.dedup import dedup_keep_ids
+    from local_pubchem_db_spark.operators.similarity import (
+        ivf_within_partition_pairs,
+    )
+
+    name = "t_ivfpq_blobhand"
+    PQ.drop_ivf_pq(spark, name)
+    emb, protos = _clustered_corpus(spark)
+    centroids, cb, enc = _fit_ivf_pq(spark, emb)
+    rng = np.random.default_rng(53)
+    try:
+        PQ.save_ivf_pq(enc, centroids, cb, name, residual=True)
+        blob = spark.createDataFrame(
+            [
+                (
+                    90_000 + i,
+                    [
+                        float(x)
+                        for x in protos[4]
+                        + 0.004 * rng.standard_normal(32)
+                    ],
+                )
+                for i in range(600)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        PQ.ivf_pq_append(spark, name, blob)
+        reports = PQ.ivf_pq_rebalance(
+            spark, name, parts=3, max_splits=6, blob_sample=1000
+        )
+        flagged = [r for r in reports if r["no_split_flagged"] is not None]
+        assert flagged, "dup blob never reached the verdict"
+        rep = flagged[-1]
+        ids = rep["blob_sample_ids"]
+        assert ids and len(ids) >= 500  # the blob itself, not a sliver
+        # the remedy, driven entirely by the report: near-dup pairs
+        # within the sampled blob, survivors kept, index rebuilt
+        corpus = emb.unionByName(blob)
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in ids], "vec_id long"
+        )
+        sampled = corpus.join(ids_df, "vec_id").withColumn(
+            "grp", F.lit(0)
+        )
+        pairs = ivf_within_partition_pairs(
+            sampled,
+            id_col="vec_id",
+            vec_col="embedding",
+            partition_col="grp",
+            threshold=0.999,
+        )
+        survivors = dedup_keep_ids(corpus, pairs, "vec_id")
+        n_surv = survivors.count()
+        assert n_surv < corpus.count() - 500  # the blob collapsed
+        assigned = survivors.join(
+            assign_clusters(survivors, centroids).withColumnRenamed(
+                "id", "vec_id"
+            ),
+            "vec_id",
+        )
+        from local_pubchem_db_spark.operators.pq import pq_encode
+
+        enc2 = pq_encode(assigned, cb, centroids=centroids)
+        PQ.drop_ivf_pq(spark, name)
+        PQ.save_ivf_pq(enc2, centroids, cb, name, residual=True)
+        stats = PQ.ivf_pq_cell_stats(spark, name)
+        # the re-checked cell is cold: no hot cells, no verdicts
+        assert stats["hot_cells"] == []
+        assert stats["unsplittable"] == []
+        assert stats["skew"] < 4.0
+    finally:
+        PQ.drop_ivf_pq(spark, name)
+
+
+def test_no_split_verdict_flags_dominant_not_parent(spark, monkeypatch):
+    """ADVICE r13 (low): when a non-separated split reaches
+    SPLIT_STRIKES_LIMIT, ONLY the dominant descendant — the lineage
+    carrier — may be flagged no_split. The parent cell id may by then
+    be a small peeled sub-cell that was never shown unsplittable;
+    flagging it too (the old `flagged.update({cell, dominant})`) makes
+    every future auto-rebalance wrongly skip a perfectly splittable
+    cell. Sub-centroids are injected so the dominant blob provably
+    lands on the APPENDED id both times, never the parent."""
+    from local_pubchem_db_spark.operators import clustering as CL
+    from local_pubchem_db_spark.operators import pq as PQ
+
+    name = "t_ivfpq_flagdom"
+    PQ.drop_ivf_pq(spark, name)
+    emb, protos = _clustered_corpus(spark, n_clusters=4)
+    centroids, cb, enc = _fit_ivf_pq(spark, emb, n_clusters=4)
+    rng = np.random.default_rng(41)
+    d = rng.standard_normal(32)
+    d /= np.linalg.norm(d)
+    e = rng.standard_normal(32)
+    e /= np.linalg.norm(e)
+    bc = np.asarray(protos[2], dtype=np.float64) + 0.10 * d
+    real_kmeans = CL.kmeans_fit
+    planned: list[np.ndarray] = []
+
+    def fake_kmeans(df, **kw):
+        if planned:
+            return planned.pop(0)
+        return real_kmeans(df, **kw)
+
+    monkeypatch.setattr(CL, "kmeans_fit", fake_kmeans)
+    try:
+        PQ.save_ivf_pq(enc, centroids, cb, name, residual=True)
+        # flood one cell: 590 rows in a tight blob at bc plus 10 rows
+        # peeled off at bc + 0.05e (the small genuinely-distinct part)
+        flood = spark.createDataFrame(
+            [
+                (
+                    90_000 + i,
+                    [
+                        float(x)
+                        for x in bc
+                        + (0.05 * e if i < 10 else 0)
+                        + 0.004 * rng.standard_normal(32)
+                    ],
+                )
+                for i in range(600)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        PQ.ivf_pq_append(spark, name, flood)
+        ledger0, _f0, _s0 = PQ._read_cells_table(spark, name)
+        hot = max(ledger0, key=ledger0.get)
+        n_old = len(centroids)
+
+        def flags_strikes():
+            _l, f, s = PQ._read_cells_table(spark, name)
+            return f, s
+
+        # split 1: parent keeps the ORIGINAL cell rows (sub-centroid 0
+        # = the original prototype), the blob+peel go to the appended
+        # id — dominant is n_old with ~600/640 > 90%: strike 1
+        planned.append(
+            np.vstack([np.asarray(protos[2], dtype=np.float64), bc])
+        )
+        rep1 = PQ.ivf_pq_split_cell(spark, name, cell=hot, parts=2)
+        assert rep1["separated"] is False
+        flags, strikes = flags_strikes()
+        assert flags == set()
+        assert strikes.get(n_old) == 1
+
+        # split 2 on the lineage carrier: parent id n_old keeps the
+        # 10-row peel, the blob moves to the NEW id n_old+1 — dominant
+        # is n_old+1 (~590/600): strike 2 -> flag fires
+        planned.append(np.vstack([bc + 0.05 * e, bc]))
+        rep2 = PQ.ivf_pq_split_cell(spark, name, cell=n_old, parts=2)
+        assert rep2["separated"] is False
+        counts2 = rep2["counts"]
+        assert max(counts2, key=counts2.get) == n_old + 1
+        flags, strikes = flags_strikes()
+        # THE regression assertion: only the dominant descendant is
+        # flagged — the parent id (now the small peel) is not
+        assert flags == {n_old + 1}
+        assert n_old not in flags and hot not in flags
+        assert strikes.get(n_old + 1) == 2
+        # the peel stays auto-splittable: stats exclude it from the
+        # unsplittable list
+        stats = PQ.ivf_pq_cell_stats(spark, name)
+        assert stats["unsplittable"] == [n_old + 1]
+        # ledger still exact
+        truth = {
+            int(r["cluster"]): int(r["count"])
+            for r in spark.table(f"{name}_codes")
+            .groupBy("cluster").count().collect()
+        }
+        ledger, _f, _s = PQ._read_cells_table(spark, name)
+        assert ledger == truth
+    finally:
+        PQ.drop_ivf_pq(spark, name)
+
+
 def test_ivf_pq_model_swap_crash_windows(spark, monkeypatch):
     """r13 review findings: the model table is the ONLY copy of the
     centroids/codebooks, so it must never be overwritten in place —
@@ -1161,5 +1425,85 @@ def test_ivf_pq_model_swap_crash_windows(spark, monkeypatch):
         spark.sql(f"DROP TABLE {name}_model")
         _c, got3, _cb3, _r3, _m3 = PQ.load_ivf_pq(spark, name)
         np.testing.assert_allclose(got3, c3)
+    finally:
+        PQ.drop_ivf_pq(spark, name)
+
+
+def test_recover_staged_model_detects_save_crash_code_mismatch(spark):
+    """ADVICE r13 (low): save_ivf_pq rewrites the CODES before swapping
+    the model, so a crash between the staged model write and the live
+    DROP leaves NEW codes + OLD live model + staged NEW model — and the
+    old recovery silently dropped the staged copy, leaving a
+    cleanly-loading index whose codes are encoded against a model it no
+    longer has. Recovery must detect the codes/meta mismatch (the
+    codes_files consistency marker predates the crash) and REFUSE with
+    re-run guidance instead of reverting; and when the file counts give
+    no proof, the revert warning must name the save path, not a
+    nonexistent split marker."""
+    import warnings
+
+    from local_pubchem_db_spark.operators import pq as PQ
+
+    name = "t_ivfpq_savecrash"
+    PQ.drop_ivf_pq(spark, name)
+    emb, _protos = _clustered_corpus(spark, n_clusters=4)
+    centroids, cb, enc = _fit_ivf_pq(spark, emb, n_clusters=4)
+    try:
+        PQ.save_ivf_pq(enc, centroids, cb, name, residual=True)
+        # simulate the save-crash window: NEW codes already written
+        # (different file layout -> codes_files marker mismatch), new
+        # model staged, live model + meta still old
+        (
+            spark.table(f"{name}_codes")
+            .repartition(3)
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .format("parquet")
+            .saveAsTable(f"{name}_codes__tmp")
+        )
+        spark.sql(f"DROP TABLE {name}_codes")
+        spark.sql(f"ALTER TABLE {name}_codes__tmp RENAME TO {name}_codes")
+        c2 = np.asarray(centroids, dtype=np.float64).copy()
+        c2[0] = c2[0] + 0.25
+        rows = PQ._model_rows("centroid", c2) + PQ._model_rows(
+            "codebook", np.ascontiguousarray(cb, dtype=np.float64)
+        )
+        (
+            spark.createDataFrame(
+                rows, "kind string, i long, j long, vec array<double>"
+            )
+            .coalesce(1).write.mode("overwrite").format("parquet")
+            .saveAsTable(f"{name}_model__staged")
+        )
+        with pytest.raises(ValueError, match="Re-run save_ivf_pq"):
+            PQ.load_ivf_pq(spark, name)
+        # the staged copy is preserved for the re-run decision
+        assert spark.catalog.tableExists(f"{name}_model__staged")
+        # re-running the save (the prescribed remedy) restores a
+        # loadable, consistent index
+        PQ.save_ivf_pq(enc, centroids, cb, name, residual=True)
+        _c, got, _cb, _r, meta = PQ.load_ivf_pq(spark, name)
+        np.testing.assert_allclose(got, np.asarray(centroids))
+        assert meta["n_vecs"] == enc.count()
+
+        # no-proof window (file counts agree): revert proceeds but the
+        # warning names the save path
+        rows2 = PQ._model_rows("centroid", c2) + PQ._model_rows(
+            "codebook", np.ascontiguousarray(cb, dtype=np.float64)
+        )
+        (
+            spark.createDataFrame(
+                rows2, "kind string, i long, j long, vec array<double>"
+            )
+            .coalesce(1).write.mode("overwrite").format("parquet")
+            .saveAsTable(f"{name}_model__staged")
+        )
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            _c2, got2, _cb2, _r2, _m2 = PQ.load_ivf_pq(spark, name)
+        msgs = [str(w.message) for w in caught]
+        assert any("interrupted save_ivf_pq" in m for m in msgs)
+        assert not any("in-flight split" in m for m in msgs)
+        np.testing.assert_allclose(got2, np.asarray(centroids))
     finally:
         PQ.drop_ivf_pq(spark, name)

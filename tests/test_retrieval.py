@@ -1444,6 +1444,93 @@ def test_cost_ratio_host_fingerprint_staleness(spark, corpus, tmp_path):
         _reset_index_tables(spark, name)
 
 
+def test_load_service_index_opt_in_recalibration(spark, corpus, tmp_path):
+    """r14 (verdict Next #6): load_service_index(recalibrate=...) makes
+    the stale-ratio warning actionable in-band. 'never' (default) only
+    warns — the no-surprise contract; 'stale' + host mismatch runs the
+    consent-gated calibrate_cost_ratio pass ONCE and re-pins
+    cost_ratio/cost_ratio_host; 'stale' on a matching host does
+    nothing; 'always' re-measures unconditionally; no corpus pointer
+    degrades to the warning instead of failing the load."""
+    import warnings
+
+    from local_pubchem_db_spark.operators import retrieval as R
+
+    name = "t_ret_recal_idx"
+    _reset_index_tables(spark, name)
+    loc = str(tmp_path / "corpus_recal")
+    corpus.write.parquet(loc)
+    docs = spark.read.parquet(loc)
+    try:
+        p, d = R.build_postings(docs)
+        R.save_postings(p, d, name, buckets=4, corpus_table=loc)
+        R.calibrate_cost_ratio(spark, name, reps=1)
+        meta0 = R.index_meta(spark, name)
+        stale = {**meta0, "cost_ratio_host": "elsewhere:armv9:512",
+                 "cost_ratio": 999.0}
+        R._write_stats_row(spark, name, stale)
+
+        # default 'never': warns, persisted row untouched
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            *_idx, meta = R.load_service_index(spark, name)
+        assert [w for w in caught if "mispriced" in str(w.message)]
+        assert meta["cost_ratio"] == 999.0
+        assert meta["cost_ratio_host"] == "elsewhere:armv9:512"
+
+        # 'stale' + mismatch: one consented pass, row re-pinned, and
+        # the returned meta carries the fresh values
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            *_idx, meta = R.load_service_index(
+                spark, name, recalibrate="stale"
+            )
+        assert [w for w in caught if "consent-gated" in str(w.message)]
+        assert meta["cost_ratio"] != 999.0 and meta["cost_ratio"] > 0
+        assert meta["cost_ratio_host"] == R._host_fingerprint()
+        persisted = R.index_meta(spark, name)
+        assert persisted["cost_ratio"] == meta["cost_ratio"]
+
+        # 'stale' again on the NOW-matching host: no pass, no warning
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            *_idx, meta2 = R.load_service_index(
+                spark, name, recalibrate="stale"
+            )
+        assert not [w for w in caught if "consent-gated" in str(w.message)]
+        assert meta2["cost_ratio"] == meta["cost_ratio"]
+
+        # 'always': re-measures even on a matching host
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            *_idx, meta3 = R.load_service_index(
+                spark, name, recalibrate="always"
+            )
+        assert [w for w in caught if "consent-gated" in str(w.message)]
+        assert meta3["cost_ratio_host"] == R._host_fingerprint()
+
+        # no corpus pointer: 'always' degrades to a skip warning, the
+        # load still succeeds
+        nop = {k: v for k, v in R.index_meta(spark, name).items()
+               if k not in ("corpus_table", "corpus_id_col",
+                            "corpus_text_col", "corpus_files")}
+        R._write_stats_row(spark, name, nop)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            *_idx, meta4 = R.load_service_index(
+                spark, name, recalibrate="always"
+            )
+        assert [w for w in caught
+                if "recalibration skipped" in str(w.message)]
+
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="recalibrate"):
+            R.load_service_index(spark, name, recalibrate="sometimes")
+    finally:
+        _reset_index_tables(spark, name)
+
+
 def test_mmr_rerank_distributed_equals_driver_loop(spark):
     """r13 (round gap #4): the distributed MMR — k rounds of
     TakeOrdered top-1 over an incrementally maintained diversity
@@ -1502,3 +1589,162 @@ def test_mmr_rerank_distributed_equals_driver_loop(spark):
 
     with _pt.raises(ValueError, match="lambda_"):
         mmr_rerank_distributed(rk, emb, lambda_=-0.1)
+
+
+def test_hybrid_topk_batch_equals_single_query_path(spark):
+    """r14 (verdict Next #7): hybrid_topk_batch — B queries through
+    BM25 + IVF-PQ + RRF with one postings probe, one PQ probe batch,
+    one fused plan — must equal the single-query composition
+    (with_rank(bm25_topk) + one-probe ivf_pq_search + rrf_fuse) per
+    query: same doc sets, same ranks, same fused scores. Also pins
+    rrf_fuse_batch == rrf_fuse per query on hand-made rankings,
+    including the string-cast of heterogeneous query-id types."""
+    import numpy as np
+
+    from local_pubchem_db_spark.operators import retrieval as R
+    from local_pubchem_db_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_fit,
+    )
+    from local_pubchem_db_spark.operators.pq import (
+        ivf_pq_search,
+        pq_encode,
+        pq_fit,
+    )
+
+    # corpus: DOCS text + synthetic row-aligned embeddings
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    rng = np.random.default_rng(67)
+    n = len(DOCS)
+    V = rng.standard_normal((n, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    p, d = R.build_postings(docs)
+    row = d.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")).first()
+    n_docs, avgdl = int(row["n"]), float(row["a"])
+    centroids = kmeans_fit(emb, k=3, max_iter=8)
+    assigned = emb.join(
+        assign_clusters(emb, centroids).withColumnRenamed("id", "vec_id"),
+        "vec_id",
+    )
+    cb = pq_fit(assigned, m=2, k=4, centroids=centroids)
+    encoded = pq_encode(assigned, cb, centroids=centroids)
+
+    queries = {
+        "0": ["spark", "shuffle"],
+        "1": ["dog", "lazy"],
+        "2": ["vector", "stream", "hash"],
+    }
+    probes = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+
+    got = R.hybrid_topk_batch(
+        p, d, queries, encoded, probes, centroids, cb,
+        k_lex=5, k_vec=5, top_n=4, n_docs=n_docs, avgdl=avgdl,
+        nprobe=3, residual=True,
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(queries)
+    for qid, terms in queries.items():
+        lex = R.with_rank(
+            R.bm25_topk(p, d, terms, k=5, n_docs=n_docs, avgdl=avgdl),
+            F.desc("score"), F.asc("doc_id"),
+        ).select("doc_id", "rank")
+        vec = ivf_pq_search(
+            encoded, emb.filter(F.col("vec_id") == int(qid)),
+            centroids, cb, k=5, nprobe=3, residual=True,
+        ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+        want = R.rrf_fuse([lex, vec], top_n=4).orderBy("rank").collect()
+        have = sorted(by_q[qid], key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in have] == [r["doc_id"] for r in want], qid
+        np.testing.assert_allclose(
+            [r["rrf_score"] for r in have],
+            [r["rrf_score"] for r in want],
+            rtol=0, atol=1e-15,
+        )
+
+    # rrf_fuse_batch == rrf_fuse per query on hand-made rankings with a
+    # LONG query id on one side (string-cast contract)
+    lex_b = spark.createDataFrame(
+        [("7", 10, 1), ("7", 11, 2), ("8", 12, 1)],
+        "query_id string, doc_id long, rank long",
+    )
+    vec_b = spark.createDataFrame(
+        [(7, 11, 1), (7, 13, 2), (8, 12, 1)],
+        "query_id long, doc_id long, rank long",
+    )
+    fused = R.rrf_fuse_batch([lex_b, vec_b], top_n=3).collect()
+    for qid in ("7", "8"):
+        want = R.rrf_fuse(
+            [
+                lex_b.filter(F.col("query_id") == qid).drop("query_id"),
+                vec_b.filter(F.col("query_id").cast("string") == qid)
+                .drop("query_id"),
+            ],
+            top_n=3,
+        ).orderBy("rank").collect()
+        have = sorted(
+            (r for r in fused if r["query_id"] == qid),
+            key=lambda r: r["rank"],
+        )
+        assert [(r["doc_id"], r["rank"]) for r in have] == [
+            (r["doc_id"], r["rank"]) for r in want
+        ]
+        np.testing.assert_allclose(
+            [r["rrf_score"] for r in have],
+            [r["rrf_score"] for r in want],
+            rtol=0, atol=1e-15,
+        )
+
+
+def test_mmr_variants_agree_on_null_candidates(spark):
+    """ADVICE r13 (low): null-id / null-score candidates are dropped in
+    the shared _mmr_candidates helper, so BOTH variants see the same
+    candidate set — previously the driver loop raised on float(None)
+    while the distributed loop silently sorted the null-score row last
+    and silently dropped null-id rows from the exclusion filter. Both
+    variants must equal each other AND the clean-input result."""
+    import numpy as np
+
+    from local_pubchem_db_spark.operators.retrieval import (
+        mmr_rerank,
+        mmr_rerank_distributed,
+    )
+
+    rng = np.random.default_rng(31)
+    n, dim = 40, 8
+    V = rng.standard_normal((n, dim))
+    scores = rng.uniform(1, 9, n)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        "doc_id long, embedding array<double>",
+    )
+    clean = spark.createDataFrame(
+        [(i, float(scores[i])) for i in range(n)],
+        "doc_id long, score double",
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [(None, 99.0), (7_777, None), (None, None)],
+            "doc_id long, score double",
+        )
+    )
+    want = mmr_rerank(
+        clean, emb, lambda_=0.6, k=6, max_candidates=500
+    ).orderBy("rank").collect()
+    for fn, kw in (
+        (mmr_rerank, {"max_candidates": 500}),
+        (mmr_rerank_distributed, {}),
+    ):
+        got = fn(dirty, emb, lambda_=0.6, k=6, **kw).orderBy(
+            "rank"
+        ).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+        np.testing.assert_allclose(
+            [r["mmr_score"] for r in got],
+            [r["mmr_score"] for r in want],
+            atol=1e-12,
+        )
