@@ -558,7 +558,7 @@ def main() -> None:
     AUX = ("ivf_pq_search", "ivf_pq_persisted", "gap_fill",
            "retrieval_topk", "ts_outliers", "token_drift",
            "pct_selection", "retrieval_warm", "retrieval_bucketed",
-           "hybrid_warm", "mmr_rerank")
+           "hybrid_warm", "hybrid_batch", "mmr_rerank")
     total = round(
         sum(
             v
@@ -815,9 +815,48 @@ def _bench_hybrid_warm(
         df.write.format("noop").mode("overwrite").save()
         samples.append(round(_time.perf_counter() - t0, 3))
     axes["hybrid_warm"] = _plan_axis(df)
-    encoded.unpersist()
     timings["hybrid_warm"] = min(samples)
     runs["hybrid_warm"] = samples
+
+    # the BATCHED hybrid deployment shape (r14, verdict Next #7): 8
+    # queries through BM25 + IVF-PQ + RRF with ONE union-pruned
+    # postings probe, ONE PQ probe batch, and ONE fused plan — compare
+    # against 8x the hybrid_warm row to read the amortization directly.
+    from local_pubchem_db_spark.operators.retrieval import (
+        hybrid_topk_batch,
+    )
+
+    batch_queries = {
+        str(i): terms
+        for i, terms in enumerate(
+            [
+                ["hash", "spark"],
+                ["stream", "vector"],
+                ["shuffle", "join"],
+                ["data", "batch"],
+                ["hash", "stream", "vector"],
+                ["spark", "vector"],
+                ["join", "stream"],
+                ["hash", "join", "spark"],
+            ]
+        )
+    }
+    probes_b = emb.filter(F.col("vec_id") < 8)
+    samples_b = []
+    for _ in range(reps):
+        t0 = _time.perf_counter()
+        dfb = hybrid_topk_batch(
+            p, ds, batch_queries, encoded, probes_b, centroids,
+            codebooks, k_lex=20, k_vec=20, top_n=10,
+            n_docs=n_docs, avgdl=avgdl, term_df=tdf,
+            nprobe=4, residual=True, rerank=50,
+        )
+        dfb.write.format("noop").mode("overwrite").save()
+        samples_b.append(round(_time.perf_counter() - t0, 3))
+    axes["hybrid_batch"] = _plan_axis(dfb)
+    encoded.unpersist()
+    timings["hybrid_batch"] = min(samples_b)
+    runs["hybrid_batch"] = samples_b
 
 
 def _bench_ivf_pq_persisted(

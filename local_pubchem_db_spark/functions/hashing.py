@@ -69,9 +69,69 @@ def minhash_band_udf(num_perm: int = 128, bands: int = 32, seed: int = 42):
     numpy ops. At cluster scale the map-only shape also preserves input
     partitioning — candidate generation is the only shuffle left.
     """
-    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    core = _band_core(num_perm, bands, seed)
+
+    @pandas_udf("array<long>")
+    def _buckets(shingles: pd.Series) -> pd.Series:
+        return core(shingles)
+
+    return _buckets
+
+
+def minhash_band_text_udf(
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_len: int = 3,
+    seed: int = 42,
+):
+    """``minhash_band_udf`` FUSED with the shingle construction: raw text
+    → array of band bucket ids in ONE Arrow pass (r14, verdict Next #3).
+
+    The two-UDF pipeline (``shingle_array_udf`` then ``minhash_band_udf``)
+    ships every document's full shingle array JVM→Python→JVM→Python —
+    at sf0.1 the shingle materialization was the single largest stage of
+    the dedup_minhash_lsh row (MINHASH_r14 artifact). The signature side
+    never needs the shingle ARRAYS outside Python, so fusing removes the
+    round trip entirely; exact-Jaccard verification shingles only the
+    (tiny) candidate-pair rows. Output is BIT-IDENTICAL to
+    ``minhash_band_udf(shingle_array_udf(text))`` — same tokenizer
+    (ASCII ``\\s+`` on trimmed text), same first-occurrence dedup, same
+    band core (test-pinned)."""
+    import re
 
     from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"\s+", re.ASCII)
+    core = _band_core(num_perm, bands, seed)
+
+    @pandas_udf("array<long>")
+    def _buckets(text: pd.Series) -> pd.Series:
+        def grams(t):
+            if t is None:
+                return []
+            w = [tok for tok in ws.split(t.strip()) if tok]
+            if len(w) < shingle_len:
+                return []
+            return list(
+                dict.fromkeys(
+                    " ".join(w[i : i + shingle_len])
+                    for i in range(len(w) - shingle_len + 1)
+                )
+            )
+
+        return core(text.map(grams))
+
+    return _buckets
+
+
+def _band_core(num_perm: int, bands: int, seed: int):
+    """The shared MinHash-signature + band-mix computation over a
+    pd.Series of shingle lists (see ``minhash_band_udf`` for the
+    construction) — one implementation, two UDF entry points, so the
+    fused text path cannot drift from the array path."""
+    import numpy as np
 
     if num_perm <= 0 or bands <= 0 or num_perm % bands:
         raise ValueError(
@@ -89,8 +149,7 @@ def minhash_band_udf(num_perm: int = 128, bands: int = 32, seed: int = 42):
         dtype=np.uint64,
     )
 
-    @pandas_udf("array<long>")
-    def _buckets(shingles: pd.Series) -> pd.Series:
+    def _core(shingles: pd.Series) -> pd.Series:
         lens = shingles.map(lambda a: 0 if a is None else len(a)).to_numpy()
         flat: list[str] = []
         for arr in shingles:
@@ -119,7 +178,7 @@ def minhash_band_udf(num_perm: int = 128, bands: int = 32, seed: int = 42):
                 j += 1
         return pd.Series(out)
 
-    return _buckets
+    return _core
 
 
 _MD5_CACHE: dict[str, tuple[int, int]] = {}

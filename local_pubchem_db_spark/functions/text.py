@@ -172,6 +172,49 @@ def shingle_array_udf(n: int = 3):
     return _shingles
 
 
+def pair_jaccard_udf(n: int = 3):
+    """Arrow-batched pandas UDF: (text1, text2) → exact shingle-set
+    Jaccard as a double (r14, verdict Next #3). Built for the verify
+    stage of MinHash-LSH, which scores only the CANDIDATE pairs — a
+    relation orders of magnitude smaller than the corpus — so shingling
+    both texts per pair in Python is cheaper than materializing (and
+    persisting) a corpus-sized shingle-array relation just to join it
+    twice. Shingle semantics are ``shingle_array_udf``'s exactly (same
+    ASCII ``\\s+`` tokenizer, first-occurrence dedup); the ratio is
+    |I|/|U| of exact small integers — bit-equal to the
+    ``array_intersect``-based column expression. Pairs where either
+    side has no shingles yield null (they can never collide in a
+    bucket, but the contract matches the old inner-join-on-shingled
+    behavior of excluding them)."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def grams(t):
+        if t is None:
+            return None
+        w = [tok for tok in ws.split(t.strip()) if tok]
+        if len(w) < n:
+            return None
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    @pandas_udf("double")
+    def _jac(t1: pd.Series, t2: pd.Series) -> pd.Series:
+        out = []
+        for a, b in zip(t1, t2):
+            sa, sb = grams(a), grams(b)
+            if not sa or not sb:
+                out.append(None)
+                continue
+            inter = len(sa & sb)
+            out.append(inter / (len(sa) + len(sb) - inter))
+        return pd.Series(out, dtype="float64")
+
+    return _jac
+
+
 # Patterns chosen to parse identically in Java regex (Spark) and RE2-ish
 # dialects (DuckDB): no lookaround, no POSIX classes.
 _EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -332,20 +332,15 @@ def minhash_lsh_dedup_pairs(
     so ``dedup_keep_ids`` components) preserved, output bounded.
     """
     if not collapse_exact:
-        shingled = _with_shingles(df, id_col, text_col, shingle_len)
-        buckets = _minhash_buckets(shingled, num_perm, bands)
-        cand = bounded_bucket_pairs(
-            buckets, ["band", "bucket"], max_bucket_size=max_bucket_size
+        rel = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        return _lsh_verified_pairs(
+            rel, shingle_len, num_perm, bands, max_bucket_size, threshold
         )
-        return _verify_jaccard(cand, shingled, threshold)
     groups = _exact_groups(df, id_col, text_col)
     reps = groups.select(F.col("gid").alias("id"), "text")
-    shingled = _with_shingles(reps, "id", "text", shingle_len)
-    buckets = _minhash_buckets(shingled, num_perm, bands)
-    cand = bounded_bucket_pairs(
-        buckets, ["band", "bucket"], max_bucket_size=max_bucket_size
+    rep_pairs = _lsh_verified_pairs(
+        reps, shingle_len, num_perm, bands, max_bucket_size, threshold
     )
-    rep_pairs = _verify_jaccard(cand, shingled, threshold)
     # Warm-service fast path (r7 bench regression: the expansion joins
     # ran every invocation even on corpora with no exact dups): the
     # memoized dup-set sizing routes the expansion through the cheapest
@@ -358,9 +353,73 @@ def minhash_lsh_dedup_pairs(
         intra_column=F.lit(1.0),
         intra_value=1.0,
         # a group of identical too-short texts has no shingles and must
-        # emit no pairs (matching the brute-force null-jaccard exclusion)
-        valid_gids=shingled.select(F.col("id").alias("gid")),
+        # emit no pairs (matching the brute-force null-jaccard exclusion);
+        # "has shingles" == word count >= shingle_len, computed JVM-side
+        # (same ASCII \s+ tokens as the shingle UDF) now that the full
+        # shingle relation is no longer materialized (r14)
+        valid_gids=reps.filter(
+            _word_count(F.col("text")) >= shingle_len
+        ).select(F.col("id").alias("gid")),
         cap=max_bucket_size,
+    )
+
+
+def _word_count(text: Column) -> Column:
+    """Whitespace token count, JVM-side, with EXACTLY the shingle UDF's
+    tokenizer semantics: Java ``\\s`` is ASCII (matching the UDF's
+    ``re.ASCII``), trim first, empty tokens dropped (a trailing/leading
+    split artifact and the ''-for-empty-string case)."""
+    toks = F.split(F.trim(text), r"\s+")
+    return F.size(F.filter(toks, lambda x: x != F.lit("")))
+
+
+def _lsh_verified_pairs(
+    rel: DataFrame,
+    shingle_len: int,
+    num_perm: int,
+    bands: int,
+    max_bucket_size: int | None,
+    threshold: float,
+) -> DataFrame:
+    """Exact-verified LSH pairs over an (id, text) relation — the r14
+    plan shape (verdict Next #3, measured in MINHASH_r14): the corpus
+    crosses into Python ONCE through the fused text→band-buckets UDF
+    (``minhash_band_text_udf``), and exact Jaccard is computed from the
+    candidate pairs' RAW TEXTS with ``pair_jaccard_udf`` — the shingle
+    ARRAYS, previously a persisted corpus-sized relation feeding both
+    the signature and the verify sides, are never materialized at all.
+    The candidate relation is pair-count-sized, so re-shingling both
+    texts per pair in Python is noise next to the corpus-sized
+    materialization it replaces (a first cut that shingled
+    candidate-only ROWS via two semi-joins lost the savings to three
+    extra sequential job round-trips — measured, MINHASH_r14). The
+    text-fetch joins hint the candidate side broadcast: the corpus side
+    stays map-only, exactly like the verify join it replaces."""
+    from local_pubchem_db_spark.functions.hashing import (
+        minhash_band_text_udf,
+    )
+    from local_pubchem_db_spark.functions.text import pair_jaccard_udf
+
+    buckets = fan_out(rel).select(
+        "id",
+        F.posexplode(
+            minhash_band_text_udf(num_perm, bands, shingle_len)(
+                F.col("text")
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = bounded_bucket_pairs(
+        buckets, ["band", "bucket"], max_bucket_size=max_bucket_size
+    )
+    a = rel.select(F.col("id").alias("id1"), F.col("text").alias("__t1"))
+    b = rel.select(F.col("id").alias("id2"), F.col("text").alias("__t2"))
+    jac = pair_jaccard_udf(shingle_len)(F.col("__t1"), F.col("__t2"))
+    half = a.join(F.broadcast(cand), "id1")
+    return (
+        F.broadcast(half)
+        .join(b, "id2")
+        .select("id1", "id2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

@@ -1209,6 +1209,54 @@ def q_retrieval_batch(spark, sf_dir):
     return coordination_topk_batch(postings, _BATCH_QUERIES, k=10)
 
 
+# the fixed 3-query hybrid batch: lexical query ids are the SAME ids as
+# the probe vectors (rrf_fuse_batch string-compares them), so each query
+# fuses a term list with a probe embedding — the decontamination-sweep
+# shape hybrid_topk_batch deploys (operators/retrieval.py, r14)
+_HYBRID_BATCH_QUERIES = {
+    "0": ["hash", "spark", "stream", "vector"],
+    "1": ["data", "search"],
+    "2": ["vector", "stream"],
+}
+
+
+def q_hybrid_batch(spark, sf_dir):
+    """BATCHED hybrid retrieval (operators/retrieval.py, r14): three
+    (term list, probe vector) queries through lexical ranking + vector
+    ranking + per-query Reciprocal Rank Fusion in ONE fused plan — one
+    union-pruned postings pass, one broadcast probe matrix, one grouped
+    fusion window. This oracle twin uses the integer-exact coordination
+    ranking and brute-force cosine (like hybrid_rrf) so DuckDB can
+    replay it; the deployment shape (persisted BM25 + IVF-PQ) is the
+    bench's hybrid_batch row and the hybrid_topk_batch pinning test.
+    Same membership-boundary caveat as hybrid_rrf: the vector side's
+    k=20 cut compares float cosines across engines."""
+    from local_pubchem_db_spark.operators.retrieval import (
+        build_postings,
+        coordination_topk_batch,
+        rrf_fuse_batch,
+    )
+    from local_pubchem_db_spark.operators.similarity import (
+        brute_force_knn,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    postings, _ = build_postings(docs)
+    lex = coordination_topk_batch(
+        postings, _HYBRID_BATCH_QUERIES, k=20
+    ).select("query_id", "doc_id", "rank")
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    vec = brute_force_knn(
+        emb, probes, "vec_id", "embedding", k=20
+    ).select(
+        F.col("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse_batch([lex, vec], top_n=10)
+
+
 def q_weighted_median_hist(spark, sf_dir):
     """Exact grouped median through the PERSISTABLE histogram path
     (operators/percentiles.py, r12-r13): the (key, value)->count
@@ -1348,6 +1396,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # fully oracled (r13): MMR diversity selection vs a recursive-CTE
     # greedy replay in DuckDB
     "retrieval_mmr": q_retrieval_mmr,
+    # fully oracled (r14): BATCHED hybrid retrieval — B queries through
+    # lexical + vector + per-query RRF in one fused plan
+    "hybrid_batch": q_hybrid_batch,
 }
 
 # Shared SQL fragments for the oracles ------------------------------------
@@ -2043,5 +2094,67 @@ ORACLES: dict[str, str] = {
         )
         SELECT vec_id, CAST(rank AS BIGINT) AS rank
         FROM mmr ORDER BY rank
+    """,
+    "hybrid_batch": f"""
+        WITH qmap(query_id, term) AS (VALUES
+          {", ".join(f"('{q}', '{t}')" for q, ts in sorted(_HYBRID_BATCH_QUERIES.items()) for t in sorted(set(ts)))}
+        ),
+        toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex({_NORM_TEXT}, '\\s+')) AS term
+          FROM documents
+        ),
+        postings AS (
+          SELECT term, doc_id, count(*) AS tf
+          FROM toks WHERE term <> '' GROUP BY 1, 2
+        ),
+        per AS (
+          SELECT q.query_id, p.doc_id,
+                 count(DISTINCT p.term) AS n_terms,
+                 sum(p.tf) AS total_tf
+          FROM postings p JOIN qmap q USING (term)
+          GROUP BY 1, 2
+        ),
+        lex AS (
+          SELECT query_id, doc_id, r FROM (
+            SELECT query_id, doc_id, row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY n_terms DESC, total_tf DESC, doc_id) AS r
+            FROM per)
+          WHERE r <= 20
+        ),
+        probes AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3
+        ),
+        vec AS (
+          SELECT query_id, doc_id, r FROM (
+            SELECT CAST(p.vec_id AS VARCHAR) AS query_id,
+                   c.vec_id AS doc_id,
+                   row_number() OVER (
+                     PARTITION BY p.vec_id
+                     ORDER BY list_cosine_similarity(
+                       CAST(c.embedding AS DOUBLE[]),
+                       CAST(p.embedding AS DOUBLE[])) DESC,
+                     c.vec_id ASC) AS r
+            FROM embeddings c JOIN probes p ON c.vec_id <> p.vec_id)
+          WHERE r <= 20
+        ),
+        fused AS (
+          SELECT coalesce(l.query_id, v.query_id) AS query_id,
+                 coalesce(l.doc_id, v.doc_id) AS doc_id,
+                 coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE)
+                          + CAST(l.r AS DOUBLE)), CAST(0 AS DOUBLE))
+               + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE)
+                          + CAST(v.r AS DOUBLE)), CAST(0 AS DOUBLE))
+                 AS rrf_score
+          FROM lex l FULL OUTER JOIN vec v
+            ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+        )
+        SELECT query_id, doc_id, rrf_score, rank FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+          FROM fused
+        ) WHERE rank <= 10
     """,
 }

@@ -321,8 +321,9 @@ def test_emit_production_shaped_compact_record_fits_driver_tail(tmp_path):
         "pct_selection",
         "retrieval_bucketed",
         "hybrid_warm",
+        "hybrid_batch",
     ]
-    assert len(names) >= 27, "production payload under-modeled"
+    assert len(names) >= 28, "production payload under-modeled"
     out = {
         "metric": "headline_total",
         "value": 17.712,

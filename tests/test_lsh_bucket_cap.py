@@ -413,3 +413,124 @@ def test_dup_memo_distinguishes_same_schema_corpora(spark):
     assert mh(c1) == [(1, 2)]
     assert mh(c2) == [(7, 8), (7, 9), (8, 9)]  # NOT c1's structure
     release_shared_caches(spark)
+
+
+def test_fused_text_band_udf_bit_identical_to_two_stage(spark):
+    """r14 (verdict Next #3): minhash_band_text_udf (text -> buckets in
+    ONE Arrow pass, the new hot-path signature) must be bit-identical
+    to minhash_band_udf(shingle_array_udf(text)) — same tokenizer, same
+    dedup, same band core — on normal text, whitespace edge cases,
+    too-short text (null buckets), empty and null strings, and across
+    permutation geometries."""
+    from pyspark.sql import functions as F
+
+    from local_pubchem_db_spark.functions.hashing import (
+        minhash_band_text_udf,
+        minhash_band_udf,
+    )
+    from local_pubchem_db_spark.functions.text import shingle_array_udf
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "  leading  and\ttrailing   whitespace  mix\n here "),
+            (2, "two words"),          # < shingle_len: no shingles
+            (3, ""),                    # empty
+            (4, None),                  # null
+            (5, "exact exact exact exact exact"),  # repeated tokens
+            (6, "a b c d e f g h i j k l m n o p"),
+        ],
+        "doc_id long, text string",
+    )
+    for num_perm, bands, n in ((128, 32, 3), (64, 16, 3), (32, 8, 2)):
+        fused = docs.select(
+            "doc_id",
+            minhash_band_text_udf(num_perm, bands, n)(F.col("text")).alias(
+                "b"
+            ),
+        ).collect()
+        two_stage = docs.select(
+            "doc_id",
+            minhash_band_udf(num_perm, bands)(
+                shingle_array_udf(n)(F.col("text"))
+            ).alias("b"),
+        ).collect()
+        got = {r["doc_id"]: r["b"] for r in fused}
+        want = {r["doc_id"]: r["b"] for r in two_stage}
+        # the two-stage path maps "no shingles" to an EMPTY array (the
+        # shingle UDF returns []), the fused path to the same
+        for k in got:
+            gb, wb = got[k], want[k]
+            assert (gb is None) == (wb is None), (k, gb, wb)
+            if gb is not None:
+                assert list(gb) == list(wb), k
+
+
+def test_minhash_pairs_equal_pre_r14_two_stage_plan(spark, sf_dir):
+    """The r14 plan restructure (fused signature UDF + candidate-only
+    shingling) must emit the IDENTICAL verified pair relation as the
+    pre-r14 two-stage plan, reconstructed here from the same
+    primitives."""
+    from pyspark.sql import functions as F
+
+    from local_pubchem_db_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in D.minhash_lsh_dedup_pairs(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+    )
+    # pre-r14 shape: full-corpus shingle relation feeding both sides
+    groups = D._exact_groups(docs, "doc_id", "text")
+    reps = groups.select(F.col("gid").alias("id"), "text")
+    shingled = D._with_shingles(reps, "id", "text", 3)
+    buckets = D._minhash_buckets(shingled, 128, 32)
+    cand = D.bounded_bucket_pairs(
+        buckets, ["band", "bucket"], max_bucket_size=64
+    )
+    rep_pairs = D._verify_jaccard(cand, shingled, 0.8)
+    want_reps = sorted(
+        (r["id1"], r["id2"], r["jaccard"]) for r in rep_pairs.collect()
+    )
+    # same corpus has no exact dups in the fixture? compare at rep level
+    # via the public API with collapse OFF as well
+    got_nc = sorted(
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in D.minhash_lsh_dedup_pairs(
+            docs, "doc_id", "text", threshold=0.8, collapse_exact=False
+        ).collect()
+    )
+    want_nc_shingled = D._with_shingles(docs, "doc_id", "text", 3)
+    want_nc = sorted(
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in D._verify_jaccard(
+            D.bounded_bucket_pairs(
+                D._minhash_buckets(want_nc_shingled, 128, 32),
+                ["band", "bucket"],
+                max_bucket_size=64,
+            ),
+            want_nc_shingled,
+            0.8,
+        ).collect()
+    )
+    assert got_nc == want_nc
+    assert got, "fixture lost its near-dups"
+    # with collapse on: reconstruct the FULL pre-r14 pipeline (two-stage
+    # rep pairs + the same expansion with the old shingle-derived
+    # valid_gids) and require exact equality
+    want = sorted(
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in D._expand_collapsed(
+            groups,
+            rep_pairs,
+            val_col="jaccard",
+            intra_column=F.lit(1.0),
+            intra_value=1.0,
+            valid_gids=shingled.select(F.col("id").alias("gid")),
+            cap=64,
+        ).collect()
+    )
+    assert got == want
+    assert want_reps  # two-stage found pairs too
