@@ -701,7 +701,7 @@ def ivf_pq_search(
 
 IVF_PQ_TABLE_SUFFIXES = (
     "codes", "model", "meta", "cells", "codes__split_staged",
-    "model__staged",
+    "model__staged", "meta__staged",
 )
 
 # delta-vs-baseline quantization-error ratio past which an append
@@ -811,13 +811,68 @@ def _model_array(rows, kind: str) -> np.ndarray | None:
 
 
 def _write_ivf_pq_meta(spark, name: str, values: dict) -> None:
+    """Replace ``<name>_meta`` through a STAGED table + metadata-only
+    rename, never an in-place overwrite (r14 crash-sweep review, same
+    class as the r13 model-table finding): the meta row is the ONLY
+    copy of the index's self-description — id/vec/cluster/code column
+    names and the residual flag are not derivable from the data tables
+    — and ``saveAsTable(mode="overwrite")`` drops the table before the
+    new data commits, so a crash inside that window would strand a
+    permanently unreadable index. ``_recover_staged_meta`` (called
+    first at every load) resolves the two swap windows."""
     row = tuple(values.get(f) for f in _IVF_PQ_META_FIELDS)
+    staged = f"{name}_meta__staged"
+    _clear_staging(spark, staged)
     (
         spark.createDataFrame([row], _IVF_PQ_META_SCHEMA)
+        .coalesce(1)
         .write.mode("overwrite")
         .format("parquet")
-        .saveAsTable(f"{name}_meta")
+        .saveAsTable(staged)
     )
+    spark.sql(f"DROP TABLE IF EXISTS {name}_meta")
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {name}_meta")
+
+
+def _recover_staged_meta(spark, name: str) -> None:
+    """Resolve a meta swap a crash interrupted. The meta write is each
+    operation's COMMIT point, so the two windows resolve differently:
+
+    - staged ALONGSIDE a live row (crash between the staged write and
+      the DROP): REVERT by dropping the staged copy — the operation
+      then reads as uncommitted and its OWN consistency machinery
+      repairs it (a pending save refuses with re-run guidance, a
+      crashed append's codes_files mismatch recounts, a marked split
+      finishes idempotently). Never touching the live row means no
+      recoverer interleaving can delete the only copy.
+    - staged with the live row MISSING (crash between DROP and
+      RENAME): COMPLETE the rename — the staged row is the full new
+      meta and the rename is metadata. Losing a recovery race is
+      tolerated exactly like the model swap's."""
+    staged = f"{name}_meta__staged"
+    if not spark.catalog.tableExists(staged):
+        return
+    import warnings as _warnings
+
+    if spark.catalog.tableExists(f"{name}_meta"):
+        _warnings.warn(
+            f"ivf_pq index {name!r}: dropping a staged meta copy from "
+            "an interrupted swap (live meta kept — the interrupted "
+            "operation reads as uncommitted and repairs itself)",
+            stacklevel=2,
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {staged}")
+        return
+    _warnings.warn(
+        f"ivf_pq index {name!r}: completing an interrupted meta swap "
+        "from the staged table",
+        stacklevel=2,
+    )
+    try:
+        spark.sql(f"ALTER TABLE {staged} RENAME TO {name}_meta")
+    except Exception:  # noqa: BLE001 — lost a recovery race
+        if not spark.catalog.tableExists(f"{name}_meta"):
+            raise
 
 
 def save_ivf_pq(
@@ -1055,6 +1110,7 @@ def load_ivf_pq(
     model arrays are append-invariant by construction)."""
     import warnings as _warnings
 
+    _recover_staged_meta(spark, name)  # first: everything below reads meta
     _recover_staged_model(spark, name)
     codes = spark.table(f"{name}_codes")
     model = spark.table(f"{name}_model").collect()

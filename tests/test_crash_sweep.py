@@ -186,11 +186,18 @@ def _load_quiet(spark, name):
 
 def _check_pq_index(spark, name, allowed_totals, rerun=None):
     """The PQ-side load invariants after a kill (or a clean run)."""
-    # never zero copies of the model
+    # never zero copies of the model OR of the meta row (both are the
+    # only copy of what they hold — centroids/codebooks and the index's
+    # self-description respectively)
     assert spark.catalog.tableExists(
         f"{name}_model"
     ) or spark.catalog.tableExists(f"{name}_model__staged"), (
         "no model copy exists"
+    )
+    assert spark.catalog.tableExists(
+        f"{name}_meta"
+    ) or spark.catalog.tableExists(f"{name}_meta__staged"), (
+        "no meta copy exists"
     )
     try:
         _c, C, _cb, _rot, meta = _load_quiet(spark, name)
