@@ -273,8 +273,18 @@ def _corpus_file_count(spark, corpus_table: str | None) -> int | None:
 
 
 def _write_stats_row(spark, name: str, values: dict) -> None:
-    """Overwrite ``<name>_stats`` with one full-schema row; ``values``
-    may omit any nullable field."""
+    """Replace ``<name>_stats`` (one full-schema row; ``values`` may
+    omit any nullable field) through a STAGED table + metadata-only
+    rename, never an in-place overwrite (r14, after the pq meta-table
+    finding): the stats row holds state the base tables cannot rebuild
+    — the corpus pointer, the measured cost ratio + host fingerprint,
+    and the exact ``sum_dl`` that O(delta) appends merge through — and
+    ``saveAsTable(mode="overwrite")`` drops the table before the new
+    data commits. A crash in that window used to silently degrade the
+    index (appends fall back to whole-table derived rebuilds, the
+    router loses its pointer and measured ratio). ``_recover_staged_
+    stats`` (run with the termdf recovery at every load) resolves the
+    two swap windows."""
     from decimal import Decimal
 
     sd = values.get("sum_dl")
@@ -282,12 +292,57 @@ def _write_stats_row(spark, name: str, values: dict) -> None:
         Decimal(sd) if f == "sum_dl" and sd is not None else values.get(f)
         for f in _STATS_FIELDS
     )
+    staged = f"{name}_stats__staged"
+    spark.sql(f"DROP TABLE IF EXISTS {staged}")
+    if not spark.catalog.tableExists(staged):
+        # clear a crash-stranded staging DIRECTORY with no catalog
+        # entry, same as the termdf staging path below
+        try:
+            _hadoop_delete(spark, _managed_location(spark, staged))
+        except Exception:  # noqa: BLE001 — surfaces in saveAsTable
+            pass
     (
         spark.createDataFrame([row], _STATS_SCHEMA)
+        .coalesce(1)
         .write.mode("overwrite")
         .format("parquet")
-        .saveAsTable(f"{name}_stats")
+        .saveAsTable(staged)
     )
+    spark.sql(f"DROP TABLE IF EXISTS {name}_stats")
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {name}_stats")
+
+
+def _recover_staged_stats(spark, name: str) -> None:
+    """Resolve a stats swap a crash interrupted. The stats write is the
+    append/calibrate commit point, so: staged ALONGSIDE a live row →
+    REVERT (drop staged; the live row's consistency marker then reads
+    the operation as uncommitted and ``load_index`` repairs — never
+    touch the only live copy); staged with the live row MISSING →
+    COMPLETE the rename (the staged row is the full new stats)."""
+    staged = f"{name}_stats__staged"
+    if not spark.catalog.tableExists(staged):
+        return
+    import warnings as _warnings
+
+    if spark.catalog.tableExists(f"{name}_stats"):
+        _warnings.warn(
+            f"index {name!r}: dropping a staged stats copy from an "
+            "interrupted swap (live stats kept — the consistency "
+            "marker reads the interrupted operation as uncommitted)",
+            stacklevel=3,
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {staged}")
+        return
+    _warnings.warn(
+        f"index {name!r}: completing an interrupted stats swap from "
+        "the staged table",
+        stacklevel=3,
+    )
+    try:
+        spark.sql(f"ALTER TABLE {staged} RENAME TO {name}_stats")
+    except Exception:  # noqa: BLE001 — lost a recovery race
+        if not spark.catalog.tableExists(f"{name}_stats"):
+            raise
 
 
 def _write_derived_tables(
@@ -379,8 +434,15 @@ def index_meta(spark, name: str) -> dict:
     dict when the stats table does not exist."""
     try:
         row = spark.table(f"{name}_stats").first()
-    except Exception:  # noqa: BLE001 — no stats table
-        return {}
+    except Exception:  # noqa: BLE001 — absent, or a swap crashed
+        # mid-rename: completing it here keeps the bare
+        # bm25_topk_auto path (which reads meta without load_index)
+        # from silently degrading to the no-stats contract
+        try:
+            _recover_staged_stats(spark, name)
+            row = spark.table(f"{name}_stats").first()
+        except Exception:  # noqa: BLE001 — genuinely no stats table
+            return {}
     if row is None:
         return {}
     return {k: v for k, v in row.asDict().items() if v is not None}
@@ -401,6 +463,7 @@ def _prior_index_state(spark, name: str) -> dict | None:
         # merged termdf under the staging name: finish the swap rather
         # than declaring the prior state unusable (r13, verdict Next #5)
         _recover_staged_swap(spark, name)
+        _recover_staged_stats(spark, name)
         spark.table(f"{name}_termdf").schema  # existence probe
         return {
             "postings_files": set(spark.table(f"{name}_postings").inputFiles()),
@@ -561,7 +624,7 @@ def _merge_derived_tables(
 # suffix exists only transiently during an incremental append's
 # derived-table swap, but a crash mid-swap can strand it.
 INDEX_TABLE_SUFFIXES = ("postings", "docstats", "termdf", "stats")
-_STAGING_SUFFIXES = ("termdf__staged",)
+_STAGING_SUFFIXES = ("termdf__staged", "stats__staged")
 
 
 def _managed_location(spark, ident: str) -> str:
@@ -666,6 +729,7 @@ def load_index(
     import warnings as _warnings
 
     _recover_staged_swap(spark, name)
+    _recover_staged_stats(spark, name)
     postings, doc_stats = load_postings(spark, name)
     meta = index_meta(spark, name)
     marker = meta.get("postings_files")

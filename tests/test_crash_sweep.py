@@ -413,6 +413,14 @@ def test_sweep_retrieval_append_termdf_merge(spark):
         save_postings(p1, d1, name, buckets=2, mode="append")
 
     def check(crashed):
+        # the stats row is staged-swapped (r14): a copy must always
+        # exist — it holds the corpus pointer / cost ratio / exact
+        # sum_dl the base tables cannot rebuild
+        assert spark.catalog.tableExists(
+            f"{name}_stats"
+        ) or spark.catalog.tableExists(f"{name}_stats__staged"), (
+            "no stats copy exists"
+        )
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
             postings, doc_stats, (n, avgdl), tdf = load_index(spark, name)
