@@ -31,6 +31,16 @@ kill:
 The sweep stops at the first kill index the operation completes
 under, so adding a mutation to any staged operation automatically
 extends the sweep — no hand-enumerated kill list to rot.
+
+Two honest granularity limits: (a) kills land BETWEEN mutations, not
+inside one — a crash inside a single saveAsTable's commit protocol is
+not simulated (that is what pushed the meta/stats tables onto staged
+swaps: their in-place overwrite had a fatal internal window no
+between-step kill could reach); (b) a kill raised inside a best-effort
+``except Exception: pass`` cleanup (the orphan hadoop deletes) is
+swallowed by design — the op then continues, which models "the
+optional cleanup failed" rather than a death at that point, and the
+sweep simply proceeds to the next kill index.
 """
 
 from __future__ import annotations
