@@ -394,7 +394,16 @@ def _lsh_verified_pairs(
     candidate-only ROWS via two semi-joins lost the savings to three
     extra sequential job round-trips — measured, MINHASH_r14). The
     text-fetch joins hint the candidate side broadcast: the corpus side
-    stays map-only, exactly like the verify join it replaces."""
+    stays map-only, exactly like the verify join it replaces.
+
+    Scan-count trade, stated: ``rel`` appears in three plan subtrees
+    (bucketing + both text-fetch sides), so the base relation is read
+    three times where the old plan read it once into a persisted
+    corpus-sized shingle relation. On the default collapse path ``rel``
+    is the shared() exact-groups relation (cached — re-reads are
+    memory-speed); on the no-collapse path they are three columnar
+    scans of (id, text) — the deliberate price of holding ZERO
+    corpus-sized state, which at 100 TB is the binding constraint."""
     from local_pubchem_db_spark.functions.hashing import (
         minhash_band_text_udf,
     )
