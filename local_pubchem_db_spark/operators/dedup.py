@@ -28,6 +28,7 @@ from weakref import WeakKeyDictionary
 import pandas as pd
 from pyspark.sql import DataFrame, Column, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from local_pubchem_db_spark.functions.hashing import (
     hamming64,
@@ -393,8 +394,37 @@ def _lsh_verified_pairs(
     materialization it replaces (a first cut that shingled
     candidate-only ROWS via two semi-joins lost the savings to three
     extra sequential job round-trips — measured, MINHASH_r14). The
-    text-fetch joins hint the candidate side broadcast: the corpus side
-    stays map-only, exactly like the verify join it replaces.
+    text-fetch joins hint the candidate side broadcast — keeping the
+    corpus side map-only — but ONLY under measured-size gates (r15;
+    VERDICT r14 What's-wrong #1 / ADVICE medium): the candidate-pair
+    count scales with corpus size × near-dup density, so on a
+    near-dup-heavy 100 TB corpus the pair relation is billions of rows
+    and an explicit hint (which AQE cannot demote) would OOM the job.
+    The gate is the same policy ``_DUP_BROADCAST_LIMIT`` applies to the
+    dup-member joins, tiered by payload:
+
+    - id-only ``cand`` broadcasts iff its MEASURED row count is within
+      ``_LSH_PAIR_BROADCAST_LIMIT`` (1M pairs × ~24 B ≈ 24 MB — far
+      under the 8 GB hard limit);
+    - the text-carrying ``half`` broadcasts iff, additionally, count ×
+      (corpus mean text octets + row overhead) fits
+      ``_LSH_TEXT_BROADCAST_BYTES``. The mean is corpus-wide while the
+      candidate texts may skew long, so the 64 MB ceiling keeps two
+      orders of magnitude of margin under the hard limit (at bench
+      scale the payload is ~MBs, so the fast plan stays engaged).
+
+    Above a gate the join falls back to a plain shuffle join — the
+    pre-r14 verify shape, which is exactly what worked at scale before
+    the hints landed. Measuring the count means ``cand`` is persisted
+    and counted eagerly (pair-count-sized state, NOT corpus-sized —
+    MEMORY_AND_DISK spills rather than OOMs); the count doubles as the
+    eager fill preventing the sibling-subtree recompute race
+    ``shared()`` documents, so the corpus still crosses the band UDF
+    exactly once. The count is NOT memoized across invocations: a
+    stale small count on a grown corpus would re-engage the hint in
+    the OOM direction (the unsafe direction ``broadcast_if_small``
+    documents), and one pair-relation count per invocation is the
+    honest price of a safe gate.
 
     Scan-count trade, stated: ``rel`` appears in three plan subtrees
     (bucketing + both text-fetch sides), so the base relation is read
@@ -419,13 +449,24 @@ def _lsh_verified_pairs(
     )
     cand = bounded_bucket_pairs(
         buckets, ["band", "bucket"], max_bucket_size=max_bucket_size
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_pairs = cand.count()
+    broadcast_pairs = n_pairs <= _LSH_PAIR_BROADCAST_LIMIT
+    broadcast_texts = False
+    if broadcast_pairs and n_pairs > 0:
+        mean_octets = (
+            rel.agg(F.avg(F.octet_length("text"))).first()[0] or 0.0
+        )
+        broadcast_texts = (
+            n_pairs * (mean_octets + _LSH_PAIR_ROW_OVERHEAD)
+            <= _LSH_TEXT_BROADCAST_BYTES
+        )
     a = rel.select(F.col("id").alias("id1"), F.col("text").alias("__t1"))
     b = rel.select(F.col("id").alias("id2"), F.col("text").alias("__t2"))
     jac = pair_jaccard_udf(shingle_len)(F.col("__t1"), F.col("__t2"))
-    half = a.join(F.broadcast(cand), "id1")
+    half = a.join(F.broadcast(cand) if broadcast_pairs else cand, "id1")
     return (
-        F.broadcast(half)
+        (F.broadcast(half) if broadcast_texts else half)
         .join(b, "id2")
         .select("id1", "id2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
@@ -456,6 +497,17 @@ def _exact_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .select(F.element_at("_ids", 1).alias("gid"), "_ids", "text")
     )
 
+
+# LSH verify broadcast gates (r15 — see _lsh_verified_pairs docstring):
+# the id-only candidate-pair relation broadcasts under the same 1M-row
+# policy as _DUP_BROADCAST_LIMIT; the text-carrying side additionally
+# needs its ESTIMATED payload (measured pair count × corpus mean text
+# octets + per-row overhead) under a 64 MB ceiling — conservative by two
+# orders of magnitude vs the 8 GB broadcast hard limit, because the
+# estimate uses a corpus-wide mean while candidate texts can skew long.
+_LSH_PAIR_BROADCAST_LIMIT = 1_000_000
+_LSH_TEXT_BROADCAST_BYTES = 64 << 20
+_LSH_PAIR_ROW_OVERHEAD = 64  # UnsafeRow + hash-relation slot, per pair
 
 _DUP_BROADCAST_LIMIT = 1_000_000  # dup member ids that fit a broadcast
 _DUP_LITERAL_LIMIT = 1_024  # dup member ids that fit plan LITERALS

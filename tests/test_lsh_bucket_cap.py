@@ -534,3 +534,89 @@ def test_minhash_pairs_equal_pre_r14_two_stage_plan(spark, sf_dir):
     )
     assert got == want
     assert want_reps  # two-stage found pairs too
+
+
+def _initial_plan(df):
+    """Pre-execution physical plan string. Under AQE this is the
+    AdaptiveSparkPlan's INITIAL plan, which reflects explicit broadcast
+    hints (a hinted join plans BroadcastHashJoin statically; an unhinted
+    one plans a shuffle join that AQE may only later convert) — exactly
+    the property the gate controls."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lsh_verify_broadcast_gate_plan_shape(spark, monkeypatch):
+    """r15 (VERDICT r14 What's-wrong #1): the two text-fetch joins in
+    _lsh_verified_pairs must broadcast-hint ONLY below the measured-size
+    gates. autoBroadcastJoinThreshold is disabled for the assertion so
+    the ONLY possible source of a static BroadcastHashJoin is the
+    explicit hint — isolating the gate from Spark's own stats-based
+    broadcast selection on a tiny test corpus."""
+    from local_pubchem_db_spark.operators import dedup as D
+    from local_pubchem_db_spark.operators.util import release_shared_caches
+
+    long_a = " ".join(f"alpha{i} beta gamma delta" for i in range(40))
+    docs = spark.createDataFrame(
+        [(i, long_a + f" tail{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def plan(limits=None):
+            release_shared_caches(spark)
+            for name, val in (limits or {}).items():
+                monkeypatch.setattr(D, name, val)
+            df = D.minhash_lsh_dedup_pairs(
+                docs, "doc_id", "text", threshold=0.8, collapse_exact=False
+            )
+            return _initial_plan(df)
+
+        # Below both gates (defaults): both joins broadcast-hinted.
+        assert plan().count("BroadcastHashJoin") == 2
+
+        # Text payload above its ceiling: the id-only cand still
+        # broadcasts, the text-carrying half does NOT.
+        p = plan({"_LSH_TEXT_BROADCAST_BYTES": 0})
+        assert p.count("BroadcastHashJoin") == 1
+        monkeypatch.setattr(D, "_LSH_TEXT_BROADCAST_BYTES", 64 << 20)
+
+        # Pair count above the limit: NO broadcast hint anywhere — the
+        # pre-r14 shuffle-join verify shape.
+        p = plan({"_LSH_PAIR_BROADCAST_LIMIT": 0})
+        assert "BroadcastHashJoin" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        release_shared_caches(spark)
+
+
+def test_lsh_verify_gate_results_identical_across_shapes(spark, monkeypatch):
+    """All three gate outcomes (both broadcasts / cand-only / none) must
+    emit the identical verified pair relation — the gate is plan-shape
+    only, never semantics."""
+    from local_pubchem_db_spark.operators import dedup as D
+    from local_pubchem_db_spark.operators.util import release_shared_caches
+
+    long_a = " ".join(f"alpha{i} beta gamma delta" for i in range(40))
+    docs = spark.createDataFrame(
+        [(i, long_a + f" tail{i}") for i in range(8)]
+        + [(100 + i, long_a + " tail0") for i in range(3)],
+        "doc_id long, text string",
+    )
+
+    def rows():
+        release_shared_caches(spark)
+        return sorted(
+            (r["id1"], r["id2"], round(r["jaccard"], 12))
+            for r in D.minhash_lsh_dedup_pairs(
+                docs, "doc_id", "text", threshold=0.8, collapse_exact=True
+            ).collect()
+        )
+
+    want = rows()
+    assert want, "fixture lost its near-dups"
+    monkeypatch.setattr(D, "_LSH_TEXT_BROADCAST_BYTES", 0)
+    assert rows() == want
+    monkeypatch.setattr(D, "_LSH_PAIR_BROADCAST_LIMIT", 0)
+    assert rows() == want
+    release_shared_caches(spark)
