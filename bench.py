@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -229,6 +230,78 @@ def compute_drift(
         )
     }
     return raw, norm
+
+
+def drift_verdict(
+    slope_now: dict,
+    slope_prev: dict,
+    spread: dict,
+    axes: dict | None = None,
+    prev_axes: dict | None = None,
+    fallbacks: tuple = (),
+    host_band: float = 1.2,
+    isolation: float = 1.5,
+    tight_spread: float = 1.3,
+) -> str:
+    """One-line host-vs-real classifier — the ROUND14 §11 protocol,
+    encoded so the every-round adjudication stops being hand arithmetic
+    (r15, VERDICT r14 What's-missing #4):
+
+    - compare MEDIANS of slope-normalized shared rows (axis-flipped
+      rows excluded, same rule as compute_drift — their raw ratio
+      mixes execution paths);
+    - median < 1.2x → the level shift is host; median >= 1.2x →
+      ``elevated_median:<x>`` (a whole-level engine shift, or a probe
+      failure — either way a human reads the two blocks);
+    - within the host band, name only ISOLATED rows: drift >= 1.5x the
+      shared median AND this run's own sample spread tight (max/min
+      <= 1.3). A drifted row whose own samples spread wide ran inside
+      a host burst (the 2.9-6.9 s band the MINHASH_r14 artifacts
+      document) — its drift number is soft, so it is NOT named; a row
+      that timed consistently yet shifted is the code-suspect shape
+      worth a look.
+
+    ``fallbacks``: ordered (basis, ratio_dict) pairs (whole-probe
+    normalized, then raw) used when either artifact lacks the slope
+    block — e.g. comparing against a driver compact record. The basis
+    is suffixed to the verdict so a raw-basis read is never mistaken
+    for a slope-basis one."""
+    ratios = {
+        q: slope_now[q] / slope_prev[q]
+        for q in slope_now
+        if slope_prev.get(q)
+        and not (
+            axes
+            and prev_axes
+            and q in axes
+            and q in prev_axes
+            and axes[q] != prev_axes[q]
+        )
+    }
+    basis = "slope"
+    if not ratios:
+        for name, fb in fallbacks:
+            if fb:
+                ratios, basis = dict(fb), name
+                break
+    if not ratios:
+        return "no_prev"
+    med = statistics.median(ratios.values())
+    suffix = "" if basis == "slope" else f" [{basis}-basis]"
+    if med >= host_band:
+        return f"elevated_median:{round(med, 3)}{suffix}"
+    isolated = sorted(
+        q
+        for q, r in ratios.items()
+        if r >= isolation * med and spread.get(q, float("inf")) <= tight_spread
+    )
+    if isolated:
+        # bounded: the verdict rides the COMPACT record, whose total
+        # size is driver-capped — name the worst few, count the rest
+        named, extra = isolated[:5], len(isolated) - 5
+        tail = f",+{extra}" if extra > 0 else ""
+        return "isolated:" + ",".join(named) + tail + suffix
+    return f"host{suffix}"
 
 
 # The Python-worker operator NODE names (not bare substrings: a scan
@@ -677,6 +750,24 @@ def main() -> None:
     out["spread"] = {
         q: round(max(s) / min(s), 3) for q, s in runs.items() if min(s) > 0
     }
+    # One-line host-vs-real verdict (r15 — the §11 protocol, encoded):
+    # slope-basis when both artifacts carry the slope block, else the
+    # whole-probe / raw fallbacks, basis-tagged. Compact-record field:
+    # it is the line the round notes read INSTEAD of hand arithmetic.
+    if prev:
+        out["drift_verdict"] = drift_verdict(
+            queries_normalized_slope,
+            prev.get("queries_normalized_slope") or {},
+            out["spread"],
+            axes=axes,
+            prev_axes=prev.get("drift_axis"),
+            fallbacks=(
+                ("norm", out.get("drift_vs_prev_normalized")),
+                ("raw", out.get("drift_vs_prev")),
+            ),
+        )
+    else:
+        out["drift_verdict"] = "no_prev"
     if errors:
         out["errors"] = errors
         out["incomplete"] = True

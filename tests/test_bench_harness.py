@@ -349,6 +349,7 @@ def test_emit_production_shaped_compact_record_fits_driver_tail(tmp_path):
         "host_drift": 1.21,
         "host_drift_py": 1.18,
         "drift_axis": "uniform",
+        "drift_verdict": "isolated:dedup_minhash_lsh,retrieval_topk",
         "past_cap_oracle": {
             "ok": 55,
             "rows_only": 4,
@@ -390,3 +391,47 @@ def test_slope_normalized_per_axis_fallback():
     jvm_failed = {"jvm": None, "py": {"slope": 0.005}}
     assert slope_normalized(timings, axes, jvm_failed) == {"p": 200.0}
     assert slope_normalized(timings, axes, {"jvm": None, "py": None}) == {}
+
+
+def test_drift_verdict_classifier():
+    """r15 (VERDICT r14 What's-missing #4): the §11 host-vs-real
+    protocol as ONE recorded line — slope-basis medians, burst-aware
+    isolation, axis-flip exclusion, basis-tagged fallbacks."""
+    from bench import drift_verdict
+
+    now = {f"q{i}": 1.05 for i in range(10)}
+    prev = {f"q{i}": 1.0 for i in range(10)}
+    tight = {f"q{i}": 1.05 for i in range(10)}
+
+    # uniform sub-band drift -> host
+    assert drift_verdict(now, prev, tight) == "host"
+
+    # one row drifts 1.8x with TIGHT own-spread -> named
+    now2 = dict(now, q3=1.8)
+    assert drift_verdict(now2, prev, tight) == "isolated:q3"
+
+    # same drifted row but its own samples spread 1.9x (it ran inside a
+    # host burst) -> drift number is soft, NOT named
+    wide = dict(tight, q3=1.9)
+    assert drift_verdict(now2, prev, wide) == "host"
+
+    # whole-level shift >= 1.2x median -> elevated, regardless of rows
+    up = {q: 1.3 for q in now}
+    v = drift_verdict(up, prev, tight)
+    assert v.startswith("elevated_median:1.3")
+
+    # axis-flipped rows are excluded from the comparison (their ratio
+    # mixes execution paths): flipping the ONLY drifted row back to
+    # host-band median and no isolation
+    axes = {q: "jvm" for q in now}
+    prev_axes = dict(axes, q3="py")
+    assert drift_verdict(now2, prev, tight, axes=axes, prev_axes=prev_axes) == "host"
+
+    # missing slope blocks -> ordered fallbacks, basis tagged
+    fb = ("raw", {q: 1.02 for q in now})
+    assert drift_verdict({}, {}, tight, fallbacks=(("norm", None), fb)) == (
+        "host [raw-basis]"
+    )
+
+    # nothing to compare
+    assert drift_verdict({}, {}, {}) == "no_prev"
