@@ -293,10 +293,14 @@ def _write_stats_row(spark, name: str, values: dict) -> None:
         for f in _STATS_FIELDS
     )
     staged = f"{name}_stats__staged"
+    # capture BEFORE the drop (ADVICE r14: checking after is vacuous —
+    # the orphan delete then ran unconditionally, diverging from the
+    # _clear_staging idiom this path cites): a catalog-known staged
+    # table is fully cleaned by its own DROP; only a crash-stranded
+    # DIRECTORY with no catalog entry needs the Hadoop delete
+    known = spark.catalog.tableExists(staged)
     spark.sql(f"DROP TABLE IF EXISTS {staged}")
-    if not spark.catalog.tableExists(staged):
-        # clear a crash-stranded staging DIRECTORY with no catalog
-        # entry, same as the termdf staging path below
+    if not known:
         try:
             _hadoop_delete(spark, _managed_location(spark, staged))
         except Exception:  # noqa: BLE001 — surfaces in saveAsTable
@@ -844,9 +848,14 @@ def load_service_index(
                     stacklevel=2,
                 )
                 calibrate_cost_ratio(spark, name)
-            except ValueError as e:
-                # no corpus pointer / empty relations: fall back to
+            except Exception as e:  # noqa: BLE001 — see below
+                # no corpus pointer / empty relations (ValueError), or
+                # a corpus whose path was deleted/moved since the save
+                # (AnalysisException from _resolve_corpus — ADVICE
+                # r14): recalibration is best-effort MAINTENANCE, not
+                # a load precondition, so every failure falls back to
                 # the warning-only contract rather than failing a load
+                # that succeeds with recalibrate='never'
                 _warnings.warn(
                     f"index {name!r}: recalibration skipped ({e})",
                     stacklevel=2,

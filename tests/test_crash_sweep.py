@@ -59,6 +59,13 @@ from local_pubchem_db_spark.operators.clustering import assign_clusters
 from local_pubchem_db_spark.operators.pq import pq_encode, pq_fit
 
 
+# Default-ON marker (r15, VERDICT r14 What's-missing #3): the driver/CI
+# full run keeps the sweeps; a builder iterating on one operator runs
+# `pytest -m "not crash_sweep"` to stay in the fast loop. Never skip
+# them before a commit that touches a staged writer.
+pytestmark = pytest.mark.crash_sweep
+
+
 class InjectedCrash(RuntimeError):
     """The simulated process death — never caught by library code."""
 
@@ -83,11 +90,20 @@ class _KillSwitch:
             )
 
 
-def run_with_kill(op, kill_at: int) -> tuple[bool, list[str]]:
+def run_with_kill(op, kill_at: int, extra_hooks=()) -> tuple[bool, list[str]]:
     """Run ``op()`` crashing immediately before its ``kill_at``-th
     catalog mutation. Returns (whether the kill fired, mutation log).
     Mutations counted: mutating ``spark.sql`` statements, ``saveAsTable``,
-    ``insertInto``, and ``_hadoop_delete`` (orphan cleanup)."""
+    ``insertInto``, and ``_hadoop_delete`` (orphan cleanup).
+
+    ``extra_hooks`` (r15 — the sweep extended to the path-based staged
+    writers, VERDICT r14 What's-missing #2): ``(owner, attr, desc)``
+    triples naming additional mutation points to count — e.g.
+    ``(DataFrameWriter, "parquet", ...)`` for the shard sink's direct
+    parquet writes, or a module function like ``_write_meta``. ``desc``
+    may be a string or a callable over the hook's arguments; returning
+    None from a callable SKIPS the step (lets a global hook like
+    ``os.unlink`` filter to the fixture's own paths)."""
     ks = _KillSwitch(kill_at)
     orig_sql = SparkSession.sql
     orig_save = DataFrameWriter.saveAsTable
@@ -115,6 +131,21 @@ def run_with_kill(op, kill_at: int) -> tuple[bool, list[str]]:
     DataFrameWriter.saveAsTable = save
     DataFrameWriter.insertInto = ins
     R._hadoop_delete = hdel
+    patched = []
+    for owner, attr, desc in extra_hooks:
+        orig_fn = getattr(owner, attr)
+
+        def _wrap(orig_fn=orig_fn, desc=desc):
+            def wrapper(*a, **kw):
+                label = desc(*a, **kw) if callable(desc) else desc
+                if label is not None:
+                    ks.step(label)
+                return orig_fn(*a, **kw)
+
+            return wrapper
+
+        setattr(owner, attr, _wrap())
+        patched.append((owner, attr, orig_fn))
     try:
         try:
             op()
@@ -125,10 +156,12 @@ def run_with_kill(op, kill_at: int) -> tuple[bool, list[str]]:
         DataFrameWriter.saveAsTable = orig_save
         DataFrameWriter.insertInto = orig_insert
         R._hadoop_delete = orig_hdel
+        for owner, attr, orig_fn in patched:
+            setattr(owner, attr, orig_fn)
     return ks.fired, ks.log
 
 
-def sweep_kill_points(build, op, check, max_kills: int = 64) -> int:
+def sweep_kill_points(build, op, check, max_kills: int = 64, extra_hooks=()) -> int:
     """For kill_at = 1, 2, ...: rebuild pristine state, run ``op`` with
     the kill injected, run ``check`` (which must prove the recovery
     invariants). Stops at the first kill_at the op completes under
@@ -136,7 +169,7 @@ def sweep_kill_points(build, op, check, max_kills: int = 64) -> int:
     kill points actually swept."""
     for kill_at in range(1, max_kills + 1):
         build()
-        fired, log = run_with_kill(op, kill_at)
+        fired, log = run_with_kill(op, kill_at, extra_hooks=extra_hooks)
         try:
             check(crashed=fired)
         except AssertionError as e:  # pragma: no cover — diagnostics

@@ -1,0 +1,325 @@
+"""Kill-point sweeps for the remaining staged writers (r15, VERDICT r14
+What's-missing #2): the shard sink's data+manifest pair, the LSM dedup
+index compaction's staged fold, and the rollup's frontier sidecar. Each
+had hand-picked crash tests only — exactly the state the pq/retrieval
+family was in before the r14 sweep found two real windows there.
+
+Same harness (``run_with_kill`` / ``sweep_kill_points`` from
+test_crash_sweep), extended with per-family hook points for the
+path-based writes these writers use instead of catalog mutations:
+``DataFrameWriter.parquet`` (shards), ``_write_meta`` + the
+``shutil.rmtree`` cleanups (compaction), ``DataStreamWriter.start`` +
+``_write_frontier`` + the stale-marker ``os.unlink``s (rollup). Same
+invariants: the read path always yields exactly f(base) or the
+documented advisory-stale state, replaying the SAME operation heals,
+and a healed state is idempotent under further replays.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.readwriter import DataFrameWriter
+from pyspark.sql.streaming.readwriter import DataStreamWriter
+
+from local_pubchem_db_spark.sources.shards import (
+    append_to_training_shards,
+    read_shard_manifest,
+    read_training_shards,
+    write_training_shards,
+)
+from local_pubchem_db_spark.streaming import dedup_ingest as DI
+from local_pubchem_db_spark.streaming import rollup as RU
+
+from tests.test_crash_sweep import sweep_kill_points
+
+pytestmark = pytest.mark.crash_sweep
+
+
+# --------------------------------------------------------------------
+# Shard sink: data dir + advisory manifest
+# --------------------------------------------------------------------
+
+
+def test_sweep_shard_append(spark, tmp_path):
+    """Every kill point inside an incremental shard upsert: the data dir
+    stays readable with UNIQUE ids drawn from base ∪ batch (replaced ids
+    carry either the old or the new payload, never a mix), untouched
+    base rows are byte-stable, and replaying the SAME batch converges to
+    the exact upsert result with a truthful manifest — the documented
+    'replay heals a partially applied batch' contract, now swept."""
+    path = str(tmp_path / "shards")
+    base = [(i, f"orig {i}") for i in range(12)]
+    batch = [(3, "repl 3"), (7, "repl 7"), (100, "new 100"), (101, "new 101")]
+    expected = dict(base) | dict(batch)
+    batch_ids = {i for i, _ in batch}
+
+    def bdf(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def build():
+        shutil.rmtree(path, ignore_errors=True)
+        write_training_shards(bdf(base), path, num_shards=4)
+
+    def op():
+        append_to_training_shards(bdf(batch), path)
+
+    def refresh():
+        spark.catalog.refreshByPath(f"{path}/data")
+        spark.catalog.refreshByPath(f"{path}/_shard_manifest")
+
+    def check(crashed):
+        refresh()  # a restarted process has no stale FileStatusCache
+        rows = read_training_shards(spark, path).collect()
+        got = {r["doc_id"]: r["text"] for r in rows}
+        assert len(rows) == len(got), "duplicate ids after kill"
+        assert set(got) <= set(expected), "id from nowhere"
+        for i, txt in base:
+            if i not in batch_ids:
+                assert got.get(i) == txt, f"untouched base row {i} changed"
+            elif i in got:
+                assert got[i] in {dict(base)[i], expected[i]}
+        # replay the SAME batch: the upsert is idempotent and heals
+        op()
+        refresh()
+        rows2 = read_training_shards(spark, path).collect()
+        assert {r["doc_id"]: r["text"] for r in rows2} == expected
+        assert len(rows2) == len(expected)
+        # manifest == on-disk truth after the healing replay
+        man = {
+            r["shard"]: (r["n_rows"], r["n_files"])
+            for r in read_shard_manifest(spark, path).collect()
+        }
+        truth = {
+            r["shard"]: r["cnt"]
+            for r in read_training_shards(spark, path)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert {s: n for s, (n, _f) in man.items() if n > 0} == truth
+
+    hooks = (
+        (
+            DataFrameWriter,
+            "parquet",
+            lambda self, p, *a, **kw: (
+                f"parquet: .../{str(p).rsplit('/', 1)[-1]}"
+                if path in str(p)
+                else None
+            ),
+        ),
+    )
+    swept = sweep_kill_points(build, op, check, extra_hooks=hooks)
+    assert swept >= 2  # rewrite write, insert write, manifest write
+
+
+# --------------------------------------------------------------------
+# LSM dedup-index compaction: staged fold with a meta commit point
+# --------------------------------------------------------------------
+
+
+def _write_delta(spark, index_path: str, batch: int) -> list[tuple]:
+    rows = [
+        (100 * batch + i, b, (100 * batch + i) * 10 + b)
+        for i in range(5)
+        for b in range(4)
+    ]
+    (
+        spark.createDataFrame(rows, "id long, band int, bucket long")
+        .withColumn("ingest_batch", F.lit(batch))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(index_path)
+    )
+    return rows
+
+
+def test_sweep_compact_dedup_index(spark, tmp_path):
+    """Every kill point inside a fold of the two-tier LSH index: the
+    history read path (compacted tier gated by the meta commit point +
+    live delta) yields EXACTLY the union of all ingested index rows at
+    every intermediate state — a row is never lost and never double-
+    counted even while it is transiently stored in both tiers — and a
+    crashed fold is healed by the next compaction (or was already
+    committed, leaving only documented garbage)."""
+    out = str(tmp_path / "dedup_out")
+    index_path = os.path.join(out, "lsh_index")
+    truth: set[tuple] = set()
+
+    def build():
+        truth.clear()
+        shutil.rmtree(out, ignore_errors=True)
+        for v in (1, 2, 3):
+            spark.sql(
+                f"DROP TABLE IF EXISTS {DI._table_name(out, v)}"
+            )
+        os.makedirs(out)
+        for b in (0, 1):
+            truth.update(_write_delta(spark, index_path, b))
+        assert DI.compact_dedup_index(spark, out, force=True)  # v1
+        for b in (2, 3):
+            truth.update(_write_delta(spark, index_path, b))
+
+    def op():
+        DI.compact_dedup_index(spark, out, force=True)  # fold v2
+
+    def history_rows():
+        spark.catalog.refreshByPath(index_path)
+        got: list[tuple] = []
+        for f in DI.history_index_frames(spark, out):
+            got.extend(
+                (r["id"], r["band"], r["bucket"]) for r in f.collect()
+            )
+        return got
+
+    def check(crashed):
+        got = history_rows()
+        assert len(got) == len(truth), "row lost or double-counted"
+        assert set(got) == truth
+        # heal: re-compacting either completes the fold or is a no-op
+        # on an already-committed one (leftover garbage is documented)
+        DI.compact_dedup_index(spark, out, force=True)
+        got2 = history_rows()
+        assert len(got2) == len(truth) and set(got2) == truth
+        meta = DI._read_meta(out)
+        assert meta and meta["through_batch"] == 3
+        assert meta["rows"] == spark.table(meta["table"]).count() == len(truth)
+        # idempotent: nothing left to fold
+        assert not DI.compact_dedup_index(spark, out, force=True)
+
+    hooks = (
+        (DI, "_write_meta", "write_meta (fold commit point)"),
+        (
+            shutil,
+            "rmtree",
+            lambda p, *a, **kw: (
+                f"rmtree: .../{str(p).rsplit('/', 1)[-1]}"
+                if out in str(p)
+                else None
+            ),
+        ),
+    )
+    swept = sweep_kill_points(build, op, check, extra_hooks=hooks)
+    # saveAsTable v2, meta flip, DROP v1, rmtree v1, evict batches 2+3
+    assert swept >= 4
+    for v in (1, 2, 3):
+        spark.sql(f"DROP TABLE IF EXISTS {DI._table_name(out, v)}")
+
+
+# --------------------------------------------------------------------
+# Rollup frontier sidecar: marker create + stale-marker cleanup
+# --------------------------------------------------------------------
+
+
+def test_sweep_rollup_frontier(spark, sf_dir, tmp_path):
+    """Every kill point across the rollup materialization and its
+    frontier sidecar, with PRE-SEEDED stale markers (a lower superseded
+    one and a HIGHER one from a previous stream lifetime — the exact
+    overshoot hazard _write_frontier's docstring names): the rollup
+    parquet never holds duplicate buckets, the marker set is never
+    anything but a subset of {seeded, true}, and replaying the run
+    converges to ONE marker at the true committed watermark with the
+    realtime view equal to the batch aggregation."""
+    from local_pubchem_db_spark.queries import events_table
+    from local_pubchem_db_spark.streaming.events import (
+        EVENT_SCHEMA,
+        hourly_event_counts,
+    )
+    from local_pubchem_db_spark.streaming.rollup import (
+        hourly_rollup_with_realtime,
+        materialize_hourly_rollup,
+    )
+
+    ev = (
+        events_table(spark, sf_dir)
+        .select([f.name for f in EVENT_SCHEMA.fields])
+        .orderBy("event_id")
+        .limit(300)
+        .localCheckpoint()
+    )
+    events_dir = str(tmp_path / "events")
+    ev.coalesce(1).write.parquet(events_dir)
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    # learn the true watermark from one clean run
+    materialize_hourly_rollup(spark, events_dir, rollup_dir + "_probe", ckpt + "_probe")
+    true_wm = RU._read_frontier(rollup_dir + "_probe")
+    assert true_wm, "probe run finalized nothing — fixture too small"
+    stale_low, stale_high = 1_000, true_wm + 3_600_000
+    clean_rows = sorted(
+        map(tuple, spark.read.parquet(rollup_dir + "_probe").collect())
+    )
+
+    def seed_marker(wm):
+        with open(
+            os.path.join(rollup_dir, f"_frontier-{wm:020d}.json"), "w"
+        ) as fh:
+            fh.write('{"batchWatermarkMs": %d}' % wm)
+
+    def build():
+        shutil.rmtree(rollup_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        os.makedirs(rollup_dir)
+        seed_marker(stale_low)
+        seed_marker(stale_high)
+
+    def op():
+        materialize_hourly_rollup(spark, events_dir, rollup_dir, ckpt)
+
+    def check(crashed):
+        try:
+            rows = spark.read.parquet(rollup_dir).collect()
+        except Exception:  # killed before any data commit
+            rows = []
+        keys = [(r["hour_start"], r["event_type"]) for r in rows]
+        assert len(keys) == len(set(keys)), "duplicate buckets after kill"
+        markers = {
+            wm
+            for fn in os.listdir(rollup_dir)
+            if (wm := RU._marker_wm(fn)) is not None
+        }
+        assert markers <= {stale_low, stale_high, true_wm}
+        # replay heals: exactly-once data, one true marker, stale gone
+        op()
+        assert sorted(map(tuple, spark.read.parquet(rollup_dir).collect())) == (
+            clean_rows
+        )
+        markers2 = {
+            wm
+            for fn in os.listdir(rollup_dir)
+            if (wm := RU._marker_wm(fn)) is not None
+        }
+        assert markers2 == {true_wm}, markers2
+        got = sorted(
+            (r["hour_start"], r["event_type"], r["n"])
+            for r in hourly_rollup_with_realtime(spark, rollup_dir, ev).collect()
+        )
+        want = sorted(
+            (r["hour_start"], r["event_type"], r["n"])
+            for r in hourly_event_counts(ev).collect()
+        )
+        assert got == want
+
+    hooks = (
+        (DataStreamWriter, "start", lambda self, *a, **kw: "stream_start"),
+        (RU, "_write_frontier", "write_frontier (marker create)"),
+        (
+            os,
+            "unlink",
+            lambda p, *a, **kw: (
+                f"unlink: {os.path.basename(str(p))}"
+                if rollup_dir in str(p) and "_frontier-" in str(p)
+                else None
+            ),
+        ),
+    )
+    swept = sweep_kill_points(build, op, check, extra_hooks=hooks)
+    # stream start, marker create, unlink x2 seeded stale markers
+    assert swept >= 3

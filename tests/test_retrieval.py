@@ -1748,3 +1748,77 @@ def test_mmr_variants_agree_on_null_candidates(spark):
             [r["mmr_score"] for r in want],
             atol=1e-12,
         )
+
+
+def test_recalibration_degrades_to_warning_on_moved_corpus(spark, corpus, tmp_path):
+    """ADVICE r14: a corpus whose path was deleted/moved after the save
+    raises AnalysisException (not ValueError) inside the calibration
+    pass — recalibrate='always'/'stale' must still degrade to the skip
+    warning instead of failing a load that succeeds with 'never'."""
+    import shutil
+    import warnings
+
+    from local_pubchem_db_spark.operators import retrieval as R
+
+    name = "t_ret_recal_moved"
+    _reset_index_tables(spark, name)
+    loc = str(tmp_path / "corpus_moved")
+    corpus.write.parquet(loc)
+    docs = spark.read.parquet(loc)
+    try:
+        p, d = R.build_postings(docs)
+        R.save_postings(p, d, name, buckets=4, corpus_table=loc)
+        shutil.rmtree(loc)  # operator moved/cleaned the corpus dir
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            *idx, meta = R.load_service_index(
+                spark, name, recalibrate="always"
+            )
+        assert [w for w in caught
+                if "recalibration skipped" in str(w.message)]
+        # the load itself succeeded: full 4-tuple index + the meta row
+        assert len(idx) == 4 and meta.get("corpus_table") == loc
+    finally:
+        _reset_index_tables(spark, name)
+
+
+def test_write_stats_row_skips_orphan_delete_when_staged_known(spark, corpus):
+    """ADVICE r14: _write_stats_row must capture tableExists(staged)
+    BEFORE the DROP — a catalog-known staged table is fully cleaned by
+    its own DROP, so the orphan-directory Hadoop delete runs only for
+    a crash-stranded directory with no catalog entry."""
+    from local_pubchem_db_spark.operators import retrieval as R
+
+    name = "t_ret_stats_known"
+    _reset_index_tables(spark, name)
+    try:
+        p, d = R.build_postings(corpus)
+        R.save_postings(p, d, name, buckets=4)
+        meta = R.index_meta(spark, name)
+
+        calls = []
+        orig = R._hadoop_delete
+
+        def counting(spark_, uri):
+            calls.append(str(uri))
+            return orig(spark_, uri)
+
+        R._hadoop_delete = counting
+        try:
+            # leave a catalog-known staged table behind, then rewrite:
+            # the DROP cleans it; no orphan delete may fire
+            staged = f"{name}_stats__staged"
+            spark.createDataFrame([(1,)], "x int").write.mode(
+                "overwrite"
+            ).saveAsTable(staged)
+            R._write_stats_row(spark, name, meta)
+            assert not [c for c in calls if "stats__staged" in c], calls
+
+            # no staged table at all: the orphan delete DOES run
+            calls.clear()
+            R._write_stats_row(spark, name, meta)
+            assert [c for c in calls if "stats__staged" in c]
+        finally:
+            R._hadoop_delete = orig
+    finally:
+        _reset_index_tables(spark, name)
