@@ -748,7 +748,12 @@ def q_dedup_simhash(spark, sf_dir):
 def q_incremental_dedup(spark, sf_dir):
     """Incremental dedup: docs with id >= 250 arriving as a batch against
     a PERSISTED LSH index of docs 0-249; returns the batch ids safe to
-    append (LSH-bucket semantics — rows-only check).
+    append (LSH-bucket semantics — rows-only check; measured r15: an
+    exact-Jaccard-0.8 DuckDB twin matches at sf0.01 but diverges at
+    sf0.1, where six batch rows at exact jaccard 0.018-0.037 vs history
+    band-collide and are conservatively dropped — the unverified
+    history-collision semantics is the design, so the entry stays
+    rows-only; see README "Why four registry entries are rows-only").
 
     The history (id, band, bucket) index is materialized ONCE as an
     external table bucketed by (band, bucket) — the incremental contract:
