@@ -45,7 +45,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from local_pubchem_db_spark.operators.util import fan_out
+from local_pubchem_db_spark.operators.util import driver_rows_df, fan_out
 
 
 def _norm_rows(M: np.ndarray) -> np.ndarray:
@@ -824,7 +824,7 @@ def _write_ivf_pq_meta(spark, name: str, values: dict) -> None:
     staged = f"{name}_meta__staged"
     _clear_staging(spark, staged)
     (
-        spark.createDataFrame([row], _IVF_PQ_META_SCHEMA)
+        driver_rows_df(spark, [row], _IVF_PQ_META_SCHEMA)
         .coalesce(1)
         .write.mode("overwrite")
         .format("parquet")
@@ -1027,7 +1027,8 @@ def _write_cells_table(
 ) -> int:
     strikes = strikes or {}
     (
-        spark.createDataFrame(
+        driver_rows_df(
+            spark,
             [
                 (c, n, c in no_split, int(strikes.get(c, 0)))
                 for c, n in sorted(by_cell.items())
@@ -1359,8 +1360,8 @@ def _write_model_table(
     staged = f"{name}_model__staged"
     _clear_staging(spark, staged)
     (
-        spark.createDataFrame(
-            rows, "kind string, i long, j long, vec array<double>"
+        driver_rows_df(
+            spark, rows, "kind string, i long, j long, vec array<double>"
         )
         .coalesce(1)
         .write.mode("overwrite")

@@ -49,6 +49,7 @@ from local_pubchem_db_spark.functions.text import normalize_text, tokens
 from local_pubchem_db_spark.operators.util import (
     HEAVY_TEXT_GATE,
     LIGHT_TEXT_GATE,
+    driver_rows_df,
     fan_out,
 )
 
@@ -306,7 +307,7 @@ def _write_stats_row(spark, name: str, values: dict) -> None:
         except Exception:  # noqa: BLE001 — surfaces in saveAsTable
             pass
     (
-        spark.createDataFrame([row], _STATS_SCHEMA)
+        driver_rows_df(spark, [row], _STATS_SCHEMA)
         .coalesce(1)
         .write.mode("overwrite")
         .format("parquet")

@@ -533,3 +533,44 @@ def release_shared_caches(spark) -> None:
     for memo in _SESSION_MEMOS:
         memo.pop(spark, None)
 
+
+
+def driver_rows_df(spark, rows, schema) -> DataFrame:
+    """Driver-literal rows as a JVM ``LocalTableScan`` instead of a
+    Python RDD (r15, found profiling the crash sweeps):
+    ``spark.createDataFrame(list_of_tuples)`` parallelizes the data
+    through a defaultParallelism-sliced Python RDD — 32 slices for ONE
+    metadata row on local[32] — so every downstream single-task action
+    (the ``coalesce(1)`` staged metadata writes throughout this repo)
+    replays ~32 SEQUENTIAL Python worker rounds: measured 3.5-4.5 s per
+    one-row ``saveAsTable`` against 0.4 s through this helper. Routing
+    the rows through a pandas object-dtype frame + Arrow materializes
+    them as a LocalRelation in the JVM — zero Python at execution, on a
+    real cluster exactly the shape a driver-literal relation should
+    have (no pickled-RDD shipping, plan-visible row count for the
+    optimizer).
+
+    object dtype preserves value fidelity pandas would otherwise
+    destroy (None in an int column becoming NaN, Decimal collapsing to
+    float); the explicit ``schema`` drives the Arrow types. Any
+    conversion refusal (exotic types, ragged rows) falls back to the
+    plain-but-slow ``createDataFrame`` — correctness never rides the
+    fast path."""
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    try:
+        struct = (
+            schema
+            if isinstance(schema, StructType)
+            # fromDDL, not a comma split: "decimal(38,0)" has a comma
+            else StructType.fromDDL(str(schema))
+        )
+        pdf = pd.DataFrame(
+            [tuple(r) for r in rows],
+            columns=struct.fieldNames(),
+            dtype=object,
+        )
+        return spark.createDataFrame(pdf, schema=struct)
+    except Exception:  # noqa: BLE001 — fidelity over speed
+        return spark.createDataFrame(rows, schema)

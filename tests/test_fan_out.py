@@ -311,3 +311,44 @@ def test_estimated_rows_size_weighted_past_stat_cap(
     est = util.estimated_rows(df)
     assert est is not None
     assert 0.4 * true_rows <= est <= 2.5 * true_rows, est
+
+
+def test_driver_rows_df_local_table_scan_and_fidelity(spark):
+    """r15 (found profiling the crash sweeps): driver-literal rows must
+    materialize as a JVM LocalTableScan — spark.createDataFrame(list)
+    parallelizes through a defaultParallelism-sliced Python RDD, and a
+    downstream coalesce(1) single task then replays ~32 SEQUENTIAL
+    Python worker rounds (measured 3.5-4.5 s per one-row metadata
+    saveAsTable vs 0.3 s through the helper). Exact value fidelity
+    incl. the types the metadata writers use: None in long/boolean,
+    Decimal (the stats row's exact sum_dl), array<double> (the model
+    table's vectors)."""
+    from decimal import Decimal
+
+    from local_pubchem_db_spark.operators.util import driver_rows_df
+
+    schema = (
+        "a long, b boolean, c string, d double, "
+        "e decimal(38,0), f array<double>"
+    )
+    rows = [
+        (None, True, None, 1.5,
+         Decimal("123456789012345678901234567890"), [1.0, 2.5]),
+        (7, None, "x", None, None, None),
+    ]
+    df = driver_rows_df(spark, rows, schema)
+    assert [tuple(r) for r in df.collect()] == rows
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan, plan
+    assert "ExistingRDD" not in plan, plan
+    # coalesce(1) of the helper's output stays Python-free
+    cplan = df.coalesce(1)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in cplan and "PythonRDD" not in cplan
+
+    # empty rows keep the declared schema
+    empty = driver_rows_df(spark, [], schema)
+    assert empty.count() == 0 and empty.schema == df.schema
+
+    # fallback: a StructType schema works the same way
+    struct_df = driver_rows_df(spark, rows, df.schema)
+    assert [tuple(r) for r in struct_df.collect()] == rows
