@@ -753,8 +753,10 @@ def _expand_rep_pairs_literal(
             StructField(val_col, val_t),
         ]
     )
-    intra = spark.createDataFrame(
-        [(a, b, intra_value) for a, b in pairs], schema
+    from local_pubchem_db_spark.operators.util import driver_rows_df
+
+    intra = driver_rows_df(
+        spark, [(a, b, intra_value) for a, b in pairs], schema
     )
     return out.unionByName(intra)
 

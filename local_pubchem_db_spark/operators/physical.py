@@ -728,8 +728,10 @@ def table_health(
             _pd.DataFrame(rows, columns=col_names), schema
         )
 
-    paths_df = spark.createDataFrame(
-        sized, "file string, size long"
+    from local_pubchem_db_spark.operators.util import driver_rows_df
+
+    paths_df = driver_rows_df(
+        spark, sized, "file string, size long"
     ).repartition(min(len(sized), 64))
     return paths_df.mapInPandas(read_footers, schema)
 

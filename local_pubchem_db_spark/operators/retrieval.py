@@ -66,7 +66,7 @@ def _empty_scored(src: DataFrame, id_col: str) -> DataFrame:
             StructField("score", DoubleType()),
         ]
     )
-    return src.sparkSession.createDataFrame([], schema)
+    return driver_rows_df(src.sparkSession, [], schema)
 
 
 def build_postings(
@@ -1565,7 +1565,7 @@ def _query_map(spark, queries: dict) -> tuple[DataFrame, list[str]]:
     for qid, terms in queries.items():
         for t in _norm_terms(list(terms)):
             rows.append((str(qid), t))
-    qmap = spark.createDataFrame(rows, "query_id string, term string")
+    qmap = driver_rows_df(spark, rows, "query_id string, term string")
     return qmap, sorted({t for _q, t in rows})
 
 
@@ -1918,7 +1918,7 @@ def mmr_rerank(
             "(O(k*N) driver work)"
         )
     if not rows:
-        return ranked.sparkSession.createDataFrame([], schema)
+        return driver_rows_df(ranked.sparkSession, [], schema)
     ids = [r[id_col] for r in rows]
     rel = np.array([float(r[score_col]) for r in rows])
     V = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
@@ -1946,7 +1946,7 @@ def mmr_rerank(
         selected.append(best)
         remaining.remove(best)
         out.append((ids[best], float(best_obj), len(selected)))
-    return ranked.sparkSession.createDataFrame(out, schema)
+    return driver_rows_df(ranked.sparkSession, out, schema)
 
 
 def mmr_rerank_distributed(
@@ -2006,7 +2006,7 @@ def mmr_rerank_distributed(
     ).first()
     lo, hi = bounds["lo"], bounds["hi"]
     if lo is None:
-        return spark.createDataFrame([], schema)
+        return driver_rows_df(spark, [], schema)
     rel_n = (
         (F.col(score_col).cast("double") - F.lit(float(lo)))
         / F.lit(float(hi) - float(lo))
@@ -2083,4 +2083,4 @@ def mmr_rerank_distributed(
         cur.unpersist(False)
         if prev is not None:
             prev.unpersist(False)
-    return spark.createDataFrame(out, schema)
+    return driver_rows_df(spark, out, schema)

@@ -341,8 +341,11 @@ def skew_report(
         if counts[f"__nulls_{i}"]
     ]
     if null_rows:
+        from local_pubchem_db_spark.operators.util import driver_rows_df
+
         top = top.unionByName(
-            spark.createDataFrame(
+            driver_rows_df(
+                spark,
                 null_rows,
                 "column string, key string, est_count long, est_share double",
             )

@@ -629,8 +629,12 @@ def test_table_health_environmental_cloud_scheme_prefers_executors(
         )
     assert any("proceeding anyway" in str(w.message) for w in caught)
     assert calls == []  # the JVM opener never probed
-    # and the plan is the distributed mapInPandas path, not a local one
-    assert "LocalTableScan" not in df._jdf.queryExecution().executedPlan().toString()
+    # and the plan is the distributed mapInPandas path (executor-side
+    # footer reads), not the driver-local pandas relation. The paths
+    # relation itself is a LocalTableScan since r15 (driver_rows_df) —
+    # what matters is that the FOOTER work sits under MapInPandas.
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
 
 
 def test_table_health_caps_automatic_driver_parse_fallback(
