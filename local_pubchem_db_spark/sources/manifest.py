@@ -28,6 +28,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from local_pubchem_db_spark.operators.util import driver_rows_df
+
 MANIFEST_SCHEMA = StructType(
     [
         StructField("filename", StringType(), nullable=False),
@@ -48,7 +50,7 @@ def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
         if "ingest_batch" in df.columns:
             df = df.drop("ingest_batch")
         return df.select(*[f.name for f in MANIFEST_SCHEMA.fields])
-    return spark.createDataFrame([], MANIFEST_SCHEMA)
+    return driver_rows_df(spark, [], MANIFEST_SCHEMA)
 
 
 def pending_files(
@@ -70,8 +72,10 @@ def pending_files(
         # no-op but costs the session's first-job startup, ~4 s cold)
         return sorted(candidate_files)
     manifest = read_manifest(spark, manifest_path).select("filename")
-    files_df = spark.createDataFrame(
-        [(f, os.path.basename(f)) for f in candidate_files], ["path", "filename"]
+    files_df = driver_rows_df(
+        spark,
+        [(f, os.path.basename(f)) for f in candidate_files],
+        "path string, filename string",
     )
     rows = (
         files_df.join(F.broadcast(manifest), on="filename", how="left_anti")
@@ -97,8 +101,10 @@ def manifest_rows_for(
         compounds_with_file.groupBy("source_file")
         .agg(F.count(F.lit(1)).alias("n_compounds"))
     )
-    all_files = spark.createDataFrame(
-        [(os.path.basename(f),) for f in filenames], ["source_file"]
+    all_files = driver_rows_df(
+        spark,
+        [(os.path.basename(f),) for f in filenames],
+        "source_file string",
     )
     stem = F.split(F.col("source_file"), r"\.").getItem(0)
     return (
