@@ -265,24 +265,40 @@ def drift_verdict(
     normalized, then raw) used when either artifact lacks the slope
     block — e.g. comparing against a driver compact record. The basis
     is suffixed to the verdict so a raw-basis read is never mistaken
-    for a slope-basis one."""
-    ratios = {
-        q: slope_now[q] / slope_prev[q]
-        for q in slope_now
-        if slope_prev.get(q)
-        and not (
-            axes
-            and prev_axes
-            and q in axes
-            and q in prev_axes
-            and axes[q] != prev_axes[q]
-        )
-    }
+    for a slope-basis one. The axis-flip exclusion applies to EVERY
+    basis, not just slope (r15 review finding): a query whose plan
+    moved between the jvm and py axes mixes execution paths in its raw
+    ratio (~5x per this module's slope docs), and on a fallback basis
+    with few shared rows one such row can drag the median across the
+    host band — the exact misread compute_drift's prev_axes exclusion
+    exists to prevent."""
+
+    def _drop_axis_flipped(d: dict) -> dict:
+        return {
+            q: r
+            for q, r in d.items()
+            if not (
+                axes
+                and prev_axes
+                and q in axes
+                and q in prev_axes
+                and axes[q] != prev_axes[q]
+            )
+        }
+
+    ratios = _drop_axis_flipped(
+        {
+            q: slope_now[q] / slope_prev[q]
+            for q in slope_now
+            if slope_prev.get(q)
+        }
+    )
     basis = "slope"
     if not ratios:
         for name, fb in fallbacks:
+            fb = _drop_axis_flipped(dict(fb)) if fb else {}
             if fb:
-                ratios, basis = dict(fb), name
+                ratios, basis = fb, name
                 break
     if not ratios:
         return "no_prev"

@@ -398,7 +398,15 @@ def minhash_lsh_dedup_pairs(
     groups = _exact_groups(df, id_col, text_col)
     reps = groups.select(F.col("gid").alias("id"), "text")
     rep_pairs = _lsh_verified_pairs(
-        reps, shingle_len, num_perm, bands, max_bucket_size, threshold
+        reps,
+        shingle_len,
+        num_perm,
+        bands,
+        max_bucket_size,
+        threshold,
+        # reps projects the shared() cached exact-groups relation, so
+        # the text-gate's mean-octets aggregate is memory-speed here
+        rel_cached=True,
     )
     # Warm-service fast path (r7 bench regression: the expansion joins
     # ran every invocation even on corpora with no exact dups): the
@@ -439,6 +447,8 @@ def _lsh_verified_pairs(
     bands: int,
     max_bucket_size: int | None,
     threshold: float,
+    *,
+    rel_cached: bool = False,
 ) -> DataFrame:
     """Exact-verified LSH pairs over an (id, text) relation — the r14
     plan shape (verdict Next #3, measured in MINHASH_r14): the corpus
@@ -470,6 +480,16 @@ def _lsh_verified_pairs(
       candidate texts may skew long, so the 64 MB ceiling keeps two
       orders of magnitude of margin under the hard limit (at bench
       scale the payload is ~MBs, so the fast plan stays engaged).
+      The mean-octets aggregate reads the corpus text column, so it is
+      measured ONLY when the caller vouches ``rel_cached`` (the
+      collapse path, where ``rel`` derives from the shared() cached
+      exact-groups relation — the aggregate is memory-speed). On an
+      uncached ``rel`` the text gate is simply not engaged
+      (``half`` takes the shuffle join, the shape that worked at scale
+      pre-r14) rather than paying a fourth cold columnar scan of the
+      heaviest column to decide an optimization (r15 review finding —
+      the scan would grow linearly with corpus size in exactly the
+      mid-scale regime where the pair gate passes).
 
     Above a gate the join falls back to a plain shuffle join — the
     pre-r14 verify shape, which is exactly what worked at scale before
@@ -489,9 +509,11 @@ def _lsh_verified_pairs(
     three times where the old plan read it once into a persisted
     corpus-sized shingle relation. On the default collapse path ``rel``
     is the shared() exact-groups relation (cached — re-reads are
-    memory-speed); on the no-collapse path they are three columnar
-    scans of (id, text) — the deliberate price of holding ZERO
-    corpus-sized state, which at 100 TB is the binding constraint."""
+    memory-speed, and the text-gate's mean-octets aggregate adds a
+    fourth memory-speed read); on the no-collapse path they are three
+    columnar scans of (id, text) — exactly three, the text gate is not
+    measured there — the deliberate price of holding ZERO corpus-sized
+    state, which at 100 TB is the binding constraint."""
     buckets = _fused_band_buckets(rel, shingle_len, num_perm, bands)
     cand = bounded_bucket_pairs(
         buckets, ["band", "bucket"], max_bucket_size=max_bucket_size
@@ -499,7 +521,7 @@ def _lsh_verified_pairs(
     n_pairs = cand.count()
     broadcast_pairs = n_pairs <= _LSH_PAIR_BROADCAST_LIMIT
     broadcast_texts = False
-    if broadcast_pairs and n_pairs > 0:
+    if broadcast_pairs and n_pairs > 0 and rel_cached:
         mean_octets = (
             rel.agg(F.avg(F.octet_length("text"))).first()[0] or 0.0
         )

@@ -559,6 +559,12 @@ def driver_rows_df(spark, rows, schema) -> DataFrame:
     import pandas as pd
     from pyspark.sql.types import StructType
 
+    # Materialize ONCE up front: the parameter accepts any iterable, and
+    # a one-shot generator consumed by the fast path would hand the
+    # fallback an EXHAUSTED iterator — createDataFrame([]) then builds an
+    # empty frame with the declared schema, and a staged metadata write
+    # would commit an empty table with no error (r15 review finding).
+    rows = [tuple(r) for r in rows]
     try:
         struct = (
             schema
@@ -567,7 +573,7 @@ def driver_rows_df(spark, rows, schema) -> DataFrame:
             else StructType.fromDDL(str(schema))
         )
         pdf = pd.DataFrame(
-            [tuple(r) for r in rows],
+            rows,
             columns=struct.fieldNames(),
             dtype=object,
         )

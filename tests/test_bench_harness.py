@@ -433,5 +433,19 @@ def test_drift_verdict_classifier():
         "host [raw-basis]"
     )
 
+    # r15 review finding: the axis-flip exclusion applies on FALLBACK
+    # bases too — a row whose plan moved between the jvm and py axes
+    # carries a path-mixed raw ratio (~5x) that must not drag the
+    # median or be named as isolated
+    few = {"q0": 1.02, "q1": 1.05, "q2": 5.0}
+    assert drift_verdict(
+        {},
+        {},
+        {"q0": 1.05, "q1": 1.05, "q2": 1.05},
+        axes={"q0": "jvm", "q1": "jvm", "q2": "jvm"},
+        prev_axes={"q0": "jvm", "q1": "jvm", "q2": "py"},
+        fallbacks=(("raw", few),),
+    ) == "host [raw-basis]"
+
     # nothing to compare
     assert drift_verdict({}, {}, {}) == "no_prev"

@@ -127,36 +127,42 @@ def run_with_kill(op, kill_at: int, extra_hooks=()) -> tuple[bool, list[str]]:
         ks.step(f"hadoop_delete: .../{str(uri).rsplit('/', 1)[-1]}")
         return orig_hdel(spark_, uri)
 
-    SparkSession.sql = sql
-    DataFrameWriter.saveAsTable = save
-    DataFrameWriter.insertInto = ins
-    R._hadoop_delete = hdel
-    patched = []
-    for owner, attr, desc in extra_hooks:
-        orig_fn = getattr(owner, attr)
-
-        def _wrap(orig_fn=orig_fn, desc=desc):
-            def wrapper(*a, **kw):
-                label = desc(*a, **kw) if callable(desc) else desc
-                if label is not None:
-                    ks.step(label)
-                return orig_fn(*a, **kw)
-
-            return wrapper
-
-        setattr(owner, attr, _wrap())
-        patched.append((owner, attr, orig_fn))
+    # Every installation happens INSIDE the try and is recorded in
+    # ``patched`` as it lands, so a failure while setting up a later hook
+    # (e.g. a misnamed attr raising AttributeError from getattr) cannot
+    # leak earlier patches with an armed kill switch into the rest of
+    # the pytest session (r15 review finding).
+    patched: list[tuple[object, str, object]] = []
     try:
+        for owner, attr, fn in (
+            (SparkSession, "sql", sql),
+            (DataFrameWriter, "saveAsTable", save),
+            (DataFrameWriter, "insertInto", ins),
+            (R, "_hadoop_delete", hdel),
+        ):
+            orig_fn = getattr(owner, attr)
+            setattr(owner, attr, fn)
+            patched.append((owner, attr, orig_fn))
+        for owner, attr, desc in extra_hooks:
+            orig_fn = getattr(owner, attr)
+
+            def _wrap(orig_fn=orig_fn, desc=desc):
+                def wrapper(*a, **kw):
+                    label = desc(*a, **kw) if callable(desc) else desc
+                    if label is not None:
+                        ks.step(label)
+                    return orig_fn(*a, **kw)
+
+                return wrapper
+
+            setattr(owner, attr, _wrap())
+            patched.append((owner, attr, orig_fn))
         try:
             op()
         except InjectedCrash:
             pass
     finally:
-        SparkSession.sql = orig_sql
-        DataFrameWriter.saveAsTable = orig_save
-        DataFrameWriter.insertInto = orig_insert
-        R._hadoop_delete = orig_hdel
-        for owner, attr, orig_fn in patched:
+        for owner, attr, orig_fn in reversed(patched):
             setattr(owner, attr, orig_fn)
     return ks.fired, ks.log
 
@@ -491,3 +497,31 @@ def test_sweep_retrieval_append_termdf_merge(spark):
     from local_pubchem_db_spark.operators.retrieval import drop_index as di
 
     di(spark, name)
+
+
+def test_run_with_kill_restores_patches_on_hook_setup_failure():
+    """r15 review finding: a failure while INSTALLING a hook (misnamed
+    attr -> AttributeError from getattr) must not leak earlier patches
+    with an armed kill switch into the rest of the pytest session —
+    every subsequent mutating spark.sql/saveAsTable would die with
+    InjectedCrash far from the real cause. Installation is recorded
+    as it lands and unwound in the finally."""
+    orig_sql = SparkSession.sql
+    orig_save = DataFrameWriter.saveAsTable
+    orig_insert = DataFrameWriter.insertInto
+    orig_hdel = R._hadoop_delete
+
+    class Owner:
+        pass
+
+    with pytest.raises(AttributeError):
+        run_with_kill(
+            lambda: None,
+            kill_at=999,
+            extra_hooks=((Owner, "no_such_attr", "typo"),),
+        )
+
+    assert SparkSession.sql is orig_sql
+    assert DataFrameWriter.saveAsTable is orig_save
+    assert DataFrameWriter.insertInto is orig_insert
+    assert R._hadoop_delete is orig_hdel

@@ -352,3 +352,36 @@ def test_driver_rows_df_local_table_scan_and_fidelity(spark):
     # fallback: a StructType schema works the same way
     struct_df = driver_rows_df(spark, rows, df.schema)
     assert [tuple(r) for r in struct_df.collect()] == rows
+
+
+def test_driver_rows_df_one_shot_iterable_survives_fallback(
+    spark, monkeypatch
+):
+    """r15 review finding: the parameter accepts any iterable, so a
+    one-shot generator consumed by the fast path must NOT hand the
+    fallback an exhausted iterator — createDataFrame([]) would build an
+    empty frame with the declared schema and a staged metadata write
+    would commit an empty table with no error. The rows are
+    materialized once, up front, and both paths read the list."""
+    import pandas as pd
+
+    from local_pubchem_db_spark.operators import util
+
+    rows = [(1, "a"), (2, "b")]
+    schema = "a long, b string"
+
+    # fast path consumes a generator exactly once
+    df = util.driver_rows_df(spark, (r for r in rows), schema)
+    assert [tuple(r) for r in df.collect()] == rows
+
+    # force the fast path to fail AFTER the rows were iterated: the
+    # fallback must still see every row. The stand-in must remain a
+    # TYPE — pyspark's own createDataFrame does isinstance(data,
+    # pd.DataFrame) on the fallback path.
+    class Boom(pd.DataFrame):
+        def __init__(self, *a, **kw):
+            raise RuntimeError("injected pandas refusal")
+
+    monkeypatch.setattr(pd, "DataFrame", Boom)
+    df = util.driver_rows_df(spark, (r for r in rows), schema)
+    assert [tuple(r) for r in df.collect()] == rows

@@ -548,10 +548,14 @@ def _initial_plan(df):
 def test_lsh_verify_broadcast_gate_plan_shape(spark, monkeypatch):
     """r15 (VERDICT r14 What's-wrong #1): the two text-fetch joins in
     _lsh_verified_pairs must broadcast-hint ONLY below the measured-size
-    gates. autoBroadcastJoinThreshold is disabled for the assertion so
-    the ONLY possible source of a static BroadcastHashJoin is the
-    explicit hint — isolating the gate from Spark's own stats-based
-    broadcast selection on a tiny test corpus."""
+    gates, and the text gate must be measured only for a caller-vouched
+    cached relation (the mean-octets aggregate reads the corpus text
+    column — an uncached rel takes the shuffle verify instead of paying
+    a fourth cold scan; r15 review finding). autoBroadcastJoinThreshold
+    is disabled for the assertion so the ONLY possible source of a
+    static BroadcastHashJoin is the explicit hint — isolating the gate
+    from Spark's own stats-based broadcast selection on a tiny test
+    corpus."""
     from local_pubchem_db_spark.operators import dedup as D
     from local_pubchem_db_spark.operators.util import release_shared_caches
 
@@ -560,30 +564,43 @@ def test_lsh_verify_broadcast_gate_plan_shape(spark, monkeypatch):
         [(i, long_a + f" tail{i}") for i in range(8)],
         "doc_id long, text string",
     )
+    rel = docs.select(F.col("doc_id").alias("id"), "text")
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        def plan(limits=None):
+        def plan(limits=None, *, cached):
             release_shared_caches(spark)
             for name, val in (limits or {}).items():
                 monkeypatch.setattr(D, name, val)
-            df = D.minhash_lsh_dedup_pairs(
-                docs, "doc_id", "text", threshold=0.8, collapse_exact=False
-            )
+            if cached:
+                df = D._lsh_verified_pairs(
+                    rel, 3, 128, 32, 64, 0.8, rel_cached=True
+                )
+            else:
+                df = D.minhash_lsh_dedup_pairs(
+                    docs, "doc_id", "text", threshold=0.8,
+                    collapse_exact=False,
+                )
             return _initial_plan(df)
 
-        # Below both gates (defaults): both joins broadcast-hinted.
-        assert plan().count("BroadcastHashJoin") == 2
+        # Cached rel, below both gates: both joins broadcast-hinted.
+        assert plan(cached=True).count("BroadcastHashJoin") == 2
 
-        # Text payload above its ceiling: the id-only cand still
-        # broadcasts, the text-carrying half does NOT.
-        p = plan({"_LSH_TEXT_BROADCAST_BYTES": 0})
+        # Cached rel, text payload above its ceiling: the id-only cand
+        # still broadcasts, the text-carrying half does NOT.
+        p = plan({"_LSH_TEXT_BROADCAST_BYTES": 0}, cached=True)
         assert p.count("BroadcastHashJoin") == 1
         monkeypatch.setattr(D, "_LSH_TEXT_BROADCAST_BYTES", 64 << 20)
 
+        # Uncached rel (the no-collapse path): the text gate is never
+        # measured — cand broadcasts under the pair gate, half does not.
+        assert plan(cached=False).count("BroadcastHashJoin") == 1
+
         # Pair count above the limit: NO broadcast hint anywhere — the
-        # pre-r14 shuffle-join verify shape.
-        p = plan({"_LSH_PAIR_BROADCAST_LIMIT": 0})
+        # pre-r14 shuffle-join verify shape — on either path.
+        p = plan({"_LSH_PAIR_BROADCAST_LIMIT": 0}, cached=False)
+        assert "BroadcastHashJoin" not in p
+        p = plan(cached=True)
         assert "BroadcastHashJoin" not in p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
