@@ -637,3 +637,73 @@ def test_lsh_verify_gate_results_identical_across_shapes(spark, monkeypatch):
     monkeypatch.setattr(D, "_LSH_PAIR_BROADCAST_LIMIT", 0)
     assert rows() == want
     release_shared_caches(spark)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    buckets=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=40),
+            min_size=1,
+            max_size=12,
+            unique=True,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_bounded_bucket_pairs_properties(spark, buckets):
+    """Property pin (hypothesis, r15) for the cap's whole contract over
+    arbitrary bucket shapes — the goldens cover chosen shapes, this
+    explores the space:
+
+    - soundness: every emitted pair co-occurs in >= 1 bucket;
+    - completeness under the cap: a bucket within ``max_bucket_size``
+      contributes ALL its C(s,2) pairs;
+    - connectivity above it: an oversized bucket's members stay in ONE
+      component of the emitted graph (the star+chain guarantee that
+      ``dedup_keep_ids`` component resolution relies on);
+    - the bound: total pairs <= sum over buckets of min(C(s,2), 2s).
+    """
+    from itertools import combinations
+
+    cap = 4
+    rows = [
+        (bi, 0, int(i)) for bi, ids in enumerate(buckets) for i in ids
+    ]
+    df = spark.createDataFrame(rows, "band int, bucket int, id long")
+    got = {
+        (r["id1"], r["id2"])
+        for r in bounded_bucket_pairs(
+            df, ["band", "bucket"], max_bucket_size=cap
+        ).collect()
+    }
+
+    assert all(a < b for a, b in got)
+
+    cooccur = {
+        tuple(sorted(p))
+        for ids in buckets
+        for p in combinations(ids, 2)
+    }
+    assert got <= cooccur
+
+    comp = _components([{"id1": a, "id2": b} for a, b in got])
+    for ids in buckets:
+        s = sorted(set(ids))
+        if len(s) <= cap:
+            for p in combinations(s, 2):
+                assert p in got, (p, s)
+        elif len(s) > 1:
+            roots = {comp.get(i, i) for i in s}
+            assert len(roots) == 1, (s, roots)
+
+    bound = sum(
+        min(len(ids) * (len(ids) - 1) // 2, 2 * len(ids))
+        for ids in buckets
+    )
+    assert len(got) <= bound
