@@ -47,6 +47,7 @@ from local_pubchem_db_spark.operators.dedup import (
 )
 from local_pubchem_db_spark.operators.resampling import dsir_select
 from local_pubchem_db_spark.operators.sampling import hash_split
+from local_pubchem_db_spark.operators.util import shared
 
 
 
@@ -99,13 +100,17 @@ def clean_corpus(
     ``dsir_logweight`` / ``dsir_score`` through to chunks.
 
     Laziness caveat: CONSTRUCTION RUNS JOBS over the corpus. The
-    near-dedup stage caches its shingle relation eagerly
-    (``shared(eager=True)`` — one serial pass beats the sibling-subtree
-    race that recomputes the shingle UDF up to 3x) and resolves
-    connected components iteratively at call time; with ``dsir_target``
-    set there is additionally one eager featurization of the (small, by
-    contract) target corpus to fail fast on a token-less target. Ask
-    for this function only when you intend to run the pipeline.
+    exact-deduped relation is cached eagerly (``shared()`` — the LSH
+    verify references its base relation three times and the keep/score
+    consumers again, so one serial pass beats four replays of the
+    semi-join shuffle), the near-dedup stage counts its candidate-pair
+    relation for the broadcast gate, and connected components resolve
+    iteratively at call time; with ``dsir_target`` set there is
+    additionally one eager featurization of the (small, by contract)
+    target corpus to fail fast on a token-less target. Ask for this
+    function only when you intend to run the pipeline. Long-lived
+    sessions should ``release_shared_caches(spark)`` between pipeline
+    invocations (the standard shared() contract).
     """
     # Fail fast on null ids: a null doc_id would silently vanish in the
     # exact-dedup semi-join (min() skips nulls, the join never matches) —
@@ -127,11 +132,22 @@ def clean_corpus(
     filtered = base.filter(keep)
 
     # exact dedup: min id per content hash survives (one map-side-
-    # combinable shuffle); left_semi keeps the payload row
+    # combinable shuffle); left_semi keeps the payload row.
+    # shared(): this relation's lineage (scan + filter UDF-set + the
+    # semi-join shuffle) is referenced from FOUR-plus plan subtrees —
+    # the fused LSH verify reads its base relation three times
+    # (bucketing + both text-fetch sides, see _lsh_verified_pairs) and
+    # the keep/score consumers read it again. Uncached, each subtree
+    # replays the semi-join shuffle; cached, one pass computes it
+    # (MEMORY_AND_DISK — spills, never OOMs). This also restores the
+    # caching the r14 fused restructure removed when the shingle
+    # relation (whose shared() sat downstream of this lineage) was
+    # eliminated — and lets the LSH text-broadcast gate measure its
+    # payload at memory speed (r15).
     keep_ids = exact_dedup_by_content(filtered, "doc_id", "text").select(
         F.col("keep_id").alias("doc_id")
     )
-    exact_unique = filtered.join(keep_ids, "doc_id", "left_semi")
+    exact_unique = shared(filtered.join(keep_ids, "doc_id", "left_semi"))
 
     # near-dedup: LSH pairs -> connected components -> representatives.
     # collapse_exact off: the exact_dedup_by_content stage above already

@@ -392,8 +392,22 @@ def minhash_lsh_dedup_pairs(
     """
     if not collapse_exact:
         rel = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        # A caller that pre-collapsed AND cached its relation (e.g.
+        # clean_corpus's shared() exact-deduped frame) gets the measured
+        # text-broadcast gate — the mean-octets aggregate scans the
+        # InMemoryRelation, not cold storage. Detection reads the INPUT
+        # frame's own storage level (the trivial projection above still
+        # resolves against the cached parent); a merely-derived-from-
+        # cached frame reports NONE and conservatively skips the gate.
+        lvl = df.storageLevel
         return _lsh_verified_pairs(
-            rel, shingle_len, num_perm, bands, max_bucket_size, threshold
+            rel,
+            shingle_len,
+            num_perm,
+            bands,
+            max_bucket_size,
+            threshold,
+            rel_cached=bool(lvl.useMemory or lvl.useDisk),
         )
     groups = _exact_groups(df, id_col, text_col)
     reps = groups.select(F.col("gid").alias("id"), "text")

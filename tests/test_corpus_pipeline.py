@@ -298,3 +298,54 @@ def test_shared_skips_count_only_for_own_eager_fills(spark):
     assert acc.value == 16
     lazy.unpersist()
     release_shared_caches(spark)
+
+
+def test_exact_unique_cached_and_gate_measured(spark):
+    """r15: the exact-deduped relation is shared()-cached — the LSH
+    verify references its base three times and the keep/score consumers
+    again, so uncached every subtree replays the filter + semi-join
+    shuffle. Pins (a) the deduped plan reads the cache, and (b) the
+    cached relation re-engages the measured text-broadcast gate through
+    minhash_lsh_dedup_pairs' storage-level detection."""
+    from local_pubchem_db_spark.operators import dedup as D
+    from local_pubchem_db_spark.operators.util import (
+        release_shared_caches,
+        shared,
+    )
+
+    release_shared_caches(spark)
+    stages = clean_corpus(_docs(spark), languages=None, min_quality=0)
+    plan = (
+        stages["deduped"]._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "InMemoryTableScan" in plan, plan
+    assert {r["doc_id"] for r in stages["deduped"].collect()} == {1, 5, 7, 8}
+
+    # storage-level detection: a caller-cached frame gets the measured
+    # text gate (2 broadcast hints below both gates), an uncached one
+    # conservatively skips it (1 — the id-only cand hint)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # distinct plans: caching is tracked per logical plan, so an
+        # identical-plan frame would (correctly) also report cached
+        uncached = _docs(spark).filter(F.col("doc_id").isin(1, 3, 4))
+        cached = shared(_docs(spark).filter(F.col("doc_id").isin(1, 3, 4, 5)))
+
+        def nb(frame):
+            df = D.minhash_lsh_dedup_pairs(
+                frame, "doc_id", "text", threshold=0.8,
+                collapse_exact=False,
+            )
+            return (
+                df._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+                .count("BroadcastHashJoin")
+            )
+
+        assert nb(cached) == 2
+        assert nb(uncached) == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        release_shared_caches(spark)
