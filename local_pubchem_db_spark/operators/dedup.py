@@ -495,15 +495,19 @@ def _lsh_verified_pairs(
       orders of magnitude of margin under the hard limit (at bench
       scale the payload is ~MBs, so the fast plan stays engaged).
       The mean-octets aggregate reads the corpus text column, so it is
-      measured ONLY when the caller vouches ``rel_cached`` (the
-      collapse path, where ``rel`` derives from the shared() cached
-      exact-groups relation — the aggregate is memory-speed). On an
-      uncached ``rel`` the text gate is simply not engaged
-      (``half`` takes the shuffle join, the shape that worked at scale
-      pre-r14) rather than paying a fourth cold columnar scan of the
-      heaviest column to decide an optimization (r15 review finding —
-      the scan would grow linearly with corpus size in exactly the
-      mid-scale regime where the pair gate passes).
+      measured ONLY when ``rel_cached`` says the relation is already
+      in memory: the collapse path (``rel`` derives from the shared()
+      cached exact-groups relation), and any no-collapse caller whose
+      INPUT frame is itself persisted — ``minhash_lsh_dedup_pairs``
+      detects that via the frame's storage level (clean_corpus's
+      shared() exact-deduped relation is the production case). Either
+      way the aggregate is memory-speed. On a genuinely uncached
+      ``rel`` the text gate is simply not engaged (``half`` takes the
+      shuffle join, the shape that worked at scale pre-r14) rather
+      than paying a fourth cold columnar scan of the heaviest column
+      to decide an optimization (r15 review finding — the scan would
+      grow linearly with corpus size in exactly the mid-scale regime
+      where the pair gate passes).
 
     Above a gate the join falls back to a plain shuffle join — the
     pre-r14 verify shape, which is exactly what worked at scale before
@@ -524,10 +528,13 @@ def _lsh_verified_pairs(
     corpus-sized shingle relation. On the default collapse path ``rel``
     is the shared() exact-groups relation (cached — re-reads are
     memory-speed, and the text-gate's mean-octets aggregate adds a
-    fourth memory-speed read); on the no-collapse path they are three
-    columnar scans of (id, text) — exactly three, the text gate is not
-    measured there — the deliberate price of holding ZERO corpus-sized
-    state, which at 100 TB is the binding constraint."""
+    fourth memory-speed read); on the no-collapse path with an
+    UNCACHED input they are three columnar scans of (id, text) —
+    exactly three, the text gate is skipped — the deliberate price of
+    holding ZERO corpus-sized state, which at 100 TB is the binding
+    constraint; a no-collapse caller that persisted its input
+    (clean_corpus) trades that state for memory-speed re-reads and
+    gets the measured gate back."""
     buckets = _fused_band_buckets(rel, shingle_len, num_perm, bands)
     cand = bounded_bucket_pairs(
         buckets, ["band", "bucket"], max_bucket_size=max_bucket_size

@@ -9,6 +9,8 @@ resolution — these tests pin both the bound and the connectivity.
 """
 
 from pyspark.sql import functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from local_pubchem_db_spark.operators.dedup import (
     bounded_bucket_pairs,
@@ -638,9 +640,6 @@ def test_lsh_verify_gate_results_identical_across_shapes(spark, monkeypatch):
     assert rows() == want
     release_shared_caches(spark)
 
-
-from hypothesis import given, settings
-from hypothesis import strategies as st
 
 
 @given(
