@@ -23,6 +23,7 @@ Scale notes:
 
 from __future__ import annotations
 
+from typing import NamedTuple
 from weakref import WeakKeyDictionary
 
 import pandas as pd
@@ -409,7 +410,23 @@ def minhash_lsh_dedup_pairs(
             threshold,
             rel_cached=bool(lvl.useMemory or lvl.useDisk),
         )
-    groups = _exact_groups(df, id_col, text_col)
+    # lazy persist (r15 optimization round): the _dup_info probe below is
+    # the invocation's FIRST action and references groups in exactly one
+    # subtree, so ITS execution fills the cache — the separate eager
+    # count() job shared() would run is pure overhead here (the sf0.1
+    # phase profile charged it ~4 of the row's 18 stage-jobs).
+    groups = _exact_groups(df, id_col, text_col, eager=False)
+    # a group of identical too-short texts has no shingles and must
+    # emit no pairs (matching the brute-force null-jaccard exclusion);
+    # "has shingles" == word count >= shingle_len, computed JVM-side
+    # (same ASCII \s+ tokens as the shingle UDF) now that the full
+    # shingle relation is no longer materialized (r14)
+    valid_pred = _word_count(F.col("text")) >= shingle_len
+    valid_key = f"wc>={shingle_len}"
+    # ONE memoized probe job for every per-invocation scalar (r15: dup
+    # sizing + the text-broadcast gate's mean octets used to be three
+    # separate aggregation jobs plus a second literal collect)
+    info = _dup_info(groups, valid_pred, max_bucket_size, valid_key=valid_key)
     reps = groups.select(F.col("gid").alias("id"), "text")
     rep_pairs = _lsh_verified_pairs(
         reps,
@@ -419,8 +436,9 @@ def minhash_lsh_dedup_pairs(
         max_bucket_size,
         threshold,
         # reps projects the shared() cached exact-groups relation, so
-        # the text-gate's mean-octets aggregate is memory-speed here
+        # the text-gate's mean-octets measurement is memory-speed here
         rel_cached=True,
+        mean_octets=info.mean_octets,
     )
     # Warm-service fast path (r7 bench regression: the expansion joins
     # ran every invocation even on corpora with no exact dups): the
@@ -433,15 +451,9 @@ def minhash_lsh_dedup_pairs(
         val_col="jaccard",
         intra_column=F.lit(1.0),
         intra_value=1.0,
-        # a group of identical too-short texts has no shingles and must
-        # emit no pairs (matching the brute-force null-jaccard exclusion);
-        # "has shingles" == word count >= shingle_len, computed JVM-side
-        # (same ASCII \s+ tokens as the shingle UDF) now that the full
-        # shingle relation is no longer materialized (r14)
-        valid_gids=reps.filter(
-            _word_count(F.col("text")) >= shingle_len
-        ).select(F.col("id").alias("gid")),
+        valid_pred=valid_pred,
         cap=max_bucket_size,
+        info=info,
     )
 
 
@@ -463,6 +475,7 @@ def _lsh_verified_pairs(
     threshold: float,
     *,
     rel_cached: bool = False,
+    mean_octets: float | None = None,
 ) -> DataFrame:
     """Exact-verified LSH pairs over an (id, text) relation — the r14
     plan shape (verdict Next #3, measured in MINHASH_r14): the corpus
@@ -543,9 +556,14 @@ def _lsh_verified_pairs(
     broadcast_pairs = n_pairs <= _LSH_PAIR_BROADCAST_LIMIT
     broadcast_texts = False
     if broadcast_pairs and n_pairs > 0 and rel_cached:
-        mean_octets = (
-            rel.agg(F.avg(F.octet_length("text"))).first()[0] or 0.0
-        )
+        # ``mean_octets`` is handed in by the collapse path (the
+        # _dup_info probe measures it in the same job as the dup
+        # sizing — r15); a cached no-collapse caller still measures it
+        # here with one tiny memory-speed aggregate.
+        if mean_octets is None:
+            mean_octets = (
+                rel.agg(F.avg(F.octet_length("text"))).first()[0] or 0.0
+            )
         broadcast_texts = (
             n_pairs * (mean_octets + _LSH_PAIR_ROW_OVERHEAD)
             <= _LSH_TEXT_BROADCAST_BYTES
@@ -560,11 +578,21 @@ def _lsh_verified_pairs(
     )
 
 
-def _exact_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _exact_groups(
+    df: DataFrame, id_col: str, text_col: str, eager: bool = True
+) -> DataFrame:
     """(gid, _ids, text): one row per DISTINCT text — sorted member ids
     (gid = minimum) plus one representative text. One shuffle produces
     the whole group structure; shared() because the collapse consumers
-    reference it from 2-3 plan subtrees (reps + both expansions)."""
+    reference it from 2-3 plan subtrees (reps + both expansions).
+
+    ``eager=False`` (r15): skip shared()'s cache-fill count when the
+    CALLER's first action is itself a single-subtree reference to this
+    relation (the _dup_info probe, an eager downstream shared()) — that
+    action then performs the fill, and the separate count job is saved.
+    The fill-race shared() documents only exists when the first action
+    references the relation from MULTIPLE subtrees; callers passing
+    False are asserting their action ordering avoids that."""
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     # NULL must stay its OWN group, distinct from '': the tokenizer gives
     # '' a phantom empty token (so two '' docs DO pair under SimHash)
@@ -581,7 +609,8 @@ def _exact_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.sort_array(F.collect_list("id")).alias("_ids"),
             F.min_by("text", "id").alias("text"),
         )
-        .select(F.element_at("_ids", 1).alias("gid"), "_ids", "text")
+        .select(F.element_at("_ids", 1).alias("gid"), "_ids", "text"),
+        eager=eager,
     )
 
 
@@ -636,30 +665,51 @@ def _cache_entry(df: DataFrame):
         return None
 
 
-def _dup_stats(groups: DataFrame) -> tuple[int, int]:
-    """(dup group count, total dup member ids) from an ``_exact_groups``
-    relation — one tiny agg over the (cached) groups, driving the
-    expansion fast paths: 0 dup groups lets callers skip the member
-    expansion outright; a small member total lets them broadcast it."""
-    n_dup, dup_members = groups.agg(
-        F.count(F.when(F.size("_ids") > 1, 1)),
-        F.coalesce(
-            F.sum(F.when(F.size("_ids") > 1, F.size("_ids"))), F.lit(0)
-        ),
-    ).first()
-    return n_dup, dup_members
+class DupInfo(NamedTuple):
+    """Per-invocation scalars of an ``_exact_groups`` relation, computed
+    in ONE aggregation job (r15: the dup sizing and the LSH text-gate's
+    mean octets used to be separate jobs): dup group count, total dup
+    member ids, the literal dup structure (when the dup set fits plan
+    literals, else None), and the mean text octet length over the
+    distinct-text representatives (the corpus-wide mean the
+    ``_LSH_TEXT_BROADCAST_BYTES`` gate multiplies by)."""
+
+    n_dup: int
+    dup_members: int
+    literal: dict | None
+    mean_octets: float
 
 
 def _dup_info(
-    groups: DataFrame, valid_gids: DataFrame, cap: int | None
-) -> tuple[int, int, dict | None]:
-    """(n_dup, dup_members, literal) — ``literal`` is the collected dup
-    structure when the dup set fits plan literals (see
-    ``_expand_rep_pairs_literal``), else None. Memoized per session on
-    the canonicalized plans while the groups relation stays cached, so
-    a warm service re-invoking the same dedup pays ZERO jobs here."""
+    groups: DataFrame,
+    valid: Column | DataFrame,
+    cap: int | None,
+    valid_key: str | None = None,
+) -> DupInfo:
+    """``DupInfo`` for a groups relation — memoized per session on the
+    canonicalized plan while the groups relation stays cached, so a warm
+    service re-invoking the same dedup pays ZERO jobs here.
+
+    ``valid``: which gids may emit intra pairs — as a boolean COLUMN
+    over the groups row (the callers' validity is always a row-local
+    predicate on the representative text, so the literal path resolves
+    it in the same collect), or as a gid DataFrame (legacy form, pays a
+    second membership collect).
+
+    ``valid_key``: stable memo-key component for a Column ``valid`` —
+    required for warm-path memo HITS because a Column's repr embeds
+    fresh lambda-variable ids per construction (``_word_count``'s
+    higher-order filter), so ``str(valid)`` never repeats. The caller
+    must choose a key that uniquely determines the predicate (e.g.
+    ``f"wc>={shingle_len}"``); as everywhere in this memo, validity
+    still rests on the stored CacheManager entry equaling the groups
+    relation's current entry, so a key can never bleed across corpora."""
     memo = _DUP_MEMO.setdefault(groups.sparkSession, {})
-    gk, vk = _plan_key(groups), _plan_key(valid_gids)
+    gk = _plan_key(groups)
+    if isinstance(valid, Column):
+        vk = valid_key if valid_key is not None else str(valid)
+    else:
+        vk = _plan_key(valid)
     key = (gk, vk, cap) if gk is not None and vk is not None else None
     entry = _cache_entry(groups) if key is not None else None
     if key is not None and entry is not None:
@@ -671,20 +721,26 @@ def _dup_info(
                     return info
             except Exception:  # noqa: BLE001 — stale JVM ref: recompute
                 pass
-    n_dup, dup_members = _dup_stats(groups)
+    n_dup, dup_members, mean_octets = groups.agg(
+        F.count(F.when(F.size("_ids") > 1, 1)),
+        F.coalesce(
+            F.sum(F.when(F.size("_ids") > 1, F.size("_ids"))), F.lit(0)
+        ),
+        F.avg(F.octet_length("text")),
+    ).first()
     literal = (
-        _collect_literal_dups(groups, valid_gids, cap)
+        _collect_literal_dups(groups, valid, cap)
         if 0 < dup_members <= _DUP_LITERAL_LIMIT
         else None
     )
-    out = (n_dup, dup_members, literal)
+    out = DupInfo(n_dup, dup_members, literal, float(mean_octets or 0.0))
     if key is not None and entry is not None:
         memo[key] = (entry, out)
     return out
 
 
 def _collect_literal_dups(
-    groups: DataFrame, valid_gids: DataFrame, cap: int | None
+    groups: DataFrame, valid: Column | DataFrame, cap: int | None
 ) -> dict | None:
     """Collect the (small, caller-gated) dup groups to the driver and
     precompute both expansion halves: the gid -> capped member list map
@@ -692,18 +748,33 @@ def _collect_literal_dups(
     policy as ``_capped_pairs`` (all pairs within the cap, star+chain
     above it; ``cap=None`` exhaustive). Returns None if the intra pair
     count would exceed the literal budget (e.g. cap=None over a large
-    group — quadratic output belongs on executors)."""
-    rows = groups.filter(F.size("_ids") > 1).select("gid", "_ids").collect()
-    members = {r["gid"]: list(r["_ids"]) for r in rows}
-    valid = {
-        r["gid"]
-        for r in valid_gids.filter(
-            F.col("gid").isin(list(members))
-        ).collect()
-    }
+    group — quadratic output belongs on executors).
+
+    With a Column ``valid`` the gid validity resolves inside the SAME
+    collect (one job); the DataFrame form keeps the r14 two-collect
+    shape."""
+    if isinstance(valid, Column):
+        rows = (
+            groups.filter(F.size("_ids") > 1)
+            .select("gid", "_ids", valid.alias("_v"))
+            .collect()
+        )
+        members = {r["gid"]: list(r["_ids"]) for r in rows}
+        valid_set = {r["gid"] for r in rows if r["_v"]}
+    else:
+        rows = (
+            groups.filter(F.size("_ids") > 1).select("gid", "_ids").collect()
+        )
+        members = {r["gid"]: list(r["_ids"]) for r in rows}
+        valid_set = {
+            r["gid"]
+            for r in valid.filter(
+                F.col("gid").isin(list(members))
+            ).collect()
+        }
     intra: list[tuple] = []
     for g, ids in members.items():
-        if g not in valid:
+        if g not in valid_set:
             continue
         if cap is None or len(ids) <= cap:
             intra.extend(
@@ -810,21 +881,38 @@ def _expand_collapsed(
     val_col: str,
     intra_column: Column,
     intra_value,
-    valid_gids: DataFrame,
-    cap: int | None,
+    valid_gids: DataFrame | None = None,
+    cap: int | None = None,
+    *,
+    valid_pred: Column | None = None,
+    valid_key: str | None = None,
+    info: DupInfo | None = None,
 ) -> DataFrame:
     """Route the member expansion through the cheapest shape the dup
     set admits: identity (no dups), plan literals (small — job-free on
     warm re-invocation), broadcast joins (medium), shuffle joins
     (flood). All four pinned output-identical in
-    tests/test_lsh_bucket_cap.py."""
-    n_dup, dup_members, literal = _dup_info(groups, valid_gids, cap)
-    if n_dup == 0:
+    tests/test_lsh_bucket_cap.py.
+
+    Validity comes as ``valid_pred`` (a boolean column over the groups
+    row — the fast one-collect literal path) or the legacy
+    ``valid_gids`` gid DataFrame; exactly one must be given. ``info``:
+    a ``DupInfo`` the caller already probed for the same
+    (groups, validity, cap) — skips the memo lookup's plan-key round
+    trip (the probe itself is memoized either way)."""
+    if (valid_pred is None) == (valid_gids is None):
+        raise ValueError("pass exactly one of valid_pred / valid_gids")
+    valid = valid_pred if valid_pred is not None else valid_gids
+    if info is None:
+        info = _dup_info(groups, valid, cap, valid_key=valid_key)
+    if info.n_dup == 0:
         return rep_pairs
-    if literal is not None:
+    if info.literal is not None:
         return _expand_rep_pairs_literal(
-            rep_pairs, literal, val_col, intra_value
+            rep_pairs, info.literal, val_col, intra_value
         )
+    if valid_gids is None:
+        valid_gids = groups.filter(valid_pred).select("gid")
     return _expand_rep_pairs(
         groups,
         rep_pairs,
@@ -832,7 +920,7 @@ def _expand_collapsed(
         intra_val=intra_column,
         valid_gids=valid_gids,
         cap=cap,
-        broadcast_dups=dup_members <= _DUP_BROADCAST_LIMIT,
+        broadcast_dups=info.dup_members <= _DUP_BROADCAST_LIMIT,
     )
 
 
@@ -1037,7 +1125,14 @@ def incremental_minhash_new_ids(
     ``minhash_lsh_dedup_pairs`` keeps the cap on by default because there
     the keep-set is provably preserved.
     """
-    groups = _exact_groups(batch, id_col, text_col) if collapse_exact else None
+    # lazy persist (r15): the _dup_info probe below is the first action
+    # and references groups once — its execution fills the cache, so the
+    # separate shared() count job is saved (see _exact_groups).
+    groups = (
+        _exact_groups(batch, id_col, text_col, eager=False)
+        if collapse_exact
+        else None
+    )
     n_dup = dup_members = 0
     if collapse_exact:
         # the memoized dup-set sizing gates both expansions below: a
@@ -1045,12 +1140,12 @@ def incremental_minhash_new_ids(
         # member ids), a small dup set rides plan literals or broadcast
         # hints — same routing as minhash_lsh_dedup_pairs
         rel = groups.select(F.col("gid").alias("id"), "text")
-        valid_gids = rel.filter(
-            _word_count(F.col("text")) >= shingle_len
-        ).select(F.col("id").alias("gid"))
-        n_dup, dup_members, _lit = _dup_info(
-            groups, valid_gids, max_bucket_size
+        valid_pred = _word_count(F.col("text")) >= shingle_len
+        valid_key = f"wc>={shingle_len}"
+        info = _dup_info(
+            groups, valid_pred, max_bucket_size, valid_key=valid_key
         )
+        n_dup, dup_members = info.n_dup, info.dup_members
     else:
         rel = batch.select(
             F.col(id_col).alias("id"), F.col(text_col).alias("text")
@@ -1120,8 +1215,9 @@ def incremental_minhash_new_ids(
             val_col="jaccard",
             intra_column=F.lit(1.0),
             intra_value=1.0,
-            valid_gids=valid_gids,
+            valid_pred=valid_pred,
             cap=max_bucket_size,
+            info=info,
         )
     if quality_col is None:
         dup_in_batch = vpairs.select(F.col("id2").alias("id")).distinct()
@@ -1398,7 +1494,10 @@ def simhash_dedup_pairs(
     means the member expansions are exhaustive too.
     """
     if collapse_exact:
-        groups = _exact_groups(df, id_col, text_col)
+        # lazy persist (r15): the recursive call's shared() SimHash
+        # relation is the first action referencing groups (single
+        # subtree) — its eager count fills the cache.
+        groups = _exact_groups(df, id_col, text_col, eager=False)
         rep_pairs = simhash_dedup_pairs(
             groups.select(F.col("gid").alias("id"), "text"),
             "id",
@@ -1407,21 +1506,19 @@ def simhash_dedup_pairs(
             max_bucket_size=max_bucket_size,
             collapse_exact=False,
         )
+        # same warm-path routing as minhash_lsh_dedup_pairs:
+        # identity / literal / broadcast / shuffle by dup-set size.
         # valid gids: reps with >=1 token — exactly the SimHash non-null
         # condition (hashing.simhash_udf: "null/empty token arrays hash
         # to NULL"), without re-running the hash UDF
-        rep_ok = groups.filter(
-            F.size(tokens(F.col("text"))) > 0
-        ).select("gid")
-        # same warm-path routing as minhash_lsh_dedup_pairs:
-        # identity / literal / broadcast / shuffle by dup-set size
         return _expand_collapsed(
             groups,
             rep_pairs,
             val_col="hamming",
             intra_column=F.lit(0).cast("int"),
             intra_value=0,
-            valid_gids=rep_ok,
+            valid_pred=F.size(tokens(F.col("text"))) > 0,
+            valid_key="ntokens>0",
             cap=max_bucket_size,
         )
     # SimHash as one vectorized map (see hashing.simhash_udf); shared():

@@ -706,3 +706,53 @@ def test_bounded_bucket_pairs_properties(spark, buckets):
         for ids in buckets
     )
     assert len(got) <= bound
+
+
+def test_dup_info_one_probe_job_and_warm_memo(spark):
+    """r15 job-fold: _dup_info computes dup sizing + the text-gate's
+    mean octets in ONE aggregation (plus one conditional literal
+    collect), its mean matches a separate aggregate, the Column-form
+    validity resolves in the same collect as the legacy DataFrame form,
+    and a warm re-invocation with a stable valid_key runs ZERO jobs."""
+    from local_pubchem_db_spark.operators import dedup as D
+    from local_pubchem_db_spark.operators.util import release_shared_caches
+
+    release_shared_caches(spark)
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "aa bb cc dd"), (3, "x"), (4, "x"),
+         (5, "solo doc here now")],
+        "doc_id long, text string",
+    )
+    groups = D._exact_groups(docs, "doc_id", "text")
+    pred = D._word_count(F.col("text")) >= 3
+    info = D._dup_info(groups, pred, 64, valid_key="wc>=3")
+    assert (info.n_dup, info.dup_members) == (2, 4)
+    want_mean = groups.agg(F.avg(F.octet_length("text"))).first()[0]
+    assert abs(info.mean_octets - float(want_mean)) < 1e-9
+    # Column-form validity == legacy DataFrame-form validity: the "x"
+    # group (too short) must emit no intra pairs on either path
+    legacy = D._dup_info(
+        groups,
+        groups.filter(pred).select("gid"),
+        64,
+    )
+    assert legacy.literal == info.literal
+    assert info.literal is not None
+    assert all(
+        a != 3 and b != 3 for a, b in info.literal["intra"]
+    ), "too-short dup group must be invalid for intra pairs"
+    # warm memo: the identical (groups, valid_key, cap) re-probe runs
+    # zero jobs even though the predicate Column is a NEW object with
+    # fresh lambda-variable ids
+    st = spark.sparkContext.statusTracker()
+    before = len(st.getJobIdsForGroup(None) or [])
+    again = D._dup_info(
+        groups,
+        D._word_count(F.col("text")) >= 3,
+        64,
+        valid_key="wc>=3",
+    )
+    after = len(st.getJobIdsForGroup(None) or [])
+    assert again == info
+    assert after == before, "warm _dup_info re-probe must run no jobs"
+    release_shared_caches(spark)

@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # noqa: F401 — resolves the warmup UDF's type hints
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
@@ -51,8 +53,17 @@ def profile_once(spark, sf_dir: str, label: str) -> dict:
         return r
 
     groups = phase(
-        "exact_groups", lambda: D._exact_groups(docs, "doc_id", "text")
+        "exact_groups",
+        lambda: D._exact_groups(docs, "doc_id", "text", eager=False),
     )
+    valid_pred = D._word_count(F.col("text")) >= 3
+    dup_info = phase(
+        "dup_info",
+        lambda: D._dup_info(groups, valid_pred, 64, valid_key="wc>=3"),
+    )
+    out["n_dup"], out["dup_members"] = dup_info.n_dup, dup_info.dup_members
+    out["literal"] = dup_info.literal is not None
+    out["mean_octets"] = round(dup_info.mean_octets, 1)
     reps_rel = groups.select(F.col("gid").alias("id"), "text")
     buckets = phase(
         "bucket_plan", lambda: D._fused_band_buckets(reps_rel, 3, 128, 32)
@@ -65,28 +76,20 @@ def profile_once(spark, sf_dir: str, label: str) -> dict:
     )
     n_pairs = phase("cand_count", cand.count)
     out["n_pairs"] = n_pairs
-    mean_octets = phase(
-        "mean_octets",
-        lambda: reps_rel.agg(F.avg(F.octet_length("text"))).first()[0],
-    )
-    out["mean_octets"] = round(mean_octets or 0, 1)
     verified = D._verify_jaccard_from_texts(
         cand, reps_rel, 3, 0.8,
         broadcast_cand=n_pairs <= D._LSH_PAIR_BROADCAST_LIMIT,
-        broadcast_half=True,
+        broadcast_half=(
+            n_pairs * (dup_info.mean_octets + D._LSH_PAIR_ROW_OVERHEAD)
+            <= D._LSH_TEXT_BROADCAST_BYTES
+        ),
     )
-    valid = reps_rel.filter(
-        D._word_count(F.col("text")) >= 3
-    ).select(F.col("id").alias("gid"))
-    dup_info = phase("dup_info", lambda: D._dup_info(groups, valid, 64))
-    out["n_dup"], out["dup_members"] = dup_info[0], dup_info[1]
-    out["literal"] = dup_info[2] is not None
     final = phase(
         "expand_plan",
         lambda: D._expand_collapsed(
             groups, verified, val_col="jaccard",
             intra_column=F.lit(1.0), intra_value=1.0,
-            valid_gids=valid, cap=64,
+            valid_pred=valid_pred, cap=64, info=dup_info,
         ),
     )
     phase(
@@ -106,7 +109,6 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # session + python-worker warmup, matching bench.py
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
