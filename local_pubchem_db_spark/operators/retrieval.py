@@ -1115,28 +1115,43 @@ def rrf_fuse(
 
     Scale shape: each input is already a top-N frame (tiny — the heavy
     lifting lives in the upstream rankers, which carry their own scale
-    shapes), so the fusion is a full-outer join of k-row relations that
-    AQE broadcasts; nothing here touches the corpus. Determinism: each
-    contribution is one IEEE division of exact integers and the
-    summation order is fixed by the expression tree, so the fused
-    scores hash-match any ANSI engine evaluating the same tree (the
-    registry twin `hybrid_rrf` is value-hashed against DuckDB).
-    Columns: <id_col>, ``rrf_score``, ``rank``."""
+    shapes), so the fusion is ONE union + grouped aggregation (r15: the
+    previous full-outer join chain planned a SortMergeJoin — two
+    exchanges plus two sorts for relations this small, and Spark cannot
+    broadcast a full-outer build side); nothing here touches the
+    corpus. Determinism: each contribution is one IEEE division of
+    exact integers; per ranking index the aggregate sums EXACTLY ONE
+    non-null addend (union rows carry their contribution in a
+    per-ranking column, null elsewhere), so no reassociation exists and
+    the final score is the same fixed-order expression tree as before —
+    the fused scores hash-match any ANSI engine evaluating the same
+    tree (the registry twin `hybrid_rrf` is value-hashed against
+    DuckDB). Columns: <id_col>, ``rrf_score``, ``rank``."""
     from functools import reduce
 
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking")
+    n = len(rankings)
     tagged = [
         r.select(
             F.col(id_col),
-            (
-                F.lit(1.0)
-                / (F.lit(float(k)) + F.col("rank").cast("double"))
-            ).alias(f"__rrf_{i}"),
+            *[
+                (
+                    (
+                        F.lit(1.0)
+                        / (F.lit(float(k)) + F.col("rank").cast("double"))
+                    )
+                    if j == i
+                    else F.lit(None).cast("double")
+                ).alias(f"__rrf_{j}")
+                for j in range(n)
+            ],
         )
         for i, r in enumerate(rankings)
     ]
-    joined = reduce(lambda a, b: a.join(b, id_col, "full_outer"), tagged)
+    joined = reduce(lambda a, b: a.unionByName(b), tagged).groupBy(
+        id_col
+    ).agg(*[F.sum(f"__rrf_{i}").alias(f"__rrf_{i}") for i in range(n)])
     score = None
     for i in range(len(tagged)):
         term = F.coalesce(F.col(f"__rrf_{i}"), F.lit(0.0))
@@ -1688,8 +1703,8 @@ def rrf_fuse_batch(
     """``rrf_fuse`` for a BATCH of queries in one plan: each input is a
     per-query ranked relation carrying (<query_col>, <id_col>, rank),
     e.g. ``bm25_topk_batch`` / ``coordination_topk_batch`` output or
-    ``ivf_pq_search`` over a batch of probe vectors. The fusion joins
-    on (query, doc), sums the reciprocal-rank contributions, and ranks
+    ``ivf_pq_search`` over a batch of probe vectors. The fusion unions
+    the tagged contributions, aggregates per (query, doc), and ranks
     within each query via one grouped window — so B queries cost one
     fused plan, not B driver round-trips, and parallelism scales with
     the batch. ``query_col`` is cast to string on every input (lexical
@@ -1703,20 +1718,31 @@ def rrf_fuse_batch(
 
     if not rankings:
         raise ValueError("rrf_fuse_batch needs at least one ranking")
+    # union + grouped singleton-addend aggregation — one exchange, no
+    # sort; see rrf_fuse (r15) for why this replaced the full-outer
+    # join chain and why scores stay bit-identical
+    n = len(rankings)
     tagged = [
         r.select(
             F.col(query_col).cast("string").alias(query_col),
             F.col(id_col),
-            (
-                F.lit(1.0)
-                / (F.lit(float(k)) + F.col("rank").cast("double"))
-            ).alias(f"__rrf_{i}"),
+            *[
+                (
+                    (
+                        F.lit(1.0)
+                        / (F.lit(float(k)) + F.col("rank").cast("double"))
+                    )
+                    if j == i
+                    else F.lit(None).cast("double")
+                ).alias(f"__rrf_{j}")
+                for j in range(n)
+            ],
         )
         for i, r in enumerate(rankings)
     ]
-    joined = reduce(
-        lambda a, b: a.join(b, [query_col, id_col], "full_outer"), tagged
-    )
+    joined = reduce(lambda a, b: a.unionByName(b), tagged).groupBy(
+        query_col, id_col
+    ).agg(*[F.sum(f"__rrf_{i}").alias(f"__rrf_{i}") for i in range(n)])
     score = None
     for i in range(len(tagged)):
         term = F.coalesce(F.col(f"__rrf_{i}"), F.lit(0.0))

@@ -1822,3 +1822,48 @@ def test_write_stats_row_skips_orphan_delete_when_staged_known(spark, corpus):
             R._hadoop_delete = orig
     finally:
         _reset_index_tables(spark, name)
+
+
+def test_rrf_fuse_plans_no_join_no_sort(spark):
+    """r15: the fusion is a union + grouped aggregation — the physical
+    plan must contain NO join and NO sort-merge machinery (the previous
+    full-outer join chain planned a SortMergeJoin: two exchanges plus
+    two sorts over k-row relations, and at 3+ modalities a join per
+    input). Three rankings also exercises the singleton-addend
+    bit-exactness path beyond the two-input oracle twin."""
+    from pyspark.sql import functions as F
+
+    from local_pubchem_db_spark.operators.retrieval import (
+        rrf_fuse,
+        rrf_fuse_batch,
+    )
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank long")
+    c = spark.createDataFrame([(1, 1), (3, 2)], "doc_id long, rank long")
+    fused = rrf_fuse([a, b, c], k=60, top_n=10)
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "SortMergeJoin" not in plan
+    # reference scores: fixed-order coalesce sum over the three terms
+    def term(rank):
+        return 1.0 / (60.0 + float(rank))
+
+    want = {
+        1: term(1) + 0.0 + term(1),
+        2: term(2) + term(1) + 0.0,
+        3: 0.0 + term(2) + term(2),
+    }
+    got = {r["doc_id"]: r["rrf_score"] for r in fused.collect()}
+    assert got == want  # bit-exact, not approx
+
+    qa = a.withColumn("query_id", F.lit("q"))
+    qb = b.withColumn("query_id", F.lit("q"))
+    fused_b = rrf_fuse_batch([qa, qb], k=60, top_n=10)
+    plan_b = fused_b._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan_b
+    got_b = {r["doc_id"]: r["rrf_score"] for r in fused_b.collect()}
+    assert got_b == {
+        1: term(1) + 0.0,
+        2: term(2) + term(1),
+        3: 0.0 + term(2),
+    }
