@@ -564,10 +564,25 @@ def _lsh_verified_pairs(
             mean_octets = (
                 rel.agg(F.avg(F.octet_length("text"))).first()[0] or 0.0
             )
-        broadcast_texts = (
-            n_pairs * (mean_octets + _LSH_PAIR_ROW_OVERHEAD)
-            <= _LSH_TEXT_BROADCAST_BYTES
-        )
+        est_payload = n_pairs * (mean_octets + _LSH_PAIR_ROW_OVERHEAD)
+        # Driver-literal verify tier (r15 optimization round): a
+        # measured-tiny candidate set skips BOTH text-fetch joins —
+        # collect the pairs (persisted, just counted), fetch their
+        # texts with ONE in-memory isin scan, and verify over an
+        # Arrow-local relation. The execution plan loses its two
+        # sequential BroadcastExchange builds (measured 3 jobs -> 1 on
+        # the sf0.1 noop exec), the same bounded-collect pattern the
+        # expansion's literal tier already uses. Gates: pair count AND
+        # the estimated text payload (same corpus-mean basis as the
+        # broadcast gate, with a 16x tighter ceiling because this
+        # payload lands on the driver). Above a gate: the broadcast /
+        # shuffle joins below, unchanged — the 100 TB shape.
+        if (
+            n_pairs <= _LSH_DRIVER_VERIFY_PAIRS
+            and est_payload <= _LSH_DRIVER_VERIFY_BYTES
+        ):
+            return _verify_pairs_driver(cand, rel, shingle_len, threshold)
+        broadcast_texts = est_payload <= _LSH_TEXT_BROADCAST_BYTES
     return _verify_jaccard_from_texts(
         cand,
         rel,
@@ -575,6 +590,52 @@ def _lsh_verified_pairs(
         threshold,
         broadcast_cand=broadcast_pairs,
         broadcast_half=broadcast_texts,
+    )
+
+
+def _verify_pairs_driver(
+    cand: DataFrame, rel: DataFrame, shingle_len: int, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verify of a measured-tiny candidate set over an
+    Arrow-local relation: pairs and their texts are collected (both
+    reads hit caches — ``cand`` is persisted and counted by the caller,
+    ``rel`` is the caller-vouched cached corpus projection), zipped
+    driver-side, and shipped back as ONE ``driver_rows_df`` local
+    relation feeding the same ``pair_jaccard_udf`` + threshold filter
+    as the join tiers — identical rows, no joins, no broadcast builds.
+    Callers gate on pair count and estimated payload
+    (``_LSH_DRIVER_VERIFY_PAIRS`` / ``_LSH_DRIVER_VERIFY_BYTES``)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from local_pubchem_db_spark.functions.text import pair_jaccard_udf
+    from local_pubchem_db_spark.operators.util import driver_rows_df
+
+    pairs = cand.select("id1", "id2").collect()
+    ids = sorted({r["id1"] for r in pairs} | {r["id2"] for r in pairs})
+    texts = {
+        r["id"]: r["text"]
+        for r in rel.filter(F.col("id").isin(ids)).collect()
+    }
+    id_t = rel.schema["id"].dataType
+    schema = StructType(
+        [
+            StructField("id1", id_t),
+            StructField("id2", id_t),
+            StructField("__t1", StringType()),
+            StructField("__t2", StringType()),
+        ]
+    )
+    local = driver_rows_df(
+        cand.sparkSession,
+        [
+            (r["id1"], r["id2"], texts[r["id1"]], texts[r["id2"]])
+            for r in pairs
+        ],
+        schema,
+    )
+    jac = pair_jaccard_udf(shingle_len)(F.col("__t1"), F.col("__t2"))
+    return local.select("id1", "id2", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -624,6 +685,14 @@ def _exact_groups(
 _LSH_PAIR_BROADCAST_LIMIT = 1_000_000
 _LSH_TEXT_BROADCAST_BYTES = 64 << 20
 _LSH_PAIR_ROW_OVERHEAD = 64  # UnsafeRow + hash-relation slot, per pair
+
+# Driver-literal verify tier (r15, see _verify_pairs_driver): both gates
+# must pass — a bounded pair count AND an estimated text payload a
+# driver collect can absorb without thought (4 MB against a 16 GB
+# driver; the corpus-mean basis can underestimate skewed candidate
+# texts, hence the 16x margin under the broadcast ceiling).
+_LSH_DRIVER_VERIFY_PAIRS = 4_096
+_LSH_DRIVER_VERIFY_BYTES = 4 << 20
 
 _DUP_BROADCAST_LIMIT = 1_000_000  # dup member ids that fit a broadcast
 _DUP_LITERAL_LIMIT = 1_024  # dup member ids that fit plan LITERALS

@@ -585,7 +585,15 @@ def test_lsh_verify_broadcast_gate_plan_shape(spark, monkeypatch):
                 )
             return _initial_plan(df)
 
-        # Cached rel, below both gates: both joins broadcast-hinted.
+        # Below the driver-tier gates (r15): NO joins at all — the
+        # verify runs over an Arrow-local relation of collected pairs.
+        p = plan(cached=True)
+        assert "Join" not in p and "BroadcastExchange" not in p
+        assert "LocalTableScan" in p
+
+        # Driver tier disabled: cached rel, below both broadcast gates
+        # — both text-fetch joins broadcast-hinted.
+        monkeypatch.setattr(D, "_LSH_DRIVER_VERIFY_PAIRS", 0)
         assert plan(cached=True).count("BroadcastHashJoin") == 2
 
         # Cached rel, text payload above its ceiling: the id-only cand
@@ -610,9 +618,9 @@ def test_lsh_verify_broadcast_gate_plan_shape(spark, monkeypatch):
 
 
 def test_lsh_verify_gate_results_identical_across_shapes(spark, monkeypatch):
-    """All three gate outcomes (both broadcasts / cand-only / none) must
-    emit the identical verified pair relation — the gate is plan-shape
-    only, never semantics."""
+    """All four gate outcomes (driver-literal tier / both broadcasts /
+    cand-only / none) must emit the identical verified pair relation —
+    the gate is plan-shape only, never semantics."""
     from local_pubchem_db_spark.operators import dedup as D
     from local_pubchem_db_spark.operators.util import release_shared_caches
 
@@ -632,12 +640,14 @@ def test_lsh_verify_gate_results_identical_across_shapes(spark, monkeypatch):
             ).collect()
         )
 
-    want = rows()
+    want = rows()  # collapse path, tiny pairs: the driver-literal tier
     assert want, "fixture lost its near-dups"
+    monkeypatch.setattr(D, "_LSH_DRIVER_VERIFY_PAIRS", 0)
+    assert rows() == want  # both text-fetch joins broadcast-hinted
     monkeypatch.setattr(D, "_LSH_TEXT_BROADCAST_BYTES", 0)
-    assert rows() == want
+    assert rows() == want  # cand-only broadcast
     monkeypatch.setattr(D, "_LSH_PAIR_BROADCAST_LIMIT", 0)
-    assert rows() == want
+    assert rows() == want  # plain shuffle joins
     release_shared_caches(spark)
 
 
