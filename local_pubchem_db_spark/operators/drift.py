@@ -59,17 +59,26 @@ def token_histogram(
     )
 
 
-def _cross_drift(cnt_a: Column, cnt_b: Column, na: int, nb: int) -> Column:
+def _cross_drift(
+    cnt_a: Column, cnt_b: Column, na: int | Column, nb: int | Column
+) -> Column:
     """``|c_a·N_b − c_b·N_a|`` in decimal(38,0): exact at any corpus
     size (c·N exceeds int64 once token totals pass ~3e9; under Spark 4's
     default ANSI mode the long form would FAIL, with ANSI off it would
     silently wrap — ADVICE r9). Long counts fit decimal(19,0) exactly,
     the products stay < 8.5e37, and with c ≤ N the difference never
-    exceeds the larger product, so nothing overflows the 38-digit cap."""
+    exceeds the larger product, so nothing overflows the 38-digit cap.
+
+    ``na``/``nb`` may be driver ints (the two-frame form measures them
+    with scalar jobs) or long Columns (the one-scan split form attaches
+    them via a broadcast 1-row cross join — r15): a long literal and a
+    long column cast to decimal(19,0) produce the identical expression
+    tree, so both forms emit the same values and the same schema."""
     d19 = "decimal(19,0)"
+    ca = na if isinstance(na, Column) else F.lit(int(na))
+    cb = nb if isinstance(nb, Column) else F.lit(int(nb))
     return F.abs(
-        cnt_a.cast(d19) * F.lit(int(nb)).cast(d19)
-        - cnt_b.cast(d19) * F.lit(int(na)).cast(d19)
+        cnt_a.cast(d19) * cb.cast(d19) - cnt_b.cast(d19) * ca.cast(d19)
     ).cast("decimal(38,0)")
 
 
@@ -129,7 +138,7 @@ def token_drift_split(
     with NULL counts and NULL drift (ADVICE r9)."""
     toks = tokens(normalize_text(F.col(text_col)))
     flag = side.cast("boolean")
-    hist = shared(
+    hist = (
         fan_out(
             docs.filter(flag.isNotNull()),
             **LIGHT_TEXT_GATE,
@@ -145,13 +154,24 @@ def token_drift_split(
             F.sum((~F.col("__a")).cast("long")).cast("long").alias("cnt_b"),
         )
     )
+    # Snapshot totals ride a broadcast 1-row cross join instead of a
+    # driver-blocking scalar job over a shared() cache (r15, guide
+    # §2.4/§5): the totals subtree aggregates the SAME token-histogram
+    # exchange the main branch reads, and AQE's exchange reuse
+    # materializes that shuffle once — one corpus scan+explode, zero
+    # construction-time jobs, and no vocabulary-sized cache entry
+    # competing with execution memory. Plan-shape (ReusedExchange) and
+    # value equality with the scalar form are pinned in test_drift.py.
     tot = hist.agg(
-        F.sum("cnt_a").alias("na"), F.sum("cnt_b").alias("nb")
-    ).first()
-    na, nb = int(tot["na"] or 0), int(tot["nb"] or 0)
-    out = hist.withColumn(
-        "drift", _cross_drift(F.col("cnt_a"), F.col("cnt_b"), na, nb)
+        F.coalesce(F.sum("cnt_a"), F.lit(0)).alias("__na"),
+        F.coalesce(F.sum("cnt_b"), F.lit(0)).alias("__nb"),
     )
+    out = hist.crossJoin(F.broadcast(tot)).withColumn(
+        "drift",
+        _cross_drift(
+            F.col("cnt_a"), F.col("cnt_b"), F.col("__na"), F.col("__nb")
+        ),
+    ).drop("__na", "__nb")
     # the two-frame form omits tokens absent from BOTH sides by
     # construction; here every token has a count, so no filter is needed
     return out.orderBy(F.desc("drift"), F.asc("token")).limit(top_n)

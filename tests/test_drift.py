@@ -192,3 +192,38 @@ def test_split_form_equals_two_frame_form(spark, frames):
         for r in token_drift(da, db, top_n=100).collect()
     ]
     assert split_rows == two_frame
+
+
+def test_split_form_construction_job_free_one_scan(spark, frames):
+    """r15 structural pin for the split form's totals refactor: the
+    snapshot totals ride a broadcast 1-row cross join over the SAME
+    grouped-histogram exchange the ranking branch reads, so (a) query
+    CONSTRUCTION runs zero Spark jobs (the old form paid a shared()
+    cache fill + a driver ``.first()``), and (b) the executed adaptive
+    plan contains a ReusedExchange of the token-histogram shuffle —
+    i.e. ONE corpus scan+explode serves both the counts and the
+    totals."""
+    from pyspark.sql import functions as F
+
+    from local_pubchem_db_spark.operators.drift import token_drift_split
+
+    da, db = frames
+    tagged = da.withColumn("side", F.lit(True)).unionByName(
+        db.withColumn("side", F.lit(False))
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("drift_construct", "job-free construction pin")
+    try:
+        q = token_drift_split(tagged, F.col("side"), top_n=100)
+    finally:
+        sc.setJobGroup("", "")
+    assert sc.statusTracker().getJobIdsForGroup("drift_construct") == []
+
+    assert len(q.collect()) > 0
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    reused = [
+        ln
+        for ln in plan.splitlines()
+        if "ReusedExchange" in ln and "hashpartitioning(token" in ln
+    ]
+    assert len(reused) == 1, plan
