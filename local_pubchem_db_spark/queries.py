@@ -69,8 +69,26 @@ TABLES = [
 ]
 
 
+# Schema memo for t(): Spark 4 runs a 1-task footer job per
+# schema-less read.parquet call, so every query construction paid one
+# fixed driver round trip PER TABLE READ (~0.1 s each on local[32],
+# worse at the driver's low-core scaling bench — measured r15: 3-4
+# construction jobs on the star-join rows were exactly their reads).
+# The memo holds schema METADATA only (never rows): the first read of
+# each path in a process still pays the footer job, and a supplied
+# schema makes subsequent reads plan-only. Results are unchanged — the
+# memoized schema IS the file schema Spark would re-infer.
+_SCHEMA_MEMO: dict[str, "object"] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    sch = _SCHEMA_MEMO.get(path)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[path] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
 
 
 def _parquet_ts_is_nanos(path: str, col: str = "ts") -> bool:

@@ -23,6 +23,11 @@ ALLOWED = {
     # the SMALL side broadcast — the documented strategy; the loop join
     # never materializes a cartesian (predicates filter in the join)
     "price_band_pairs": {"BroadcastNestedLoopJoin": 2},
+    # r15: the split-form snapshot totals ride a broadcast 1-ROW cross
+    # join (the scalar-attach pattern replacing a driver .first()); the
+    # build side is a global aggregate — SinglePartition carries one row
+    # per upstream partition and the loop join multiplies by exactly 1
+    "token_drift": {"BroadcastNestedLoopJoin": 2, "SinglePartition": 1},
 }
 
 RED_FLAGS = [

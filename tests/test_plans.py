@@ -316,3 +316,29 @@ def test_scale_shuffle_rows_identical(spark, sf_dir):
         .collect()
     )
     assert sorted(map(tuple, base)) == sorted(map(tuple, sized))
+
+
+def test_table_loader_schema_memo_job_free(spark, sf_dir):
+    """r15: t() memoizes each parquet path's SCHEMA (metadata only, no
+    rows) so repeat reads skip Spark 4's 1-task footer-inference job —
+    query construction paid one fixed driver round trip per table read.
+    Pin: a repeat read launches zero jobs and yields the identical
+    schema + identical rows as a memo-free read."""
+    from local_pubchem_db_spark.queries import _SCHEMA_MEMO, t
+
+    sc = spark.sparkContext
+
+    def n_jobs():
+        ids = sc.statusTracker().getJobIdsForGroup(None) or []
+        return max(ids) + 1 if ids else 0
+
+    t(spark, sf_dir, "nation")  # ensure memoized
+    assert f"{sf_dir}/nation.parquet" in _SCHEMA_MEMO
+    j0 = n_jobs()
+    df = t(spark, sf_dir, "nation")
+    assert n_jobs() - j0 == 0, "memoized read must not launch a job"
+    fresh = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    assert df.schema == fresh.schema
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
