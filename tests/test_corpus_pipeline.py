@@ -300,13 +300,16 @@ def test_shared_skips_count_only_for_own_eager_fills(spark):
     release_shared_caches(spark)
 
 
-def test_exact_unique_cached_and_gate_measured(spark):
+def test_exact_unique_cached_and_gate_measured(spark, monkeypatch):
     """r15: the exact-deduped relation is shared()-cached — the LSH
     verify references its base three times and the keep/score consumers
     again, so uncached every subtree replays the filter + semi-join
     shuffle. Pins (a) the deduped plan reads the cache, and (b) the
     cached relation re-engages the measured text-broadcast gate through
-    minhash_lsh_dedup_pairs' storage-level detection."""
+    minhash_lsh_dedup_pairs' storage-level detection. The broadcast
+    shapes sit BEHIND the driver-literal verify tier (this fixture's
+    candidate set is measured-tiny), so the tier is pinned off here —
+    its own engagement is pinned in test_lsh_bucket_cap."""
     from local_pubchem_db_spark.operators import dedup as D
     from local_pubchem_db_spark.operators.util import (
         release_shared_caches,
@@ -326,6 +329,7 @@ def test_exact_unique_cached_and_gate_measured(spark):
     # conservatively skips it (1 — the id-only cand hint)
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    monkeypatch.setattr(D, "_LSH_DRIVER_VERIFY_PAIRS", 0)
     try:
         # distinct plans: caching is tracked per logical plan, so an
         # identical-plan frame would (correctly) also report cached
