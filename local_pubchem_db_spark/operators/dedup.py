@@ -23,6 +23,7 @@ Scale notes:
 
 from __future__ import annotations
 
+from threading import Thread
 from typing import NamedTuple
 from weakref import WeakKeyDictionary
 
@@ -425,8 +426,17 @@ def minhash_lsh_dedup_pairs(
     valid_key = f"wc>={shingle_len}"
     # ONE memoized probe job for every per-invocation scalar (r15: dup
     # sizing + the text-broadcast gate's mean octets used to be three
-    # separate aggregation jobs plus a second literal collect)
-    info = _dup_info(groups, valid_pred, max_bucket_size, valid_key=valid_key)
+    # separate aggregation jobs plus a second literal collect). r16
+    # (guide §2.6, VERDICT r15 Next #3): the literal-dup collect rides a
+    # driver thread, overlapping the candidate bucketing/count jobs
+    # _lsh_verified_pairs runs next — the probe aggregation has already
+    # filled the groups cache, so both sides read the InMemoryRelation
+    # and no fill race exists; resolve() joins the thread before the
+    # expansion needs the literal.
+    probe = _dup_info_start(
+        groups, valid_pred, max_bucket_size, valid_key=valid_key,
+        overlap=True,
+    )
     reps = groups.select(F.col("gid").alias("id"), "text")
     rep_pairs = _lsh_verified_pairs(
         reps,
@@ -438,8 +448,9 @@ def minhash_lsh_dedup_pairs(
         # reps projects the shared() cached exact-groups relation, so
         # the text-gate's mean-octets measurement is memory-speed here
         rel_cached=True,
-        mean_octets=info.mean_octets,
+        mean_octets=probe.mean_octets,
     )
+    info = probe.resolve()
     # Warm-service fast path (r7 bench regression: the expansion joins
     # ran every invocation even on corpora with no exact dups): the
     # memoized dup-set sizing routes the expansion through the cheapest
@@ -749,15 +760,47 @@ class DupInfo(NamedTuple):
     mean_octets: float
 
 
-def _dup_info(
+class _DupProbe(NamedTuple):
+    """In-flight ``_dup_info`` probe (see ``_dup_info_start``): the
+    aggregation scalars are available immediately; ``resolve()`` joins
+    the (possibly threaded) literal-dup collect and returns the
+    completed, memoized ``DupInfo``."""
+
+    n_dup: int
+    dup_members: int
+    mean_octets: float
+    resolve: "object"  # Callable[[], DupInfo]
+
+
+def _dup_info_start(
     groups: DataFrame,
     valid: Column | DataFrame,
     cap: int | None,
     valid_key: str | None = None,
-) -> DupInfo:
-    """``DupInfo`` for a groups relation — memoized per session on the
-    canonicalized plan while the groups relation stays cached, so a warm
-    service re-invoking the same dedup pays ZERO jobs here.
+    overlap: bool = False,
+) -> _DupProbe:
+    """Begin the ``DupInfo`` probe for a groups relation — memoized per
+    session on the canonicalized plan while the groups relation stays
+    cached, so a warm service re-invoking the same dedup pays ZERO jobs
+    here.
+
+    The probe is two driver actions: ONE aggregation job for the
+    scalars (dup count / member total / mean text octets — this is the
+    invocation's first action referencing ``groups`` from a single
+    subtree, so it also performs the lazy ``shared()`` cache fill), and,
+    when the measured dup set fits plan literals, a second collect for
+    the literal dup structure. With ``overlap=True`` (guide §2.6) that
+    second collect is submitted on a driver-side thread so it runs
+    CONCURRENTLY with whatever construction jobs the caller launches
+    next (candidate bucketing/count on the LSH path) — by the time the
+    thread starts, the aggregation has already filled the groups cache,
+    so both the thread and the caller's jobs read the InMemoryRelation
+    and the ``shared()`` fill race (first action referencing the
+    relation from multiple subtrees) cannot occur. The session memo is
+    read here and written only inside ``resolve()`` — both on the
+    CALLING thread — so the memo needs no lock; the background thread
+    performs exactly one cached-relation collect and touches no shared
+    state.
 
     ``valid``: which gids may emit intra pairs — as a boolean COLUMN
     over the groups row (the callers' validity is always a row-local
@@ -787,7 +830,12 @@ def _dup_info(
             stored_entry, info = hit
             try:
                 if stored_entry.equals(entry):
-                    return info
+                    return _DupProbe(
+                        info.n_dup,
+                        info.dup_members,
+                        info.mean_octets,
+                        lambda: info,
+                    )
             except Exception:  # noqa: BLE001 — stale JVM ref: recompute
                 pass
     n_dup, dup_members, mean_octets = groups.agg(
@@ -797,15 +845,50 @@ def _dup_info(
         ),
         F.avg(F.octet_length("text")),
     ).first()
-    literal = (
-        _collect_literal_dups(groups, valid, cap)
-        if 0 < dup_members <= _DUP_LITERAL_LIMIT
-        else None
-    )
-    out = DupInfo(n_dup, dup_members, literal, float(mean_octets or 0.0))
-    if key is not None and entry is not None:
-        memo[key] = (entry, out)
-    return out
+    want_literal = 0 < dup_members <= _DUP_LITERAL_LIMIT
+    thread = None
+    box: dict = {}
+    if want_literal and overlap:
+
+        def _run() -> None:
+            try:
+                box["literal"] = _collect_literal_dups(groups, valid, cap)
+            except BaseException as e:  # noqa: BLE001 — re-raised at resolve
+                box["err"] = e
+
+        thread = Thread(target=_run, name="dup-literal-collect", daemon=True)
+        thread.start()
+
+    def resolve() -> DupInfo:
+        if thread is not None:
+            thread.join()
+            if "err" in box:
+                raise box["err"]
+            literal = box["literal"]
+        elif want_literal:
+            literal = _collect_literal_dups(groups, valid, cap)
+        else:
+            literal = None
+        out = DupInfo(n_dup, dup_members, literal, float(mean_octets or 0.0))
+        if key is not None and entry is not None:
+            memo[key] = (entry, out)
+        return out
+
+    return _DupProbe(n_dup, dup_members, float(mean_octets or 0.0), resolve)
+
+
+def _dup_info(
+    groups: DataFrame,
+    valid: Column | DataFrame,
+    cap: int | None,
+    valid_key: str | None = None,
+) -> DupInfo:
+    """Sequential ``_dup_info_start`` + ``resolve()`` — the form for
+    callers with no construction work to overlap the literal collect
+    with."""
+    return _dup_info_start(
+        groups, valid, cap, valid_key=valid_key
+    ).resolve()
 
 
 def _collect_literal_dups(
@@ -1211,10 +1294,15 @@ def incremental_minhash_new_ids(
         rel = groups.select(F.col("gid").alias("id"), "text")
         valid_pred = _word_count(F.col("text")) >= shingle_len
         valid_key = f"wc>={shingle_len}"
-        info = _dup_info(
-            groups, valid_pred, max_bucket_size, valid_key=valid_key
+        # r16: same literal-collect overlap as minhash_lsh_dedup_pairs —
+        # the probe agg fills the groups cache, then the literal collect
+        # runs concurrently with the bucket shared() fill / history
+        # semi-joins below; resolved right before _expand_collapsed.
+        probe = _dup_info_start(
+            groups, valid_pred, max_bucket_size, valid_key=valid_key,
+            overlap=True,
         )
-        n_dup, dup_members = info.n_dup, info.dup_members
+        n_dup, dup_members = probe.n_dup, probe.dup_members
     else:
         rel = batch.select(
             F.col(id_col).alias("id"), F.col(text_col).alias("text")
@@ -1286,7 +1374,7 @@ def incremental_minhash_new_ids(
             intra_value=1.0,
             valid_pred=valid_pred,
             cap=max_bucket_size,
-            info=info,
+            info=probe.resolve(),
         )
     if quality_col is None:
         dup_in_batch = vpairs.select(F.col("id2").alias("id")).distinct()

@@ -1185,8 +1185,14 @@ def bm25_topk(
     ``n_docs`` / ``avgdl``: the corpus scalars, persisted with the index
     by ``save_postings`` and handed back by ``load_index`` — pass both
     and query CONSTRUCTION issues no job at all (r11; previously every
-    call re-aggregated doc_stats for two numbers). When omitted they are
-    derived here in one tiny aggregation job — the ad-hoc path.
+    call re-aggregated doc_stats for two numbers). When omitted, the
+    scalars ride the PLAN as a one-row broadcast cross join over the
+    ``doc_stats`` aggregate (r16 — the token_drift pattern, guide §5:
+    no driver-blocking ``.first()`` in a query path; the aggregate
+    executes inside the broadcast build of the idf side, pipelined with
+    the rest of the query instead of serializing construction). The
+    score expression tree is unchanged — the scalars feed the same
+    double arithmetic whether as literals or as the attached columns.
 
     ``term_df``: the per-term document-frequency relation persisted by
     ``save_postings`` (``<name>_termdf``) — when given, the idf side is
@@ -1194,13 +1200,6 @@ def bm25_topk(
     aggregation over the matched postings, so the matched rows are
     scanned ONCE (scoring) rather than twice; for stop-word-like terms
     at corpus scale the removed pass is millions of rows."""
-    if n_docs is None or avgdl is None:
-        row = doc_stats.agg(
-            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-        ).first()
-        n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
-    if n_docs == 0:
-        return _empty_scored(postings, id_col)
     terms = _norm_terms(query_terms)
     matched = _matched(postings, terms)
     if term_df is not None:
@@ -1209,18 +1208,43 @@ def bm25_topk(
         df_t = matched.groupBy("term").agg(
             F.count_distinct(id_col).alias("df")
         )
+    if n_docs is None or avgdl is None:
+        # ad-hoc path (see docstring): the corpus scalars attach to the
+        # (|q|-row) idf relation as a broadcast 1-row cross join. The
+        # ``coalesce(avg, 0.0)`` mirrors the old ``float(avgdl or 0.0)``
+        # driver coercion; an EMPTY corpus yields empty postings and so
+        # an empty result either way (the n_docs == 0 early exit below
+        # only short-circuits the caller-supplied-scalars form).
+        stats = doc_stats.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.coalesce(F.avg("dl"), F.lit(0.0)).alias("__avgdl"),
+        )
+        df_t = df_t.crossJoin(F.broadcast(stats))
+        n_expr = F.col("__n").cast("double")
+        avgdl_expr = F.col("__avgdl")
+        carry = ["__avgdl"]
+    else:
+        if n_docs == 0:
+            return _empty_scored(postings, id_col)
+        n_expr = F.lit(float(n_docs))
+        avgdl_expr = F.lit(float(avgdl))
+        carry = []
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
+        + (n_expr - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
     tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
         F.col("tf")
         + F.lit(k1)
-        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl_expr)
     )
     scored = (
-        matched.join(F.broadcast(df_t.withColumn("idf", idf)), "term")
+        matched.join(
+            F.broadcast(
+                df_t.withColumn("idf", idf).select("term", "idf", *carry)
+            ),
+            "term",
+        )
         .join(doc_stats, id_col)
         .groupBy(id_col)
         .agg(F.sum(F.col("idf") * tf_norm).alias("score"))

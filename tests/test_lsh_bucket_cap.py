@@ -766,3 +766,86 @@ def test_dup_info_one_probe_job_and_warm_memo(spark):
     assert again == info
     assert after == before, "warm _dup_info re-probe must run no jobs"
     release_shared_caches(spark)
+
+
+def test_dup_probe_overlap_threaded_literal_collect(spark, monkeypatch):
+    """r16 (guide §2.6, VERDICT r15 Next #3): the literal-dup collect of
+    the LSH probe rides a driver-side thread overlapping the candidate
+    count. Pins, in order of importance:
+
+    - EQUALITY: the overlapped pair relation is identical to the
+      sequential form's (the thread only moves WHEN the collect runs);
+    - FILL RACE: by the time the background collect starts, the probe
+      aggregation has fully materialized the groups cache, so the
+      thread and the candidate jobs both read the InMemoryRelation and
+      the multi-subtree first-reference race ``shared()`` documents
+      cannot occur;
+    - MEMO SAFETY: the session memo holds no entry for the in-flight
+      probe while the background collect runs — it is written only by
+      the calling thread inside ``resolve()``.
+    """
+    import threading
+
+    from local_pubchem_db_spark.operators import dedup as D
+    from local_pubchem_db_spark.operators.util import release_shared_caches
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i % 7} common tail")
+         for i in range(40)]
+        + [(100 + i, "alpha beta gamma delta epsilon zeta 0 common tail")
+           for i in range(6)],
+        "doc_id long, text string",
+    )
+
+    release_shared_caches(spark)
+    seen: dict = {}
+    orig_collect = D._collect_literal_dups
+
+    def spy_collect(groups, valid, cap):
+        seen["thread"] = threading.current_thread()
+        seen["memo_len"] = len(D._DUP_MEMO.get(spark, {}) or {})
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        seen["fully_cached"] = any(
+            i.numCachedPartitions() == i.numPartitions()
+            and i.numPartitions() > 0
+            for i in infos
+        )
+        return orig_collect(groups, valid, cap)
+
+    monkeypatch.setattr(D, "_collect_literal_dups", spy_collect)
+    overlapped = sorted(
+        (r["id1"], r["id2"], round(r["jaccard"], 9))
+        for r in D.minhash_lsh_dedup_pairs(
+            docs, "doc_id", "text"
+        ).collect()
+    )
+    assert seen, "literal collect never ran — fixture lost its dup set"
+    assert seen["thread"] is not threading.main_thread(), (
+        "literal collect must run on the overlap thread"
+    )
+    assert seen["fully_cached"], (
+        "groups cache must be fully materialized before the background "
+        "collect starts (the fill-race pin)"
+    )
+    assert seen["memo_len"] == 0, (
+        "session memo must not be written while the probe is in flight"
+    )
+    assert D._DUP_MEMO.get(spark), "resolve() must memoize the DupInfo"
+
+    # sequential control: same corpus, overlap forced off
+    monkeypatch.setattr(D, "_collect_literal_dups", orig_collect)
+    orig_start = D._dup_info_start
+
+    def no_overlap(groups, valid, cap, valid_key=None, overlap=False):
+        return orig_start(groups, valid, cap, valid_key=valid_key)
+
+    monkeypatch.setattr(D, "_dup_info_start", no_overlap)
+    release_shared_caches(spark)
+    sequential = sorted(
+        (r["id1"], r["id2"], round(r["jaccard"], 9))
+        for r in D.minhash_lsh_dedup_pairs(
+            docs, "doc_id", "text"
+        ).collect()
+    )
+    assert overlapped == sequential
+    release_shared_caches(spark)
