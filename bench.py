@@ -585,7 +585,13 @@ def main() -> None:
     # ts_outliers = two grouped exact medians + joins over events;
     # token_drift = two token histograms + vocab-sized outer join;
     # pct_selection = the distributed-selection exact median (range
-    # shuffle + rank window + broadcast rank pick).
+    # shuffle + rank window + broadcast rank pick). pct_selection's
+    # FORCED method="selection" tier — and its ~11 exec jobs — IS the
+    # row's contract: this row exists to demonstrate/track the
+    # distributed-selection operator (few-keys/huge-groups 100 TB
+    # regime) at bench scale, where the auto router would pick the
+    # cheaper memoized-probe tier (r13). Its raw wall is therefore a
+    # deliberate floor, not an unoptimized query.
     for aux in ("retrieval_topk", "ts_outliers", "token_drift",
                 "pct_selection"):
         # reset BEFORE the try: a failed registry lookup must not let

@@ -422,8 +422,7 @@ def minhash_lsh_dedup_pairs(
     # "has shingles" == word count >= shingle_len, computed JVM-side
     # (same ASCII \s+ tokens as the shingle UDF) now that the full
     # shingle relation is no longer materialized (r14)
-    valid_pred = _word_count(F.col("text")) >= shingle_len
-    valid_key = f"wc>={shingle_len}"
+    valid_pred, valid_key = _shingleable(shingle_len)
     # ONE memoized probe job for every per-invocation scalar (r15: dup
     # sizing + the text-broadcast gate's mean octets used to be three
     # separate aggregation jobs plus a second literal collect). r16
@@ -475,6 +474,17 @@ def _word_count(text: Column) -> Column:
     split artifact and the ''-for-empty-string case)."""
     toks = F.split(F.trim(text), r"\s+")
     return F.size(F.filter(toks, lambda x: x != F.lit("")))
+
+
+def _shingleable(shingle_len: int) -> tuple[Column, str]:
+    """(predicate, memo key) for "this representative text has enough
+    tokens to shingle" — built TOGETHER so the ``_dup_info`` memo key
+    can never drift from the predicate it stands for (ADVICE r15: a
+    call site reusing a key string with a different predicate over the
+    same cached groups relation would silently serve the wrong memoized
+    dup structure). Any new validity predicate must get its own key
+    family here, never a recycled string."""
+    return _word_count(F.col("text")) >= shingle_len, f"wc>={shingle_len}"
 
 
 def _lsh_verified_pairs(
@@ -636,11 +646,20 @@ def _verify_pairs_driver(
             StructField("__t2", StringType()),
         ]
     )
+    # ADVICE r15: a candidate id absent from ``rel`` is dropped, matching
+    # the join tiers' inner-join semantics (unreachable today — ``cand``
+    # derives from ``rel`` — but a future caller violating that must see
+    # the same rows the join tiers would emit, not a KeyError). The other
+    # documented divergence stands: duplicate ids in a no-collapse ``rel``
+    # collapse to ONE text here where the join tiers multiply rows; the
+    # tier is gated to the collapse path / cached-distinct callers where
+    # ids are unique by construction.
     local = driver_rows_df(
         cand.sparkSession,
         [
             (r["id1"], r["id2"], texts[r["id1"]], texts[r["id2"]])
             for r in pairs
+            if r["id1"] in texts and r["id2"] in texts
         ],
         schema,
     )
@@ -1292,8 +1311,7 @@ def incremental_minhash_new_ids(
         # member ids), a small dup set rides plan literals or broadcast
         # hints — same routing as minhash_lsh_dedup_pairs
         rel = groups.select(F.col("gid").alias("id"), "text")
-        valid_pred = _word_count(F.col("text")) >= shingle_len
-        valid_key = f"wc>={shingle_len}"
+        valid_pred, valid_key = _shingleable(shingle_len)
         # r16: same literal-collect overlap as minhash_lsh_dedup_pairs —
         # the probe agg fills the groups cache, then the literal collect
         # runs concurrently with the bucket shared() fill / history

@@ -1126,7 +1126,15 @@ def rrf_fuse(
     the final score is the same fixed-order expression tree as before —
     the fused scores hash-match any ANSI engine evaluating the same
     tree (the registry twin `hybrid_rrf` is value-hashed against
-    DuckDB). Columns: <id_col>, ``rrf_score``, ``rank``."""
+    DuckDB). Columns: <id_col>, ``rrf_score``, ``rank``.
+
+    PRECONDITION (ADVICE r15): each ranking must carry AT MOST ONE row
+    per <id_col> value, and no NULL ids — the ranked-top-N contract
+    every ranker in this module satisfies. A contract-violating input
+    (duplicate ids within one ranking) would have its contributions
+    SUMMED by the grouped aggregation where the former full-outer join
+    chain kept such rows distinct, and NULL ids would group together;
+    upstream rankers that can emit either must dedup first."""
     from functools import reduce
 
     if not rankings:
@@ -1737,7 +1745,10 @@ def rrf_fuse_batch(
     matches otherwise). Per-query equality with ``rrf_fuse`` is
     test-pinned: same contributions, same (score desc, id asc) order,
     same ``top_n`` cut. Columns: <query_col>, <id_col>, ``rrf_score``,
-    ``rank``."""
+    ``rank``. Same PRECONDITION as ``rrf_fuse``: at most one row per
+    (<query_col>, <id_col>) within each ranking and no NULL ids —
+    duplicates would be summed where the former join chain kept them
+    distinct."""
     from functools import reduce
 
     if not rankings:
