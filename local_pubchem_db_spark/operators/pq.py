@@ -655,7 +655,6 @@ def ivf_pq_search(
     # probed-cells filter — every candidate came from a probed cell, so
     # the join scans the same partition-pruned slice the ADC stage read,
     # never the full table
-    bqv = encoded.sparkSession.sparkContext.broadcast((q_ids, Qn))
     with_vec = F.broadcast(candidates).join(
         encoded.filter(F.col(cluster_col).isin(sorted(cell_to_q))).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
@@ -663,20 +662,36 @@ def ivf_pq_search(
         "neighbor_id",
     )
 
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def exact_score(qid: pd.Series, v: pd.Series) -> pd.Series:
-        ids, Q = bqv.value
-        pos = {int(i): j for j, i in enumerate(ids)}
-        V = _norm_rows(np.array(v.tolist(), dtype=np.float64))
-        qrows = Q[[pos[int(i)] for i in qid]]
-        return pd.Series((qrows * V).sum(axis=1))
-
-    rescored = with_vec.select(
-        "query_id",
-        "neighbor_id",
-        exact_score(F.col("query_id"), F.col("__v")).alias("score"),
+    # Exact cosine in JVM expressions (r16, guide §4.1: prefer built-ins
+    # — higher-order array functions replace what was an ArrowEvalPython
+    # crossing here, so the re-rank job never leaves the JVM). The
+    # normalized query matrix rides a driver-literal relation
+    # (n_queries rows, no job) broadcast onto the candidates; duplicate
+    # probe ids keep the LAST row, mirroring the position dict the old
+    # pandas kernel built. Per-element arithmetic mirrors the numpy
+    # kernel exactly (widen to double, divide by the zero-guarded norm,
+    # multiply by q); only the reduction ORDER differs (sequential fold
+    # vs numpy's unrolled pairwise sum) — value equality on the fixture
+    # corpora is pinned in tests/test_pq.py.
+    by_id: dict[int, int] = {int(q): i for i, q in enumerate(q_ids)}
+    qvec = driver_rows_df(
+        encoded.sparkSession,
+        [
+            (q, [float(x) for x in Qn[i]])
+            for q, i in by_id.items()
+        ],
+        "query_id long, __q array<double>",
+    )
+    vd = F.transform(F.col("__v"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x))
+    safe_norm = F.when(norm == F.lit(0.0), F.lit(1.0)).otherwise(norm)
+    cos = F.aggregate(
+        F.zip_with(F.col("__q"), vd, lambda q, x: q * (x / safe_norm)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rescored = with_vec.join(F.broadcast(qvec), "query_id").select(
+        "query_id", "neighbor_id", cos.alias("score")
     )
     return (
         rescored.withColumn("rank", F.row_number().over(w))

@@ -45,6 +45,8 @@ sweep simply proceeds to the next kill index.
 
 from __future__ import annotations
 
+import os
+import shutil
 import warnings
 
 import numpy as np
@@ -167,6 +169,141 @@ def run_with_kill(op, kill_at: int, extra_hooks=()) -> tuple[bool, list[str]]:
     return ks.fired, ks.log
 
 
+def _table_spec(spark, t: str):
+    """(cols, partition cols, detailed-info dict) from DESCRIBE EXTENDED."""
+    cols, part_cols, info = [], [], {}
+    section = "cols"
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {t}").collect():
+        name = (r["col_name"] or "").strip()
+        if name.startswith("# Partition"):
+            section = "part"
+            continue
+        if name.startswith("# Detailed"):
+            section = "info"
+            continue
+        if not name or name.startswith("#"):
+            continue
+        if section == "cols":
+            cols.append((name, r["data_type"]))
+        elif section == "part":
+            part_cols.append(name)
+        else:
+            info[name] = r["data_type"]
+    return cols, part_cols, info
+
+
+def _loc_path(info: dict) -> str:
+    loc = info["Location"]
+    return loc[len("file:"):] if loc.startswith("file:") else loc
+
+
+def _bracket_list(s: str) -> list[str]:
+    return [c.strip(" `") for c in (s or "").strip("[]").split(",") if c.strip()]
+
+
+def _create_ddl(t: str, cols, part_cols, info) -> str:
+    ddl = (
+        f"CREATE TABLE {t} ("
+        + ", ".join(f"`{n}` {d}" for n, d in cols)
+        + ") USING parquet"
+    )
+    if part_cols:
+        ddl += " PARTITIONED BY (" + ", ".join(f"`{c}`" for c in part_cols) + ")"
+    nb = info.get("Num Buckets")
+    if nb and int(nb) > 0:
+        ddl += " CLUSTERED BY (" + ", ".join(
+            f"`{c}`" for c in _bracket_list(info.get("Bucket Columns", "[]"))
+        ) + ")"
+        sc = _bracket_list(info.get("Sort Columns", "[]"))
+        if sc:
+            ddl += " SORTED BY (" + ", ".join(f"`{c}`" for c in sc) + ")"
+        ddl += f" INTO {int(nb)} BUCKETS"
+    return ddl
+
+
+class restorable_build:
+    """Amortize an expensive pristine-state builder across a sweep's kill
+    points (the r16 suite-capacity fix, VERDICT r15 Next #1): the FIRST
+    call runs the real ``builder()`` and snapshots the named catalog
+    tables (schema + partition/bucket/sort spec via DESCRIBE EXTENDED,
+    plus a byte copy of the table location) and directories; every later
+    call restores that snapshot — DROP + re-CREATE with the identical
+    spec (the table stays MANAGED, so DROP/overwrite/partition-DDL
+    semantics inside the swept op are unchanged) + file copy into the
+    fresh managed location (+ ``recoverPartitions`` for partitioned
+    tables). Pristine state is byte-identical to what the builder
+    produced, at file-copy cost (~0.3 s) instead of a full staged-save
+    rebuild (~8 s), which is what made the sweeps O(kill_points x
+    rebuild) in wall.
+
+    ``pre`` runs before EVERY build/restore (drop staged leftovers the
+    previous iteration's kill stranded). The first restore is verified
+    row-identical to the as-built state — a fidelity bug in the restore
+    fails the test loudly instead of silently weakening the sweep."""
+
+    def __init__(self, spark, snapdir, builder, tables=(), dirs=(), pre=None):
+        self.spark = spark
+        self.snapdir = str(snapdir)
+        self.builder = builder
+        self.tables = list(tables)
+        self.dirs = [str(d) for d in dirs]
+        self.pre = pre
+        self.specs: dict | None = None
+        self.baseline: dict | None = None
+        self.verified = False
+
+    def _snap_table_dir(self, t: str) -> str:
+        return os.path.join(self.snapdir, "tables", t)
+
+    def _snapshot(self) -> None:
+        os.makedirs(os.path.join(self.snapdir, "tables"), exist_ok=True)
+        self.specs = {}
+        self.baseline = {}
+        for t in self.tables:
+            cols, part_cols, info = _table_spec(self.spark, t)
+            shutil.copytree(_loc_path(info), self._snap_table_dir(t))
+            self.specs[t] = (cols, part_cols, info)
+            self.baseline[t] = sorted(
+                map(tuple, self.spark.table(t).collect())
+            )
+        for i, d in enumerate(self.dirs):
+            shutil.copytree(d, os.path.join(self.snapdir, f"dir{i}"))
+
+    def _restore(self) -> None:
+        for t in self.tables:
+            cols, part_cols, info = self.specs[t]
+            self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+            self.spark.sql(_create_ddl(t, cols, part_cols, info))
+            _c, _p, info2 = _table_spec(self.spark, t)
+            lp = _loc_path(info2)
+            shutil.rmtree(lp, ignore_errors=True)
+            shutil.copytree(self._snap_table_dir(t), lp)
+            if part_cols:
+                self.spark.catalog.recoverPartitions(t)
+            self.spark.catalog.refreshTable(t)
+        for i, d in enumerate(self.dirs):
+            shutil.rmtree(d, ignore_errors=True)
+            shutil.copytree(os.path.join(self.snapdir, f"dir{i}"), d)
+            self.spark.catalog.refreshByPath(d)
+        if not self.verified:
+            for t in self.tables:
+                got = sorted(map(tuple, self.spark.table(t).collect()))
+                assert got == self.baseline[t], (
+                    f"restore infidelity on {t}: the snapshot restore "
+                    "does not reproduce the as-built state"
+                )
+            self.verified = True
+
+    def __call__(self) -> None:
+        if self.pre is not None:
+            self.pre()
+        if self.specs is None:
+            self.builder()
+            self._snapshot()
+        else:
+            self._restore()
+
+
 def sweep_kill_points(build, op, check, max_kills: int = 64, extra_hooks=()) -> int:
     """For kill_at = 1, 2, ...: rebuild pristine state, run ``op`` with
     the kill injected, run ``check`` (which must prove the recovery
@@ -281,7 +418,22 @@ def _check_pq_index(spark, name, allowed_totals, rerun=None):
     assert ledger == truth, "cells ledger != codes truth"
 
 
-def test_sweep_save_ivf_pq_over_existing(spark):
+_IVF_STATE_TABLES = ("codes", "model", "meta", "cells")
+
+
+def _ivf_restorable(spark, snapdir, name, builder):
+    """The ivf sweeps' shared restorable pristine state: the four live
+    index tables snapshot/restored, staged leftovers dropped first."""
+    return restorable_build(
+        spark,
+        snapdir,
+        builder,
+        tables=[f"{name}_{s}" for s in _IVF_STATE_TABLES],
+        pre=lambda: PQ.drop_ivf_pq(spark, name),
+    )
+
+
+def test_sweep_save_ivf_pq_over_existing(spark, tmp_path):
     """Every kill point inside a full save over an existing index: the
     index is either the old state, the new state, or REFUSES with the
     documented re-run remedy (a half-save is unrecoverable by
@@ -294,9 +446,12 @@ def test_sweep_save_ivf_pq_over_existing(spark):
     def enc_df():
         return spark.createDataFrame(rows, schema)
 
-    def build():
-        PQ.drop_ivf_pq(spark, name)
-        PQ.save_ivf_pq(enc_df(), centroids, cb, name, residual=True)
+    build = _ivf_restorable(
+        spark,
+        tmp_path / "snap",
+        name,
+        lambda: PQ.save_ivf_pq(enc_df(), centroids, cb, name, residual=True),
+    )
 
     def op():
         PQ.save_ivf_pq(enc_df(), centroids, cb, name, residual=True)
@@ -309,7 +464,7 @@ def test_sweep_save_ivf_pq_over_existing(spark):
     PQ.drop_ivf_pq(spark, name)
 
 
-def test_sweep_ivf_pq_append(spark):
+def test_sweep_ivf_pq_append(spark, tmp_path):
     """Every kill point inside an O(delta) append: totals are pre- or
     post-append (the insertInto commit is the atom), the consistency
     marker repair recounts, the ledger never drifts from the codes."""
@@ -328,15 +483,18 @@ def test_sweep_ivf_pq_append(spark):
         for i in range(8)
     ]
 
-    def build():
-        PQ.drop_ivf_pq(spark, name)
-        PQ.save_ivf_pq(
+    build = _ivf_restorable(
+        spark,
+        tmp_path / "snap",
+        name,
+        lambda: PQ.save_ivf_pq(
             spark.createDataFrame(rows, schema),
             centroids,
             cb,
             name,
             residual=True,
-        )
+        ),
+    )
 
     def op():
         with warnings.catch_warnings():
@@ -358,7 +516,7 @@ def test_sweep_ivf_pq_append(spark):
     PQ.drop_ivf_pq(spark, name)
 
 
-def test_sweep_ivf_pq_split_cell(spark):
+def test_sweep_ivf_pq_split_cell(spark, tmp_path):
     """Every kill point inside a cell split: the corpus total is ALWAYS
     preserved (a split moves rows, never adds or removes), recovery
     either finishes the split from the persisted sub-centroids or
@@ -369,15 +527,18 @@ def test_sweep_ivf_pq_split_cell(spark):
     total = len(rows)
     probe_vec = rows[0]["embedding"]
 
-    def build():
-        PQ.drop_ivf_pq(spark, name)
-        PQ.save_ivf_pq(
+    build = _ivf_restorable(
+        spark,
+        tmp_path / "snap",
+        name,
+        lambda: PQ.save_ivf_pq(
             spark.createDataFrame(rows, schema),
             centroids,
             cb,
             name,
             residual=True,
-        )
+        ),
+    )
 
     def op():
         with warnings.catch_warnings():
@@ -432,7 +593,7 @@ def _retrieval_truth(spark, name):
     return tdf, n, sum_dl
 
 
-def test_sweep_retrieval_append_termdf_merge(spark):
+def test_sweep_retrieval_append_termdf_merge(spark, tmp_path):
     """Every kill point inside save_postings(mode='append'), including
     the staged termdf swap: load_index always comes back consistent —
     the derived tables exactly equal a recomputation over the live base
@@ -452,10 +613,20 @@ def test_sweep_retrieval_append_termdf_merge(spark):
     delta = spark.createDataFrame(_DELTA_DOCS, "doc_id long, text string")
     nb, nd = len(_BASE_DOCS), len(_DELTA_DOCS)
 
-    def build():
-        drop_index(spark, name)
+    def _build_real():
         p0, d0 = build_postings(base)
         save_postings(p0, d0, name, buckets=2)
+
+    build = restorable_build(
+        spark,
+        tmp_path / "snap",
+        _build_real,
+        tables=[
+            f"{name}_{s}"
+            for s in ("postings", "docstats", "termdf", "stats")
+        ],
+        pre=lambda: drop_index(spark, name),
+    )
 
     def op():
         p1, d1 = build_postings(delta)

@@ -34,7 +34,7 @@ from local_pubchem_db_spark.sources.shards import (
 from local_pubchem_db_spark.streaming import dedup_ingest as DI
 from local_pubchem_db_spark.streaming import rollup as RU
 
-from tests.test_crash_sweep import sweep_kill_points
+from tests.test_crash_sweep import restorable_build, sweep_kill_points
 
 pytestmark = pytest.mark.crash_sweep
 
@@ -60,9 +60,13 @@ def test_sweep_shard_append(spark, tmp_path):
     def bdf(rows):
         return spark.createDataFrame(rows, "doc_id long, text string")
 
-    def build():
+    def _build_real():
         shutil.rmtree(path, ignore_errors=True)
         write_training_shards(bdf(base), path, num_shards=4)
+
+    build = restorable_build(
+        spark, tmp_path / "snap", _build_real, dirs=[path]
+    )
 
     def op():
         append_to_training_shards(bdf(batch), path)
@@ -152,19 +156,32 @@ def test_sweep_compact_dedup_index(spark, tmp_path):
     index_path = os.path.join(out, "lsh_index")
     truth: set[tuple] = set()
 
-    def build():
-        truth.clear()
-        shutil.rmtree(out, ignore_errors=True)
+    def _drop_versions():
         for v in (1, 2, 3):
             spark.sql(
                 f"DROP TABLE IF EXISTS {DI._table_name(out, v)}"
             )
+
+    def _build_real():
+        truth.clear()
+        shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out)
         for b in (0, 1):
             truth.update(_write_delta(spark, index_path, b))
         assert DI.compact_dedup_index(spark, out, force=True)  # v1
         for b in (2, 3):
             truth.update(_write_delta(spark, index_path, b))
+
+    # truth is deterministic, so the snapshot restore (which skips the
+    # builder) leaves it correct from the first build
+    build = restorable_build(
+        spark,
+        tmp_path / "snap",
+        _build_real,
+        tables=[DI._table_name(out, 1)],
+        dirs=[out],
+        pre=_drop_versions,
+    )
 
     def op():
         DI.compact_dedup_index(spark, out, force=True)  # fold v2
