@@ -239,10 +239,19 @@ def edit_distance_join(
         .distinct()
     )
 
-    # short-left path: len(a) <= d forces len(b) <= 2d
+    # short-left path: len(a) <= d forces len(b) <= 2d. BROADCAST the
+    # right block (r16, guide §3): a bare crossJoin plans a
+    # CartesianProduct whose task count is left partitions x right
+    # partitions — measured 12 s on a 3x2-row fixture at local[32]
+    # (32x32 tasks), and at corpus scale the degenerate-short filter
+    # still inherits the FULL scan's partitioning, so the product is
+    # quadratic in partition count. The short-right block is bounded
+    # tiny by construction (strings of <= 2d chars), exactly the
+    # broadcast contract; the plan becomes a BroadcastNestedLoopJoin
+    # streaming the left side once.
     short_l = l_norm.filter(F.length("s") < k).withColumnRenamed("id", "lid")
     short_r = r_norm.filter(F.length("s") <= 2 * d).withColumnRenamed("id", "rid")
-    short_cand = short_l.crossJoin(short_r).select("lid", "rid")
+    short_cand = short_l.crossJoin(F.broadcast(short_r)).select("lid", "rid")
 
     pairs = cand.union(short_cand).distinct()
     verified = (

@@ -922,6 +922,14 @@ def save_ivf_pq(
       is detected at load), and ``base_mse`` — the training-time
       quantization error ``ivf_pq_append`` measures drift against
       (null when ``vec_col`` is absent from ``encoded``).
+    r16: the ``base_mse`` probe overlaps the staged write sequence on a
+    driver thread (it reads only the INPUT relation — guide §2.6), so a
+    probe failure (realistically only an EMPTY corpus, which ``pq_fit``
+    would have refused long before any save) now surfaces after the
+    codes overwrite: the index then refuses at load with the standard
+    re-run remedy — the same recoverable state as a crash inside the
+    save window, not a new failure mode.
+
     - ``<name>_cells``: per-cell row counts (n_cells rows) — the
       CELL-BALANCE ledger. Appends update it with O(delta) arithmetic
       (delta assignment counts merged in), and the append report
@@ -932,18 +940,36 @@ def save_ivf_pq(
     spark = encoded.sparkSession
     C = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, k, dsub = C.shape
-    base_mse = None
+    # base_mse is needed only by the FINAL meta write, and its probe
+    # reads the INPUT relation (never the tables this save mutates) —
+    # so it runs on a driver thread CONCURRENTLY with the marker/codes/
+    # model/cells sequence below (r16, guide §2.6: overlap independent
+    # jobs; the same pattern as the dedup probe's literal collect).
+    # The mutation ORDER of the save — the crash-safety contract the
+    # kill-point sweeps pin — is untouched: the thread performs no
+    # catalog mutation, only read jobs.
+    mse_thread = None
+    mse_box: dict = {}
     if vec_col in encoded.columns:
-        base_mse = quantization_error(
-            encoded,
-            C,
-            centroids=np.asarray(centroids) if residual else None,
-            rotation=rotation,
-            id_col=id_col,
-            vec_col=vec_col,
-            cluster_col=cluster_col,
-            sample_rows=sample_rows,
-        )
+        from threading import Thread
+
+        def _mse() -> None:
+            try:
+                mse_box["v"] = quantization_error(
+                    encoded,
+                    C,
+                    centroids=np.asarray(centroids) if residual else None,
+                    rotation=rotation,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    cluster_col=cluster_col,
+                    sample_rows=sample_rows,
+                )
+            except BaseException as e:  # noqa: BLE001 — re-raised at join
+                mse_box["e"] = e
+
+        mse_thread = Thread(target=_mse, name="ivfpq-base-mse", daemon=True)
+        mse_thread.start()
     # SAVE-INTENT MARKER, written FIRST and cleared by the final meta
     # write (r14 crash sweep): a full save rewrites the CODES before it
     # swaps the model, so a crash anywhere between the codes overwrite
@@ -980,6 +1006,12 @@ def save_ivf_pq(
     )
     _write_model_table(spark, name, centroids, C, rotation)
     n_vecs = _rebuild_cells_table(spark, name, cluster_col)
+    base_mse = None
+    if mse_thread is not None:
+        mse_thread.join()
+        if "e" in mse_box:
+            raise mse_box["e"]
+        base_mse = mse_box["v"]
     _write_ivf_pq_meta(
         spark,
         name,
@@ -1072,6 +1104,14 @@ def ivf_pq_cell_stats(spark, name: str) -> dict:
         counts, flagged, _strikes = _read_cells_table(spark, name)
     except Exception:  # noqa: BLE001 — pre-r13 index
         return {}
+    return _cell_stats_from(counts, flagged)
+
+
+def _cell_stats_from(counts: dict, flagged: set) -> dict:
+    """``ivf_pq_cell_stats`` over an already-read ledger — callers that
+    just read the cells table (the split path) derive the stats without
+    a second collect of the same relation (r16, guide §1.2: don't pay a
+    job for numbers already on the driver)."""
     counts = {c: n for c, n in counts.items() if n > 0}
     if not counts:
         return {}
@@ -1809,12 +1849,13 @@ def ivf_pq_split_cell(
         spark, name, {**meta, "split_cell": cell}, new_centroids,
         codebooks, rotation, sub_ids,
     )
-    stats = ivf_pq_cell_stats(spark, name)
-    ledger = {
-        int(r["cell"]): int(r["n"])
-        for r in spark.table(f"{name}_cells").collect()
-    }
-    counts = {s: ledger.get(int(s), 0) for s in sub_ids}
+    # ONE read of the (tiny) cells ledger serves the stats, the
+    # per-sub-cell counts, AND the strike/flag bookkeeping below — this
+    # block previously collected the same relation three times (r16,
+    # guide §1.2)
+    merged, flagged, strikes = _read_cells_table(spark, name)
+    stats = _cell_stats_from(dict(merged), set(flagged))
+    counts = {s: merged.get(int(s), 0) for s in sub_ids}
     total = sum(counts.values())
     # separation diagnostic (r13, found by measure_r13_split): a hot
     # cell that is ONE tight blob — near-duplicate floods are exactly
@@ -1839,7 +1880,6 @@ def ivf_pq_split_cell(
     no_split_flagged = None
     blob_sample_ids = None
     if total:
-        merged, flagged, strikes = _read_cells_table(spark, name)
         dominant = int(max(counts, key=counts.get))
         if separated:
             for sid in sub_ids:

@@ -17,6 +17,40 @@ def spark():
     yield spark
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _session_hygiene():
+    """Per-module cleanup of the SHARED session (r16 suite-capacity fix):
+    tests that exercise ``shared()``-cached operators, ``persist`` or
+    streaming leave cached blocks / state behind, and the accumulated
+    memory pressure measurably degrades every later test (the same test
+    ran 13–22 s standalone vs 43 s late in the full suite). Stopping
+    stray streams, dropping every leaked cache entry and nudging the
+    driver GC at module boundaries keeps test N's wall independent of
+    tests 1..N-1. Runs AFTER each module, so no test's own caching
+    behavior is affected."""
+    yield
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        return
+    try:
+        for q in s.streams.active:
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001 — already terminating
+                pass
+        from local_pubchem_db_spark.operators.util import (
+            release_shared_caches,
+        )
+
+        release_shared_caches(s)
+        s.catalog.clearCache()
+        s.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — hygiene is best-effort
+        pass
+
+
 @pytest.fixture(scope="session")
 def sdf_dir():
     return os.path.join(FIXTURE_DIR, "sdf")
