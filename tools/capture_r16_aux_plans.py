@@ -116,8 +116,14 @@ def main() -> None:
         "vec_id",
     )
     codebooks = pq_new.pq_fit(assigned, m=8, k=16, centroids=centroids)
-    enc = pq_new.pq_encode(assigned, codebooks, centroids=centroids).persist()
-    enc.count()
+    # localCheckpoint, not persist: the bench persists, but a cached
+    # relation PRINTS its stored lineage (the encode stage's own
+    # ArrowEvalPython) inside InMemoryRelation, which would mask the
+    # rerank-crossing diff these plans exist to show; the executed
+    # search subtree is identical either way
+    enc = pq_new.pq_encode(
+        assigned, codebooks, centroids=centroids
+    ).localCheckpoint()
     probes = emb.filter(F.col("vec_id") < 16)
 
     # --- ivf_pq_search (in-memory row)
@@ -225,7 +231,7 @@ def main() -> None:
     dump(out_dir, "edit_distance_join", "after",
          joins_new.edit_distance_join(ldf, rdf, "lid", "k", "rid", "k", 1))
 
-    enc.unpersist()
+    # enc was localCheckpoint-ed; nothing to unpersist
     pw.unpersist()
     dw.unpersist()
     spark.stop()
