@@ -662,36 +662,32 @@ def ivf_pq_search(
         "neighbor_id",
     )
 
-    # Exact cosine in JVM expressions (r16, guide §4.1: prefer built-ins
-    # — higher-order array functions replace what was an ArrowEvalPython
-    # crossing here, so the re-rank job never leaves the JVM). The
-    # normalized query matrix rides a driver-literal relation
-    # (n_queries rows, no job) broadcast onto the candidates; duplicate
-    # probe ids keep the LAST row, mirroring the position dict the old
-    # pandas kernel built. Per-element arithmetic mirrors the numpy
-    # kernel exactly (widen to double, divide by the zero-guarded norm,
-    # multiply by q); only the reduction ORDER differs (sequential fold
-    # vs numpy's unrolled pairwise sum) — value equality on the fixture
-    # corpora is pinned in tests/test_pq.py.
-    by_id: dict[int, int] = {int(q): i for i, q in enumerate(q_ids)}
-    qvec = driver_rows_df(
-        encoded.sparkSession,
-        [
-            (q, [float(x) for x in Qn[i]])
-            for q, i in by_id.items()
-        ],
-        "query_id long, __q array<double>",
-    )
-    vd = F.transform(F.col("__v"), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x))
-    safe_norm = F.when(norm == F.lit(0.0), F.lit(1.0)).otherwise(norm)
-    cos = F.aggregate(
-        F.zip_with(F.col("__q"), vd, lambda q, x: q * (x / safe_norm)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    rescored = with_vec.join(F.broadcast(qvec), "query_id").select(
-        "query_id", "neighbor_id", cos.alias("score")
+    # Exact-rerank kernel choice, MEASURED (r16, guide §1.1): two JVM
+    # rewrites of this scoring were built and interleaved-A/B'd against
+    # the Arrow kernel at sf0.1 (8 reps each, identical outputs):
+    # pandas kernel min 0.71 s / mean 0.96; higher-order expressions
+    # with the query matrix as a broadcast driver-literal relation
+    # min 1.10 / mean 1.33 (the extra broadcast exchange outweighs the
+    # removed crossing); a per-row map-literal lookup min 1.57 / mean
+    # 1.81 (interpreted map construction per row). The crossing is NOT
+    # the cost — the candidate relation is n_queries x R rows — so the
+    # vectorized Arrow kernel stays (bench_artifacts/IVF_RERANK_AB_r16).
+    bqv = encoded.sparkSession.sparkContext.broadcast((q_ids, Qn))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def exact_score(qid: pd.Series, v: pd.Series) -> pd.Series:
+        ids, Q = bqv.value
+        pos = {int(i): j for j, i in enumerate(ids)}
+        V = _norm_rows(np.array(v.tolist(), dtype=np.float64))
+        qrows = Q[[pos[int(i)] for i in qid]]
+        return pd.Series((qrows * V).sum(axis=1))
+
+    rescored = with_vec.select(
+        "query_id",
+        "neighbor_id",
+        exact_score(F.col("query_id"), F.col("__v")).alias("score"),
     )
     return (
         rescored.withColumn("rank", F.row_number().over(w))

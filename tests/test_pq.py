@@ -263,67 +263,6 @@ def test_ivf_pq_rerank_recovers_exact_ordering(spark):
         )
 
 
-def test_ivf_pq_rerank_stays_in_jvm(spark):
-    """r16 (guide §4.1): the exact-rerank stage scores candidates with
-    JVM higher-order array expressions — the plan's ONLY Python node is
-    the ADC MapInPandas; the old per-row ArrowEvalPython cosine kernel
-    is gone. Output equality with the numpy kernel was verified on the
-    fixture and all three SF corpora (round-16 A/B); this pins the plan
-    shape plus a duplicate-probe-id edge (the driver-literal query
-    relation keeps the LAST row per id, mirroring the old position
-    dict)."""
-    from local_pubchem_db_spark.operators.clustering import (
-        assign_clusters,
-        kmeans_fit,
-    )
-    from local_pubchem_db_spark.operators.pq import ivf_pq_search
-
-    rng = np.random.default_rng(5)
-    rows = [
-        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(60)
-    ]
-    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    centroids = kmeans_fit(emb, k=4, max_iter=5)
-    assigned = emb.join(
-        assign_clusters(emb, centroids).withColumnRenamed("id", "vec_id"),
-        "vec_id",
-    )
-    cb = pq_fit(assigned, m=4, k=8, centroids=centroids)
-    # materialize the encoded corpus so the searched plan starts at a
-    # lineage-free scan — the encode stage's own ArrowEvalPython is not
-    # what this test pins (persist() would still PRINT the cached plan's
-    # Python nodes inside InMemoryRelation)
-    enc = pq_encode(assigned, cb, centroids=centroids).localCheckpoint()
-    queries = emb.filter(F.col("vec_id") < 3)
-
-    df = ivf_pq_search(
-        enc, queries, centroids, cb, k=5, nprobe=2, residual=True, rerank=20
-    )
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
-    assert "ArrowEvalPython" not in plan, "rerank crossing came back"
-    assert "BatchEvalPython" not in plan
-    # exactly one Python node: the ADC stage ("MapInPandas (n)" is the
-    # tree form; the details section prints "(n) MapInPandas")
-    assert plan.count("MapInPandas (") == 1
-
-    # duplicate probe ids: the driver-literal query relation is unique
-    # per id (LAST row wins — the old kernel's dict semantics), so the
-    # rerank join never multiplies candidate rows: still exactly k
-    # ranked rows per distinct query id, ranks 1..k
-    from collections import Counter
-
-    dup = queries.union(queries.limit(1))
-    out = ivf_pq_search(
-        enc, dup, centroids, cb, k=5, nprobe=2, residual=True, rerank=20
-    ).collect()
-    cnt = Counter(r["query_id"] for r in out)
-    assert set(cnt) == {0, 1, 2} and set(cnt.values()) == {5}
-    ranks = sorted(r["rank"] for r in out if r["query_id"] == 0)
-    assert ranks == [1, 2, 3, 4, 5]
-
-
 def test_ivf_pq_search_recall_and_partition_pruning(spark, tmp_path):
     """The composed IVF-PQ path on a clustered corpus: a kmeans coarse
     quantizer + cluster-partitioned PQ codes on disk. Pins (a) retrieval
