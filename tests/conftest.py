@@ -13,7 +13,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="tests", shuffle_partitions=8)
+    spark = get_spark(
+        app_name="tests",
+        shuffle_partitions=8,
+        # tiny-fixture tests: createDataFrame over driver lists slices
+        # into defaultParallelism (= total cores, 32 here) Python RDD
+        # partitions, so every scan of a 10-row fixture schedules 32
+        # Python-worker tasks; 8 keeps the suite's per-job cost down
+        # without touching the production/bench session defaults
+        extra_conf={"spark.default.parallelism": "8"},
+    )
     yield spark
 
 
